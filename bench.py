@@ -1,0 +1,80 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is built and then fully materialized via a count-style action
+(no driver collect of the payload — the action drains the plan the way a
+sink write would). Times include plan + execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+from sparkstreaming_gmall_scala_spark.session import get_spark
+
+# The headline set: the flagship chain plus one representative per operator
+# family (agg, multi-join, window, allocation, interval join, dedup families,
+# text analysis, similarity). Kept stable across rounds so BENCH_r{N}.json
+# files are comparable.
+HEADLINE = (
+    "trademark_stat",
+    "pricing_summary",
+    "order_enrich",
+    "first_order_flag",
+    "payment_allocation",
+    "windowed_order_join",
+    "topk_parts_per_brand",
+    "dau",
+    "sessionize",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "doc_quality",
+    "knn_bruteforce",
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    registry = load_all()
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # steady state, not first-call classloading.
+    registry["trademark_stat"].builder(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

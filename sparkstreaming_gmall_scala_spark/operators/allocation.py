@@ -1,0 +1,82 @@
+"""Proportional payment allocation with residual correction (实付分摊).
+
+The reference allocates each order's ``final_total_amount`` across its
+details proportional to ``sku_price*sku_num / original_total_amount``,
+rounding each share to 2 dp, and gives the LAST detail the residual
+``final_total_amount - Σ(shares so far)`` so the shares sum exactly
+(reference: dws/OrderWideApp.scala:134-178; last-detail test :161,
+residual :162, proportional share :164). The reference keeps the running
+sums in Redis with a 600 s TTL and is arrival-order dependent.
+
+Batch/Spark-first formulation (SURVEY.md A4-b): window functions over a
+deterministic detail order — no external state, order-insensitive, and the
+invariant Σ share == total holds exactly. Shares are computed in integer
+CENTS so the arithmetic is exact and engine-portable:
+
+    cents(x)   = floor(x*100 + 0.5)            # Math.round, in both engines
+    share_i    = cents(total * amount_i / orig_total)   for i < last
+    share_last = cents(total) - Σ_{i<last} share_i
+
+The streaming exact-parity variant (per-arrival running state) lives in
+``streaming/allocation_state.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cents(x: Column) -> Column:
+    """round-half-up to cents as BIGINT — floor(x*100+0.5) is pure IEEE
+    double math, bit-identical across engines (unlike round(), whose
+    half-way tie handling differs subtly between implementations)."""
+    return F.floor(x * 100 + F.lit(0.5)).cast("long")
+
+
+def allocate(
+    details: DataFrame,
+    order_key: str,
+    detail_order: str | list[str],
+    amount: str,
+    total: str,
+    out_col: str = "final_detail_amount",
+) -> DataFrame:
+    """Allocate ``total`` (an order-level column repeated on each detail row)
+    across the order's detail rows proportional to ``amount``.
+
+    ``detail_order`` should be a TOTAL order of the details (pass extra
+    tiebreaker columns if the primary key can repeat) so "which row is
+    last" — and thus which takes the residual — is the same under any
+    engine/partitioning. For rows identical in every projected column the
+    choice doesn't matter: the output multiset is the same either way.
+
+    One shuffle on ``order_key`` serves all three windows (same
+    partitioning); at scale the per-order group is tiny (1-7 rows) so no
+    skew concern.
+    """
+    order_cols = (
+        [detail_order] if isinstance(detail_order, str) else list(detail_order)
+    )
+    w = Window.partitionBy(order_key)
+    w_last = w.orderBy(*[F.col(c).desc() for c in order_cols])
+
+    # Exact (decimal) per-order sum of the proportioning basis — order-
+    # insensitive, unlike a double sum.
+    orig_total = F.sum(F.col(amount).cast("decimal(18,2)")).over(w).cast("double")
+    share_cents = _cents(F.col(total) * F.col(amount) / orig_total)
+    total_cents = _cents(F.col(total))
+
+    with_share = details.withColumn("_rn_last", F.row_number().over(w_last)).withColumn(
+        "_share_cents", share_cents
+    )
+    sum_share = F.sum("_share_cents").over(
+        Window.partitionBy(order_key)
+    )
+    final_cents = F.when(
+        F.col("_rn_last") == 1, total_cents - (sum_share - F.col("_share_cents"))
+    ).otherwise(F.col("_share_cents"))
+    return (
+        with_share.withColumn(out_col, final_cents.cast("double") / 100.0)
+        .drop("_rn_last", "_share_cents")
+    )

@@ -1,0 +1,73 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode/feature-extraction runs as Arrow-batched
+``mapInPandas`` so the (external) media libraries would touch whole
+batches, never rows. The media libs are NOT in this container, so the
+actual decoders are stubbed behind ``NotImplementedError`` with a
+deterministic fake path used by tests — the Spark-side plumbing (schema,
+batch shape, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def to_binary_payload(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Wrap a column as the canonical multimodal shape:
+    (id, payload binary, meta struct<n_bytes, mime>)."""
+    payload = F.col(text_col).cast("binary")
+    return docs.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str) -> bytes:
+    """Real media decode (PIL/librosa/av) — not available in this
+    container. The mapInPandas plumbing around it is real; swap this body
+    for the actual decoder on a cluster with the media libs installed."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libs not present in this image"
+    )
+
+
+def extract_features(
+    media: DataFrame, id_col: str, deterministic_fake: bool = True
+) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload.
+
+    With ``deterministic_fake`` the 'features' are cheap exact functions of
+    the bytes (length, first byte, byte sum mod 2^31) so the pipeline is
+    testable end-to-end; the real decoder plugs into the same batch shape.
+    """
+    out_schema = f"{id_col} long, n_bytes int, first_byte int, byte_sum long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            if not deterministic_fake:
+                payloads = payloads.map(lambda b: decode_media(b, "application/octet-stream"))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "byte_sum": payloads.map(lambda b: sum(b) % 2147483647).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and an LSH-bucketed
+variant (random-hyperplane signs) as the scale path: at 100 TB you never
+cross-join the corpus — you bucket it so each query probes a few buckets.
+
+All vector math is pure Column expressions (zip_with/aggregate folds,
+JVM-side); queries are broadcast so the corpus side never shuffles for the
+brute-force path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (query ids broadcast).
+
+    Scores are rounded to 6 dp BEFORE ranking so rank order is stable
+    across engines/fp-summation orders; ties break by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.floor(cosine(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5) / 1e6,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def hyperplane_bucket(
+    df: DataFrame, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = the sign bits of dot(v, plane_i).
+
+    ``planes`` is a small driver-side list (k planes × dim floats) baked
+    into the plan as literals — no shuffle, no UDF; at scale the bucketed
+    corpus is written out partitioned by bucket so queries prune buckets.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.shiftleft((d >= 0).cast("long"), i)
+    return df.withColumn("bucket", bucket)
+
+
+def _band_buckets(
+    df: DataFrame, vec_col: str, planes: list[list[float]], bands: int
+) -> DataFrame:
+    """Explode each row into ``bands`` (band, bucket) pairs — the classic
+    LSH OR-construction: the plane list is split into ``bands`` contiguous
+    groups and each group's sign bits form one bucket id. A pair of
+    vectors is a candidate if they share the bucket in ANY band, which
+    lifts per-band collision probability p to 1-(1-p)^bands."""
+    if len(planes) % bands != 0:
+        raise ValueError(
+            f"len(planes)={len(planes)} must be divisible by bands={bands}"
+        )
+    per_band = len(planes) // bands
+    band_cols = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes[b * per_band : (b + 1) * per_band]):
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            d = F.aggregate(
+                F.zip_with(F.col(vec_col), arr, lambda a, b_: a.cast("double") * b_),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.shiftleft((d >= 0).cast("long"), i)
+        band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return df.withColumn("_bb", F.explode(F.array(*band_cols))).select(
+        "*", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    ).drop("_bb")
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    k: int = 5,
+    bands: int = 4,
+) -> DataFrame:
+    """ANN top-k via banded random-hyperplane LSH (multi-table
+    OR-construction): the planes are split into ``bands`` tables; a corpus
+    vector is a candidate for a query iff they share a bucket in at least
+    one band. Candidates are deduped before scoring so each pair is scored
+    once. Recall < 1 by construction — that's the scale trade; the pytest
+    suite measures recall against brute force.
+
+    At 100 TB: the corpus is bucketed once and written partitioned by
+    (band, bucket); each query probes ``bands`` partitions — no cross
+    join, no corpus shuffle per query batch."""
+    cb = _band_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "cvec",
+        planes,
+        bands,
+    )
+    qb = _band_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec",
+        planes,
+        bands,
+    )
+    scored = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "score",
+            F.floor(cosine(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5) / 1e6,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label centroid of the embedding column.
+
+    posexplode → groupBy(label, pos) with an exact DECIMAL sum (order-
+    insensitive — a double sum would be nondeterministic under AQE
+    partition ordering), then reassemble the array sorted by position.
+
+    Each float is first rounded to 6 dp in double space, THEN cast to
+    decimal: engines disagree on the last digits of a raw float→decimal
+    cast (shortest-repr vs exact-value rounding), but agree exactly on a
+    6-dp-rounded double.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    x6 = F.floor(F.col("x").cast("double") * 1e6 + 0.5) / 1e6
+    per_dim = exploded.groupBy("label", "pos").agg(
+        (
+            F.floor(
+                (
+                    F.sum(x6.cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("dim_mean")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "dim_mean"))
+            ).alias("_pairs")
+        )
+        .select(
+            "label",
+            F.transform(F.col("_pairs"), lambda s: s.dim_mean).alias("centroid"),
+        )
+    )

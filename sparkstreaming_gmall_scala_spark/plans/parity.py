@@ -1,0 +1,543 @@
+"""Reference-parity queries (SURVEY.md §2) over the driver's test tables.
+
+Each query re-expresses one reference operator/pipeline on the TPC-H-ish
+test schema: `orders`/`lineitem` stand in for the order_info/order_detail
+facts, `customer`/`nation`/`region`/`part` for the dimensions, `events`
+for the start-log stream. The oracle SQL is the same computation in ANSI
+SQL for DuckDB.
+
+Cross-engine determinism rules used throughout (so value-hashes match):
+- money sums go through DECIMAL(18,2) (exact, order-insensitive), then
+  cast to DOUBLE at the end;
+- 2-dp rounding is floor(x*100 + 0.5)/100 — pure IEEE double ops,
+  bit-identical in Spark and DuckDB (round()'s tie behavior is not);
+- every window/top-k order includes a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.dates import dt_of, hr_of
+from ..functions.money import money
+from ..operators.allocation import allocate
+from ..operators.cdc import route_by_rules
+from ..operators.enrich import enrich_left
+from ..operators.flags import first_event_flag
+from ..sources import load_table
+from .catalog import register
+
+# Exact decimal line revenue: extendedprice * (1 - discount).
+def _revenue_dec(price: str = "l_extendedprice", disc: str = "l_discount"):
+    one = F.lit(1).cast("decimal(18,2)")
+    return money(price) * (one - money(disc))
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# A1 — per-batch hash aggregation (ads/TrademarkStatApp.scala:67-72) as the
+# flagship: revenue by brand through a broadcast dim join.
+# ---------------------------------------------------------------------------
+@register(
+    "trademark_stat",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS amount,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("parity", "agg", "join", "flagship"),
+)
+def trademark_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + J3 + P7: revenue grouped by brand (the TrademarkStat chain,
+    reference: ads/TrademarkStatApp.scala:67-72,127) with the dim joined
+    broadcast — the fact side never shuffles for the join; the aggregate
+    does one shuffle with map-side partials (Catalyst hash-agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum(_revenue_dec()), 2).cast("double").alias("amount"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 extended — the classic pricing-summary shape (TPC-H Q1): the batch agg
+# surface the reference lacks but Catalyst gives free (SURVEY.md §2.4 "not
+# present ... free via Catalyst").
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum({_REV_SQL} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+           floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_qty,
+           floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("parity", "agg"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate with a pushed-down scan filter; partial
+    aggregation map-side, one shuffle on the (tiny-cardinality) group key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    cnt = F.count(F.lit(1))
+    sum_qty = F.sum(money("l_quantity"))
+    sum_price = F.sum(money("l_extendedprice"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.cast("double").alias("sum_qty"),
+        sum_price.cast("double").alias("sum_base_price"),
+        F.round(F.sum(_revenue_dec()), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(_revenue_dec() * (one + money("l_tax"))), 2)
+        .cast("double")
+        .alias("sum_charge"),
+        (F.floor((sum_qty.cast("double") / cnt) * 100 + 0.5) / 100).alias("avg_qty"),
+        (F.floor((sum_price.cast("double") / cnt) * 100 + 0.5) / 100).alias(
+            "avg_price"
+        ),
+        cnt.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/J4 — dimension enrichment with left-join missing-dim semantics
+# (dwd/OrderInfoApp.scala:194-221 broadcast; :227-253 lookup).
+# ---------------------------------------------------------------------------
+@register(
+    "order_enrich",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus,
+           c.c_name, c.c_mktsegment, n.n_name AS nation_name,
+           r.r_name AS region_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("parity", "join"),
+)
+def order_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained broadcast left joins: the fact table streams through three
+    dim joins with zero fact-side shuffles; missing dims leave nulls, as
+    the reference's broadcast-Map misses do."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    enriched = enrich_left(
+        o,
+        [
+            (c, "o_custkey", "c_custkey"),
+            (n, "c_nationkey", "n_nationkey"),
+            (r, "n_regionkey", "r_regionkey"),
+        ],
+    )
+    return enriched.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "c_name",
+        "c_mktsegment",
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/W1 — per-key first-event flag + intra-batch correction
+# (dwd/OrderInfoApp.scala:121-157) as a window function.
+# ---------------------------------------------------------------------------
+@register(
+    "first_order_flag",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CASE WHEN row_number() OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ) = 1 THEN '1' ELSE '0' END AS if_first_order
+    FROM orders
+    """,
+    tags=("parity", "window"),
+)
+def first_order_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's groupByKey+sortWith+demote (A3) is one window pass:
+    row_number over (user, time) with a unique tiebreaker for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    return first_event_flag(
+        o, key="o_custkey", order_by=["o_orderdate", "o_orderkey"], flag_col="if_first_order"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "if_first_order")
+
+
+# ---------------------------------------------------------------------------
+# A4-b — proportional allocation with residual correction
+# (dws/OrderWideApp.scala:134-178), batch window form in exact cents.
+# ---------------------------------------------------------------------------
+@register(
+    "payment_allocation",
+    oracle="""
+    WITH d AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY l.l_orderkey) AS DOUBLE) AS orig_total,
+             row_number() OVER (PARTITION BY l.l_orderkey
+                                ORDER BY l.l_linenumber DESC,
+                                         l.l_extendedprice DESC) AS rn_last
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), s AS (
+      SELECT *,
+             CAST(floor(o_totalprice * l_extendedprice / orig_total * 100 + 0.5) AS BIGINT) AS share_cents,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+      FROM d
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(CASE WHEN rn_last = 1
+                THEN total_cents - (sum(share_cents) OVER (PARTITION BY l_orderkey) - share_cents)
+                ELSE share_cents END AS DOUBLE) / 100.0 AS final_detail_amount
+    FROM s
+    """,
+    tags=("parity", "window", "allocation"),
+)
+def payment_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate o_totalprice across the order's line items proportional to
+    l_extendedprice; the last line (by l_linenumber) absorbs the rounding
+    residual so Σ shares == total exactly — the invariant the reference
+    maintains with Redis running sums, here from two windows over one
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"
+    )
+    # The synthetic lineitem repeats (l_orderkey, l_linenumber), so the
+    # "last detail" order needs l_extendedprice as a tiebreaker to be a
+    # total order in both engines.
+    out = allocate(
+        d,
+        order_key="l_orderkey",
+        detail_order=["l_linenumber", "l_extendedprice"],
+        amount="l_extendedprice",
+        total="o_totalprice",
+    )
+    return out.select("l_orderkey", "l_linenumber", "final_detail_amount")
+
+
+# ---------------------------------------------------------------------------
+# S13 — CDC table routing as a dynamic-topic projection
+# (ods/BaseDBMaxwellApp.scala:60-75 rules, mapped onto event_type).
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_route",
+    oracle="""
+    SELECT 'ods_' || event_type AS topic, event_id, user_id, value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+       OR (event_type IN ('click', 'view') AND value > 50)
+    """,
+    tags=("parity", "route"),
+)
+def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ODS demux: facts ('purchase','signup') pass unconditionally,
+    page events pass under a predicate, 'error' drops — then a dynamic
+    ``topic`` column routes each row, replacing the per-record producer
+    loop with one declarative fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    routed = route_by_rules(
+        ev,
+        type_col="event_type",
+        keep_any=("purchase", "signup"),
+        keep_when=(
+            ("click", F.col("value") > 50),
+            ("view", F.col("value") > 50),
+        ),
+        payload=F.col("event_id").cast("string"),
+    )
+    # For the oracle we expose the routing decision columns rather than the
+    # serialized Kafka payload (JSON formatting differs per engine).
+    return (
+        ev.filter(
+            F.col("event_type").isin("purchase", "signup")
+            | (F.col("event_type").isin("click", "view") & (F.col("value") > 50))
+        )
+        .select(
+            F.concat(F.lit("ods_"), F.col("event_type")).alias("topic"),
+            "event_id",
+            "user_id",
+            "value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — JSON parse + projection (app/DauApp.scala:52-64).
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events
+    """,
+    tags=("parity", "json"),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read with an explicit path — get_json_object stays inside
+    codegen; no Python parsing."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — derived date/hour columns (app/DauApp.scala:56-62).
+# ---------------------------------------------------------------------------
+@register(
+    "date_derive",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hr
+    FROM events
+    """,
+    tags=("parity", "dates"),
+)
+def date_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleDateFormat("yyyy-MM-dd HH") + split becomes two codegen'd
+    date_format expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", dt_of(F.col("ts")).alias("dt"), hr_of(F.col("ts")).alias("hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4/P5 — CASE bucketing with CN labels (dim/UserInfoApp.scala:45-61).
+# ---------------------------------------------------------------------------
+@register(
+    "customer_buckets",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN '负债'
+                WHEN c_acctbal <= 5000 THEN '普通会员'
+                ELSE '高级会员' END AS balance_tier,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN '建筑'
+                WHEN c_mktsegment = 'AUTOMOBILE' THEN '汽车'
+                ELSE '其他' END AS segment_name
+    FROM customer
+    """,
+    tags=("parity", "case"),
+)
+def customer_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's age-bucket/gender-decode CASE chains
+    (dim/UserInfoApp.scala:50-61) — CN label bytes preserved exactly, as
+    SURVEY.md §7.4.5 requires."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "负债")
+        .when(F.col("c_acctbal") <= 5000, "普通会员")
+        .otherwise("高级会员")
+        .alias("balance_tier"),
+        F.when(F.col("c_mktsegment") == "BUILDING", "建筑")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "汽车")
+        .otherwise("其他")
+        .alias("segment_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — anti-join-as-flag / existence checks (dwd/OrderInfoApp.scala:92-117).
+# ---------------------------------------------------------------------------
+@register(
+    "customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("parity", "join"),
+)
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's NOT-IN membership probe against the
+    USER_STATUS state table, without the hand-built IN-list SQL."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, on="c_custkey", how="left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("parity", "join"),
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — the '1' branch of the same existence probe."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, on="c_custkey", how="left_semi").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — set operations (absent in reference; free via Catalyst).
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+    tags=("parity", "setop"),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union/except/intersect — SURVEY.md §2.7 lists them as absent from
+    the reference but part of the complete surface."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.union(big).distinct().exceptAll(negative.distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# O-ops + W — top-k per group (absent in reference pipelines; §2.6).
+# ---------------------------------------------------------------------------
+@register(
+    "topk_parts_per_brand",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_brand AS brand, l.l_partkey,
+             sum({_REV_SQL}) AS rev_dec
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey
+    )
+    SELECT brand, l_partkey, CAST(round(rev_dec, 2) AS DOUBLE) AS revenue, rn
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY brand ORDER BY rev_dec DESC, l_partkey) AS rn
+      FROM rev
+    ) WHERE rn <= 3
+    """,
+    tags=("parity", "window", "topk"),
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per brand: agg → rank window → filter. The
+    exact decimal sum orders the window (no fp ties), partkey breaks ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "l_partkey")
+        .agg(F.sum(_revenue_dec()).alias("rev_dec"))
+    )
+    w = Window.partitionBy("brand").orderBy(F.col("rev_dec").desc(), "l_partkey")
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "brand",
+            "l_partkey",
+            F.round("rev_dec", 2).cast("double").alias("revenue"),
+            "rn",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 batch analog — join with a time window condition; late rows drop
+# (dws/OrderWideApp.scala:93-111's 20s window, as an interval predicate).
+# ---------------------------------------------------------------------------
+@register(
+    "windowed_order_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           count(l.l_linenumber) AS n_in_window,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS amount_in_window
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+    tags=("parity", "join", "interval"),
+)
+def windowed_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream join's window semantics in batch: a detail joins
+    its order only inside [orderdate, orderdate+30d); later ones silently
+    drop, like details beyond the reference's 20 s window. Equi-key plus
+    range predicate — Catalyst plans the equi part as the join key so this
+    stays a hash join, not a cartesian."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+    )
+    joined = o.join(li, cond, "left")
+    return joined.groupBy("o_orderkey").agg(
+        F.count("l_linenumber").alias("n_in_window"),
+        F.round(F.sum(money("l_extendedprice")), 2)
+        .cast("double")
+        .alias("amount_in_window"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — join-output dedup (dws/OrderWideApp.scala:113-131): the doubled
+# input simulates the sliding window's re-emission.
+# ---------------------------------------------------------------------------
+@register(
+    "join_dedup",
+    oracle="""
+    SELECT l_orderkey, count(*) AS n_details
+    FROM (
+      SELECT DISTINCT l_orderkey, l_linenumber FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber FROM lineitem
+      )
+    )
+    GROUP BY l_orderkey
+    """,
+    tags=("parity", "dedup"),
+)
+def join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference re-emits each joined pair up to 4× (sliding window
+    overlap) and dedups via a Redis set with TTL; in batch it's distinct on
+    the pair key. Here the union-with-self stands in for the re-emission."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    doubled = li.unionAll(li)
+    return (
+        doubled.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_details"))
+    )

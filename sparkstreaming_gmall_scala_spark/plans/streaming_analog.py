@@ -1,0 +1,156 @@
+"""Batch formulations of the reference's streaming-stateful operators.
+
+Each query here is the deterministic batch analog of a streaming operator
+whose live form is in ``streaming/`` — the analog is what the DuckDB
+oracle checks; the live form is covered by pytest streaming tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.dates import dt_of, hr_of
+from ..sources import load_table
+from .catalog import register
+
+
+# ---------------------------------------------------------------------------
+# A2 — streaming distinct (DAU): first event per (day, device) passes
+# (app/DauApp.scala:85-104, Redis SADD per day with 24 h TTL).
+# ---------------------------------------------------------------------------
+@register(
+    "dau",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+    tags=("streaming-analog", "dedup", "agg"),
+)
+def dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users: the per-day Redis-set distinct becomes
+    count(DISTINCT) per day — one shuffle, partial aggregation map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(dt_of(F.col("ts")).alias("dt"), "user_id")
+        .groupBy("dt")
+        .agg(F.count_distinct("user_id").alias("dau"))
+    )
+
+
+@register(
+    "dau_first_visit",
+    oracle="""
+    SELECT dt, user_id, event_id, hr FROM (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id, event_id,
+             strftime(ts, '%H') AS hr,
+             row_number() OVER (
+               PARTITION BY strftime(ts, '%Y-%m-%d'), user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming-analog", "dedup", "window"),
+)
+def dau_first_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row the reference actually emits per (day, device): the FIRST
+    event, with derived dt/hr (app/DauApp.scala:96-129). dropDuplicates
+    keeps an arbitrary row; a row_number window keeps the earliest —
+    deterministic, so it's the oracle form."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("dt", "user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            dt_of(F.col("ts")).alias("dt"),
+            "user_id",
+            "event_id",
+            hr_of(F.col("ts")).alias("hr"),
+            "ts",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dt", "user_id", "event_id", "hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/A5-adjacent — cumulative per-key running totals (the Redis running
+# sums of dws/OrderWideApp.scala:143-172, batch window form W2).
+# ---------------------------------------------------------------------------
+@register(
+    "running_user_spend",
+    oracle="""
+    SELECT event_id, user_id,
+           floor(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) * 100 + 0.5) / 100 AS running_spend
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    tags=("streaming-analog", "window"),
+)
+def running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running purchase total — the reference's external running
+    sums as one ordered window; the frame order (ts, event_id) makes the
+    prefix sums deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.floor(F.sum("value").over(w) * 100 + 0.5) / 100).alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — the standard gap-based session assignment (SURVEY.md
+# lists session_window as part of the streaming surface; batch analog via
+# lag + cumulative sum).
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+    """,
+    tags=("streaming-analog", "window", "session"),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization: lag to flag gap starts, running sum to
+    number sessions — two windows over one (user_id) shuffle. Streaming
+    twin: session_window(ts, '30 minutes')."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Full-precision seconds (timestamp→double keeps sub-second), matching
+    # DuckDB's epoch(); integer-second truncation would flip edge gaps.
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference hard-codes ``local[4]`` + a 5 s batch interval in every app
+(reference: app/DauApp.scala:21-22). We centralize session construction
+instead, with scale-oriented defaults: AQE (runtime coalescing + skew-join
+handling), partition counts sized from the env, UTC session time zone so
+results compare bit-for-bit with the DuckDB oracle, and Arrow enabled for
+the few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# On a real cluster these come from spark-submit; locally we size from env.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "sparkstreaming_gmall_scala_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    AQE is on: at 100 TB the static shuffle-partition count is always wrong
+    somewhere, so we let adaptive execution coalesce small partitions and
+    split skewed ones at runtime; the static number is just the upper bound
+    for the first shuffle.
+    """
+    cpus = int(_DEFAULT_CPUS)
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events table carries TIMESTAMP(NANOS) parquet columns,
+        # which Spark only reads as raw longs; sources/tables.py converts.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Broadcast threshold: dims (region/nation/supplier/part at test SF)
+        # stay broadcastable; at 100 TB the explicit F.broadcast() hints in
+        # the operators are what matter, not this default.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

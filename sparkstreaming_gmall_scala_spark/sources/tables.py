@@ -1,0 +1,50 @@
+"""Batch table sources over the driver-generated parquet test tables.
+
+The reference's only sources are Kafka topics + JDBC lookups (reference:
+util/MyKafkaUtil.scala:40-82, util/PhoenixUtil.scala:45-70); it has no file
+scans at all. Our engine is file/lake-first: columnar parquet scans give
+Catalyst predicate pushdown and column pruning for free, which is the
+100 TB-scale replacement for the reference's row-at-a-time JDBC fetches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. Plain parquet read — no .cache(), no schema
+    munging — so filters/projections in downstream operators push into the
+    scan (check: .explain() shows PushedFilters/ReadSchema)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), surfaced as a long via
+        # spark.sql.legacy.parquet.nanosAsLong; convert to a microsecond
+        # timestamp (Spark's native precision).
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df

@@ -1,0 +1,50 @@
+"""CDC envelope parsing + table routing (S13; reference:
+ods/BaseDBCanalApp.scala:56-82, ods/BaseDBMaxwellApp.scala:48-81)."""
+
+from __future__ import annotations
+
+import json
+
+from sparkstreaming_gmall_scala_spark.operators.cdc import (
+    CANAL_SCHEMA,
+    MAXWELL_SCHEMA,
+    parse_envelope,
+    route_canal,
+    route_maxwell,
+)
+
+
+def test_maxwell_routing_rules(spark):
+    envs = [
+        {"database": "gmall", "table": "order_info", "type": "insert",
+         "ts": 1, "data": {"id": "1"}},
+        {"database": "gmall", "table": "order_info", "type": "update",
+         "ts": 2, "data": {"id": "1"}},  # fact update → dropped
+        {"database": "gmall", "table": "user_info", "type": "update",
+         "ts": 3, "data": {"id": "7", "name": "x"}},  # dim any-type → kept
+        {"database": "gmall", "table": "unknown_t", "type": "insert",
+         "ts": 4, "data": {"id": "9"}},  # not allow-listed → dropped
+        {"database": "gmall", "table": "sku_info", "type": "insert",
+         "ts": 5, "data": {}},  # empty data → dropped
+    ]
+    raw = spark.createDataFrame([(json.dumps(e),) for e in envs], "value string")
+    out = route_maxwell(parse_envelope(raw, "value", MAXWELL_SCHEMA)).collect()
+    topics = sorted(r["topic"] for r in out)
+    assert topics == ["ods_order_info", "ods_user_info"]
+    payloads = {r["topic"]: json.loads(r["value"]) for r in out}
+    assert payloads["ods_user_info"]["name"] == "x"
+
+
+def test_canal_routing_explodes_data_array(spark):
+    envs = [
+        {"database": "g", "table": "order_info", "type": "INSERT",
+         "data": [{"id": "1"}, {"id": "2"}, {"id": "3"}]},
+        {"database": "g", "table": "order_info", "type": "UPDATE",
+         "data": [{"id": "4"}]},  # non-INSERT → dropped
+        {"database": "g", "table": "user_info", "type": "INSERT", "data": []},
+    ]
+    raw = spark.createDataFrame([(json.dumps(e),) for e in envs], "value string")
+    out = route_canal(parse_envelope(raw, "value", CANAL_SCHEMA)).collect()
+    assert len(out) == 3  # the 3-element array exploded; others dropped
+    assert all(r["topic"] == "ods_order_info" for r in out)
+    assert sorted(json.loads(r["value"])["id"] for r in out) == ["1", "2", "3"]

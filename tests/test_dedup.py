@@ -1,0 +1,96 @@
+"""Dedup operator semantics: exact, MinHash-LSH, Jaccard, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_scala_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_rows,
+    simhash64,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The  quick brown fox jumps over the lazy dog"),  # ws/case variant → exact dup
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different content about spark engines and data"),
+    (5, "completely different content about spark engines and data"),  # exact dup of 4
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized_duplicates(spark):
+    out = exact_dedup(_docs(spark), "doc_id", "text").collect()
+    groups = {r["kept_doc_id"]: r["n_dups"] for r in out}
+    # 1+2 collapse (whitespace+case normalize), 4+5 collapse, 3 alone
+    assert groups == {1: 2, 3: 1, 4: 2}
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sh = shingle_rows(_docs(spark), "doc_id", "text", n=3)
+    sigs = {r["doc_id"]: [r[f"mh{j}"] for j in range(8)] for r in
+            minhash_signatures(sh, "doc_id", num_hashes=8).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[4] == sigs[5]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_finds_exact_and_near_dups(spark):
+    sh = shingle_rows(_docs(spark), "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id", num_hashes=8)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", 8, 2).collect()
+    }
+    assert (1, 2) in pairs  # identical signature → all bands collide
+    assert (4, 5) in pairs
+    # doc 3 shares 7 of 9 shingles with 1 — high jaccard, likely banded:
+    # don't assert (probabilistic); but unrelated docs must NOT pair.
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_jaccard_pairs_scores(spark):
+    sh = shingle_rows(_docs(spark), "doc_id", "text", n=3)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", max_df=20, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(4, 5)] == 1.0
+    # near-dup 1↔3: 6 shared of 9 distinct 3-gram shingles (7 each side)
+    assert 0.5 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_dup_docs_equal_limbs_diff_docs_differ(spark):
+    sh = shingle_rows(_docs(spark), "doc_id", "text", n=3)
+    limbs = {
+        r["doc_id"]: tuple(r[f"simhash_limb{i}"] for i in range(4))
+        for r in simhash64(sh, "doc_id").collect()
+    }
+    assert limbs[1] == limbs[2]
+    assert limbs[4] == limbs[5]
+    assert limbs[1] != limbs[4]
+    # limbs are 16-bit
+    for v in limbs.values():
+        assert all(0 <= x < 65536 for x in v)
+
+
+def _hamming(a, b):
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def test_simhash_near_dups_closer_than_unrelated(spark):
+    sh = shingle_rows(_docs(spark), "doc_id", "text", n=3)
+    limbs = {
+        r["doc_id"]: tuple(r[f"simhash_limb{i}"] for i in range(4))
+        for r in simhash64(sh, "doc_id").collect()
+    }
+    assert _hamming(limbs[1], limbs[3]) < _hamming(limbs[1], limbs[4])

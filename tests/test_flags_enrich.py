@@ -1,0 +1,55 @@
+"""First-event flagging (A3/W1/J5) and dim-enrichment (J3/J4) semantics
+(reference: dwd/OrderInfoApp.scala:92-157, 194-253)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_scala_spark.operators.enrich import enrich_left
+from sparkstreaming_gmall_scala_spark.operators.flags import (
+    first_event_flag,
+    members_only,
+)
+
+
+def test_first_event_flag_one_first_per_key(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-02 00:00:00", 11),
+            (1, "2024-01-01 00:00:00", 12),
+            (1, "2024-01-01 00:00:00", 10),  # tie on time → id breaks it
+            (2, "2024-03-01 00:00:00", 20),
+        ],
+        "user_id long, create_time string, order_id long",
+    )
+    out = first_event_flag(
+        df, key="user_id", order_by=["create_time", "order_id"], flag_col="f"
+    )
+    firsts = out.filter(F.col("f") == "1").collect()
+    assert {(r["user_id"], r["order_id"]) for r in firsts} == {(1, 10), (2, 20)}
+    # exactly one '1' per key
+    per_key = (
+        out.groupBy("user_id")
+        .agg(F.sum(F.col("f").cast("int")).alias("n_first"))
+        .collect()
+    )
+    assert all(r["n_first"] == 1 for r in per_key)
+
+
+def test_members_only_semi_anti_partition(spark):
+    """semi + anti of the same probe partition the input exactly."""
+    facts = spark.createDataFrame([(i,) for i in range(10)], "user_id long")
+    state = spark.createDataFrame([(2,), (5,), (7,), (99,)], "user_id long")
+    seen = members_only(facts, state, "user_id", "left_semi")
+    new = members_only(facts, state, "user_id", "left_anti")
+    assert {r["user_id"] for r in seen.collect()} == {2, 5, 7}
+    assert seen.count() + new.count() == facts.count()
+
+
+def test_enrich_left_missing_dim_leaves_null(spark):
+    fact = spark.createDataFrame([(1, 100), (2, 200), (3, 999)], "id long, k long")
+    dim = spark.createDataFrame([(100, "a"), (200, "b")], "dk long, name string")
+    out = enrich_left(fact, [(dim, "k", "dk")])
+    got = {r["id"]: r["name"] for r in out.collect()}
+    assert got == {1: "a", 2: "b", 3: None}
+    assert out.count() == 3  # left join never drops fact rows

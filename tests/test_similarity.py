@@ -1,0 +1,84 @@
+"""Similarity-search semantics: brute-force exactness, LSH recall,
+centroid determinism."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_scala_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    hyperplane_bucket,
+    label_centroids,
+)
+from sparkstreaming_gmall_scala_spark.sources import load_table
+
+_PLANES8 = [[math.sin(1 + i * 64 + d) for d in range(64)] for i in range(8)]
+
+
+def test_bruteforce_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(e, queries, "vec_id", "embedding", k=5).collect()
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, neigh in by_q.items():
+        qvec = unit[ids == qid][0]
+        scores = unit @ qvec
+        # same rounding + tiebreak as the operator
+        cand = sorted(
+            ((math.floor(s * 1e6 + 0.5) / 1e6, i) for s, i in zip(scores, ids) if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got = [(r["score"], r["neighbor_id"]) for r in sorted(neigh, key=lambda r: r["rank"])]
+        assert got == cand, f"query {qid}"
+
+
+def test_lsh_recall_reasonable(spark, sf_dir):
+    """Single-probe 8-plane LSH: recall vs brute force must clear a floor
+    (it's approximate; on the synthetic clustered embeddings same-bucket
+    rate for true neighbors is high)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, queries, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bucketed_topk(e, queries, "vec_id", "embedding", _PLANES8, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+
+
+def test_hyperplane_bucket_deterministic_and_bounded(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    b1 = {r["vec_id"]: r["bucket"] for r in
+          hyperplane_bucket(e.select("vec_id", F.col("embedding").alias("v")), "v", _PLANES8).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in
+          hyperplane_bucket(e.select("vec_id", F.col("embedding").alias("v")), "v", _PLANES8).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_label_centroids_deterministic_across_partitionings(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    a = {r["label"]: r["centroid"] for r in label_centroids(e, "label", "embedding").collect()}
+    b = {
+        r["label"]: r["centroid"]
+        for r in label_centroids(e.repartition(13), "label", "embedding").collect()
+    }
+    assert a == b
+    dim = len(next(iter(a.values())))
+    assert all(len(c) == dim for c in a.values())
