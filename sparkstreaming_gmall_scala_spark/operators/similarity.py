@@ -154,6 +154,43 @@ def bucketed_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ τ).
+
+    With ``planes=None`` the pair space is the exact self-join — the
+    correctness baseline the oracle checks. With ``planes`` given, the
+    candidate space is restricted to banded-LSH bucket collisions first
+    (the 100 TB path: candidates-per-row is O(bucket size), not O(corpus)),
+    then exact-cosine verified; recall < 1 by construction."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if planes is None:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        ab = _band_buckets(a, "va", planes, bands)
+        bb = _band_buckets(b, "vb", planes, bands)
+        pairs = (
+            ab.join(bb, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.withColumn(
+            "score",
+            F.floor(cosine(F.col("va"), F.col("vb")) * 1e6 + 0.5) / 1e6,
+        )
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label centroid of the embedding column.
 

@@ -26,7 +26,12 @@ from ..operators.dedup import (
     simhash64,
 )
 from ..operators.multimodal import extract_features, to_binary_payload
-from ..operators.similarity import brute_force_topk, bucketed_topk, label_centroids
+from ..operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    cosine_near_dup_pairs,
+    label_centroids,
+)
 from ..operators.textstats import LANG_MARKERS, lang_id, quality_score
 from ..sources import load_table
 from .catalog import register
@@ -352,6 +357,29 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     insensitive → deterministic under any partitioning)."""
     e = load_table(spark, sf_dir, "embeddings")
     return label_centroids(e, "label", "embedding")
+
+
+@register(
+    "embed_near_dup",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+             floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5) / 1000000 AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.4
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact self-join baseline, τ=0.4).
+
+    The scale path swaps in banded-LSH candidate generation
+    (``cosine_near_dup_pairs(..., planes=...)``, recall measured in
+    tests/test_similarity.py) so candidates-per-row stays O(bucket), not
+    O(corpus)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,182 @@
+"""The reference's apps recomposed as Structured Streaming pipelines.
+
+Each reference app is a hand-built DStream main() (SURVEY.md §3.4:
+restore offsets → parse → transform → sink → commit offsets). Here each
+pipeline is ~10 lines: a file/kafka source, the same pure operators the
+batch oracle checks, and a ``foreachBatch`` sink from sinks/batch.py;
+checkpoints replace the whole offset subsystem.
+
+Pipelines are parameterized by source directory so the pytest harness can
+drop parquet files as controlled micro-batches (maxFilesPerTrigger=1) —
+the SS analog of the reference's 5-second Kafka batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sinks.batch import IdempotentBatchWriter
+from .allocation import allocate_stateful
+from .dau import dau_distinct
+from .join import windowed_equi_join
+from .sources import file_stream
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+ORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+DETAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("detail_id", T.LongType()),
+        T.StructField("order_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+ALLOC_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.LongType()),
+        T.StructField("detail_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("original_total", T.DoubleType()),
+        T.StructField("final_total", T.DoubleType()),
+    ]
+)
+
+
+def dau_pipeline(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint: str
+):
+    """DauApp (app/DauApp.scala:22-139): streaming distinct per (day,
+    user) → idempotent batch-keyed sink. Watermark 24 h = the Redis set
+    TTL; dropDuplicates state = the Redis set; the batch-id-keyed sink =
+    the ES doc-id idempotence."""
+    events = file_stream(spark, src_dir, EVENT_SCHEMA)
+    dau = dau_distinct(events, ts_col="ts", user_col="user_id")
+    sink = IdempotentBatchWriter(out_dir)
+    return (
+        dau.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
+def order_wide_pipeline(
+    spark: SparkSession,
+    order_dir: str,
+    detail_dir: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """OrderWideApp join stage (dws/OrderWideApp.scala:91-131): watermarked
+    stream-stream equi-join on order_id within ±20 s event time; SS emits
+    each pair exactly once, so the reference's Redis join-dedup layer (J2)
+    does not exist here."""
+    orders = file_stream(spark, order_dir, ORDER_SCHEMA)
+    details = file_stream(spark, detail_dir, DETAIL_SCHEMA)
+    wide = windowed_equi_join(
+        orders,
+        details,
+        left_key="order_id",
+        right_key="order_id",
+        left_ts="ts",
+        right_ts="ts",
+        horizon="20 seconds",
+    ).select(
+        F.col("l.order_id").alias("order_id"),
+        F.col("r.detail_id").alias("detail_id"),
+        F.col("l.total").alias("total"),
+        F.col("r.amount").alias("amount"),
+    )
+    sink = IdempotentBatchWriter(out_dir)
+    return (
+        wide.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def allocation_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """OrderWideApp allocation stage (dws/OrderWideApp.scala:134-178):
+    stateful proportional allocation with residual correction; state =
+    two cents-sums per in-flight order with the reference's 600 s TTL.
+
+    With ``available_now=True`` the query drains what's there and stops —
+    the test harness runs it repeatedly against the same checkpoint, which
+    also exercises state recovery across restarts (the thing the
+    reference's external-Redis design gets wrong: lost Redis state ⇒
+    broken allocation, SURVEY.md §2.9). State TTL is event-time
+    (watermark-driven) — see streaming/allocation.py for why
+    processing-time timeouts don't mix with micro-batch drains."""
+    details = file_stream(spark, src_dir, ALLOC_SCHEMA)
+    allocated = allocate_stateful(details)
+    sink = IdempotentBatchWriter(out_dir)
+    writer = (
+        allocated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def trademark_stat_pipeline(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint: str
+):
+    """TrademarkStatApp (ads/TrademarkStatApp.scala:27-151): per-batch
+    grouped revenue sum committed exactly-once. The reference's
+    results+offsets MySQL transaction becomes checkpoint + batch-id-keyed
+    overwrite (same invariant: a replayed batch cannot double-count)."""
+    wide = file_stream(
+        spark,
+        src_dir,
+        T.StructType(
+            [
+                T.StructField("tm_id", T.LongType()),
+                T.StructField("tm_name", T.StringType()),
+                T.StructField("amount", T.DoubleType()),
+            ]
+        ),
+    )
+    sink = IdempotentBatchWriter(out_dir)
+
+    def agg_and_write(batch_df: DataFrame, batch_id: int) -> None:
+        stats = batch_df.groupBy("tm_id", "tm_name").agg(
+            F.round(F.sum("amount"), 2).alias("amount")
+        )
+        sink(stats, batch_id)
+
+    return (
+        wide.writeStream.foreachBatch(agg_and_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,205 @@
+"""Streaming-semantics tests (SURVEY.md §5.2.2): dedup-once, join-once,
+stateful allocation invariants, and replay idempotence — each pipeline
+driven by controlled file-drop micro-batches (one parquet file == one
+batch via maxFilesPerTrigger=1)."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_scala_spark.sinks.batch import (
+    IdempotentBatchWriter,
+    upsert_parquet,
+)
+from sparkstreaming_gmall_scala_spark.streaming.pipelines import (
+    ALLOC_SCHEMA,
+    DETAIL_SCHEMA,
+    EVENT_SCHEMA,
+    ORDER_SCHEMA,
+    allocation_pipeline,
+    dau_pipeline,
+    order_wide_pipeline,
+    trademark_stat_pipeline,
+)
+
+
+def _dirs(tmp_path, *names):
+    out = []
+    for n in names:
+        d = str(tmp_path / n)
+        os.makedirs(d, exist_ok=True)
+        out.append(d)
+    return out
+
+
+def _drop(spark, schema, rows, src_dir):
+    """Write one parquet file into the source dir == one micro-batch.
+
+    The file source lists ``src_dir`` non-recursively, so the part file is
+    copied up out of the writer's output directory as a single file."""
+    import glob
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "w")
+        df.coalesce(1).write.parquet(out)
+        (part,) = glob.glob(os.path.join(out, "part-*.parquet"))
+        shutil.copy(part, os.path.join(src_dir, f"drop_{uuid.uuid4().hex}.parquet"))
+
+
+def _await_batches(query, n, timeout=60):
+    """Block until the streaming query has committed n batches."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        p = query.lastProgress
+        if p is not None and p["batchId"] >= n - 1 and p["numInputRows"] == 0:
+            return
+        query.processAllAvailable()
+        if query.lastProgress is not None and query.lastProgress["batchId"] >= n - 1:
+            return
+        time.sleep(0.2)
+    raise TimeoutError(f"query did not reach batch {n}")
+
+
+def _ts(sec: int):
+    from datetime import datetime
+
+    return datetime(2024, 1, 1, 10, 0, sec)
+
+
+class _TSFmt:
+    def format(self, sec: int):
+        return _ts(sec)
+
+
+TS = _TSFmt()
+
+
+def test_dau_dedup_once_across_batches(spark, tmp_path):
+    """A2: same (day, user) arriving in two different micro-batches must
+    emit exactly once — the Redis-SADD semantics, via dropDuplicates
+    state."""
+    src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+    # batch 1: users 1, 2; batch 2: user 1 again (same day) + new user 3
+    _drop(spark, EVENT_SCHEMA, [(1, TS.format(1), 1, "start", 1.0, "{}"),
+                                (2, TS.format(2), 2, "start", 1.0, "{}")], src)
+    q = dau_pipeline(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _drop(spark, EVENT_SCHEMA, [(3, TS.format(3), 1, "start", 1.0, "{}"),
+                                    (4, TS.format(4), 3, "start", 1.0, "{}")], src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = IdempotentBatchWriter(out).read(spark)
+    users = sorted(r["user_id"] for r in got.select("user_id").collect())
+    assert users == [1, 2, 3], users  # user 1 exactly once
+
+
+def test_stream_stream_join_emits_once(spark, tmp_path):
+    """J1/J2: a detail joins its order header exactly once even when both
+    sides stay in state across batches — the watermarked SS join replaces
+    the reference's window-overlap + Redis dedup entirely."""
+    odir, ddir, out, ckpt = _dirs(tmp_path, "orders", "details", "out", "ckpt")
+    _drop(spark, ORDER_SCHEMA, [(100, TS.format(0), 50.0)], odir)
+    _drop(spark, DETAIL_SCHEMA, [(1, 100, TS.format(5), 20.0)], ddir)
+    q = order_wide_pipeline(spark, odir, ddir, out, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: the matching detail for order 100 again-in-horizon plus
+        # a late detail (>20s after the order header) that must NOT join
+        _drop(spark, DETAIL_SCHEMA, [(2, 100, TS.format(10), 30.0),
+                                     (3, 100, TS.format(55), 99.0)], ddir)
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = IdempotentBatchWriter(out).read(spark).collect()
+    pairs = sorted((r["order_id"], r["detail_id"]) for r in got)
+    assert pairs == [(100, 1), (100, 2)], pairs
+
+
+def test_stateful_allocation_residual_across_batches(spark, tmp_path):
+    """A4-a: details of one order split across micro-batches; the last
+    arriving detail takes the residual so Σ shares == final_total exactly
+    (the Redis running-sum semantics, in the state store)."""
+    src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+    # order 7: original_total=30.00 (3 details), final_total=25.00 (discounted)
+    _drop(spark, ALLOC_SCHEMA, [(7, 1, TS.format(1), 10.0, 30.0, 25.0),
+                                (7, 2, TS.format(2), 10.0, 30.0, 25.0)], src)
+    # availableNow: drain → stop; the second run restarts from the
+    # checkpoint, so the running sums must survive a query restart.
+    q = allocation_pipeline(spark, src, out, ckpt, available_now=True)
+    assert q.awaitTermination(120), "drain 1 did not terminate"
+    _drop(spark, ALLOC_SCHEMA, [(7, 3, TS.format(3), 10.0, 30.0, 25.0)], src)
+    q = allocation_pipeline(spark, src, out, ckpt, available_now=True)
+    assert q.awaitTermination(120), "drain 2 did not terminate"
+    got = IdempotentBatchWriter(out).read(spark).collect()
+    shares = {r["detail_id"]: r["final_detail_amount"] for r in got}
+    assert len(shares) == 3
+    # proportional shares: round(25 * 10/30, 2) = 8.33; residual = 8.34
+    assert shares[1] == pytest.approx(8.33)
+    assert shares[2] == pytest.approx(8.33)
+    assert shares[3] == pytest.approx(8.34)  # last detail absorbs residual
+    assert round(sum(shares.values()), 2) == 25.0
+
+
+def test_trademark_stat_per_batch_scope(spark, tmp_path):
+    """A1/S12: the aggregate is per-batch scoped (not cumulative), and
+    each batch lands under its own batch_id partition — the exactly-once
+    ledger shape."""
+    from pyspark.sql import types as Ty
+
+    src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+    schema = Ty.StructType(
+        [
+            Ty.StructField("tm_id", Ty.LongType()),
+            Ty.StructField("tm_name", Ty.StringType()),
+            Ty.StructField("amount", Ty.DoubleType()),
+        ]
+    )
+    _drop(spark, schema, [(1, "a", 10.0), (1, "a", 5.0), (2, "b", 1.0)], src)
+    q = trademark_stat_pipeline(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _drop(spark, schema, [(1, "a", 2.0)], src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = IdempotentBatchWriter(out).read(spark)
+    rows = {(r["batch_id"], r["tm_id"]): r["amount"] for r in got.collect()}
+    assert rows[(0, 1)] == 15.0  # batch 0: summed within batch
+    assert rows[(0, 2)] == 1.0
+    assert rows[(1, 1)] == 2.0  # batch 1: NOT cumulative
+    assert (1, 2) not in rows
+
+
+def test_idempotent_batch_writer_replay(spark, tmp_path):
+    """S5/S12 invariant: replaying a batch id rewrites, never duplicates."""
+    out = str(tmp_path / "out")
+    sink = IdempotentBatchWriter(out)
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    sink(df, 0)
+    sink(df, 0)  # replay of the same batch
+    sink(df.withColumn("v", F.lit("z")), 1)
+    got = sink.read(spark)
+    assert got.count() == 4  # 2 rows per distinct batch, not 6
+    assert got.filter("batch_id = 0").count() == 2
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """S8/A5: dim upsert is last-write-wins per key (Delta MERGE analog)."""
+    path = str(tmp_path / "dim")
+    v1 = spark.createDataFrame([(1, "alice"), (2, "bob")], ["id", "name"])
+    upsert_parquet(spark, v1, path, ["id"])
+    v2 = spark.createDataFrame([(2, "robert"), (3, "carol")], ["id", "name"])
+    upsert_parquet(spark, v2, path, ["id"])
+    got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "alice", 2: "robert", 3: "carol"}
