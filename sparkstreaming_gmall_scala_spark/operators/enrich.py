@@ -23,18 +23,24 @@ from pyspark.sql import functions as F
 
 def enrich_left(
     fact: DataFrame,
-    dims: list[tuple[DataFrame, str, str]],
+    dims: list[tuple],
     broadcast_dims: bool = True,
 ) -> DataFrame:
-    """Left-join ``fact`` against each ``(dim, fact_key, dim_key)``.
+    """Left-join ``fact`` against each ``(dim, fact_key, dim_key)`` or
+    ``(dim, fact_key, dim_key, broadcast)``.
 
-    Dims are broadcast by default — the reference's dims (provinces, users,
-    SKUs) are small relative to the fact stream, and the same holds for the
-    TPC-H-style dims here. Set ``broadcast_dims=False`` to let Catalyst/AQE
-    choose (e.g. a user dim that outgrew broadcast range).
+    Dims are broadcast by default — the reference's dims (provinces,
+    SKUs, trademarks) are small relative to the fact stream. Per-dim
+    ``broadcast=False`` (or global ``broadcast_dims=False``) leaves the
+    choice to Catalyst/AQE — required for dims that scale with the fact
+    table (a customer/user dim at 100 TB is billions of rows: force-
+    broadcasting it would OOM every executor, while AQE still broadcasts
+    it automatically at test scale where it fits the threshold).
     """
     out = fact
-    for dim, fact_key, dim_key in dims:
-        side = F.broadcast(dim) if broadcast_dims else dim
+    for entry in dims:
+        dim, fact_key, dim_key = entry[:3]
+        broadcast = entry[3] if len(entry) > 3 else broadcast_dims
+        side = F.broadcast(dim) if broadcast else dim
         out = out.join(side, on=out[fact_key] == dim[dim_key], how="left")
     return out

@@ -360,6 +360,32 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf",
+    oracle=None,  # approximate by construction; pytest measures recall.
+    tags=("llm", "similarity", "ivf"),
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF (k-means coarse quantizer, 8 cells, nprobe=3):
+    the corpus is bucketed into inverted lists once; each query batch
+    scans ~nprobe/k of the corpus and exact-reranks. The second 100 TB
+    ANN path next to banded LSH (knn_lsh) — IVF wins when vectors
+    cluster; LSH wins when they don't."""
+    from ..operators.similarity import ivf_topk, kmeans_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(e, "embedding", k=8, iters=2)
+    return ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=centroids,
+        k=5,
+        nprobe=3,
+    )
+
+
+@register(
     "embed_near_dup",
     oracle=f"""
     WITH scored AS (

@@ -139,7 +139,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained broadcast left joins: the fact table streams through three
     dim joins with zero fact-side shuffles; missing dims leave nulls, as
-    the reference's broadcast-Map misses do."""
+    the reference's broadcast-Map misses do. customer is NOT force-
+    broadcast (it scales with the fact table — billions of rows at
+    100 TB); AQE still picks broadcast at test scale where it fits."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -147,7 +149,7 @@ def order_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = enrich_left(
         o,
         [
-            (c, "o_custkey", "c_custkey"),
+            (c, "o_custkey", "c_custkey", False),
             (n, "c_nationkey", "n_nationkey"),
             (r, "n_regionkey", "r_regionkey"),
         ],

@@ -1,0 +1,117 @@
+"""Scale-technique queries: skew mitigation and multi-level aggregation.
+
+These demonstrate (and oracle-verify) the patterns the 100 TB design
+leans on: salting a hot aggregation key, salting a skewed join, and
+Catalyst's native ROLLUP. Each produces results identical to the naive
+formulation — the DuckDB oracle runs the NAIVE SQL, so the gate proves
+the skew-safe plans are semantics-preserving rewrites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_agg, salted_join
+from ..sources import load_table
+from .catalog import register
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(sum(value) * 100 + 0.5) AS DOUBLE) / 100 AS total_value,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("scale", "skew", "agg"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the events stream table: a hot
+    event_type spreads across 16 partial partitions before the final
+    combine. Oracle = the naive GROUP BY — identical results, skew-safe
+    plan. (Sum in exact cents: a double sum's value depends on partition
+    fold order, which salting deliberately changes.)"""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+    )
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "total_cents": ("value_cents", "sum"),
+            "n_events": ("event_id", "count"),
+        },
+        salt_col="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        (F.col("total_cents").cast("double") / 100).alias("total_value"),
+        "n_events",
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tags=("scale", "skew", "join"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: lineitem's (possibly hot) part keys spread over
+    8 salt buckets; part is replicated 8×. Oracle = the plain join —
+    identical rows, no single-partition hot spot. The trade is explicit:
+    8× the (dim-sized) build side for 8× the hot-key parallelism."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    out = salted_join(
+        li, p, left_key="l_partkey", right_key="p_partkey",
+        salt_source="l_linenumber", n_salts=8,
+    )
+    return out.select("l_orderkey", "l_linenumber", "p_brand")
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("scale", "agg", "rollup"),
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level totals (region → nation → grand total) in ONE pass via
+    ROLLUP — the §2.4 'free via Catalyst' aggregate the reference would
+    need three jobs for. Money summed in exact integer cents so the
+    rollup levels are partition-order-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    return joined.rollup("region_name", "nation_name").agg(
+        (F.sum("cents").cast("double") / 100).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -62,6 +62,33 @@ def test_lsh_recall_reasonable(spark, sf_dir):
     assert recall >= 0.3, f"recall {recall:.2f}"
 
 
+def test_ivf_recall_reasonable(spark, sf_dir):
+    """IVF (8 cells, nprobe=3): recall vs brute force must clear a floor;
+    probing 3/8 cells bounds the candidate space the way the 100 TB path
+    would."""
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    centroids = kmeans_centroids(e, "embedding", k=8, iters=2)
+    assert len(centroids) == 8 and all(len(c) == 64 for c in centroids)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, queries, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            e, queries, "vec_id", "embedding", centroids, k=5, nprobe=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+
+
 def test_hyperplane_bucket_deterministic_and_bounded(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").limit(50)
     b1 = {r["vec_id"]: r["bucket"] for r in
