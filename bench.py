@@ -40,6 +40,12 @@ HEADLINE = (
     "minhash_lsh_pairs",
     "doc_quality",
     "knn_bruteforce",
+    # added r1 (kept stable from here on): scale + similarity families
+    "revenue_rollup",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "embed_near_dup_vec",
+    "knn_lsh",
 )
 
 

@@ -26,3 +26,30 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product for a KNOWN dimension as an explicit left-to-right
+    addition chain of ``a[i]*b[i]``.
+
+    Numerically identical to the ``F.aggregate`` fold (same IEEE-double
+    operation order, so DuckDB ``list_reduce`` oracles still hash-match),
+    but ~an order of magnitude faster: higher-order functions with
+    lambdas are interpreted per element, while getItem/multiply/add chains
+    go through whole-stage codegen. Use on hot pairwise paths (O(n²)
+    similarity); the HOF forms stay for unknown-dim columns."""
+    expr = a.getItem(0).cast("double") * b.getItem(0).cast("double")
+    for i in range(1, dim):
+        expr = expr + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+    return expr
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    """sqrt(dot_fixed(a, a)) — same fold order as ``norm``."""
+    return F.sqrt(dot_fixed(a, a, dim))
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Codegen-friendly cosine for a known dimension; arithmetic-order
+    identical to ``cosine`` (and the DuckDB oracle's list_reduce)."""
+    return dot_fixed(a, b, dim) / (norm_fixed(a, dim) * norm_fixed(b, dim))

@@ -14,7 +14,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot_fixed, norm_fixed
+
+
+def _with_norm(df: DataFrame, vec: str, out: str, dim: int | None) -> DataFrame:
+    """Precompute the row's norm ONCE when the dimension is known — on an
+    O(n²) pairwise path a per-pair cosine recomputes each side's norm for
+    every partner (n× redundant work). Same expression on the same input
+    → bit-identical to the per-pair form."""
+    if dim is None:
+        return df
+    # Guard: dot_fixed on a wrong dim would silently score a truncated
+    # vector (getItem past the end is null → dropped terms, no error).
+    checked = F.when(
+        F.size(F.col(vec)) == dim, norm_fixed(F.col(vec), dim)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"expected {dim}-dim vector in '{vec}', got size "),
+                F.size(F.col(vec)).cast("string"),
+            )
+        )
+    )
+    return df.withColumn(out, checked)
+
+
+def _pair_score(dim: int | None):
+    """6-dp-rounded cosine for a joined pair; codegen'd fixed-dim chain
+    with precomputed norms when dim is known, HOF fold otherwise."""
+    if dim is None:
+        raw = cosine(F.col("qvec"), F.col("cvec"))
+    else:
+        raw = dot_fixed(F.col("qvec"), F.col("cvec"), dim) / (
+            F.col("_qnorm") * F.col("_cnorm")
+        )
+    return F.floor(raw * 1e6 + 0.5) / 1e6
 
 
 def brute_force_topk(
@@ -23,25 +57,31 @@ def brute_force_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (query ids broadcast).
 
     Scores are rounded to 6 dp BEFORE ranking so rank order is stable
     across engines/fp-summation orders; ties break by neighbor id.
+    Pass ``dim`` for the codegen fast path (numerically identical — same
+    left-to-right fold the DuckDB oracle uses).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "qvec", "_qnorm", dim,
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        "cvec", "_cnorm", dim,
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "score",
-            F.floor(cosine(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5) / 1e6,
-        )
+        .withColumn("score", _pair_score(dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -112,6 +152,7 @@ def bucketed_topk(
     planes: list[list[float]],
     k: int = 5,
     bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k via banded random-hyperplane LSH (multi-table
     OR-construction): the planes are split into ``bands`` tables; a corpus
@@ -124,13 +165,23 @@ def bucketed_topk(
     (band, bucket); each query probes ``bands`` partitions — no cross
     join, no corpus shuffle per query batch."""
     cb = _band_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        _with_norm(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+            ),
+            "cvec", "_cnorm", dim,
+        ),
         "cvec",
         planes,
         bands,
     )
     qb = _band_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        _with_norm(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            ),
+            "qvec", "_qnorm", dim,
+        ),
         "qvec",
         planes,
         bands,
@@ -139,10 +190,7 @@ def bucketed_topk(
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn(
-            "score",
-            F.floor(cosine(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5) / 1e6,
-        )
+        .withColumn("score", _pair_score(dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -161,6 +209,7 @@ def cosine_near_dup_pairs(
     threshold: float,
     planes: list[list[float]] | None = None,
     bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ τ).
 
@@ -168,24 +217,28 @@ def cosine_near_dup_pairs(
     correctness baseline the oracle checks. With ``planes`` given, the
     candidate space is restricted to banded-LSH bucket collisions first
     (the 100 TB path: candidates-per-row is O(bucket size), not O(corpus)),
-    then exact-cosine verified; recall < 1 by construction."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    then exact-cosine verified; recall < 1 by construction. Pass ``dim``
+    for the codegen fast path (same fold order, bit-identical scores)."""
+    a = _with_norm(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("qvec")),
+        "qvec", "_qnorm", dim,
+    )
+    b = _with_norm(
+        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("cvec")),
+        "cvec", "_cnorm", dim,
+    )
     if planes is None:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        ab = _band_buckets(a, "va", planes, bands)
-        bb = _band_buckets(b, "vb", planes, bands)
+        ab = _band_buckets(a, "qvec", planes, bands)
+        bb = _band_buckets(b, "cvec", planes, bands)
         pairs = (
             ab.join(bb, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
     return (
-        pairs.withColumn(
-            "score",
-            F.floor(cosine(F.col("va"), F.col("vb")) * 1e6 + 0.5) / 1e6,
-        )
+        pairs.withColumn("score", _pair_score(dim))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
@@ -259,6 +312,7 @@ def ivf_topk(
     centroids: list[list[float]],
     k: int = 5,
     nprobe: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into inverted lists by
     nearest centroid; each query probes its ``nprobe`` nearest cells and
@@ -268,11 +322,19 @@ def ivf_topk(
     ``cell`` ONCE; a query batch touches nprobe/k of the data. Recall < 1
     by construction (measured in tests vs brute force); raise nprobe to
     trade throughput for recall."""
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    cb = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        "cvec", "_cnorm", dim,
     ).withColumn("cell", _nearest_cell(F.col("cvec"), centroids))
     # rank all cells per query by distance, keep nprobe
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qv = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "qvec", "_qnorm", dim,
+    )
     cell_d = F.array(
         *[
             F.struct(_sq_dist(F.col("qvec"), c).alias("d"), F.lit(i).alias("cell"))
@@ -285,10 +347,7 @@ def ivf_topk(
     scored = (
         cb.join(F.broadcast(qb), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "score",
-            F.floor(cosine(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5) / 1e6,
-        )
+        .withColumn("score", _pair_score(dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -297,6 +356,67 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def cosine_near_dup_vectorized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding near-dup pairs via Arrow-batched numpy matmul — the
+    throughput path when LSH can't prune.
+
+    Banded LSH only pays when the threshold is near 1: at τ=0.4 on
+    roughly-orthogonal embeddings the per-hyperplane collision signal
+    (~0.63) barely beats noise (0.5), so buckets keep ~all pairs and you
+    pay the LSH machinery ON TOP of scoring (measured: the LSH variant
+    was slower than the exact join at sf0.1). BLAS turns the same O(n²·d)
+    work into dense matmul — orders of magnitude faster per pair.
+
+    Shape: one side is broadcast as a dense matrix (rows × dim floats);
+    the other side streams through ``mapInPandas`` in Arrow batches, each
+    batch doing ``batch @ corpus.T``. At full corpus scale the broadcast
+    side is sharded into blocks and this runs once per block pair
+    (id_a < id_b makes block pairs triangular) — same kernel, outer loop
+    over shards.
+
+    Scores are float64 matmul; summation order differs from the
+    left-to-right fold, so results can differ from the exact-fold oracle
+    in the last ulp — this variant is for throughput, the fold form
+    (cosine_near_dup_pairs) is the oracle baseline. Pairs whose rounded
+    score lands exactly on τ could flip; tests assert set-equality with a
+    tolerance band.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def score_batches(batches):
+        import pandas as pd
+
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.stack(pdf[vec_col].to_numpy())
+            q = q.astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            s = np.floor(q @ c_mat.T * 1e6 + 0.5) / 1e6
+            ii, jj = np.where((s >= threshold) & (q_ids[:, None] < c_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": q_ids[ii], "id_b": c_ids[jj], "score": s[ii, jj]}
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score_batches, "id_a long, id_b long, score double"
     )
 
 

@@ -302,7 +302,8 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 dp before ranking for cross-engine-stable order."""
     e = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(
-        e, e.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
+        e, e.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding",
+        k=5, dim=64,
     )
 
 
@@ -330,6 +331,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         planes=_PLANES,
         k=5,
+        dim=64,
     )
 
 
@@ -382,6 +384,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=centroids,
         k=5,
         nprobe=3,
+        dim=64,
     )
 
 
@@ -405,7 +408,42 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py) so candidates-per-row stays O(bucket), not
     O(corpus)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4)
+    return cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4, dim=64)
+
+
+@register(
+    "embed_near_dup_vec",
+    oracle=None,  # float64-matmul summation order differs from the fold in
+    # the last ulp → not hash-comparable; tests assert pair-set equality
+    # with the exact baseline within a rounding-boundary tolerance.
+    tags=("llm", "dedup", "similarity", "vectorized"),
+)
+def embed_near_dup_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, throughput path: Arrow-batched numpy matmul
+    (mapInPandas) against a broadcast corpus matrix. See
+    operators/similarity.py for why LSH can't prune at τ=0.4 and block
+    matmul is the honest 100 TB design here."""
+    from ..operators.similarity import cosine_near_dup_vectorized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_vectorized(e, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "embed_near_dup_lsh",
+    oracle=None,  # LSH-bounded candidate set → recall < 1 by construction;
+    # tests/test_similarity.py checks subset-of-exact + recall floor.
+    tags=("llm", "dedup", "similarity", "lsh"),
+)
+def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, 100 TB path: banded-LSH candidate pairs then
+    exact-cosine verify (τ=0.4). Candidate count is O(Σ bucket²) instead
+    of O(n²) — the form you'd actually run on a full corpus; the exact
+    self-join (embed_near_dup) is the correctness baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, planes=_PLANES, dim=64
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,10 @@ def test_registry_nonempty_and_documented(registry):
 def test_oracle_coverage(registry):
     """Queries without an oracle must be the documented non-SQL ones only."""
     no_oracle = {n for n, q in registry.items() if q.oracle is None}
-    assert no_oracle <= {"simhash", "knn_lsh", "knn_ivf"}, no_oracle
+    assert no_oracle <= {
+        "simhash", "knn_lsh", "knn_ivf", "embed_near_dup_lsh",
+        "embed_near_dup_vec",
+    }, no_oracle
 
 
 @pytest.mark.parametrize(

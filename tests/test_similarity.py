@@ -89,6 +89,71 @@ def test_ivf_recall_reasonable(spark, sf_dir):
     assert recall >= 0.3, f"recall {recall:.2f}"
 
 
+def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
+    """The LSH-bounded near-dup variant must emit a SUBSET of the exact
+    pairs (identical scores on the pairs it finds) with recall above a
+    floor — candidates are pruned, never invented."""
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_near_dup_pairs(
+            e, "vec_id", "embedding", threshold=0.2, dim=64
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_near_dup_pairs(
+            e, "vec_id", "embedding", threshold=0.2, planes=_PLANES8, dim=64
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for pair, score in approx.items():
+        assert score == exact[pair]
+    if exact:
+        assert len(approx) / len(exact) >= 0.3
+
+
+def test_near_dup_vectorized_matches_exact(spark, sf_dir):
+    """The numpy-matmul variant must find the same pair set as the exact
+    fold form; scores may differ only in the last ulp (different float
+    summation order), so boundary pairs within 1e-6 of τ are excused."""
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_vectorized,
+    )
+
+    tau = 0.2
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_near_dup_pairs(e, "vec_id", "embedding", tau, dim=64).collect()
+    }
+    vec = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_near_dup_vectorized(e, "vec_id", "embedding", tau).collect()
+    }
+    for pair in set(exact) ^ set(vec):
+        score = exact.get(pair, vec.get(pair))
+        assert abs(score - tau) <= 1e-6, f"{pair} score {score} missing"
+    for pair in set(exact) & set(vec):
+        assert abs(exact[pair] - vec[pair]) <= 1e-6
+
+
+def test_fixed_dim_scores_match_hof_fold(spark, sf_dir):
+    """dim=64 codegen fast path must be bit-identical to the HOF fold —
+    same left-to-right IEEE-double operation order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    slow = brute_force_topk(e, q, "vec_id", "embedding", k=5).collect()
+    fast = brute_force_topk(e, q, "vec_id", "embedding", k=5, dim=64).collect()
+    assert sorted(((r["query_id"], r["rank"], r["neighbor_id"], r["score"]) for r in slow)) == \
+        sorted(((r["query_id"], r["rank"], r["neighbor_id"], r["score"]) for r in fast))
+
+
 def test_hyperplane_bucket_deterministic_and_bounded(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").limit(50)
     b1 = {r["vec_id"]: r["bucket"] for r in
