@@ -40,6 +40,26 @@ def dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dau_approx",
+    oracle=None,  # HLL estimates are engine-specific by construction; the
+    # pytest bound test checks |approx - exact| / exact <= 5%.
+    tags=("streaming-analog", "dedup", "agg", "approx"),
+)
+def dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU via HyperLogLog++ (approx_count_distinct, rsd=2%) — the 100 TB
+    form: constant-size sketch per day instead of a distinct shuffle of
+    every (day, user) pair; sketches merge associatively so partial
+    aggregation stays map-side and a day's count can even be maintained
+    incrementally across micro-batches."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(dt_of(F.col("ts")).alias("dt"), "user_id")
+        .groupBy("dt")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"))
+    )
+
+
+@register(
     "dau_first_visit",
     oracle="""
     SELECT dt, user_id, event_id, hr FROM (

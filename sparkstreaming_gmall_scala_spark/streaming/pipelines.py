@@ -148,6 +148,51 @@ def allocation_pipeline(
     return writer.start()
 
 
+def ods_router_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    flavor: str = "maxwell",
+):
+    """The ODS layer (ods/BaseDBMaxwellApp.scala:48-81 /
+    ods/BaseDBCanalApp.scala:56-82): parse the CDC envelope, apply the
+    table routing rules, fan records out per ``ods_{table}`` topic. The
+    per-record producer loop becomes one declarative plan ending in a
+    topic-partitioned sink (here parquet partitionBy('topic'); on a real
+    broker the same frame feeds sinks.kafka_fanout unchanged)."""
+    from ..operators.cdc import (
+        CANAL_SCHEMA,
+        MAXWELL_SCHEMA,
+        parse_envelope,
+        route_canal,
+        route_maxwell,
+    )
+
+    raw = file_stream(
+        spark,
+        src_dir,
+        T.StructType([T.StructField("value", T.StringType())]),
+        fmt="text",
+    )
+    if flavor == "maxwell":
+        routed = route_maxwell(parse_envelope(raw, "value", MAXWELL_SCHEMA))
+    elif flavor == "canal":
+        routed = route_canal(parse_envelope(raw, "value", CANAL_SCHEMA))
+    else:
+        raise ValueError(f"unknown CDC flavor {flavor!r}")
+
+    def write_by_topic(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("topic").parquet(out_dir)
+
+    return (
+        routed.writeStream.foreachBatch(write_by_topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def trademark_stat_pipeline(
     spark: SparkSession, src_dir: str, out_dir: str, checkpoint: str
 ):

@@ -25,7 +25,7 @@ def test_oracle_coverage(registry):
     no_oracle = {n for n, q in registry.items() if q.oracle is None}
     assert no_oracle <= {
         "simhash", "knn_lsh", "knn_ivf", "embed_near_dup_lsh",
-        "embed_near_dup_vec",
+        "embed_near_dup_vec", "dau_approx",
     }, no_oracle
 
 

@@ -53,3 +53,19 @@ def test_enrich_left_missing_dim_leaves_null(spark):
     got = {r["id"]: r["name"] for r in out.collect()}
     assert got == {1: "a", 2: "b", 3: None}
     assert out.count() == 3  # left join never drops fact rows
+
+
+def test_dau_approx_within_error_bound(spark, sf_dir):
+    """HLL++ DAU must land within 5% of the exact distinct count per day
+    (rsd=2%; 5% gives slack for small days)."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    reg = load_all()
+    exact = {r["dt"]: r["dau"] for r in reg["dau"].builder(spark, sf_dir).collect()}
+    approx = {
+        r["dt"]: r["dau_approx"]
+        for r in reg["dau_approx"].builder(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for dt, n in exact.items():
+        assert abs(approx[dt] - n) / max(n, 1) <= 0.05, (dt, n, approx[dt])

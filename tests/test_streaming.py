@@ -181,6 +181,43 @@ def test_trademark_stat_per_batch_scope(spark, tmp_path):
     assert (1, 2) not in rows
 
 
+def test_ods_router_pipeline_fanout(spark, tmp_path):
+    """S13 as a streaming pipeline: Maxwell envelopes parsed, filtered by
+    the allow-list/insert-only rules, fanned out per ods_{table} topic."""
+    import json
+
+    from sparkstreaming_gmall_scala_spark.streaming.pipelines import (
+        ods_router_pipeline,
+    )
+
+    src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+    envelopes = [
+        {"database": "gmall", "table": "order_info", "type": "insert",
+         "ts": 1, "data": {"id": "1", "total": "9.99"}},
+        {"database": "gmall", "table": "order_info", "type": "update",
+         "ts": 2, "data": {"id": "1"}},  # fact update → dropped
+        {"database": "gmall", "table": "user_info", "type": "update",
+         "ts": 3, "data": {"id": "7", "name": "w"}},  # dim any-type → kept
+        {"database": "gmall", "table": "not_allowed", "type": "insert",
+         "ts": 4, "data": {"id": "9"}},  # not in allow-list → dropped
+    ]
+    (tmp_path / "src" / "a.txt").write_text(
+        "\n".join(json.dumps(e) for e in envelopes)
+    )
+    q = ods_router_pipeline(spark, src, out, ckpt, flavor="maxwell")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    rows = {(r["topic"], r["value"]) for r in got.collect()}
+    topics = {t for t, _ in rows}
+    assert topics == {"ods_order_info", "ods_user_info"}, topics
+    assert len(rows) == 2
+    order_payload = next(v for t, v in rows if t == "ods_order_info")
+    assert json.loads(order_payload) == {"id": "1", "total": "9.99"}
+
+
 def test_idempotent_batch_writer_replay(spark, tmp_path):
     """S5/S12 invariant: replaying a batch id rewrites, never duplicates."""
     out = str(tmp_path / "out")
