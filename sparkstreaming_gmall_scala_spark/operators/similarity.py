@@ -93,6 +93,24 @@ def brute_force_topk(
     )
 
 
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    """dot(vec, literal plane) as an F.aggregate fold.
+
+    Deliberately NOT an unrolled getItem chain: one plane unrolls fine
+    (64 terms ≈ dot_fixed), but bucketing evaluates ALL planes in one
+    projection — 8×64 terms blows the generated method past janino's
+    64 KB limit, WholeStageCodegen disables itself, and the interpreted
+    per-expression fallback is ~4× slower than the HOF fold (measured:
+    knn_lsh 6.5 s → 25.5 s). The fold stays compact regardless of plane
+    count."""
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def hyperplane_bucket(
     df: DataFrame, vec_col: str, planes: list[list[float]]
 ) -> DataFrame:
@@ -104,12 +122,7 @@ def hyperplane_bucket(
     """
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d = _plane_dot(F.col(vec_col), p)
         bucket = bucket + F.shiftleft((d >= 0).cast("long"), i)
     return df.withColumn("bucket", bucket)
 
@@ -131,12 +144,7 @@ def _band_buckets(
     for b in range(bands):
         bucket = F.lit(0).cast("long")
         for i, p in enumerate(planes[b * per_band : (b + 1) * per_band]):
-            arr = F.array(*[F.lit(float(x)) for x in p])
-            d = F.aggregate(
-                F.zip_with(F.col(vec_col), arr, lambda a, b_: a.cast("double") * b_),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+            d = _plane_dot(F.col(vec_col), p)
             bucket = bucket + F.shiftleft((d >= 0).cast("long"), i)
         band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
     return df.withColumn("_bb", F.explode(F.array(*band_cols))).select(
@@ -245,6 +253,8 @@ def cosine_near_dup_pairs(
 
 
 def _sq_dist(vec: Column, center: list[float]) -> Column:
+    """||vec - center||² as an F.aggregate fold (compact codegen — see
+    _plane_dot for why k-at-a-time unrolled chains backfire)."""
     arr = F.array(*[F.lit(float(x)) for x in center])
     return F.aggregate(
         F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
