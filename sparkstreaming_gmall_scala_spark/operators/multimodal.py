@@ -50,7 +50,10 @@ def extract_features(
     the bytes (length, first byte, byte sum mod 2^31) so the pipeline is
     testable end-to-end; the real decoder plugs into the same batch shape.
     """
-    out_schema = f"{id_col} long, n_bytes int, first_byte int, byte_sum long"
+    # All-BIGINT output: the correctness oracle's value-hash is
+    # type-sensitive, and DuckDB arithmetic lands on BIGINT — int32 here
+    # would match values but fail the hash.
+    out_schema = f"{id_col} long, n_bytes long, first_byte long, byte_sum long"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -60,10 +63,10 @@ def extract_features(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "n_bytes": payloads.map(len).astype("int32"),
+                    "n_bytes": payloads.map(len).astype("int64"),
                     "first_byte": payloads.map(
                         lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
+                    ).astype("int64"),
                     "byte_sum": payloads.map(lambda b: sum(b) % 2147483647).astype(
                         "int64"
                     ),

@@ -11,7 +11,7 @@ brute-force path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot_fixed, norm_fixed
@@ -430,12 +430,13 @@ def cosine_near_dup_vectorized(
     )
 
 
-def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
-    """Per-label centroid of the embedding column.
+def label_centroid_dims(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label, per-dimension centroid component: (label, pos, dim_mean).
 
     posexplode → groupBy(label, pos) with an exact DECIMAL sum (order-
     insensitive — a double sum would be nondeterministic under AQE
-    partition ordering), then reassemble the array sorted by position.
+    partition ordering). Scalar rows are the hash-friendly catalog shape;
+    label_centroids() reassembles the array form for library callers.
 
     Each float is first rounded to 6 dp in double space, THEN cast to
     decimal: engines disagree on the last digits of a raw float→decimal
@@ -447,7 +448,7 @@ def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
         F.posexplode(F.col(vec_col)).alias("pos", "x"),
     )
     x6 = F.floor(F.col("x").cast("double") * 1e6 + 0.5) / 1e6
-    per_dim = exploded.groupBy("label", "pos").agg(
+    return exploded.groupBy("label", "pos").agg(
         (
             F.floor(
                 (
@@ -460,6 +461,14 @@ def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
             / 1e6
         ).alias("dim_mean")
     )
+
+
+def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label centroid of the embedding column as array<double> —
+    library form; the catalog's gated query uses label_centroid_dims
+    (scalar rows) because array cells aren't hashable by the oracle
+    canonicalizer."""
+    per_dim = label_centroid_dims(df, label_col, vec_col)
     return (
         per_dim.groupBy("label")
         .agg(

@@ -30,7 +30,6 @@ from ..operators.similarity import (
     brute_force_topk,
     bucketed_topk,
     cosine_near_dup_pairs,
-    label_centroids,
 )
 from ..operators.textstats import LANG_MARKERS, lang_id, quality_score
 from ..sources import load_table
@@ -344,21 +343,23 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings,
            LATERAL (SELECT unnest(embedding) AS x,
                            generate_subscripts(embedding, 1) - 1 AS i) u
-    ), per_dim AS (
-      SELECT label, pos,
-             floor((CAST(sum(CAST(x6 AS DECIMAL(38,12))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS dim_mean
-      FROM ex GROUP BY label, pos
     )
-    SELECT label, list(dim_mean ORDER BY pos) AS centroid
-    FROM per_dim GROUP BY label
+    SELECT label, pos,
+           floor((CAST(sum(CAST(x6 AS DECIMAL(38,12))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS dim_mean
+    FROM ex GROUP BY label, pos
     """,
     tags=("llm", "similarity", "agg"),
 )
 def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroids via exact decimal sums (order-
-    insensitive → deterministic under any partitioning)."""
+    """Per-label embedding centroid components as scalar rows
+    (label, pos, dim_mean) — exact decimal sums (order-insensitive →
+    deterministic under any partitioning). The array-assembling form is
+    label_centroids(); the gated query emits scalars because the oracle
+    canonicalizer can't sort/hash array cells."""
+    from ..operators.similarity import label_centroid_dims
+
     e = load_table(spark, sf_dir, "embeddings")
-    return label_centroids(e, "label", "embedding")
+    return label_centroid_dims(e, "label", "embedding")
 
 
 @register(
@@ -453,12 +454,12 @@ def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     oracle="""
     SELECT doc_id,
-           strlen(text) AS n_bytes,
-           CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte,
-           list_aggregate(
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
+           COALESCE(CAST(list_aggregate(
              list_transform(generate_series(1, strlen(text)),
                             i -> ascii(substr(text, i, 1))), 'sum'
-           ) % 2147483647 AS byte_sum
+           ) AS BIGINT) % 2147483647, 0) AS byte_sum
     FROM documents
     """,
     tags=("llm", "multimodal"),

@@ -35,6 +35,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan (check: .explain() shows PushedFilters/ReadSchema)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark rejects
+        # by default (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime SQL
+        # conf, so set it here rather than in our session factory: callers
+        # (the correctness driver, notebooks) bring their own SparkSession.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked down — fall through and let the read decide
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), surfaced as a long via

@@ -23,16 +23,24 @@ from sparkstreaming_gmall_scala_spark.session import get_spark
 from sparkstreaming_gmall_scala_spark.sources.tables import TABLES
 
 
+def list_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/array cells — the driver's canonicalizer
+    crashes on these (unhashable type: 'list'), so an oracle-checked query
+    returning one is a FAIL here even if values would match."""
+    import numpy as np
+
+    return [
+        c
+        for c in df.columns
+        if df[c].map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any()
+    ]
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # lists aren't sortable/hashable → stringify for comparison
     for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (list, tuple))).any() or str(
-            df[c].dtype
-        ).startswith("object"):
-            df[c] = df[c].map(
-                lambda v: repr(list(v)) if isinstance(v, (list, tuple)) else repr(v)
-            )
+        if str(df[c].dtype).startswith("object"):
+            df[c] = df[c].map(repr)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
         drop=True
     )
@@ -76,8 +84,21 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        bad_lists = sorted(set(list_cols(sdf)) | set(list_cols(odf)))
+        if bad_lists:
+            problems.append(
+                f"list-typed cols {bad_lists} (driver canon crashes on these)"
+            )
         if not problems:
             a, b = canon(sdf.copy()), canon(odf.copy())
+            # dtype kinds must agree (int vs float vs object) — the
+            # driver's value-hash is type-sensitive; exact width (int32 vs
+            # int64) is relaxed only when both are integer kinds.
+            kinds_a = [a[c].dtype.kind for c in a.columns]
+            kinds_b = [b[c].dtype.kind for c in b.columns]
+            if kinds_a != kinds_b:
+                problems.append(f"dtype kinds {kinds_a} vs {kinds_b}")
+        if not problems:
             try:
                 pd.testing.assert_frame_equal(
                     a, b, check_dtype=False, check_exact=True
