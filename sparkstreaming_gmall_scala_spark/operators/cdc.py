@@ -94,15 +94,23 @@ def route_by_rules(
     type_col: str,
     keep_any: tuple[str, ...],
     keep_when: tuple[tuple[str, Column], ...],
-    payload: Column,
+    payload: Column | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Generic router: rows whose ``type_col`` is in ``keep_any`` pass
     unconditionally; each ``(type, condition)`` in ``keep_when`` passes
-    conditionally; everything else drops. Output is (topic, value)."""
+    conditionally; everything else drops.
+
+    With ``payload`` the output is the Kafka-sink shape (topic, value);
+    with ``carry`` the named source columns ride along next to ``topic``
+    (the inspectable/oracle-checkable shape — same filter, same topic
+    derivation)."""
     cond = F.col(type_col).isin(list(keep_any))
     for t, extra in keep_when:
         cond = cond | ((F.col(type_col) == t) & extra)
-    return df.filter(cond).select(
-        F.concat(F.lit("ods_"), F.col(type_col)).alias("topic"),
-        payload.alias("value"),
+    routed = df.filter(cond).withColumn(
+        "topic", F.concat(F.lit("ods_"), F.col(type_col))
     )
+    if payload is None:
+        return routed.select("topic", *carry)
+    return routed.select("topic", payload.alias("value"))

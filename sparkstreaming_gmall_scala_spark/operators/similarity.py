@@ -374,6 +374,7 @@ def cosine_near_dup_vectorized(
     id_col: str,
     vec_col: str,
     threshold: float,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs via Arrow-batched numpy matmul — the
     throughput path when LSH can't prune.
@@ -385,12 +386,15 @@ def cosine_near_dup_vectorized(
     was slower than the exact join at sf0.1). BLAS turns the same O(n²·d)
     work into dense matmul — orders of magnitude faster per pair.
 
-    Shape: one side is broadcast as a dense matrix (rows × dim floats);
-    the other side streams through ``mapInPandas`` in Arrow batches, each
-    batch doing ``batch @ corpus.T``. At full corpus scale the broadcast
-    side is sharded into blocks and this runs once per block pair
-    (id_a < id_b makes block pairs triangular) — same kernel, outer loop
-    over shards.
+    Shape — distributed block nested loop, nothing touches the driver:
+    each row is hash-assigned to one of ``num_blocks`` blocks; a tiny
+    (ba ≤ bb) triangular block-pair table is broadcast; each row joins to
+    every pair containing its block (replication factor = num_blocks);
+    ``groupBy(ba, bb).applyInPandas`` then runs one dense matmul per block
+    pair. Per-task memory is two blocks (~2·n/num_blocks vectors), so at
+    100 TB you raise ``num_blocks`` until a block fits an executor —
+    replication grows linearly while pair work stays O(n²/B²) per task
+    across O(B²) tasks.
 
     Scores are float64 matmul; summation order differs from the
     left-to-right fold, so results can differ from the exact-fold oracle
@@ -400,33 +404,54 @@ def cosine_near_dup_vectorized(
     tolerance band.
     """
     import numpy as np
+    import pandas as pd
 
     spark = df.sparkSession
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    base = df.select(
+        F.col(id_col).alias("_id").cast("long"), F.col(vec_col).alias("_vec")
+    ).withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(num_blocks)).cast("int")
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(num_blocks) for b in range(num_blocks) if a <= b],
+        "ba int, bb int",
+    )
+    tagged = base.join(
+        F.broadcast(pairs),
+        (F.col("_blk") == F.col("ba")) | (F.col("_blk") == F.col("bb")),
+    )
 
-    def score_batches(batches):
-        import pandas as pd
-
-        c_ids, c_mat = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.stack(pdf[vec_col].to_numpy())
-            q = q.astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            s = np.floor(q @ c_mat.T * 1e6 + 0.5) / 1e6
-            ii, jj = np.where((s >= threshold) & (q_ids[:, None] < c_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": q_ids[ii], "id_b": c_ids[jj], "score": s[ii, jj]}
+    def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        a = pdf if ba == bb else pdf[pdf["_blk"] == ba]
+        b = pdf if ba == bb else pdf[pdf["_blk"] == bb]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "score": "float64"}
             )
+        a_ids = a["_id"].to_numpy(dtype=np.int64)
+        b_ids = b["_id"].to_numpy(dtype=np.int64)
+        am = np.stack(a["_vec"].to_numpy()).astype(np.float64)
+        bm = np.stack(b["_vec"].to_numpy()).astype(np.float64)
+        am /= np.linalg.norm(am, axis=1, keepdims=True)
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        s = np.floor(am @ bm.T * 1e6 + 0.5) / 1e6
+        if ba == bb:
+            # Self pair: the id triangle keeps each unordered pair once.
+            ii, jj = np.where((s >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            id_a, id_b = a_ids[ii], b_ids[jj]
+        else:
+            # Cross pair: each unordered pair lives in exactly this one
+            # (ba, bb) group but in arbitrary id orientation — keep all,
+            # emit as (min, max).
+            ii, jj = np.where(s >= threshold)
+            left, right = a_ids[ii], b_ids[jj]
+            id_a = np.minimum(left, right)
+            id_b = np.maximum(left, right)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "score": s[ii, jj]})
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        score_batches, "id_a long, id_b long, score double"
+    return tagged.groupBy("ba", "bb").applyInPandas(
+        block_pair, "id_a long, id_b long, score double"
     )
 
 

@@ -262,7 +262,10 @@ def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``topic`` column routes each row, replacing the per-record producer
     loop with one declarative fan-out."""
     ev = load_table(spark, sf_dir, "events")
-    routed = route_by_rules(
+    # carry= exposes the routing decision columns rather than a serialized
+    # Kafka payload (JSON formatting differs per engine) — same filter and
+    # topic derivation the streaming sink path uses.
+    return route_by_rules(
         ev,
         type_col="event_type",
         keep_any=("purchase", "signup"),
@@ -270,21 +273,7 @@ def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("click", F.col("value") > 50),
             ("view", F.col("value") > 50),
         ),
-        payload=F.col("event_id").cast("string"),
-    )
-    # For the oracle we expose the routing decision columns rather than the
-    # serialized Kafka payload (JSON formatting differs per engine).
-    return (
-        ev.filter(
-            F.col("event_type").isin("purchase", "signup")
-            | (F.col("event_type").isin("click", "view") & (F.col("value") > 50))
-        )
-        .select(
-            F.concat(F.lit("ods_"), F.col("event_type")).alias("topic"),
-            "event_id",
-            "user_id",
-            "value",
-        )
+        carry=("event_id", "user_id", "value"),
     )
 
 

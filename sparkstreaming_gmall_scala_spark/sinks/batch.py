@@ -48,12 +48,16 @@ class IdempotentBatchWriter:
     ads/TrademarkStatApp.scala:114-151 without a transactional store.
     """
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, partition_by: tuple[str, ...] = ()):
         self.out_dir = out_dir
+        self.partition_by = tuple(partition_by)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         target = os.path.join(self.out_dir, f"batch_id={batch_id}")
-        batch_df.write.mode("overwrite").parquet(target)
+        writer = batch_df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(target)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read everything committed so far (batch_id recovered from the

@@ -38,7 +38,6 @@ def windowed_equi_join(
         l = left.withWatermark(left_ts, horizon).alias("l")
     if right.isStreaming:
         r = right.withWatermark(right_ts, horizon).alias("r")
-    secs = int(horizon.split()[0]) if horizon.split()[1].startswith("second") else None
     cond = (F.col(f"l.{left_key}") == F.col(f"r.{right_key}")) & (
         F.col(f"r.{right_ts}")
         >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {horizon}")

@@ -159,8 +159,11 @@ def ods_router_pipeline(
     ods/BaseDBCanalApp.scala:56-82): parse the CDC envelope, apply the
     table routing rules, fan records out per ``ods_{table}`` topic. The
     per-record producer loop becomes one declarative plan ending in a
-    topic-partitioned sink (here parquet partitionBy('topic'); on a real
-    broker the same frame feeds sinks.kafka_fanout unchanged)."""
+    topic-partitioned sink (here parquet partitionBy('topic') under a
+    batch_id=N directory so replayed micro-batches overwrite themselves —
+    the same exactly-once-effect invariant as every other pipeline; on a
+    real broker the same frame feeds sinks.kafka_fanout unchanged, where
+    idempotence comes from the broker-side idempotent producer)."""
     from ..operators.cdc import (
         CANAL_SCHEMA,
         MAXWELL_SCHEMA,
@@ -182,11 +185,9 @@ def ods_router_pipeline(
     else:
         raise ValueError(f"unknown CDC flavor {flavor!r}")
 
-    def write_by_topic(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy("topic").parquet(out_dir)
-
+    sink = IdempotentBatchWriter(out_dir, partition_by=("topic",))
     return (
-        routed.writeStream.foreachBatch(write_by_topic)
+        routed.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .start()
