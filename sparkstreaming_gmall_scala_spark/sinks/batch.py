@@ -67,6 +67,17 @@ class IdempotentBatchWriter:
         )
 
 
+def has_parquet(path: str) -> bool:
+    """True if ``path`` holds a readable parquet dataset (an existing but
+    empty directory — fresh checkpoint/state dirs — does not)."""
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -84,7 +95,7 @@ def upsert_parquet(
     """
     from pyspark.sql import Window
 
-    if os.path.exists(path):
+    if has_parquet(path):
         current = spark.read.parquet(path).withColumn("_gen", F.lit(0))
     else:
         current = None

@@ -13,11 +13,13 @@ the SS analog of the reference's 5-second Kafka batches.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sinks.batch import IdempotentBatchWriter
+from ..sinks.batch import IdempotentBatchWriter, upsert_parquet
 from .allocation import allocate_stateful
 from .dau import dau_distinct
 from .join import windowed_equi_join
@@ -188,6 +190,173 @@ def ods_router_pipeline(
     sink = IdempotentBatchWriter(out_dir, partition_by=("topic",))
     return (
         routed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+ORDER_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("province_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+SKU_SCHEMA = T.StructType(
+    [
+        T.StructField("sku_id", T.LongType()),
+        T.StructField("spu_id", T.LongType()),
+        T.StructField("tm_id", T.LongType()),
+        T.StructField("category3_id", T.LongType()),
+        T.StructField("sku_name", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def order_info_batch(
+    spark: SparkSession,
+    state_dir: str,
+    sink: IdempotentBatchWriter,
+    dim_dirs: tuple[tuple[str, str, str], ...] = (),
+):
+    """Per-batch body of ``order_info_pipeline`` (exposed so tests can
+    replay a (batch_df, batch_id) directly): first-order flag → intra-batch
+    correction → dim enrichment → batch-keyed sink → first-order state
+    claim (ref: dwd/OrderInfoApp.scala:90-290, the flag probe + groupByKey
+    correction + USER_STATUS saveToPhoenix + ES/Kafka sinks).
+
+    Exactly-once story the reference lacks: the state table records WHICH
+    batch claimed each user's first order (user_id, first_batch_id), so a
+    replayed batch recomputes the identical flags — the reference's
+    IF_CONSUMED='1' upsert would flip the replay's flags to '0'. Write
+    order is output-then-claims: a crash between the two replays the batch
+    whose claims are absent (same flags) or already claimed by the same
+    batch id (same flags) — idempotent either way.
+    """
+    from ..operators.flags import first_event_flag
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # Intra-batch correction: only each user's earliest order in this
+        # batch may carry the flag (the reference's groupByKey+sortWith).
+        corrected = first_event_flag(
+            batch_df.dropDuplicates(["order_id"]),
+            key="user_id",
+            order_by=["ts", "order_id"],
+            flag_col="_intra",
+        )
+        from ..sinks.batch import has_parquet
+
+        if has_parquet(state_dir):
+            state = spark.read.parquet(state_dir)
+        else:
+            state = spark.createDataFrame([], "user_id long, first_batch_id long")
+        # Cross-batch probe: a user is first-order iff never claimed, or
+        # claimed by THIS batch id (replay).
+        is_first = (F.col("_intra") == "1") & (
+            F.col("first_batch_id").isNull()
+            | (F.col("first_batch_id") == F.lit(batch_id))
+        )
+        flagged = (
+            corrected.join(F.broadcast(state), "user_id", "left")
+            .withColumn("if_first_order", F.when(is_first, "1").otherwise("0"))
+            .drop("_intra", "first_batch_id")
+        )
+        # Dim enrichment — dims re-read per batch, like the reference's
+        # per-batch Phoenix fetch + broadcast (OrderInfoApp.scala:194-221),
+        # so a late dim update is visible to the next batch.
+        for dim_dir, fact_key, dim_key in dim_dirs:
+            dim = spark.read.parquet(dim_dir)
+            if dim_key != fact_key:
+                dim = dim.withColumnRenamed(dim_key, fact_key)
+            flagged = flagged.join(F.broadcast(dim), fact_key, "left")
+        sink(flagged, batch_id)
+        # Claim first orders AFTER the output lands, reading the claims
+        # back from the just-written batch dir (no recompute, and the
+        # flagged plan above never observes its own state update).
+        written = spark.read.parquet(
+            os.path.join(sink.out_dir, f"batch_id={batch_id}")
+        )
+        claims = (
+            written.filter(F.col("if_first_order") == "1")
+            .select("user_id")
+            .distinct()
+            .join(state.select("user_id"), "user_id", "left_anti")
+            .withColumn("first_batch_id", F.lit(batch_id))
+        )
+        upsert_parquet(spark, claims, state_dir, ["user_id"])
+
+    return process
+
+
+def order_info_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    dim_dirs: tuple[tuple[str, str, str], ...] = (),
+    available_now: bool = False,
+):
+    """OrderInfoApp end-to-end (dwd/OrderInfoApp.scala:40-290): order
+    stream → first-order flag with intra-batch correction → dim enrich →
+    batch-keyed sink + first-order claim state, one atomic foreachBatch
+    per micro-batch."""
+    orders = file_stream(spark, src_dir, ORDER_INFO_SCHEMA)
+    sink = IdempotentBatchWriter(out_dir)
+    writer = (
+        orders.writeStream.foreachBatch(
+            order_info_batch(spark, state_dir, sink, dim_dirs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sku_dim_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    tm_dir: str,
+    category3_dir: str,
+    spu_dir: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """SkuInfoApp (dim/SkuInfoApp.scala:50-120): the sku dim stream is
+    denormalized against its three parent dims (trademark, category3,
+    spu) then upserted into the materialized sku dim — the reference's
+    per-batch Phoenix fetch + broadcast Map + saveToPhoenix.
+
+    The parent dims are re-read per batch (the reference re-queries
+    Phoenix inside transform{}), so a parent-dim update lands in the NEXT
+    batch's denormalization; the upsert is last-write-wins per sku_id,
+    matching Phoenix UPSERT semantics."""
+    sku = file_stream(spark, src_dir, SKU_SCHEMA)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        tm = spark.read.parquet(tm_dir).select("tm_id", "tm_name")
+        c3 = spark.read.parquet(category3_dir).select(
+            "category3_id", "category3_name"
+        )
+        spu = spark.read.parquet(spu_dir).select("spu_id", "spu_name")
+        denorm = (
+            batch_df.dropDuplicates(["sku_id"])
+            .join(F.broadcast(tm), "tm_id", "left")
+            .join(F.broadcast(c3), "category3_id", "left")
+            .join(F.broadcast(spu), "spu_id", "left")
+        )
+        upsert_parquet(spark, denorm, out_dir, ["sku_id"], order_col="ts")
+
+    return (
+        sku.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .start()

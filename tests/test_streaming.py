@@ -240,3 +240,128 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     upsert_parquet(spark, v2, path, ["id"])
     got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
     assert got == {1: "alice", 2: "robert", 3: "carol"}
+
+
+def _write_dim(spark, rows, cols, path):
+    spark.createDataFrame(rows, cols).write.mode("overwrite").parquet(path)
+
+
+def test_order_info_pipeline_first_flag_restart_and_replay(spark, tmp_path):
+    """DWD OrderInfoApp end-to-end: cross-batch first-order flag with
+    intra-batch correction and dim enrichment; the flag survives restarts
+    AND replays (≤1 first order per user, ever)."""
+    from sparkstreaming_gmall_scala_spark.streaming.pipelines import (
+        ORDER_INFO_SCHEMA,
+        order_info_batch,
+        order_info_pipeline,
+    )
+
+    src, state, out, ckpt, prov = _dirs(
+        tmp_path, "src", "state", "out", "ckpt", "prov"
+    )
+    _write_dim(
+        spark,
+        [(1, "shanghai"), (2, "beijing")],
+        ["province_id", "province_name"],
+        prov,
+    )
+    dims = ((prov, "province_id", "province_id"),)
+    # batch 0: user 1 orders twice (order 1 earliest), user 2 once
+    batch0 = [
+        (2, 1, 1, TS.format(2), 20.0),
+        (1, 1, 1, TS.format(1), 10.0),
+        (3, 2, 2, TS.format(1), 30.0),
+    ]
+    _drop(spark, ORDER_INFO_SCHEMA, batch0, src)
+    q = order_info_pipeline(spark, src, state, out, ckpt, dim_dirs=dims)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["order_id"]: r
+        for r in IdempotentBatchWriter(out).read(spark).collect()
+    }
+    assert got[1]["if_first_order"] == "1"  # earliest wins
+    assert got[2]["if_first_order"] == "0"  # same-batch correction
+    assert got[3]["if_first_order"] == "1"
+    assert got[1]["province_name"] == "shanghai"  # dim enrich rode along
+
+    # restart: new query object, same checkpoint/state; user 1 reorders
+    _drop(spark, ORDER_INFO_SCHEMA, [(4, 1, 2, TS.format(9), 5.0),
+                                     (5, 3, 1, TS.format(9), 7.0)], src)
+    q = order_info_pipeline(spark, src, state, out, ckpt, dim_dirs=dims)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["order_id"]: r
+        for r in IdempotentBatchWriter(out).read(spark).collect()
+    }
+    assert got[4]["if_first_order"] == "0"  # user 1 claimed in batch 0
+    assert got[5]["if_first_order"] == "1"  # user 3 new
+
+    # replay batch 0 directly (driver-retry simulation): flags identical,
+    # no second first-order per user
+    sink = IdempotentBatchWriter(out)
+    replay_df = spark.createDataFrame(batch0, ORDER_INFO_SCHEMA)
+    order_info_batch(spark, state, sink, dims)(replay_df, 0)
+    got = IdempotentBatchWriter(out).read(spark)
+    per_user_firsts = (
+        got.filter(F.col("if_first_order") == "1")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in per_user_firsts), per_user_firsts
+    assert {r["user_id"] for r in per_user_firsts} == {1, 2, 3}
+
+
+def test_sku_dim_pipeline_denorm_and_late_dim_update(spark, tmp_path):
+    """DIM SkuInfoApp: 3-parent denormalization on the way in, upsert per
+    sku_id, and a parent-dim update becomes visible to the NEXT batch
+    (the reference re-queries Phoenix each batch)."""
+    from sparkstreaming_gmall_scala_spark.streaming.pipelines import (
+        SKU_SCHEMA,
+        sku_dim_pipeline,
+    )
+
+    src, tm, c3, spu, out, ckpt = _dirs(
+        tmp_path, "src", "tm", "c3", "spu", "out", "ckpt"
+    )
+    _write_dim(spark, [(10, "huawei")], ["tm_id", "tm_name"], tm)
+    _write_dim(spark, [(20, "phones")], ["category3_id", "category3_name"], c3)
+    _write_dim(spark, [(30, "mate")], ["spu_id", "spu_name"], spu)
+
+    _drop(spark, SKU_SCHEMA, [(1, 30, 10, 20, "mate-64gb", 100.0, TS.format(1))], src)
+    q = sku_dim_pipeline(spark, src, tm, c3, spu, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["sku_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["tm_name"] == "huawei"
+    assert got[1]["category3_name"] == "phones"
+    assert got[1]["spu_name"] == "mate"
+
+    # late dim update + sku update and a new sku in the next batch
+    _write_dim(spark, [(10, "huawei"), (11, "xiaomi")], ["tm_id", "tm_name"], tm)
+    _drop(
+        spark,
+        SKU_SCHEMA,
+        [
+            (1, 30, 10, 20, "mate-128gb", 120.0, TS.format(5)),  # upsert
+            (2, 30, 11, 20, "redmi", 80.0, TS.format(5)),
+        ],
+        src,
+    )
+    q = sku_dim_pipeline(spark, src, tm, c3, spu, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["sku_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 2
+    assert got[1]["sku_name"] == "mate-128gb"  # last-write-wins per sku
+    assert got[2]["tm_name"] == "xiaomi"  # updated parent dim visible
