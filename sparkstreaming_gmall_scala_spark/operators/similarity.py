@@ -83,14 +83,7 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", _pair_score(dim))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _plane_dot(vec: Column, plane: list[float]) -> Column:
@@ -200,6 +193,11 @@ def bucketed_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", _pair_score(dim))
     )
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ANN tail: per-query rank by (score desc, neighbor_id)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
@@ -208,6 +206,77 @@ def bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def bucketize_corpus(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    out_dir: str,
+    bands: int = 4,
+    dim: int | None = None,
+) -> None:
+    """Bucket the corpus ONCE and persist it partitioned by (band, bucket)
+    — the executable form of the 100 TB LSH story: banding and norm
+    computation are paid at ingest, and every later query batch probes a
+    few partitions instead of re-bucketing the corpus per run (the
+    per-batch recompute was the scale flaw in the in-memory path).
+
+    Analogous ingest-side materialization to the reference's dim upserts
+    (per-batch broadcast refresh, dwd/OrderInfoApp.scala:194-221): state
+    written where reads are cheap, keyed how reads probe."""
+    cb = _band_buckets(
+        _with_norm(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+            ),
+            "cvec", "_cnorm", dim,
+        ),
+        "cvec",
+        planes,
+        bands,
+    )
+    cb.write.mode("overwrite").partitionBy("band", "bucket").parquet(out_dir)
+
+
+def probe_topk(
+    queries: DataFrame,
+    bucket_dir: str,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    k: int = 5,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k against a persisted bucketized corpus (bucketize_corpus).
+
+    The broadcast join on the (band, bucket) partition columns lets
+    dynamic partition pruning skip every non-colliding bucket directory at
+    scan time — the physical realization of 'each query probes a few
+    buckets'. Same planes + same scoring ⇒ results identical to the
+    in-memory bucketed_topk."""
+    spark = queries.sparkSession
+    cb = spark.read.parquet(bucket_dir)
+    qb = _band_buckets(
+        _with_norm(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            ),
+            "qvec", "_qnorm", dim,
+        ),
+        "qvec",
+        planes,
+        bands,
+    )
+    scored = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", _pair_score(dim))
+    )
+    return _rank_topk(scored, k)
 
 
 def cosine_near_dup_pairs(
@@ -359,14 +428,7 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", _pair_score(dim))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_near_dup_vectorized(

@@ -335,6 +335,51 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_lsh_persisted",
+    oracle=None,  # approximate by construction; pytest asserts exact
+    # result-equality with the in-memory bucketed_topk instead.
+    tags=("llm", "similarity", "lsh", "persisted"),
+)
+def knn_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 over a PERSISTED bucketized corpus: bucketize_corpus
+    writes the banded corpus partitioned by (band, bucket) once per SF
+    (cached under /tmp across calls); probe_topk then broadcast-joins the
+    query buckets so dynamic partition pruning skips every non-colliding
+    bucket directory — the executable 100 TB path next to the in-memory
+    knn_lsh (which re-buckets the corpus every run)."""
+    import os as _os
+    import tempfile
+
+    from ..operators.similarity import bucketize_corpus, probe_topk
+
+    bucket_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_lshbuckets_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not _os.path.exists(_os.path.join(bucket_dir, "_SUCCESS")):
+        bucketize_corpus(
+            load_table(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            _PLANES,
+            bucket_dir,
+            bands=4,
+            dim=64,
+        )
+    e = load_table(spark, sf_dir, "embeddings")
+    return probe_topk(
+        e.filter(F.col("vec_id") < 10),
+        bucket_dir,
+        "vec_id",
+        "embedding",
+        _PLANES,
+        k=5,
+        bands=4,
+        dim=64,
+    )
+
+
+@register(
     "embed_centroids",
     oracle="""
     WITH ex AS (

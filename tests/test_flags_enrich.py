@@ -55,16 +55,23 @@ def test_enrich_left_missing_dim_leaves_null(spark):
     assert out.count() == 3  # left join never drops fact rows
 
 
-def test_dau_approx_within_error_bound(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+)
+def test_dau_approx_within_error_bound(spark, sf):
     """HLL++ DAU must land within 5% of the exact distinct count per day
-    (rsd=2%; 5% gives slack for small days)."""
+    (rsd=2%; 5% gives slack for small days) — at BOTH the tiny SF and
+    sf0.1, so the rsd claim survives scale-up."""
     from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
 
     reg = load_all()
-    exact = {r["dt"]: r["dau"] for r in reg["dau"].builder(spark, sf_dir).collect()}
+    exact = {r["dt"]: r["dau"] for r in reg["dau"].builder(spark, sf).collect()}
     approx = {
         r["dt"]: r["dau_approx"]
-        for r in reg["dau_approx"].builder(spark, sf_dir).collect()
+        for r in reg["dau_approx"].builder(spark, sf).collect()
     }
     assert set(exact) == set(approx)
     for dt, n in exact.items():

@@ -174,3 +174,38 @@ def test_label_centroids_deterministic_across_partitionings(spark, sf_dir):
     assert a == b
     dim = len(next(iter(a.values())))
     assert all(len(c) == dim for c in a.values())
+
+
+def test_probe_persisted_buckets_identical_to_in_memory(spark, sf_dir, tmp_path):
+    """bucketize_corpus + probe_topk must return EXACTLY the in-memory
+    bucketed_topk result (same planes, same scoring) — the persisted path
+    is a materialization, not an approximation of the approximation."""
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        bucketize_corpus,
+        probe_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    bucket_dir = str(tmp_path / "buckets")
+    bucketize_corpus(
+        e, "vec_id", "embedding", _PLANES8, bucket_dir, bands=4, dim=64
+    )
+    in_mem = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in bucketed_topk(
+            e, queries, "vec_id", "embedding", _PLANES8, k=5, bands=4, dim=64
+        ).collect()
+    }
+    persisted_df = probe_topk(
+        queries, bucket_dir, "vec_id", "embedding", _PLANES8, k=5, bands=4, dim=64
+    )
+    persisted = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in persisted_df.collect()
+    }
+    assert persisted == in_mem
+    # the probe plan must scan the partitioned layout (pruning-eligible),
+    # not a flat rebucketing of the corpus
+    plan = persisted_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower(), plan[:2000]

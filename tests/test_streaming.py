@@ -365,3 +365,67 @@ def test_sku_dim_pipeline_denorm_and_late_dim_update(spark, tmp_path):
     assert len(got) == 2
     assert got[1]["sku_name"] == "mate-128gb"  # last-write-wins per sku
     assert got[2]["tm_name"] == "xiaomi"  # updated parent dim visible
+
+
+def test_kafka_fanout_writer_carries_dynamic_topic(spark, tmp_path):
+    """S1/S6 honesty check without a broker: the routed stream carries the
+    kafka sink contract columns (dynamic 'topic' + string 'value'), and
+    kafka_fanout configures a writer over it without touching a broker."""
+    from sparkstreaming_gmall_scala_spark.operators.cdc import (
+        MAXWELL_SCHEMA,
+        parse_envelope,
+        route_maxwell,
+    )
+    from sparkstreaming_gmall_scala_spark.sinks.batch import kafka_fanout
+    from sparkstreaming_gmall_scala_spark.streaming.sources import file_stream
+    from pyspark.sql import types as T
+
+    src, ckpt = _dirs(tmp_path, "src", "ckpt")
+    raw = file_stream(
+        spark, src, T.StructType([T.StructField("value", T.StringType())]),
+        fmt="text",
+    )
+    routed = route_maxwell(parse_envelope(raw, "value", MAXWELL_SCHEMA))
+    assert routed.isStreaming
+    # exact kafka-sink contract: topic + value, both strings
+    assert [(f.name, f.dataType.simpleString()) for f in routed.schema.fields] == [
+        ("topic", "string"),
+        ("value", "string"),
+    ]
+    writer = kafka_fanout(routed, "broker:9092", ckpt)
+    # writer is configured (construction must not require a live broker);
+    # .start() would need the kafka package + broker, documented boundary
+    assert writer is not None
+
+
+def test_kafka_stream_requires_connector(spark):
+    """kafka_stream is the production source; in this container the kafka
+    DataSource is absent, and the failure mode is the documented
+    AnalysisException at plan build — not a silent fallback."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from sparkstreaming_gmall_scala_spark.streaming.sources import kafka_stream
+
+    with pytest.raises(AnalysisException, match="kafka"):
+        kafka_stream(spark, "broker:9092", "topic")
+
+
+def test_epoch_ms_of_millisecond_parity(spark):
+    """epoch_ms_of must reproduce the reference's System.currentTimeMillis
+    longs exactly, including the SSS milliseconds."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_gmall_scala_spark.functions.dates import epoch_ms_of
+
+    micros = [
+        1704103201123000,  # 2024-01-01T10:00:01.123Z
+        1704103201000000,  # .000 boundary
+        1704103201999000,  # .999 boundary
+        0,                 # the epoch itself
+    ]
+    df = spark.createDataFrame([(m,) for m in micros], ["us"]).select(
+        F.col("us"), epoch_ms_of(F.timestamp_micros(F.col("us"))).alias("ms")
+    )
+    got = {r["us"]: r["ms"] for r in df.collect()}
+    assert got == {m: m // 1000 for m in micros}
