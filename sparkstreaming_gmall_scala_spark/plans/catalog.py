@@ -49,6 +49,6 @@ def register(
 
 def load_all() -> dict[str, Query]:
     """Import every plans module so decorators populate REGISTRY."""
-    from . import llm, parity, scale, streaming_analog  # noqa: F401
+    from . import llm, parity, scale, streaming_analog, temporal  # noqa: F401
 
     return REGISTRY

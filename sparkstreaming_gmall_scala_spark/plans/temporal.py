@@ -1,0 +1,101 @@
+"""Temporal-join queries: as-of and range joins over the events/orders
+tables — SURVEY.md §2.3's "not present in the reference, free to us"
+row, implemented with scale-safe plans (operators/temporal.py) and exact
+DuckDB oracles. Timestamps are emitted as epoch-micro BIGINTs so the
+value-hash compares integers, never engine-formatted timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, range_join_bucketed
+from ..sources import load_table
+from .catalog import register
+
+
+@register(
+    "asof_last_click",
+    oracle="""
+    WITH j AS (
+      SELECT err.event_id AS probe_id, err.user_id, epoch_us(err.ts) AS probe_us,
+             c.event_id AS click_id, epoch_us(c.ts) AS click_us, c.value AS click_value,
+             row_number() OVER (PARTITION BY err.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn,
+             count(c.event_id) OVER (PARTITION BY err.event_id) AS n_prior_clicks
+      FROM events err LEFT JOIN events c
+        ON c.user_id = err.user_id AND c.event_type = 'click' AND c.ts <= err.ts
+      WHERE err.event_type = 'error'
+    )
+    SELECT probe_id, user_id, probe_us, click_id, click_us, click_value,
+           n_prior_clicks
+    FROM j WHERE rn = 1
+    """,
+    tags=("temporal", "asof", "join"),
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'error' event, the same user's most recent 'click' at or
+    before it (ties → highest event_id), plus how many prior clicks exist.
+    The union-and-carry as-of join: one shuffle on user_id — the oracle's
+    range-join + row_number formulation would be quadratic per hot key."""
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("probe_id"),
+        F.unix_micros("ts").alias("probe_us"),
+    )
+    refs = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        probes, refs, on="user_id", time_col="ts", tiebreak="click_id",
+        n_prior_alias="n_prior_clicks",
+    )
+    return out.select(
+        "probe_id", "user_id", "probe_us", "click_id", "click_us",
+        "click_value", "n_prior_clicks",
+    )
+
+
+@register(
+    "orders_next_30d",
+    oracle="""
+    SELECT l.o_orderkey, l.o_custkey, count(r.o_orderkey) AS n_next_30d
+    FROM orders l LEFT JOIN orders r
+      ON r.o_custkey = l.o_custkey
+     AND r.o_orderdate > l.o_orderdate
+     AND r.o_orderdate <= l.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.o_orderkey, l.o_custkey
+    """,
+    tags=("temporal", "range", "join"),
+)
+def orders_next_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: how many of the same customer's orders land strictly
+    within the following 30 days — a range join bucketed into 30-day
+    (key, bucket) equi-join cells so the plan is a hash join, not the
+    nested-loop Catalyst would pick for a raw interval predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", "o_custkey", F.col("o_orderdate").alias("l_date"))
+    right = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("r_date"),
+        F.col("o_orderkey").alias("r_orderkey"),
+    )
+    pairs = range_join_bucketed(
+        left, right, on="o_custkey", left_time="l_date", right_time="r_date",
+        lo_sec=0, hi_sec=30 * 86400,
+    )
+    counts = pairs.groupBy("o_orderkey", "o_custkey").agg(
+        F.count(F.lit(1)).alias("n_next_30d")
+    )
+    return (
+        o.select("o_orderkey", "o_custkey")
+        .join(counts, ["o_orderkey", "o_custkey"], "left")
+        .fillna(0, subset=["n_next_30d"])
+    )

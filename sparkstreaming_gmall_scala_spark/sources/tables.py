@@ -53,7 +53,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # Integer `div`, NOT `/1000`: float division round-trips the
+            # nano count through a double, which is off by ±1 µs above
+            # 2^52 — and 2024 epoch-nanos are ~1.7e18.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

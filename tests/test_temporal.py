@@ -1,0 +1,121 @@
+"""Unit tests for the as-of and bucketed range joins (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_scala_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_inclusive_ties_and_missing(spark):
+    probes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100),  # ref at the same instant → match
+            (1, _ts("2024-01-01 09:00:00"), 101),  # before every ref → nulls
+            (2, _ts("2024-01-01 12:00:00"), 102),  # two refs tie on ts → max ref_id
+            (3, _ts("2024-01-01 12:00:00"), 103),  # key with no refs at all
+        ],
+        ["k", "t", "probe_id"],
+    )
+    refs = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 7, "a"),
+            (2, _ts("2024-01-01 11:00:00"), 8, "b"),
+            (2, _ts("2024-01-01 11:00:00"), 9, "c"),
+        ],
+        ["k", "t", "ref_id", "payload"],
+    )
+    out = {
+        r["probe_id"]: r
+        for r in asof_join(probes, refs, on="k", time_col="t", tiebreak="ref_id").collect()
+    }
+    assert out[100]["ref_id"] == 7 and out[100]["n_prior"] == 1  # <= is inclusive
+    assert out[101]["ref_id"] is None and out[101]["n_prior"] == 0
+    assert out[102]["ref_id"] == 9 and out[102]["payload"] == "c"  # tie → max ref_id
+    assert out[102]["n_prior"] == 2
+    assert out[103]["ref_id"] is None and out[103]["n_prior"] == 0
+
+
+def test_asof_rejects_column_collision(spark):
+    df = spark.createDataFrame([(1, _ts("2024-01-01"), 1)], ["k", "t", "x"])
+    import pytest
+
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(df, df, on="k", time_col="t", tiebreak="x")
+
+
+def test_range_join_boundaries_and_bucket_crossing(spark):
+    t0 = _ts("2024-01-01 00:00:00")
+    left = spark.createDataFrame([(1, t0, 10)], ["k", "lt", "left_id"])
+    right = spark.createDataFrame(
+        [
+            (1, t0, 20),  # rt == lt → excluded (strict lower bound)
+            (1, t0 + dt.timedelta(seconds=3600), 21),  # inside
+            (1, t0 + dt.timedelta(seconds=7200), 22),  # rt == lt+hi → included
+            (1, t0 + dt.timedelta(seconds=7201), 23),  # just past → excluded
+            (2, t0 + dt.timedelta(seconds=100), 24),  # other key → excluded
+        ],
+        ["k", "rt", "right_id"],
+    )
+    got = {
+        r["right_id"]
+        for r in range_join_bucketed(
+            left, right, on="k", left_time="lt", right_time="rt",
+            lo_sec=0, hi_sec=7200,
+        ).collect()
+    }
+    assert got == {21, 22}
+
+
+def test_range_join_no_duplicate_pairs_across_buckets(spark):
+    # windows that straddle a bucket boundary must yield each pair ONCE
+    t0 = _ts("2024-01-01 00:30:00")
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=i), i) for i in range(0, 180, 7)],
+        ["k", "lt", "left_id"],
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=i), 1000 + i) for i in range(0, 180, 5)],
+        ["k", "rt", "right_id"],
+    )
+    out = range_join_bucketed(
+        left, right, on="k", left_time="lt", right_time="rt",
+        lo_sec=0, hi_sec=3600,
+    )
+    rows = [(r["left_id"], r["right_id"]) for r in out.collect()]
+    assert len(rows) == len(set(rows))  # exactly-once per qualifying pair
+    # and matches the naive quadratic definition
+    lts = {r["left_id"]: r["lt"] for r in left.collect()}
+    rts = {r["right_id"]: r["rt"] for r in right.collect()}
+    naive = {
+        (li, ri)
+        for li, lt in lts.items()
+        for ri, rt in rts.items()
+        if lt < rt <= lt + dt.timedelta(seconds=3600)
+    }
+    assert set(rows) == naive
+
+
+def test_range_join_plan_is_hash_join_not_nested_loop(spark):
+    t0 = _ts("2024-01-01 00:00:00")
+    left = spark.createDataFrame([(1, t0, 1)], ["k", "lt", "left_id"])
+    right = spark.createDataFrame([(1, t0, 2)], ["k", "rt", "right_id"])
+    plan = (
+        range_join_bucketed(
+            left, right, on="k", left_time="lt", right_time="rt",
+            lo_sec=0, hi_sec=60,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
