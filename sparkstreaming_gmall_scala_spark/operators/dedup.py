@@ -154,6 +154,58 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, a: str = "id_a", b: str = "id_b", max_iters: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair list → (node, label)
+    with label = the component's minimum node id (the canonical doc).
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; converges in O(component diameter) rounds.
+    Near-dup components are short chains (diameter << 25); for adversarial
+    long-path graphs swap in large-star/small-star contraction, which
+    converges in O(log n) — the propagation join below is the same shape.
+    Lineage is cut with localCheckpoint per round (iterative plans
+    otherwise grow exponentially); the convergence probe is a single
+    post-agg scalar (sum of labels is strictly decreasing until fixed).
+    """
+    # Materialize the edge list ONCE — without this every propagation
+    # round re-executes the (possibly expensive) upstream pair pipeline.
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("label")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
 def simhash64(sh: DataFrame, id_col: str) -> DataFrame:
     """64-bit SimHash per doc from its shingle set.
 

@@ -74,3 +74,63 @@ def extract_features(
             )
 
     return media.mapInPandas(batches, schema=out_schema)
+
+
+def resize_payload(
+    media: DataFrame, id_col: str, target_bytes: int
+) -> DataFrame:
+    """Resize every payload to exactly ``target_bytes`` — the media-agnostic
+    stand-in for image resize / audio resample: truncate long payloads,
+    cycle-repeat short ones (deterministic fake; a real resampler drops
+    into the same Arrow batch shape). Emits the resized payload plus
+    integrity scalars (n_bytes, checksum) so downstream stages and the
+    oracle can verify without decoding."""
+    out_schema = f"{id_col} long, payload binary, n_bytes long, checksum long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resize(b: bytes) -> bytes:
+            if not b:
+                return bytes(target_bytes)
+            reps = -(-target_bytes // len(b))  # ceil division
+            return (b * reps)[:target_bytes]
+
+        for pdf in it:
+            resized = pdf["payload"].map(resize)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": resized,
+                    "n_bytes": resized.map(len).astype("int64"),
+                    "checksum": resized.map(
+                        lambda b: sum(b) % 2147483647
+                    ).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def frame_sample(media: DataFrame, id_col: str, stride: int) -> DataFrame:
+    """Sample every ``stride``-th byte of the payload as a 'frame' — the
+    plumbing shape of video frame-sampling (stride over the time axis);
+    a real decoder swaps the byte stride for a frame stride with the
+    identical batch signature. Emits frame count + integrity scalars."""
+    out_schema = f"{id_col} long, n_frames long, first_frame long, frame_sum long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = pdf["payload"].map(lambda b: b[::stride])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_frames": frames.map(len).astype("int64"),
+                    "first_frame": frames.map(
+                        lambda f: f[0] if len(f) else -1
+                    ).astype("int64"),
+                    "frame_sum": frames.map(
+                        lambda f: sum(f) % 2147483647
+                    ).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)

@@ -48,6 +48,51 @@ def lang_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf from one (doc, term) groupBy,
+    document frequency from a term-level rollup of that SAME aggregate
+    (no second scan), idf = ln((N+1)/(df+1)).
+
+    Scores are floor-rounded to 1e-6 and ranked as integers so the
+    ordering — not just the values — is identical across engines; ties
+    break on the term string. Two shuffles total (doc+term, then term);
+    both keys are uniform, no skew."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # post-agg scalar (like centroid k×dim collects)
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        F.floor(
+            F.col("tf")
+            * F.log((n_docs + 1.0) / (F.col("df") + F.lit(1.0)))
+            * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("score6"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score6").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score6", "rank")
+    )
+
+
 def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Cheap quality features + a blended score in [0,1]:
     - n_chars, n_tokens

@@ -148,6 +148,39 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000000 + 0.5)
+                  AS BIGINT) AS score6
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score6, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score6 DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("llm", "text"),
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc — integer-scaled scores ranked with a
+    term tiebreak so the ordering is engine-portable."""
+    from ..operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -207,10 +240,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, band_size=2)
 
 
-@register(
-    "ngram_jaccard_pairs",
-    oracle=f"""
-    WITH sh AS (
+# Shared CTE chain producing the >=0.5-Jaccard near-dup pairs; reused by
+# ngram_jaccard_pairs and (under WITH RECURSIVE) dup_clusters.
+_PAIR_CTES = f"""sh AS (
       SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
     ), stops AS (
       SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20
@@ -223,13 +255,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    ), pairs AS (
+      SELECT id_a, id_b,
+             n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared) AS jac
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared) >= 0.5
+    )"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_PAIR_CTES}
     SELECT id_a, id_b,
-           floor((n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared)) * 1000000 + 0.5) / 1000000 AS jaccard
-    FROM shared
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared) >= 0.5
+           floor(jac * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM pairs
     """,
     tags=("llm", "dedup"),
 )
@@ -239,6 +281,50 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_rows(d, "doc_id", "text", n=3)
     return jaccard_pairs(sh, "doc_id", max_df=20, threshold=0.5)
+
+
+@register(
+    "dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           (c.doc_id = c.cluster_id) AS keep
+    FROM comp c JOIN csize s USING (cluster_id)
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): connected components over the
+    >=0.5-Jaccard pair graph, canonical doc = min id per component. The
+    Spark side iterates min-label propagation (O(diameter) rounds, one
+    keyed join each); the oracle computes the same transitive closure
+    with a recursive CTE — so even the iterative operator is fully
+    hash-verified."""
+    from ..operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_rows(d, "doc_id", "text", n=3), "doc_id", max_df=20, threshold=0.5
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
 
 
 @register(
@@ -516,3 +602,56 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = to_binary_payload(d, "doc_id", "text")
     return extract_features(media, "doc_id", deterministic_fake=True)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, CAST(64 AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN strlen(text) > 0 THEN
+             list_aggregate(
+               list_transform(range(0, 64),
+                              i -> ascii(substr(text, (i % strlen(text)) + 1, 1))),
+               'sum')
+           ELSE 0 END AS BIGINT) % 2147483647 AS checksum
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload resize to 64 bytes (truncate / cycle-pad) through the
+    Arrow batch pipeline; the oracle recomputes the resized checksum from
+    the source text, proving the byte-level semantics end to end."""
+    from ..operators.multimodal import resize_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    media = to_binary_payload(d, "doc_id", "text")
+    return resize_payload(media, "doc_id", target_bytes=64).select(
+        "doc_id", "n_bytes", "checksum"
+    )
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(generate_series(1, strlen(text), 16)) AS BIGINT) AS n_frames,
+           CAST(CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1))
+                     ELSE -1 END AS BIGINT) AS first_frame,
+           COALESCE(CAST(list_aggregate(
+             list_transform(generate_series(1, strlen(text), 16),
+                            i -> ascii(substr(text, i, 1))), 'sum')
+           AS BIGINT) % 2147483647, 0) AS frame_sum
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 16th byte) through the Arrow batch pipeline —
+    the video frame-stride shape with a byte stride standing in for the
+    decoder."""
+    from ..operators.multimodal import frame_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    media = to_binary_payload(d, "doc_id", "text")
+    return frame_sample(media, "doc_id", stride=16)

@@ -77,6 +77,47 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "p_brand")
 
 
+# Per-stratum keep thresholds (first 4 hex chars of md5(event_id) <= t):
+# keep rate = (int(t,16)+1)/65536.
+_SAMPLE_THRESHOLDS = {
+    "error": "ffff",     # keep all errors (rare-and-precious stratum)
+    "purchase": "7fff",  # 50%
+    "click": "3fff",     # 25%
+}
+_SAMPLE_DEFAULT = "0fff"  # 6.25% for view/signup/anything else
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <=
+          CASE event_type
+            WHEN 'error' THEN 'ffff'
+            WHEN 'purchase' THEN '7fff'
+            WHEN 'click' THEN '3fff'
+            ELSE '0fff'
+          END
+    """,
+    tags=("scale", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sample of the events stream: keep
+    rates per event_type (errors 100%, purchases 50%, clicks 25%, rest
+    6.25%) decided by md5(event_id) — reproducible on any engine or
+    retry, zero shuffle, filter pushed to the scan."""
+    from ..operators.sampling import hash_stratified_sample
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    return hash_stratified_sample(
+        e, key_col="event_id", strata_col="event_type",
+        thresholds=_SAMPLE_THRESHOLDS, default_threshold=_SAMPLE_DEFAULT,
+    )
+
+
 @register(
     "revenue_rollup",
     oracle="""

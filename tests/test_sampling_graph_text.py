@@ -1,0 +1,114 @@
+"""Unit tests for round-2 operators: hash-stratified sampling, connected
+components, TF-IDF ranking, multimodal resize/frame-sample edge cases."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_scala_spark.operators.dedup import connected_components
+from sparkstreaming_gmall_scala_spark.operators.sampling import (
+    hash_stratified_sample,
+)
+
+
+def test_stratified_sample_deterministic_and_rule_exact(spark):
+    rows = [(i, "click" if i % 2 else "view") for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string")
+    got = {
+        r["event_id"]
+        for r in hash_stratified_sample(
+            df, "event_id", "event_type",
+            thresholds={"click": "3fff"}, default_threshold="0fff",
+        ).collect()
+    }
+    # the keep rule is bit-for-bit reproducible in pure python
+    expect = {
+        i
+        for i, t in rows
+        if hashlib.md5(str(i).encode()).hexdigest()[:4]
+        <= ("3fff" if t == "click" else "0fff")
+    }
+    assert got == expect
+    # and the realized rates sit near the configured ones
+    n_click = sum(1 for i in got if i % 2)
+    n_view = len(got) - n_click
+    assert abs(n_click / 1000 - 0.25) < 0.05
+    assert abs(n_view / 1000 - 0.0625) < 0.03
+
+
+def test_stratified_sample_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(1, "a")], "event_id long, event_type string")
+    with pytest.raises(ValueError, match="lowercase hex"):
+        hash_stratified_sample(df, "event_id", "event_type", {"a": "FFFF"})
+
+
+def test_connected_components_chain_and_singleton_edge(spark):
+    # a 5-node path (diameter 4 → several propagation rounds), a triangle,
+    # and an isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    labels = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert {n: labels[n] for n in (1, 2, 3, 4, 5)} == {n: 1 for n in (1, 2, 3, 4, 5)}
+    assert {labels[10], labels[11], labels[12]} == {10}
+    assert labels[20] == labels[21] == 20
+
+
+def test_connected_components_label_is_component_min(spark):
+    # edge order / direction must not matter
+    edges = spark.createDataFrame(
+        [(9, 3), (3, 7), (7, 5)], "id_a long, id_b long"
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert set(labels.values()) == {3}
+
+
+def test_tfidf_ranks_rare_terms_over_common(spark):
+    from sparkstreaming_gmall_scala_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common other words here"),
+            (3, "common some more words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # 'rare' (df=1) outranks 'common' (df=3) for doc 1 despite tf 1 vs 3
+    assert rows[(1, 1)]["term"] == "rare"
+    assert rows[(1, 1)]["df"] == 1
+    assert all(r["rank"] <= 2 for r in rows.values())
+    assert len([k for k in rows if k[0] == 1]) == 2
+
+
+def test_multimodal_resize_and_frames_handle_empty_payload(spark):
+    from sparkstreaming_gmall_scala_spark.operators.multimodal import (
+        frame_sample,
+        resize_payload,
+        to_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "x" * 100)], "doc_id long, text string"
+    )
+    media = to_binary_payload(docs, "doc_id", "text")
+    resized = {r["doc_id"]: r for r in resize_payload(media, "doc_id", 8).collect()}
+    assert all(r["n_bytes"] == 8 for r in resized.values())
+    assert bytes(resized[1]["payload"]) == b"abcabcab"  # cycle-pad
+    assert bytes(resized[2]["payload"]) == bytes(8)  # empty → zero-fill
+    assert bytes(resized[3]["payload"]) == b"x" * 8  # truncate
+    assert resized[2]["checksum"] == 0
+
+    frames = {r["doc_id"]: r for r in frame_sample(media, "doc_id", 2).collect()}
+    assert frames[1]["n_frames"] == 2 and frames[1]["first_frame"] == ord("a")
+    assert frames[1]["frame_sum"] == ord("a") + ord("c")
+    assert frames[2]["n_frames"] == 0 and frames[2]["first_frame"] == -1
+    assert frames[3]["n_frames"] == 50
