@@ -46,6 +46,13 @@ HEADLINE = (
     "skew_salted_join",
     "embed_near_dup_vec",
     "knn_lsh",
+    # added r2: persisted-bucket ANN, temporal joins, sampling, text/graph
+    "knn_lsh_persisted",
+    "asof_last_click",
+    "orders_next_30d",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "dup_clusters",
 )
 
 

@@ -115,6 +115,10 @@ def jaccard_pairs(
     SAME stop-shingle-filtered sets so the measure is internally
     consistent.
     """
+    # The exploded shingle frame feeds stops AND the kept frame below;
+    # shingling is an interpreted higher-order-function expression (the
+    # most expensive scan in this pipeline), so compute it once.
+    sh = sh.persist()
     # Anti-join against the (small) stop-shingle list — broadcastable even
     # at corpus scale, unlike the full shingle-frequency table.
     stops = (
@@ -123,7 +127,11 @@ def jaccard_pairs(
         .filter(F.col("df") > max_df)
         .select("shingle")
     )
-    kept = sh.join(F.broadcast(stops), "shingle", "left_anti")
+    # The kept-shingle frame feeds THREE subtrees (both self-join sides +
+    # sizes); without a persist each one re-executes the explode/agg/
+    # anti-join chain. At cluster scale this would be a written-out
+    # intermediate (or Dataset.persist(DISK_ONLY)) for the same reason.
+    kept = sh.join(F.broadcast(stops), "shingle", "left_anti").persist()
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = kept.alias("a")
     b = kept.alias("b")
@@ -169,8 +177,11 @@ def connected_components(
     otherwise grow exponentially); the convergence probe is a single
     post-agg scalar (sum of labels is strictly decreasing until fixed).
     """
-    # Materialize the edge list ONCE — without this every propagation
-    # round re-executes the (possibly expensive) upstream pair pipeline.
+    # Materialize the edge list ONCE — the symmetrization below reads it
+    # twice, and every propagation round reads sym; without checkpoints
+    # each of those re-executes the (possibly expensive) upstream pair
+    # pipeline.
+    edges = edges.localCheckpoint()
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))

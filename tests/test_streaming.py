@@ -429,3 +429,65 @@ def test_epoch_ms_of_millisecond_parity(spark):
     )
     got = {r["us"]: r["ms"] for r in df.collect()}
     assert got == {m: m // 1000 for m in micros}
+
+
+def test_streaming_sessionize_merges_across_batches_and_matches_batch(spark, tmp_path):
+    """session_window state must merge a session whose events span
+    micro-batches, emit only watermark-closed sessions (append mode), and
+    agree exactly with the batch formulation on the same data."""
+    from sparkstreaming_gmall_scala_spark.streaming.sessions import session_counts
+    from sparkstreaming_gmall_scala_spark.streaming.sources import file_stream
+
+    src, ckpt = _dirs(tmp_path, "sess_src", "sess_ckpt")
+    batch1 = [
+        (1, _ts(0), 1, "view", 0.0, "{}"),
+        (2, _ts(10), 1, "click", 0.0, "{}"),
+        (3, _ts(20), 2, "view", 0.0, "{}"),
+    ]
+    # user 1's 10:10:00 event lands in a LATER batch but must merge into
+    # the same session (gap 30 min > 10 min since the last event)
+    from datetime import datetime
+
+    batch2 = [
+        (4, datetime(2024, 1, 1, 10, 10, 0), 1, "view", 0.0, "{}"),
+        (5, datetime(2024, 1, 1, 13, 0, 0), 3, "view", 0.0, "{}"),
+    ]
+    # watermark driver: pushes event-time watermark past every earlier
+    # session's close so append mode emits them
+    batch3 = [(6, datetime(2024, 1, 1, 16, 0, 0), 3, "view", 0.0, "{}")]
+
+    stream = file_stream(spark, src, EVENT_SCHEMA)
+    out = session_counts(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        for rows in (batch1, batch2, batch3):
+            _drop(spark, EVENT_SCHEMA, rows, src)
+            q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+
+    all_rows = batch1 + batch2 + batch3
+    batch_df = session_counts(
+        spark.createDataFrame(all_rows, EVENT_SCHEMA), gap="30 minutes"
+    )
+    expected_closed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch_df.collect()
+        # only sessions the final watermark (16:00 - 1h = 15:00) has closed
+        if r["session_end"] <= datetime(2024, 1, 1, 15, 0, 0)
+    }
+    assert got == expected_closed
+    # the cross-batch merge: user 1 has ONE session of 3 events
+    u1 = [g for g in got if g[0] == 1]
+    assert len(u1) == 1 and u1[0][3] == 3
