@@ -94,3 +94,38 @@ def test_simhash_near_dups_closer_than_unrelated(spark):
         for r in simhash64(sh, "doc_id").collect()
     }
     assert _hamming(limbs[1], limbs[3]) < _hamming(limbs[1], limbs[4])
+
+
+def test_minhash_xxhash64_fast_path_same_lsh_semantics(spark):
+    """The xxhash64 production family must behave like the md5 family for
+    LSH purposes: identical docs → identical signatures → banded pairs
+    still surface the duplicate, near-identical docs still collide."""
+    from sparkstreaming_gmall_scala_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    sh = shingle_rows(_docs(spark), "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id", num_hashes=8, hash_fn="xxhash64")
+    rows = {r["doc_id"]: [r[f"mh{j}"] for j in range(8)] for r in sigs.collect()}
+    assert rows[1] == rows[2]  # exact dups (ws/case) → same signature
+    assert all(isinstance(v, int) for v in rows[1])  # longs, not hex strings
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, band_size=2).collect()
+    }
+    assert (1, 2) in pairs and (4, 5) in pairs
+
+
+def test_minhash_rejects_unknown_hash_fn(spark):
+    import pytest
+
+    from sparkstreaming_gmall_scala_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    sh = shingle_rows(_docs(spark), "doc_id", "text", n=3)
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_signatures(sh, "doc_id", hash_fn="sha1")
