@@ -148,6 +148,63 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+_QUALITY_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len({_TOKENS}) AS n_tokens,
+             floor((len(list_filter({_TOKENS},
+                      t -> t IN ('the','a','of','and','to')))::DOUBLE
+                    / greatest(len({_TOKENS}), 1)) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+             floor((length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1)) * 1000000 + 0.5) / 1000000 AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           floor((0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+                  + 0.4 * stop_ratio
+                  + 0.2 * (1.0 - punct_ratio)) * 1000000 + 0.5) / 1000000 AS quality
+    FROM t
+"""
+
+
+@register(
+    "corpus_clean",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    l AS ({_lang_oracle()}),
+    keeps AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_TEXT})
+    )
+    SELECT d.doc_id, q.quality, l.pred_lang
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    JOIN l ON l.doc_id = d.doc_id
+    JOIN keeps k ON k.doc_id = d.doc_id
+    WHERE q.quality >= 0.45 AND l.pred_lang = 'en'
+    """,
+    tags=("llm", "text", "dedup", "pipeline"),
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning recipe as ONE composed query:
+    exact-dedup survivors ∩ quality >= 0.45 ∩ predicted English — the
+    operator-composition contract (pure DataFrame→DataFrame functions
+    chain without glue) demonstrated and hash-verified."""
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(d, "doc_id", "text").select("doc_id", "quality")
+    lang = lang_id(d, "doc_id", "text").select("doc_id", "pred_lang")
+    keeps = exact_dedup(d, "doc_id", "text").select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    return (
+        d.select("doc_id")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(keeps, "doc_id")
+        .filter((F.col("quality") >= 0.45) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "quality", "pred_lang")
+    )
+
+
 @register(
     "tfidf_top_terms",
     oracle=f"""

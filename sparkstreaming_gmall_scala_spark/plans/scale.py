@@ -119,6 +119,32 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_status_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue,
+           count(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("scale", "agg", "cube"),
+)
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four grouping combinations (priority×status, priority, status,
+    grand total) in ONE pass via CUBE — §2.4's grouping-sets row. Cents
+    sums keep every level partition-order-independent."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        (F.sum("cents").cast("double") / 100).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
     "revenue_rollup",
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,

@@ -64,6 +64,43 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_gaps",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           epoch_us(o_orderdate) AS order_us,
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+             AS days_since_prev,
+           row_number() OVER w AS order_seq,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("temporal", "window"),
+)
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence: days since the previous order (lag),
+    order sequence number, and recency quartile (ntile) — the analytic
+    window surface beyond the reference's two hand-rolled patterns, all
+    three functions sharing ONE (custkey) shuffle + sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"),
+        # long casts: DuckDB's date_diff/row_number/ntile are BIGINT and
+        # the gate's value-hash is type-sensitive
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
     "orders_next_30d",
     oracle="""
     SELECT l.o_orderkey, l.o_custkey, count(r.o_orderkey) AS n_next_30d

@@ -119,3 +119,30 @@ def test_range_join_plan_is_hash_join_not_nested_loop(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_matches_bruteforce_on_random_inputs(spark):
+    """Seeded-random probes/refs vs the quadratic reference definition:
+    for each probe, the ref with max (t, ref_id) among t <= probe.t."""
+    import random
+
+    rng = random.Random(42)
+    probes = [
+        (rng.randrange(4), _ts(f"2024-01-01 00:00:{rng.randrange(60):02d}"), i)
+        for i in range(60)
+    ]
+    refs = [
+        (rng.randrange(4), _ts(f"2024-01-01 00:00:{rng.randrange(60):02d}"), 1000 + i)
+        for i in range(40)
+    ]
+    pdf = spark.createDataFrame(probes, ["k", "t", "probe_id"])
+    rdf = spark.createDataFrame(refs, ["k", "t", "ref_id"])
+    got = {
+        r["probe_id"]: (r["ref_id"], r["n_prior"])
+        for r in asof_join(pdf, rdf, on="k", time_col="t", tiebreak="ref_id").collect()
+    }
+    assert set(got) == {p[2] for p in probes}
+    for k, t, pid in probes:
+        eligible = [(rt, rid) for rk, rt, rid in refs if rk == k and rt <= t]
+        want = max(eligible)[1] if eligible else None
+        assert got[pid] == (want, len(eligible)), (pid, k, t)
