@@ -77,6 +77,34 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "p_brand")
 
 
+@register(
+    "price_quantiles",
+    oracle="""
+    SELECT p.p_brand,
+           floor(quantile_cont(l.l_extendedprice, 0.5) * 100 + 0.5) / 100 AS median_price,
+           floor(quantile_cont(l.l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90_price,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("scale", "agg", "quantile"),
+)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per brand (median + p90) — both
+    engines use the same linear-interpolation definition; results are
+    2-dp-rounded so a last-ulp arithmetic difference can't flip the hash.
+    The dim side broadcasts; one shuffle on brand."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    return j.groupBy("p_brand").agg(
+        r2(F.percentile("l_extendedprice", F.lit(0.5))).alias("median_price"),
+        r2(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # Per-stratum keep thresholds (first 4 hex chars of md5(event_id) <= t):
 # keep rate = (int(t,16)+1)/65536.
 _SAMPLE_THRESHOLDS = {

@@ -17,6 +17,26 @@ from sparkstreaming_gmall_scala_spark.sources.bucketed import (
 )
 
 
+@pytest.fixture(autouse=True)
+def clean_tables(spark):
+    """saveAsTable leaves warehouse directories behind even after the
+    in-memory catalog forgets the table (fresh session) — drop both the
+    catalog entries and their locations around each test."""
+    import shutil
+
+    names = ("b_orders", "b_lineitem", "b_orders_8", "b_lineitem_4")
+
+    def scrub():
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(f"{warehouse}/{n}", ignore_errors=True)
+
+    scrub()
+    yield
+    scrub()
+
+
 @pytest.fixture()
 def no_broadcast(spark):
     """Force a real distributed join so the exchange-elision claim is
