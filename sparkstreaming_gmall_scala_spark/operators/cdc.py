@@ -58,6 +58,34 @@ def parse_envelope(raw: DataFrame, value_col: str, schema: T.StructType) -> Data
     ).drop("_env")
 
 
+def parse_envelope_with_dead_letter(
+    raw: DataFrame, value_col: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Parse + split: (parsed rows, dead letters).
+
+    The reference's fastjson parse throws (or silently nulls) on bad
+    binlog records and the batch dies with them
+    (ods/BaseDBMaxwellApp.scala:48-58 has no error path). Production
+    ingest needs the poison-pill rows OFF the hot path but KEPT: rows
+    whose envelope fails to parse — or parses without the routing key —
+    are returned as a second frame carrying the raw payload for a
+    quarantine sink, so one malformed record can't stall the topic.
+    Both frames derive from one ``from_json`` projection; Catalyst
+    evaluates the parse once per branch of the same scan."""
+    parsed = raw.withColumn("_env", F.from_json(F.col(value_col), schema))
+    ok = (
+        parsed.filter(
+            F.col("_env").isNotNull() & F.col("_env.table").isNotNull()
+        )
+        .select("*", "_env.*")
+        .drop("_env")
+    )
+    dead = parsed.filter(
+        F.col("_env").isNull() | F.col("_env.table").isNull()
+    ).select(F.col(value_col).alias("raw_value"))
+    return ok, dead
+
+
 def route_maxwell(env: DataFrame) -> DataFrame:
     """Apply the Maxwell allow-list/insert-only rules and emit
     (topic, value) rows for the dynamic-topic Kafka sink."""

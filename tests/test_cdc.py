@@ -48,3 +48,31 @@ def test_canal_routing_explodes_data_array(spark):
     assert len(out) == 3  # the 3-element array exploded; others dropped
     assert all(r["topic"] == "ods_order_info" for r in out)
     assert sorted(json.loads(r["value"])["id"] for r in out) == ["1", "2", "3"]
+
+
+def test_dead_letter_split_keeps_poison_rows_off_hot_path(spark):
+    """Malformed envelopes (bad JSON, or JSON missing the routing key)
+    must land in the dead-letter frame with their raw payload; good rows
+    parse and route untouched; nothing is dropped."""
+    from pyspark.sql import types as T
+
+    from sparkstreaming_gmall_scala_spark.operators.cdc import (
+        MAXWELL_SCHEMA,
+        parse_envelope_with_dead_letter,
+        route_maxwell,
+    )
+
+    rows = [
+        ('{"database":"gmall","table":"user_info","type":"update","ts":1,"data":{"id":"7"}}',),
+        ("{not json at all",),
+        ('{"database":"gmall","type":"insert","ts":2,"data":{"id":"8"}}',),  # no table
+        ('{"database":"gmall","table":"order_info","type":"insert","ts":3,"data":{"id":"9"}}',),
+    ]
+    raw = spark.createDataFrame(
+        rows, T.StructType([T.StructField("value", T.StringType())])
+    )
+    ok, dead = parse_envelope_with_dead_letter(raw, "value", MAXWELL_SCHEMA)
+    assert ok.count() + dead.count() == len(rows)  # nothing dropped
+    assert {r["raw_value"] for r in dead.collect()} == {rows[1][0], rows[2][0]}
+    routed = {r["topic"] for r in route_maxwell(ok).collect()}
+    assert routed == {"ods_user_info", "ods_order_info"}

@@ -1,0 +1,63 @@
+"""Physical-plan regression guards: the scale properties the 100 TB
+design depends on, asserted against the actual executed plans so a
+refactor can't silently trade them away."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _plan(spark, registry, name, sf_dir):
+    df = registry[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_sample_is_pure_scan_no_shuffle(spark, sf_dir, registry):
+    plan = _plan(spark, registry, "stratified_sample", sf_dir)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Scan parquet" in plan or "FileScan parquet" in plan
+
+
+def test_stratified_sample_filter_reaches_the_scan(spark, sf_dir, registry):
+    plan = _plan(spark, registry, "stratified_sample", sf_dir)
+    # the md5-threshold predicate must sit in the scan's DataFilters, not
+    # in a post-scan Filter over full rows
+    scan_lines = [l for l in plan.split("\n") if "Scan parquet" in l or "DataFilters" in l]
+    assert any("md5" in l for l in scan_lines), plan[:2000]
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir, registry):
+    plan = _plan(spark, registry, "asof_last_click", sf_dir)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}\n{plan[:2000]}"
+
+
+def test_order_enrich_broadcasts_small_dims(spark, sf_dir, registry):
+    plan = _plan(spark, registry, "order_enrich", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_tfidf_gets_topk_window_pushdown(spark, sf_dir, registry):
+    # rank<=k must run as WindowGroupLimit (partial top-k before the
+    # shuffle), not a full sort of every (doc, term) row
+    plan = _plan(spark, registry, "tfidf_top_terms", sf_dir)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir, registry):
+    plan = _plan(spark, registry, "orders_next_30d", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_aggregates_are_partial_then_final(spark, sf_dir, registry):
+    # map-side combine on the flagship agg: a partial_ aggregate must
+    # appear below the exchange
+    plan = _plan(spark, registry, "trademark_stat", sf_dir)
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:2000]
