@@ -236,14 +236,8 @@ def simhash64(sh: DataFrame, id_col: str) -> DataFrame:
     bit. Expressed as: bit_b = (Σ_sh bit_b(sh)) * 2 > n_shingles.
     One explode + one groupBy — no UDFs.
     """
-    bits = sh.select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 16), 16, 10)
-        .cast("decimal(20,0)")
-        .alias("h64"),
-    )
-    # Extract each of the 64 bits via decimal div/mod arithmetic is heavy;
-    # instead re-hash per 16-bit limb: 4 limbs of 16 bits from the hex.
+    # Extracting 64 bits from one decimal(20,0) via div/mod arithmetic is
+    # heavy; instead hash per 16-bit limb: 4 limbs of 16 bits from the hex.
     limbs = sh.select(
         F.col(id_col),
         *[
