@@ -605,3 +605,67 @@ def test_running_spend_processor_logic_with_fake_state(spark):
     )
     (out2,) = proc.handleInputRows((1,), iter([b2]), None)
     assert list(out2["running_spend"]) == [12.51]  # state carried 10.007
+
+
+def test_streaming_sessionize_state_survives_restart(spark, tmp_path):
+    """Kill the query between batches and restart from the checkpoint: the
+    session store must recover so an event arriving after the restart
+    still MERGES into its pre-restart session (the reference loses Redis
+    state on restart and silently double-counts; SURVEY §2.9)."""
+    from datetime import datetime
+
+    from sparkstreaming_gmall_scala_spark.streaming.sessions import session_counts
+    from sparkstreaming_gmall_scala_spark.streaming.sources import file_stream
+
+    src, ckpt = _dirs(tmp_path, "sessr_src", "sessr_ckpt")
+
+    out_dir = str(tmp_path / "sessr_out")
+
+    def start():
+        stream = file_stream(spark, src, EVENT_SCHEMA)
+        out = session_counts(stream, gap="30 minutes", watermark="1 hour")
+        return (
+            out.writeStream.foreachBatch(IdempotentBatchWriter(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        _drop(spark, EVENT_SCHEMA, [(1, _ts(0), 1, "view", 0.0, "{}")], src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart; the 10:10 event must extend the 10:00 session from state
+    q = start()
+    try:
+        _drop(
+            spark,
+            EVENT_SCHEMA,
+            [(2, datetime(2024, 1, 1, 10, 10, 0), 1, "view", 0.0, "{}")],
+            src,
+        )
+        q.processAllAvailable()
+        _drop(
+            spark,
+            EVENT_SCHEMA,
+            [(3, datetime(2024, 1, 1, 16, 0, 0), 1, "view", 0.0, "{}")],
+            src,
+        )
+        q.processAllAvailable()
+        rows = spark.read.parquet(out_dir).collect()
+    finally:
+        q.stop()
+
+    closed = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in rows
+        if r["session_end"] <= datetime(2024, 1, 1, 15, 0, 0)
+    ]
+    # ONE merged session of 2 events spanning the restart — not two
+    # singleton sessions
+    assert closed == [
+        (1, datetime(2024, 1, 1, 10, 0, 0), datetime(2024, 1, 1, 10, 40, 0), 2)
+    ]
