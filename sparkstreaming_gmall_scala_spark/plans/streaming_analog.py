@@ -136,6 +136,49 @@ def running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lag + cumulative sum).
 # ---------------------------------------------------------------------------
 @register(
+    "session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 1800 SECOND) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    tags=("streaming-analog", "session", "agg"),
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates via the NATIVE session_window (batch mode) —
+    the oracle recomputes the same sessions with lag+cumsum, proving
+    session_window's merge semantics (end = last event + gap) against
+    plain SQL. This is the batch twin of streaming/sessions.py, so the
+    live operator's semantics are oracle-checked, not just pytest-checked."""
+    from ..streaming.sessions import session_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_counts(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+@register(
     "sessionize",
     oracle="""
     WITH flagged AS (
