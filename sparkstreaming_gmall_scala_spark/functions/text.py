@@ -61,7 +61,12 @@ def fingerprint(text: Column) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (with duplicates removed) of the
-    lower-cased text — the unit set for MinHash / Jaccard dedup."""
+    lower-cased text — the unit set for MinHash / Jaccard dedup.
+
+    NOTE: as a single inline expression the tokenizer re-evaluates per
+    n-gram (interpreted HOF, no CSE) — for DataFrame-level shingling use
+    operators/dedup.py::shingle_rows, which materializes the token array
+    first (~8× faster at sf0.1)."""
     toks = tokens(F.lower(text))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(

