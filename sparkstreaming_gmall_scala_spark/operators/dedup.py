@@ -221,6 +221,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         nbr = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -239,8 +240,17 @@ def connected_components(
         )
         s = labels.agg(F.sum("label")).first()[0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # partial labels are WRONG labels (a long path still mid-collapse)
+        # — refuse to return them silently.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters (diameter exceeds it) or switch to "
+            "large-star/small-star contraction for this graph"
+        )
     return labels
 
 

@@ -112,3 +112,13 @@ def test_multimodal_resize_and_frames_handle_empty_payload(spark):
     assert frames[1]["frame_sum"] == ord("a") + ord("c")
     assert frames[2]["n_frames"] == 0 and frames[2]["first_frame"] == -1
     assert frames[3]["n_frames"] == 50
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """Exhausting max_iters mid-collapse must raise, not return partial
+    (wrong) labels: a 5-node path needs more than 1 propagation round."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=1)
