@@ -53,6 +53,7 @@ HEADLINE = (
     "stratified_sample",
     "tfidf_top_terms",
     "dup_clusters",
+    "knn_ivf_persisted",
 )
 
 

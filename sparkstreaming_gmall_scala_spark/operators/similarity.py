@@ -431,6 +431,69 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_dir: str,
+    dim: int | None = None,
+) -> None:
+    """Materialize the IVF inverted lists: assign each corpus vector to
+    its nearest centroid ONCE and write partitioned by ``cell`` — the
+    ingest-side half of the 100 TB IVF story (the in-memory ivf_topk
+    re-assigns the whole corpus per query batch). Norms are precomputed
+    into the layout so probes never touch the raw-vector math for the
+    corpus side."""
+    cb = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        "cvec", "_cnorm", dim,
+    ).withColumn("cell", _nearest_cell(F.col("cvec"), centroids))
+    cb.write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+
+
+def ivf_probe(
+    queries: DataFrame,
+    cell_dir: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k against persisted inverted lists (ivf_build): the
+    broadcast join on the ``cell`` partition column lets dynamic partition
+    pruning skip every unprobed cell directory at scan time. Same
+    centroids + same scoring ⇒ identical results to the in-memory
+    ivf_topk."""
+    spark = queries.sparkSession
+    cb = spark.read.parquet(cell_dir)
+    qv = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "qvec", "_qnorm", dim,
+    )
+    cell_d = F.array(
+        *[
+            F.struct(_sq_dist(F.col("qvec"), c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    qb = qv.withColumn(
+        "cell", F.explode(F.slice(F.array_sort(cell_d), 1, nprobe).getField("cell"))
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", _pair_score(dim))
+    )
+    return _rank_topk(scored, k)
+
+
 def cosine_near_dup_vectorized(
     df: DataFrame,
     id_col: str,

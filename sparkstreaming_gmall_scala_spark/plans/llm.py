@@ -578,6 +578,44 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf_persisted",
+    oracle=None,  # approximate by construction; pytest asserts exact
+    # result-equality with the in-memory ivf_topk instead.
+    tags=("llm", "similarity", "ivf", "persisted"),
+)
+def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 over PERSISTED inverted lists: ivf_build assigns cells
+    and writes the corpus partitioned by cell once per SF (cached under
+    /tmp across calls, like knn_lsh_persisted); ivf_probe broadcast-joins
+    each query's nprobe cells so partition pruning skips the rest — both
+    ANN families now have their executable ingest-once/probe-cheap
+    form."""
+    import os as _os
+    import tempfile
+
+    from ..operators.similarity import ivf_build, ivf_probe, kmeans_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(e, "embedding", k=8, iters=2)
+    cell_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfcells_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not _os.path.exists(_os.path.join(cell_dir, "_SUCCESS")):
+        ivf_build(e, "vec_id", "embedding", centroids, cell_dir, dim=64)
+    return ivf_probe(
+        e.filter(F.col("vec_id") < 10),
+        cell_dir,
+        "vec_id",
+        "embedding",
+        centroids,
+        k=5,
+        nprobe=3,
+        dim=64,
+    )
+
+
+@register(
     "embed_near_dup",
     oracle=f"""
     WITH scored AS (

@@ -25,7 +25,8 @@ def test_oracle_coverage(registry):
     no_oracle = {n for n, q in registry.items() if q.oracle is None}
     assert no_oracle <= {
         "simhash", "knn_lsh", "knn_lsh_persisted", "knn_ivf",
-        "embed_near_dup_lsh", "embed_near_dup_vec", "dau_approx",
+        "knn_ivf_persisted", "embed_near_dup_lsh", "embed_near_dup_vec",
+        "dau_approx",
     }, no_oracle
 
 

@@ -209,3 +209,37 @@ def test_probe_persisted_buckets_identical_to_in_memory(spark, sf_dir, tmp_path)
     # not a flat rebucketing of the corpus
     plan = persisted_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_ivf_probe_persisted_identical_to_in_memory(spark, sf_dir, tmp_path):
+    """ivf_build + ivf_probe must return EXACTLY the in-memory ivf_topk
+    result (same centroids, same scoring), and the probe plan must scan
+    the cell-partitioned layout pruning-eligibly."""
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    centroids = kmeans_centroids(e, "embedding", k=4, iters=2)
+    cell_dir = str(tmp_path / "cells")
+    ivf_build(e, "vec_id", "embedding", centroids, cell_dir, dim=64)
+    in_mem = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in ivf_topk(
+            e, queries, "vec_id", "embedding", centroids, k=5, nprobe=2, dim=64
+        ).collect()
+    }
+    probed_df = ivf_probe(
+        queries, cell_dir, "vec_id", "embedding", centroids, k=5, nprobe=2, dim=64
+    )
+    probed = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in probed_df.collect()
+    }
+    assert probed == in_mem and len(probed) > 0
+    plan = probed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower(), plan[:2000]
