@@ -63,8 +63,14 @@ def main() -> int:
     spark = get_spark("bench")
     registry = load_all()
     # Warm the JVM/codegen paths once so per-query numbers measure the
-    # steady state, not first-call classloading.
+    # steady state, not first-call classloading. The persisted-index ANN
+    # entries also build their /tmp index here: their benchmark number is
+    # the PROBE cost — ingest is a one-time cost by design, and the
+    # in-memory variants (knn_lsh, knn_ivf) carry the rebuild-per-run
+    # number for comparison.
     registry["trademark_stat"].builder(spark, sf_dir).count()
+    for warm in ("knn_lsh_persisted", "knn_ivf_persisted"):
+        registry[warm].builder(spark, sf_dir).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

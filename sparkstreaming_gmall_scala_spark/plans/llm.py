@@ -590,19 +590,31 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     each query's nprobe cells so partition pruning skips the rest — both
     ANN families now have their executable ingest-once/probe-cheap
     form."""
+    import json as _json
     import os as _os
     import tempfile
 
     from ..operators.similarity import ivf_build, ivf_probe, kmeans_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_centroids(e, "embedding", k=8, iters=2)
     cell_dir = _os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_ivfcells_{_os.path.basename(sf_dir.rstrip('/'))}",
     )
-    if not _os.path.exists(_os.path.join(cell_dir, "_SUCCESS")):
+    # The quantizer is PART of the index: persist the centroids next to
+    # the inverted lists so warm probes skip the Lloyd iterations (which
+    # dominate otherwise — the k-means passes cost more than the probe).
+    sidecar = _os.path.join(cell_dir, "_centroids.json")
+    if _os.path.exists(_os.path.join(cell_dir, "_SUCCESS")) and _os.path.exists(
+        sidecar
+    ):
+        with open(sidecar) as f:
+            centroids = _json.load(f)
+    else:
+        centroids = kmeans_centroids(e, "embedding", k=8, iters=2)
         ivf_build(e, "vec_id", "embedding", centroids, cell_dir, dim=64)
+        with open(sidecar, "w") as f:
+            _json.dump(centroids, f)
     return ivf_probe(
         e.filter(F.col("vec_id") < 10),
         cell_dir,
