@@ -1,0 +1,92 @@
+"""The engine's operator surface: pure DataFrame → DataFrame functions.
+
+Everything here is side-effect-free and works on batch frames (the form
+the DuckDB oracle gate checks) and, where semantics allow, directly on
+streaming frames; stateful streaming twins live in ``..streaming``.
+"""
+
+from .allocation import allocate
+from .cdc import (
+    parse_envelope,
+    parse_envelope_with_dead_letter,
+    route_by_rules,
+    route_canal,
+    route_maxwell,
+)
+from .dedup import (
+    connected_components,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_rows,
+    simhash64,
+)
+from .enrich import enrich_left
+from .flags import first_event_flag, members_only
+from .multimodal import (
+    extract_features,
+    frame_sample,
+    resize_payload,
+    to_binary_payload,
+)
+from .sampling import hash_stratified_sample, sample_bucket
+from .similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    bucketize_corpus,
+    cosine_near_dup_pairs,
+    cosine_near_dup_vectorized,
+    ivf_build,
+    ivf_probe,
+    ivf_topk,
+    kmeans_centroids,
+    label_centroids,
+    probe_topk,
+)
+from .skew import salted_agg, salted_join
+from .temporal import asof_join, range_join_bucketed
+from .textstats import lang_id, quality_score, tfidf_top_terms
+
+__all__ = [
+    "allocate",
+    "asof_join",
+    "brute_force_topk",
+    "bucketed_topk",
+    "bucketize_corpus",
+    "connected_components",
+    "cosine_near_dup_pairs",
+    "cosine_near_dup_vectorized",
+    "enrich_left",
+    "exact_dedup",
+    "extract_features",
+    "first_event_flag",
+    "frame_sample",
+    "hash_stratified_sample",
+    "ivf_build",
+    "ivf_probe",
+    "ivf_topk",
+    "jaccard_pairs",
+    "kmeans_centroids",
+    "label_centroids",
+    "lang_id",
+    "lsh_candidate_pairs",
+    "members_only",
+    "minhash_signatures",
+    "parse_envelope",
+    "parse_envelope_with_dead_letter",
+    "probe_topk",
+    "quality_score",
+    "range_join_bucketed",
+    "resize_payload",
+    "route_by_rules",
+    "route_canal",
+    "route_maxwell",
+    "salted_agg",
+    "salted_join",
+    "sample_bucket",
+    "shingle_rows",
+    "simhash64",
+    "tfidf_top_terms",
+    "to_binary_payload",
+]
