@@ -456,6 +456,14 @@ import math
 _PLANES = [[math.sin(1 + i * 64 + d) for d in range(64)] for i in range(8)]
 
 
+def _params_key(*parts) -> str:
+    """Short stable fingerprint of index parameters for /tmp cache keys."""
+    import hashlib
+    import json
+
+    return hashlib.md5(json.dumps(parts, sort_keys=True).encode()).hexdigest()[:10]
+
+
 @register(
     "knn_lsh",
     oracle=None,  # approximate by construction; pytest measures recall
@@ -497,7 +505,10 @@ def knn_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bucket_dir = _os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_lshbuckets_{_os.path.basename(sf_dir.rstrip('/'))}",
+        # params in the key: a stale index from an older plane set must
+        # miss, not silently serve wrong buckets
+        f"spark_graft_lshbuckets_{_os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key(_PLANES, 4)}",
     )
     if not _os.path.exists(_os.path.join(bucket_dir, "_SUCCESS")):
         bucketize_corpus(
@@ -599,7 +610,8 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cell_dir = _os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_ivfcells_{_os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_ivfcells_{_os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('ivf-k8-i2-seedhash', 64)}",
     )
     # The quantizer is PART of the index: persist the centroids next to
     # the inverted lists so warm probes skip the Lloyd iterations (which
