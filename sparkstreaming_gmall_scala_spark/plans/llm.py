@@ -384,10 +384,40 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle() -> str:
+    """SQL mirror of operators/dedup.py::simhash64: 4×16-bit limbs from
+    the shingle md5 hex, bit-majority per limb position. '0x…'::BIGINT is
+    DuckDB's hex parse (== Spark's conv(hex,16,10))."""
+    limbs = ", ".join(
+        f"CAST(('0x' || substr(md5(shingle), {1 + 4 * i}, 4)) AS BIGINT) AS l{i}"
+        for i in range(4)
+    )
+    bit_sums = ", ".join(
+        f"sum((l{i} >> {b}) & 1) AS b_{i}_{b}"
+        for i in range(4)
+        for b in range(16)
+    )
+    limb_vals = ", ".join(
+        "("
+        + " + ".join(f"(CAST(b_{i}_{b} * 2 > n AS BIGINT) << {b})" for b in range(16))
+        + f") AS simhash_limb{i}"
+        for i in range(4)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ), limbs AS (
+      SELECT doc_id, {limbs} FROM sh
+    ), counted AS (
+      SELECT doc_id, count(*) AS n, {bit_sums} FROM limbs GROUP BY doc_id
+    )
+    SELECT doc_id, {limb_vals} FROM counted
+    """
+
+
 @register(
     "simhash",
-    oracle=None,  # bit-limb arithmetic has no compact SQL mirror; pytest
-    # verifies limb determinism + hamming properties instead.
+    oracle=_simhash_oracle(),
     tags=("llm", "dedup"),
 )
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,10 +494,50 @@ def _params_key(*parts) -> str:
     return hashlib.md5(json.dumps(parts, sort_keys=True).encode()).hexdigest()[:10]
 
 
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, 64), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]), (x, y) -> x + y)"
+    )
+
+
+def _lsh_oracle() -> str:
+    """SQL mirror of operators/similarity.py::bucketed_topk with _PLANES:
+    per-band sign-bit buckets (2 planes/band), candidate = any-band
+    collision, exact-cosine rerank rounded to 6 dp. LSH is approximate vs
+    BRUTE FORCE, but fully deterministic given the plane set — the fold
+    order matches list_reduce bit-for-bit (same proof as knn_bruteforce's
+    passing hash), so the oracle reproduces it exactly."""
+    buckets = ", ".join(
+        f"(CAST(({_plane_dot_sql('embedding', _PLANES[2 * b])} >= 0) AS BIGINT)"
+        f" + (CAST(({_plane_dot_sql('embedding', _PLANES[2 * b + 1])} >= 0) AS BIGINT) * 2))"
+        f" AS b{b}"
+        for b in range(4)
+    )
+    collide = " OR ".join(f"q.b{b} = c.b{b}" for b in range(4))
+    return f"""
+    WITH cb AS (
+      SELECT vec_id, embedding, {buckets} FROM embeddings
+    ), qb AS (
+      SELECT * FROM cb WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5) / 1000000 AS score
+      FROM qb q JOIN cb c
+        ON c.vec_id <> q.vec_id AND ({collide})
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
 @register(
     "knn_lsh",
-    oracle=None,  # approximate by construction; pytest measures recall
-    # against knn_bruteforce instead of an oracle.
+    oracle=_lsh_oracle(),
     tags=("llm", "similarity", "lsh"),
 )
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,8 +557,8 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_lsh_persisted",
-    oracle=None,  # approximate by construction; pytest asserts exact
-    # result-equality with the in-memory bucketed_topk instead.
+    oracle=_lsh_oracle(),  # identical semantics to knn_lsh (pytest also
+    # asserts exact result-equality with the in-memory bucketed_topk).
     tags=("llm", "similarity", "lsh", "persisted"),
 )
 def knn_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,10 +750,33 @@ def embed_near_dup_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_vectorized(e, "vec_id", "embedding", threshold=0.4)
 
 
+def _near_dup_lsh_oracle() -> str:
+    """embed_near_dup's oracle restricted to banded-bucket collisions —
+    recall < 1 vs the exact pair set by construction, but deterministic
+    given the plane literals, so it oracles exactly (same argument as
+    _lsh_oracle)."""
+    buckets = ", ".join(
+        f"(CAST(({_plane_dot_sql('embedding', _PLANES[2 * b])} >= 0) AS BIGINT)"
+        f" + (CAST(({_plane_dot_sql('embedding', _PLANES[2 * b + 1])} >= 0) AS BIGINT) * 2))"
+        f" AS b{b}"
+        for b in range(4)
+    )
+    collide = " OR ".join(f"q.b{b} = c.b{b}" for b in range(4))
+    return f"""
+    WITH cb AS (
+      SELECT vec_id, embedding, {buckets} FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+             floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5) / 1000000 AS score
+      FROM cb q JOIN cb c ON q.vec_id < c.vec_id AND ({collide})
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.4
+    """
+
+
 @register(
     "embed_near_dup_lsh",
-    oracle=None,  # LSH-bounded candidate set → recall < 1 by construction;
-    # tests/test_similarity.py checks subset-of-exact + recall floor.
+    oracle=_near_dup_lsh_oracle(),
     tags=("llm", "dedup", "similarity", "lsh"),
 )
 def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,9 +23,15 @@ def test_registry_nonempty_and_documented(registry):
 def test_oracle_coverage(registry):
     """Queries without an oracle must be the documented non-SQL ones only."""
     no_oracle = {n for n, q in registry.items() if q.oracle is None}
-    assert no_oracle <= {
-        "simhash", "knn_lsh", "knn_lsh_persisted", "knn_ivf",
-        "knn_ivf_persisted", "embed_near_dup_lsh", "embed_near_dup_vec",
+    assert no_oracle == {
+        # k-means seeds order by Spark's Murmur3 hash — not reproducible
+        # in DuckDB SQL, so the IVF family stays rows-only + recall tests
+        "knn_ivf",
+        "knn_ivf_persisted",
+        # float64-matmul summation order differs from the fold in the
+        # last ulp — pair-set equality is tested instead
+        "embed_near_dup_vec",
+        # HLL estimates are engine-specific; pytest bounds the error
         "dau_approx",
     }, no_oracle
 
