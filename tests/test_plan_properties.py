@@ -61,3 +61,14 @@ def test_aggregates_are_partial_then_final(spark, sf_dir, registry):
     # appear below the exchange
     plan = _plan(spark, registry, "trademark_stat", sf_dir)
     assert "partial_sum" in plan or "partial_count" in plan, plan[:2000]
+
+
+def test_scans_prune_to_needed_columns(spark, sf_dir, registry):
+    """Column pruning must reach the parquet scan: a query touching 3 of
+    orders' 6 columns scans exactly those 3 (ReadSchema), not the row."""
+    plan = _plan(spark, registry, "order_gaps", sf_dir)
+    scan = next(l for l in plan.split("\n") if "Scan parquet" in l and "orders" in l)
+    for col in ("o_orderkey", "o_custkey", "o_orderdate"):
+        assert col in scan, scan
+    for col in ("o_totalprice", "o_orderstatus", "o_orderpriority"):
+        assert col not in scan, scan
