@@ -416,6 +416,47 @@ def _simhash_oracle() -> str:
 
 
 @register(
+    "corpus_clean_near",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    drops AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING node <> min(lab)
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    tags=("llm", "dedup", "graph", "pipeline"),
+)
+def corpus_clean_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware corpus cleaning: drop every non-canonical member of
+    a >=0.5-Jaccard cluster (keep the min-id representative plus all
+    unclustered docs) — dup_clusters applied as a filter, the keep-policy
+    step a training-data pipeline actually ships. Anti-join against the
+    (tiny) non-canonical set broadcasts."""
+    from ..operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_rows(d, "doc_id", "text", n=3), "doc_id", max_df=20, threshold=0.5
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    drops = cc.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.select("doc_id").join(F.broadcast(drops), "doc_id", "left_anti")
+
+
+@register(
     "simhash",
     oracle=_simhash_oracle(),
     tags=("llm", "dedup"),
