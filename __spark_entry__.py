@@ -26,14 +26,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 / §7."""
-    return {name: q.builder for name, q in load_all().items()}
+    """One entry per implemented operator from SURVEY.md §2 / §7.
+
+    Only ``gated`` registry entries are exposed: the correctness gate
+    budgets 50 rows, so in-memory twins of persisted indexes and duplicate
+    surfaces (pytest-equality-covered) stay library-only — every exposed
+    name is a distinct behavior."""
+    return {
+        name: q.builder for name, q in load_all().items() if q.gated
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; queries whose semantics are not
-    SQL-expressible (approximate LSH probe, bit-limb simhash) are omitted
+    SQL-expressible (approximate IVF probe, HLL estimate) are omitted
     and get the driver's rows-only check."""
     return {
-        name: q.oracle for name, q in load_all().items() if q.oracle is not None
+        name: q.oracle
+        for name, q in load_all().items()
+        if q.gated and q.oracle is not None
     }

@@ -35,7 +35,6 @@ HEADLINE = (
     "windowed_order_join",
     "topk_parts_per_brand",
     "dau",
-    "sessionize",
     "dedup_exact",
     "minhash_lsh_pairs",
     "doc_quality",
@@ -54,6 +53,10 @@ HEADLINE = (
     "tfidf_top_terms",
     "dup_clusters",
     "knn_ivf_persisted",
+    # added r3: the gated sessionization surface (sessionize is now an
+    # ungated library twin) and the remaining gated temporal query
+    "session_stats",
+    "order_gaps",
 )
 
 

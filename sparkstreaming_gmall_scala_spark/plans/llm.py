@@ -580,6 +580,9 @@ def _lsh_oracle() -> str:
     "knn_lsh",
     oracle=_lsh_oracle(),
     tags=("llm", "similarity", "lsh"),
+    # In-memory twin of the gated knn_lsh_persisted (pytest asserts exact
+    # result-equality between the two paths); ungated for gate budget.
+    gated=False,
 )
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via banded random-hyperplane LSH (8 planes = 4 bands × 2
@@ -676,6 +679,9 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_ivf",
     oracle=None,  # approximate by construction; pytest measures recall.
     tags=("llm", "similarity", "ivf"),
+    # In-memory twin of the gated knn_ivf_persisted (pytest asserts exact
+    # result-equality between the two paths); ungated for gate budget.
+    gated=False,
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via IVF (k-means coarse quantizer, 8 cells, nprobe=3):
@@ -779,6 +785,10 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the last ulp → not hash-comparable; tests assert pair-set equality
     # with the exact baseline within a rounding-boundary tolerance.
     tags=("llm", "dedup", "similarity", "vectorized"),
+    # Same pair set as the hash-gated embed_near_dup (pytest asserts the
+    # equality); ungated so the 50-row gate spends its budget on distinct
+    # behaviors rather than a rows-only twin.
+    gated=False,
 )
 def embed_near_dup_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, throughput path: Arrow-batched numpy matmul

@@ -196,6 +196,10 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM flagged
     """,
     tags=("streaming-analog", "window", "session"),
+    # Same gap-sessionization behavior as the gated session_stats (the
+    # session_window streaming twin); ungated to keep every distinct
+    # behavior inside the driver's 50-row gate budget.
+    gated=False,
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap sessionization: lag to flag gap starts, running sum to

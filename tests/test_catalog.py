@@ -36,6 +36,26 @@ def test_oracle_coverage(registry):
     }, no_oracle
 
 
+def test_gate_budget(registry):
+    """The driver's correctness gate budgets 50 rows: exactly that many
+    entries are gated, ungated entries are the documented twins whose
+    behavior a gated sibling + pytest equality covers, and gated rows-only
+    entries (no oracle) are the two genuinely non-SQL ones."""
+    gated = {n for n, q in registry.items() if q.gated}
+    ungated = set(registry) - gated
+    assert len(gated) == 50, len(gated)
+    assert ungated == {
+        "sessionize",  # behavior == session_stats (gated, hash-green)
+        "knn_lsh",  # in-memory twin of knn_lsh_persisted
+        "knn_ivf",  # in-memory twin of knn_ivf_persisted
+        "embed_near_dup_vec",  # pair-set == embed_near_dup (gated)
+    }, ungated
+    gated_no_oracle = {
+        n for n in gated if registry[n].oracle is None
+    }
+    assert gated_no_oracle == {"knn_ivf_persisted", "dau_approx"}
+
+
 @pytest.mark.parametrize(
     "name", sorted(load_all().keys())
 )
