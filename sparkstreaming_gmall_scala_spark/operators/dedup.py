@@ -184,9 +184,19 @@ def jaccard_pairs(
             / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double"),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
+    out = jac.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", (F.floor(F.col("jaccard") * 1e6 + 0.5) / 1e6).alias("jaccard")
     )
+    # Materialize the (small) pair result, then release the big cached
+    # frames — long-lived sessions calling this repeatedly (bench, the
+    # correctness driver) would otherwise accumulate shingle-scale blocks
+    # until storage eviction. The persisted pair frame keeps its lineage,
+    # so an executor loss just recomputes from source.
+    out = out.persist()
+    out.count()
+    sh.unpersist()
+    kept.unpersist()
+    return out
 
 
 def connected_components(

@@ -52,17 +52,24 @@ def asof_join(
         .orderBy(F.col(time_col).asc(), F.col("_is_probe").asc(), F.col(tiebreak).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(F.when(F.col("_is_probe") == 0, F.col(c)), ignorenulls=True)
-        .over(w)
-        .alias(c)
-        for c in ref_cols
-    ]
+    # ONE struct carries the whole winning ref row: per-column
+    # last(ignorenulls) would back-fill a NULL attribute of the winning ref
+    # from an OLDER ref, producing a mixed row no actual ref ever held.
+    # The struct itself is NULL only on probe rows, so ignorenulls skips
+    # probes but keeps the winning ref's interior NULLs.
+    ref_struct = F.when(
+        F.col("_is_probe") == 0, F.struct(*[F.col(c) for c in ref_cols])
+    )
+    carried = F.last(ref_struct, ignorenulls=True).over(w).alias("_ref")
     n_prior = F.sum(1 - F.col("_is_probe")).over(w).alias(n_prior_alias)
     return (
-        u.select(*probes.columns, "_is_probe", *carried, n_prior)
+        u.select(*probes.columns, "_is_probe", carried, n_prior)
         .filter(F.col("_is_probe") == 1)
-        .drop("_is_probe")
+        .select(
+            *probes.columns,
+            *[F.col(f"_ref.{c}").alias(c) for c in ref_cols],
+            n_prior_alias,
+        )
     )
 
 
@@ -86,18 +93,35 @@ def range_join_bucketed(
     """
     if hi_sec <= lo_sec:
         raise ValueError("hi_sec must be > lo_sec")
-    width_us = (hi_sec - lo_sec) * 1_000_000
-    lo_us, hi_us = lo_sec * 1_000_000, hi_sec * 1_000_000
-    # cast("timestamp") lifts NTZ columns to LTZ for unix_micros; any
-    # session-timezone shift is identical on both sides, so the bucket ids
-    # and the range predicate (pure differences) are unaffected.
-    lt = F.unix_micros(F.col(left_time).cast("timestamp"))
-    rt = F.unix_micros(F.col(right_time).cast("timestamp"))
-    first_bucket = F.floor((lt + lo_us) / width_us).cast("long")
+    from pyspark.sql.types import DateType
+
+    left_is_date = isinstance(left.schema[left_time].dataType, DateType)
+    right_is_date = isinstance(right.schema[right_time].dataType, DateType)
+    if left_is_date != right_is_date:
+        raise ValueError("left_time/right_time must both be DATE or both be time-like")
+    if left_is_date:
+        # Pure calendar-day arithmetic (unix_date): a date→timestamp cast
+        # would go through the session timezone, whose UTC offset can
+        # differ across a DST transition — the fixed-width second window
+        # would then diverge from the calendar interval the caller means.
+        if lo_sec % 86_400 or hi_sec % 86_400:
+            raise ValueError("DATE inputs need whole-day lo_sec/hi_sec")
+        lo_u, hi_u = lo_sec // 86_400, hi_sec // 86_400
+        lt = F.unix_date(F.col(left_time)).cast("long")
+        rt = F.unix_date(F.col(right_time)).cast("long")
+    else:
+        # cast("timestamp") lifts NTZ columns to LTZ for unix_micros; any
+        # session-timezone shift is identical on both sides, so the bucket
+        # ids and the range predicate (pure differences) are unaffected.
+        lo_u, hi_u = lo_sec * 1_000_000, hi_sec * 1_000_000
+        lt = F.unix_micros(F.col(left_time).cast("timestamp"))
+        rt = F.unix_micros(F.col(right_time).cast("timestamp"))
+    width = hi_u - lo_u
+    first_bucket = F.floor((lt + lo_u) / width).cast("long")
     l = left.withColumn("_b", F.explode(F.array(first_bucket, first_bucket + 1)))
-    r = right.withColumn("_b", F.floor(rt / width_us).cast("long"))
+    r = right.withColumn("_b", F.floor(rt / width).cast("long"))
     return (
         l.join(r, [on, "_b"])
-        .filter((rt > lt + lo_us) & (rt <= lt + hi_us))
+        .filter((rt > lt + lo_u) & (rt <= lt + hi_u))
         .drop("_b")
     )

@@ -78,6 +78,42 @@ def has_parquet(path: str) -> bool:
     return False
 
 
+def recover_dir(path: str) -> None:
+    """Roll a ``upsert_parquet`` target forward/back after a crash.
+
+    Crash matrix of the swap below (tmp = newest complete merge once its
+    ``_SUCCESS`` exists, old = previous generation):
+    - crash before tmp/_SUCCESS: target untouched → drop the partial tmp;
+    - crash after tmp/_SUCCESS, before/while swapping: roll FORWARD to tmp
+      (it already contains the merge of old + updates);
+    - crash after the swap, before old cleanup: target is current → drop
+      old.
+    Idempotent; called on entry by ``upsert_parquet`` and by state readers
+    (``order_info_batch``) so a crashed upsert can never present as an
+    empty state table.
+    """
+    import shutil
+
+    tmp, old = path.rstrip("/") + ".tmp", path.rstrip("/") + ".old"
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        if not has_parquet(path):
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+        else:
+            # target complete AND tmp complete ⇒ crashed between writing
+            # tmp and starting the swap; target is the pre-merge state and
+            # tmp the post-merge one — roll forward.
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+    elif os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # partial write, target still authoritative
+    if os.path.isdir(old) and has_parquet(path):
+        shutil.rmtree(old)
+    elif os.path.isdir(old) and not has_parquet(path):
+        os.rename(old, path)  # swap lost both renames' target — roll back
+
+
 def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -93,8 +129,11 @@ def upsert_parquet(
     but deterministically by the window sort). Production: Delta
     ``MERGE INTO``; this read-union-overwrite is for small dims only.
     """
+    import shutil
+
     from pyspark.sql import Window
 
+    recover_dir(path)
     if has_parquet(path):
         current = spark.read.parquet(path).withColumn("_gen", F.lit(0))
     else:
@@ -110,11 +149,18 @@ def upsert_parquet(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_gen")
     )
-    # Materialize before overwriting the directory we read from.
+    # Materialize to tmp (we're replacing the directory we read from),
+    # then swap via two renames. Directory renames are atomic on a local
+    # FS; the window between them is covered by recover_dir's crash
+    # matrix — tmp's _SUCCESS marks it authoritative, so no crash point
+    # loses the table (the round-trip-overwrite this replaces could).
     tmp = path.rstrip("/") + ".tmp"
+    old = path.rstrip("/") + ".old"
     merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def kafka_fanout(

@@ -219,6 +219,29 @@ SKU_SCHEMA = T.StructType(
 )
 
 
+def probe_first_order(
+    corrected: DataFrame, state: DataFrame, batch_id: int
+) -> DataFrame:
+    """Cross-batch first-order probe: a user is first-order iff never
+    claimed, or claimed by THIS batch id (replay).
+
+    No broadcast hint on ``state``: user_status grows with every user ever
+    seen (the reference's Phoenix table is unbounded by design,
+    dwd/OrderInfoApp.scala:271-279) — a forced broadcast OOMs at scale.
+    AQE picks broadcast while the table is small and switches to a shuffle
+    join once it outgrows the threshold (plan pinned by
+    tests/test_plan_properties.py)."""
+    is_first = (F.col("_intra") == "1") & (
+        F.col("first_batch_id").isNull()
+        | (F.col("first_batch_id") == F.lit(batch_id))
+    )
+    return (
+        corrected.join(state, "user_id", "left")
+        .withColumn("if_first_order", F.when(is_first, "1").otherwise("0"))
+        .drop("_intra", "first_batch_id")
+    )
+
+
 def order_info_batch(
     spark: SparkSession,
     state_dir: str,
@@ -250,23 +273,16 @@ def order_info_batch(
             order_by=["ts", "order_id"],
             flag_col="_intra",
         )
-        from ..sinks.batch import has_parquet
+        from ..sinks.batch import has_parquet, recover_dir
 
+        # a crashed claims upsert must never present as an empty state
+        # table (that would re-flag already-claimed users)
+        recover_dir(state_dir)
         if has_parquet(state_dir):
             state = spark.read.parquet(state_dir)
         else:
             state = spark.createDataFrame([], "user_id long, first_batch_id long")
-        # Cross-batch probe: a user is first-order iff never claimed, or
-        # claimed by THIS batch id (replay).
-        is_first = (F.col("_intra") == "1") & (
-            F.col("first_batch_id").isNull()
-            | (F.col("first_batch_id") == F.lit(batch_id))
-        )
-        flagged = (
-            corrected.join(F.broadcast(state), "user_id", "left")
-            .withColumn("if_first_order", F.when(is_first, "1").otherwise("0"))
-            .drop("_intra", "first_batch_id")
-        )
+        flagged = probe_first_order(corrected, state, batch_id)
         # Dim enrichment — dims re-read per batch, like the reference's
         # per-batch Phoenix fetch + broadcast (OrderInfoApp.scala:194-221),
         # so a late dim update is visible to the next batch.

@@ -72,3 +72,33 @@ def test_scans_prune_to_needed_columns(spark, sf_dir, registry):
         assert col in scan, scan
     for col in ("o_totalprice", "o_orderstatus", "o_orderpriority"):
         assert col not in scan, scan
+
+
+def test_first_order_state_probe_is_not_forced_broadcast(spark):
+    """The cross-batch first-order state table is unbounded (every user
+    ever seen) — the probe must leave the join strategy to the planner so
+    it can shuffle-join once state outgrows the broadcast threshold. With
+    auto-broadcast disabled, a forced hint would still produce a
+    BroadcastHashJoin; the free plan must fall back to a shuffle join."""
+    from sparkstreaming_gmall_scala_spark.streaming.pipelines import (
+        probe_first_order,
+    )
+
+    corrected = spark.range(100).selectExpr(
+        "id AS user_id", "id AS order_id", "'1' AS _intra"
+    )
+    state = spark.range(100).selectExpr(
+        "id AS user_id", "id % 3 AS first_batch_id"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            probe_first_order(corrected, state, batch_id=7)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan, plan[:2000]

@@ -669,3 +669,60 @@ def test_streaming_sessionize_state_survives_restart(spark, tmp_path):
     assert closed == [
         (1, datetime(2024, 1, 1, 10, 0, 0), datetime(2024, 1, 1, 10, 40, 0), 2)
     ]
+
+
+def test_upsert_parquet_crash_recovery(spark, tmp_path):
+    """Every crash point of the tmp-write + two-rename swap leaves a
+    recoverable table: a completed .tmp rolls FORWARD (it holds the merge),
+    a dangling .old rolls BACK, a partial .tmp is discarded."""
+    import shutil
+
+    from sparkstreaming_gmall_scala_spark.sinks.batch import recover_dir
+
+    path = str(tmp_path / "dim")
+    v1 = spark.createDataFrame([(1, "alice"), (2, "bob")], ["id", "name"])
+    upsert_parquet(spark, v1, path, ["id"])
+
+    # crash AFTER tmp completed, BEFORE any rename: next upsert must merge
+    # on top of tmp's (newer) contents, not the stale target
+    v2 = spark.createDataFrame([(2, "robert")], ["id", "name"])
+    tmp = path + ".tmp"
+    # simulate: the v2 merge landed in tmp but the swap never ran
+    merged = spark.createDataFrame(
+        [(1, "alice"), (2, "robert")], ["id", "name"]
+    )
+    merged.write.mode("overwrite").parquet(tmp)
+    recover_dir(path)
+    assert not os.path.exists(tmp)
+    got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "alice", 2: "robert"}
+
+    # crash BETWEEN the two renames: target missing, .old holds previous,
+    # .tmp holds the new merge → roll forward to tmp, drop old
+    old = path + ".old"
+    v3 = spark.createDataFrame(
+        [(1, "alice"), (2, "robert"), (3, "carol")], ["id", "name"]
+    )
+    v3.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    recover_dir(path)
+    got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "alice", 2: "robert", 3: "carol"}
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+
+    # crash MID-tmp-write (no _SUCCESS): partial tmp discarded, target kept
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-partial.parquet"), "w") as f:
+        f.write("garbage")
+    upsert_parquet(
+        spark, spark.createDataFrame([(4, "dave")], ["id", "name"]), path, ["id"]
+    )
+    got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "alice", 2: "robert", 3: "carol", 4: "dave"}
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+
+    # crash between rename(path->old) and tmp completion can't happen (tmp
+    # completes first), but a dangling .old WITH a live target just drops
+    shutil.copytree(path, old)
+    recover_dir(path)
+    assert not os.path.exists(old)

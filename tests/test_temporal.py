@@ -146,3 +146,60 @@ def test_asof_join_matches_bruteforce_on_random_inputs(spark):
         eligible = [(rt, rid) for rk, rt, rid in refs if rk == k and rt <= t]
         want = max(eligible)[1] if eligible else None
         assert got[pid] == (want, len(eligible)), (pid, k, t)
+
+
+def test_asof_winning_ref_nulls_kept_wholesale(spark):
+    """The winning ref row is carried as ONE struct: its NULL attributes
+    stay NULL instead of being back-filled from an older ref (per-column
+    last(ignorenulls) would produce a mixed row no ref ever held)."""
+    probes = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), 100)], ["k", "t", "probe_id"]
+    )
+    refs = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 7, "older"),
+            (1, _ts("2024-01-01 11:00:00"), 8, None),  # winner, NULL payload
+        ],
+        ["k", "t", "ref_id", "payload"],
+    )
+    [row] = asof_join(probes, refs, on="k", time_col="t", tiebreak="ref_id").collect()
+    assert row["ref_id"] == 8
+    assert row["payload"] is None  # NOT "older"
+    assert row["n_prior"] == 2
+
+
+def test_range_join_date_inputs_use_day_arithmetic(spark):
+    """DATE inputs join on calendar-day arithmetic (unix_date), immune to
+    session-timezone DST offsets; sub-day windows on DATEs are rejected."""
+    import pytest
+
+    d = dt.date
+    left = spark.createDataFrame([(1, d(2024, 3, 1), 10)], ["k", "ld", "left_id"])
+    right = spark.createDataFrame(
+        [
+            (1, d(2024, 3, 1), 20),   # same day → excluded (strict lower)
+            (1, d(2024, 3, 15), 21),  # inside (DST transition mid-window in
+            (1, d(2024, 3, 31), 22),  # most US/EU zones) → both included
+            (1, d(2024, 4, 1), 23),   # day 31 → excluded
+        ],
+        ["k", "rd", "right_id"],
+    )
+    got = {
+        r["right_id"]
+        for r in range_join_bucketed(
+            left, right, on="k", left_time="ld", right_time="rd",
+            lo_sec=0, hi_sec=30 * 86400,
+        ).collect()
+    }
+    assert got == {21, 22}
+    with pytest.raises(ValueError, match="whole-day"):
+        range_join_bucketed(
+            left, right, on="k", left_time="ld", right_time="rd",
+            lo_sec=0, hi_sec=3600,
+        )
+    with pytest.raises(ValueError, match="both"):
+        range_join_bucketed(
+            left,
+            right.withColumn("rd", F.col("rd").cast("timestamp")),
+            on="k", left_time="ld", right_time="rd", lo_sec=0, hi_sec=86400,
+        )
