@@ -535,6 +535,33 @@ def _params_key(*parts) -> str:
     return hashlib.md5(json.dumps(parts, sort_keys=True).encode()).hexdigest()[:10]
 
 
+def _data_fingerprint(sf_dir: str, table: str) -> list:
+    """Cheap corpus fingerprint for persisted-index cache keys: the
+    (relpath, size, mtime_ns) of every parquet file backing ``table``.
+
+    Pure filesystem metadata — zero Spark jobs per probe. Regenerated
+    testdata at the SAME path (new seed, same name) changes mtime/size, so
+    a stale index MISSES instead of silently serving vectors from the old
+    corpus; a spurious mtime change merely costs one rebuild (safe
+    direction). At lake scale the analog is the table snapshot/commit id
+    (Delta/Iceberg), which is exactly this: identity of the data files."""
+    import glob
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    else:
+        files = [path] if os.path.exists(path) else []
+    out = []
+    for f in files:
+        st = os.stat(f)
+        out.append((os.path.relpath(f, sf_dir), st.st_size, st.st_mtime_ns))
+    return out
+
+
 def _plane_dot_sql(vec: str, plane: list[float]) -> str:
     arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
     return (
@@ -619,10 +646,11 @@ def knn_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bucket_dir = _os.path.join(
         tempfile.gettempdir(),
-        # params in the key: a stale index from an older plane set must
+        # params AND data fingerprint in the key: a stale index from an
+        # older plane set OR a regenerated corpus at the same path must
         # miss, not silently serve wrong buckets
         f"spark_graft_lshbuckets_{_os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{_params_key(_PLANES, 4)}",
+        f"{_params_key(_PLANES, 4, _data_fingerprint(sf_dir, 'embeddings'))}",
     )
     if not _os.path.exists(_os.path.join(bucket_dir, "_SUCCESS")):
         bucketize_corpus(
@@ -728,7 +756,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_dir = _os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_ivfcells_{_os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{_params_key('ivf-k8-i2-seedhash', 64)}",
+        f"{_params_key('ivf-k8-i2-seedhash', 64, _data_fingerprint(sf_dir, 'embeddings'))}",
     )
     # The quantizer is PART of the index: persist the centroids next to
     # the inverted lists so warm probes skip the Lloyd iterations (which

@@ -243,3 +243,48 @@ def test_ivf_probe_persisted_identical_to_in_memory(spark, sf_dir, tmp_path):
     assert probed == in_mem and len(probed) > 0
     plan = probed_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_persisted_index_rebuilds_when_corpus_changes(spark, tmp_path):
+    """The /tmp index cache keys on a data fingerprint: regenerating the
+    corpus at the SAME path must produce a DIFFERENT cache dir and results
+    that reflect the new vectors — never a stale index."""
+    import os
+    import shutil
+
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+    from sparkstreaming_gmall_scala_spark.plans.llm import _data_fingerprint
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sfX")
+    os.makedirs(sf_dir)
+    emb = os.path.join(src, "embeddings.parquet")
+    dst = os.path.join(sf_dir, "embeddings.parquet")
+    (shutil.copytree if os.path.isdir(emb) else shutil.copy)(emb, dst)
+
+    registry = load_all()
+    fp1 = _data_fingerprint(sf_dir, "embeddings")
+    run1 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in registry["knn_lsh_persisted"].builder(spark, sf_dir).collect()
+    }
+
+    # "regenerate" the corpus at the same path: drop the top half of the
+    # vec_ids, so any neighbor from that half proves a stale index
+    kept = spark.read.parquet(dst)
+    max_id = kept.agg(F.max("vec_id")).first()[0]
+    cut = max_id // 2
+    reduced = kept.filter(F.col("vec_id") <= cut)
+    tmp_out = str(tmp_path / "reduced")
+    reduced.write.parquet(tmp_out)
+    shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+    shutil.move(tmp_out, dst)
+
+    fp2 = _data_fingerprint(sf_dir, "embeddings")
+    assert fp1 != fp2
+    run2 = registry["knn_lsh_persisted"].builder(spark, sf_dir).collect()
+    assert run2, "probe returned nothing after corpus change"
+    assert all(r["neighbor_id"] <= cut for r in run2), (
+        "stale index served a deleted vector"
+    )
+    assert run1  # both runs produced neighbors
