@@ -199,37 +199,121 @@ def jaccard_pairs(
     return out
 
 
+def _star_contraction(
+    sym: DataFrame, nodes: DataFrame, cut, max_rounds: int = 64
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") → (node, label=component min).
+
+    Each round halves the height of every tree, so convergence is
+    O(log n) rounds regardless of diameter — the scale-safe form for
+    adversarial long-path graphs where min-label propagation's
+    O(diameter) rounds would not terminate in any reasonable budget.
+    """
+    e = cut(
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_rounds):
+        # large-star: per node u, hook every strictly-larger neighbor to
+        # m = min(N(u) ∪ {u})
+        s = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            s.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: orient large→small; hook every smaller neighbor
+        # (and u itself) to m = min of u's smaller neighborhood
+        d = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            d.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        ss = cut(ss)
+        if prev is not None and ss.exceptAll(prev).isEmpty() and prev.exceptAll(
+            ss
+        ).isEmpty():
+            break
+        prev = e = ss
+    else:
+        raise RuntimeError(
+            f"star contraction did not reach a fixed point in {max_rounds} "
+            "rounds — not expected for any graph (O(log n) bound)"
+        )
+    # fixed point = disjoint stars: every non-center node has one edge to
+    # its component minimum; centers (and isolated nodes) label themselves
+    parent = ss.select(F.col("u").alias("node"), F.col("v").alias("plabel"))
+    return nodes.join(parent, "node", "left").select(
+        "node", F.coalesce("plabel", F.col("node")).alias("label")
+    )
+
+
 def connected_components(
-    edges: DataFrame, a: str = "id_a", b: str = "id_b", max_iters: int = 25
+    edges: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    max_iters: int = 25,
+    method: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (node, label)
     with label = the component's minimum node id (the canonical doc).
 
-    Min-label propagation: each round every node takes the min of its own
-    and its neighbors' labels; converges in O(component diameter) rounds.
-    Near-dup components are short chains (diameter << 25); for adversarial
-    long-path graphs swap in large-star/small-star contraction, which
-    converges in O(log n) — the propagation join below is the same shape.
-    Lineage is cut with localCheckpoint per round (iterative plans
-    otherwise grow exponentially); the convergence probe is a single
-    post-agg scalar (sum of labels is strictly decreasing until fixed).
+    Two forms behind one signature:
+    - **Min-label propagation** (the fast path): each round every node
+      takes the min of its own and its neighbors' labels; O(component
+      diameter) rounds. Near-dup components are short chains
+      (diameter << 25), so this is what actually runs on dedup graphs.
+    - **Large-star/small-star contraction** (the scale-safe path):
+      O(log n) rounds regardless of diameter.
+    ``method="auto"`` (default) runs propagation and falls back to star
+    contraction if the diameter exceeds ``max_iters``; ``"propagation"``
+    raises instead of falling back (strict form); ``"star"`` skips
+    propagation entirely.
+
+    Lineage is cut per round (iterative plans otherwise grow
+    exponentially): ``localCheckpoint`` by default — executor-memory
+    resident, fine for short local runs — or a RELIABLE checkpoint under
+    ``checkpoint_dir`` for cluster runs where executor loss during a long
+    iteration must not kill the job (Spark's documented localCheckpoint
+    caveat). The convergence probe is a single post-agg scalar (sum of
+    labels is strictly decreasing until fixed).
     """
+    if method not in ("auto", "propagation", "star"):
+        raise ValueError(f"unknown method {method!r}")
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        cut = lambda df: df.checkpoint()  # noqa: E731
+    else:
+        cut = lambda df: df.localCheckpoint()  # noqa: E731
     # Materialize the edge list ONCE — the symmetrization below reads it
-    # twice, and every propagation round reads sym; without checkpoints
-    # each of those re-executes the (possibly expensive) upstream pair
-    # pipeline.
-    edges = edges.localCheckpoint()
-    sym = (
+    # twice, and every round reads sym; without checkpoints each of those
+    # re-executes the (possibly expensive) upstream pair pipeline.
+    edges = cut(edges)
+    sym = cut(
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    if method == "star":
+        return _star_contraction(sym, nodes, cut)
+    labels = cut(nodes.withColumn("label", F.col("node")))
     prev_sum = None
     converged = False
     for _ in range(max_iters):
@@ -238,7 +322,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        labels = cut(
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 F.col("node"),
@@ -246,22 +330,24 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         s = labels.agg(F.sum("label")).first()[0]
         if s == prev_sum:
             converged = True
             break
         prev_sum = s
-    if not converged:
+    if converged:
+        return labels
+    if method == "propagation":
         # partial labels are WRONG labels (a long path still mid-collapse)
         # — refuse to return them silently.
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds; "
-            "raise max_iters (diameter exceeds it) or switch to "
-            "large-star/small-star contraction for this graph"
+            "raise max_iters (diameter exceeds it) or use method='star'"
         )
-    return labels
+    # auto: the diameter beat the propagation budget — restart with the
+    # O(log n) contraction, which cannot.
+    return _star_contraction(sym, nodes, cut)
 
 
 def simhash64(sh: DataFrame, id_col: str) -> DataFrame:

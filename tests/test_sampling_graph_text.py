@@ -115,10 +115,81 @@ def test_multimodal_resize_and_frames_handle_empty_payload(spark):
 
 
 def test_connected_components_raises_on_non_convergence(spark):
-    """Exhausting max_iters mid-collapse must raise, not return partial
-    (wrong) labels: a 5-node path needs more than 1 propagation round."""
+    """The strict propagation form must raise mid-collapse, not return
+    partial (wrong) labels: a 5-node path needs >1 propagation round."""
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iters=1)
+        connected_components(edges, max_iters=1, method="propagation")
+
+
+def test_connected_components_long_path_falls_back_to_star(spark):
+    """auto: a path whose diameter exceeds the propagation budget must
+    still converge (large-star/small-star contraction, O(log n) rounds)."""
+    n = 40  # diameter 39 >> max_iters=3
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, max_iters=3).collect()
+    }
+    assert labels == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_star_matches_propagation_on_random_graph(spark):
+    """Both forms agree with a driver-side union-find on a seeded random
+    graph (many components, varied shapes)."""
+    import random
+
+    rng = random.Random(7)
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(range(120), 2)))
+            for _ in range(90)
+        }
+    )
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        parent[find(u)] = find(v)
+    want = {}
+    for u, v in pairs:
+        for x in (u, v):
+            want[x] = None
+    for x in want:
+        root = find(x)
+        members = [y for y in want if find(y) == root]
+        want[x] = min(members)
+
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    for method in ("star", "propagation"):
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components(edges, method=method).collect()
+        }
+        assert got == want, method
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage cuts to reliable checkpoints (the
+    cluster-safe mode): same labels, checkpoint files actually written."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files"
