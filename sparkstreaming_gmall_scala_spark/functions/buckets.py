@@ -1,9 +1,10 @@
 """P4/P5 — the reference's exact age-bucket and gender-decode CASE chains.
 
-Reference: dim/UserInfoApp.scala:45-61 — age is computed as
+Reference: dim/UserInfoApp.scala:44-61 — age is computed as
 ``(now_ms - birthday_ms) / (1000*60*60*24*365)`` (integer years, 365-day
-year, no leap handling) and bucketed ``<=20`` → "20岁以下", ``<=30`` →
-"21岁到30岁", else "30岁以上"; gender "M" → "男" else "女". The CN label
+year, no leap handling) and bucketed ``if (age < 20)`` → "20岁以下",
+``else if (age > 30)`` → "30岁以上", else "21岁到30岁" (so EXACTLY age 20
+lands in the middle bucket); gender "M" → "男" else "女". The CN label
 bytes are part of observable output and preserved exactly
 (SURVEY.md §7.4.5).
 
@@ -35,12 +36,14 @@ def age_years(birthday: Column, as_of: Column) -> Column:
 
 
 def age_bucket_cn(birthday: Column, as_of: Column) -> Column:
-    """dim/UserInfoApp.scala:50-56: if (age <= 20) else if (age <= 30)."""
+    """dim/UserInfoApp.scala:50-56: ``if (age < 20) … else if (age > 30)
+    … else`` — strict comparisons, reproduced exactly: age 20 and 30 both
+    fall in the middle bucket."""
     age = age_years(birthday, as_of)
     return (
-        F.when(age <= 20, AGE_LT20)
-        .when(age <= 30, AGE_21_30)
-        .otherwise(AGE_GT30)
+        F.when(age < 20, AGE_LT20)
+        .when(age > 30, AGE_GT30)
+        .otherwise(AGE_21_30)
     )
 
 

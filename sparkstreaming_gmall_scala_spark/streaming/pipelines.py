@@ -411,3 +411,187 @@ def trademark_stat_pipeline(
         .outputMode("append")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# The dim-app family: all six reference dim apps share one shape —
+# parse → (optional per-row transform) → keyed Phoenix upsert
+# (dim/ProvinceInfoApp.scala:47-53, dim/UserInfoApp.scala:44-77,
+# dim/SpuInfoApp.scala:59-63, dim/BaseTrademarkApp.scala:55-61,
+# dim/BaseCategory3App.scala:56-64, dim/SkuInfoApp.scala:50-120).
+# Here the shape is ONE generic pipeline; each app is a schema + an
+# optional transform. SkuInfoApp (the only one with parent-dim
+# denormalization) keeps its dedicated sku_dim_pipeline above.
+# ---------------------------------------------------------------------------
+
+PROVINCE_SCHEMA = T.StructType(
+    [
+        T.StructField("province_id", T.LongType()),
+        T.StructField("province_name", T.StringType()),
+        T.StructField("area_code", T.StringType()),
+        T.StructField("iso_code", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+USER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("user_level", T.StringType()),
+        T.StructField("birthday", T.TimestampType()),
+        T.StructField("gender", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+SPU_SCHEMA = T.StructType(
+    [
+        T.StructField("spu_id", T.LongType()),
+        T.StructField("spu_name", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+TRADEMARK_SCHEMA = T.StructType(
+    [
+        T.StructField("tm_id", T.LongType()),
+        T.StructField("tm_name", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+CATEGORY3_SCHEMA = T.StructType(
+    [
+        T.StructField("category3_id", T.LongType()),
+        T.StructField("category3_name", T.StringType()),
+        T.StructField("category2_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def dim_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: T.StructType,
+    key: str,
+    transform=None,
+    order_col: str = "ts",
+):
+    """Generic dim ingest: CDC stream → optional transform → keyed upsert.
+
+    The upsert is last-write-wins per ``key`` ordered by ``order_col``
+    (Phoenix UPSERT semantics); replayed micro-batches re-apply the same
+    rows and land on the same winners, so the pipeline is idempotent
+    end-to-end. Column names line up with ``sku_dim_pipeline``'s parent
+    reads, so trademark/category3/spu dims maintained here feed the sku
+    denormalization directly."""
+    stream = file_stream(spark, src_dir, schema)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df
+        if transform is not None:
+            df = transform(df)
+        upsert_parquet(spark, df, out_dir, [key], order_col=order_col)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def province_dim_pipeline(spark, src_dir, out_dir, checkpoint):
+    """ProvinceInfoApp (dim/ProvinceInfoApp.scala:47-53): straight upsert."""
+    return dim_pipeline(
+        spark, src_dir, out_dir, checkpoint, PROVINCE_SCHEMA, "province_id"
+    )
+
+
+def user_dim_pipeline(spark, src_dir, out_dir, checkpoint, as_of=None):
+    """UserInfoApp (dim/UserInfoApp.scala:44-77): parse → P4 age bucket +
+    P5 gender decode → upsert. The reference buckets against
+    System.currentTimeMillis(); ``as_of`` makes that instant explicit so
+    replays/tests are deterministic (None keeps wall-clock semantics)."""
+    from ..functions.buckets import age_bucket_cn, gender_cn
+
+    as_of_col = F.current_timestamp() if as_of is None else F.lit(as_of)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "age_group", age_bucket_cn(F.col("birthday"), as_of_col)
+        ).withColumn("gender_name", gender_cn(F.col("gender")))
+
+    return dim_pipeline(
+        spark, src_dir, out_dir, checkpoint, USER_SCHEMA, "user_id",
+        transform=transform,
+    )
+
+
+def spu_dim_pipeline(spark, src_dir, out_dir, checkpoint):
+    """SpuInfoApp (dim/SpuInfoApp.scala:59-63): straight upsert."""
+    return dim_pipeline(spark, src_dir, out_dir, checkpoint, SPU_SCHEMA, "spu_id")
+
+
+def trademark_dim_pipeline(spark, src_dir, out_dir, checkpoint):
+    """BaseTrademarkApp (dim/BaseTrademarkApp.scala:55-61): straight upsert."""
+    return dim_pipeline(
+        spark, src_dir, out_dir, checkpoint, TRADEMARK_SCHEMA, "tm_id"
+    )
+
+
+def category3_dim_pipeline(spark, src_dir, out_dir, checkpoint):
+    """BaseCategory3App (dim/BaseCategory3App.scala:56-64): straight upsert."""
+    return dim_pipeline(
+        spark, src_dir, out_dir, checkpoint, CATEGORY3_SCHEMA, "category3_id"
+    )
+
+
+ORDER_DETAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("detail_id", T.LongType()),
+        T.StructField("order_id", T.LongType()),
+        T.StructField("sku_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+def order_detail_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    sku_dim_dir: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """OrderDetailApp (dwd/OrderDetailApp.scala:51-101): detail stream →
+    sku dim enrichment → batch-keyed sink.
+
+    The reference's per-partition Phoenix IN-list fetch becomes a
+    broadcast left join against the (already denormalized — that's
+    SkuInfoApp's job) sku dim, re-read per batch so a dim update is
+    visible to the next micro-batch; the per-record Kafka producer loop
+    becomes the batch-id-keyed sink (on a broker: sinks.kafka_fanout)."""
+    details = file_stream(spark, src_dir, ORDER_DETAIL_SCHEMA)
+    sink = IdempotentBatchWriter(out_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sku = spark.read.parquet(sku_dim_dir).select(
+            "sku_id", "sku_name", "spu_id", "spu_name", "tm_id", "tm_name",
+            "category3_id", "category3_name",
+        )
+        enriched = batch_df.dropDuplicates(["detail_id"]).join(
+            F.broadcast(sku), "sku_id", "left"
+        )
+        sink(enriched, batch_id)
+
+    return (
+        details.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

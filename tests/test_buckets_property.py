@@ -23,8 +23,9 @@ from sparkstreaming_gmall_scala_spark.operators.allocation import allocate
 
 
 def test_age_bucket_boundaries(spark):
-    """Ages 19,20 → ≤20 bucket; 21..30 → middle; 31 → upper — exactly the
-    reference's <=20 / <=30 if-chain on 365-day years."""
+    """Age 19 → under-20 bucket; 20..30 → middle (the reference's strict
+    ``if (age < 20) … else if (age > 30)`` chain puts EXACTLY 20 and 30 in
+    the middle); 31 → upper — on 365-day years."""
     as_of = datetime(2024, 1, 1)
     rows = []
     for age in (19, 20, 21, 30, 31):
@@ -38,8 +39,8 @@ def test_age_bucket_boundaries(spark):
         "age", age_bucket_cn(F.col("birthday"), F.lit(as_of)).alias("bucket")
     )
     got = {r["age"]: r["bucket"] for r in df.collect()}
-    assert got[19] == AGE_LT20 and got[20] == AGE_LT20
-    assert got[21] == AGE_21_30 and got[30] == AGE_21_30
+    assert got[19] == AGE_LT20
+    assert got[20] == AGE_21_30 and got[21] == AGE_21_30 and got[30] == AGE_21_30
     assert got[31] == AGE_GT30
 
 

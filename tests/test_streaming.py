@@ -726,3 +726,237 @@ def test_upsert_parquet_crash_recovery(spark, tmp_path):
     shutil.copytree(path, old)
     recover_dir(path)
     assert not os.path.exists(old)
+
+
+import datetime as _dt
+
+
+def _t(i):
+    return _dt.datetime(2024, 1, 1, 0, 0, i)
+
+
+_DIM_CASES = {
+    "province": (
+        "province_dim_pipeline",
+        "PROVINCE_SCHEMA",
+        "province_id",
+        [(1, "shanghai", "021", "CN-31", _t(1))],
+        [(1, "shanghai-renamed", "021", "CN-31", _t(2)), (2, "beijing", "010", "CN-11", _t(2))],
+    ),
+    "spu": (
+        "spu_dim_pipeline",
+        "SPU_SCHEMA",
+        "spu_id",
+        [(1, "spu-one", _t(1))],
+        [(1, "spu-one-v2", _t(2)), (2, "spu-two", _t(2))],
+    ),
+    "trademark": (
+        "trademark_dim_pipeline",
+        "TRADEMARK_SCHEMA",
+        "tm_id",
+        [(1, "apple", _t(1))],
+        [(1, "apple-v2", _t(2)), (2, "orange", _t(2))],
+    ),
+    "category3": (
+        "category3_dim_pipeline",
+        "CATEGORY3_SCHEMA",
+        "category3_id",
+        [(1, "phones", 10, _t(1))],
+        [(1, "phones-v2", 10, _t(2)), (2, "laptops", 10, _t(2))],
+    ),
+}
+
+
+@pytest.mark.parametrize("dim", sorted(_DIM_CASES))
+def test_dim_pipeline_upsert_and_replay(spark, tmp_path, dim):
+    """Each thin dim app (ProvinceInfoApp/SpuInfoApp/BaseTrademarkApp/
+    BaseCategory3App): CDC insert → upsert visible; update wins per key;
+    a replayed batch is a no-op (Phoenix-UPSERT idempotence)."""
+    import sparkstreaming_gmall_scala_spark.streaming.pipelines as P
+
+    fn_name, schema_name, key, batch1, batch2 = _DIM_CASES[dim]
+    fn, schema = getattr(P, fn_name), getattr(P, schema_name)
+    src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+
+    _drop(spark, schema, batch1, src)
+    q = fn(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 1
+
+    _drop(spark, schema, batch2, src)
+    q = fn(spark, src, out, ckpt)  # restart: same checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r[key]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 2
+    from pyspark.sql import types as T
+
+    name_col = next(
+        f.name for f in schema.fields if isinstance(f.dataType, T.StringType)
+    )
+    assert "v2" in got[1][name_col] or "renamed" in got[1][name_col]
+
+    # direct replay of batch2 (driver-retry): same winners, same count
+    df2 = spark.createDataFrame(batch2, schema)
+    from sparkstreaming_gmall_scala_spark.sinks.batch import upsert_parquet
+
+    upsert_parquet(spark, df2, out, [key], order_col="ts")
+    got2 = {r[key]: r for r in spark.read.parquet(out).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in got2.items()
+    }
+
+
+def test_user_dim_pipeline_buckets(spark, tmp_path):
+    """UserInfoApp: P4 age bucket + P5 gender decode ride the generic dim
+    upsert; exact CN labels; deterministic under explicit as_of."""
+    from sparkstreaming_gmall_scala_spark.functions.buckets import (
+        AGE_21_30,
+        AGE_GT30,
+        AGE_LT20,
+        GENDER_F,
+        GENDER_M,
+    )
+    from sparkstreaming_gmall_scala_spark.streaming.pipelines import (
+        USER_SCHEMA,
+        user_dim_pipeline,
+    )
+
+    src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+    as_of = _dt.datetime(2024, 1, 1)
+
+    def bday(age_years):
+        return _dt.datetime.fromtimestamp(
+            as_of.timestamp() - age_years * 365 * 86400 - 86400
+        )
+
+    rows = [
+        (1, "1", bday(19), "M", _t(1)),
+        (2, "2", bday(20), "F", _t(1)),  # exactly 20 → middle (strict <)
+        (3, "3", bday(31), "x", _t(1)),
+    ]
+    _drop(spark, USER_SCHEMA, rows, src)
+    q = user_dim_pipeline(spark, src, out, ckpt, as_of=as_of)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["age_group"] == AGE_LT20 and got[1]["gender_name"] == GENDER_M
+    assert got[2]["age_group"] == AGE_21_30 and got[2]["gender_name"] == GENDER_F
+    assert got[3]["age_group"] == AGE_GT30 and got[3]["gender_name"] == GENDER_F
+
+
+def test_order_detail_pipeline_enriches_from_sku_dim(spark, tmp_path):
+    """OrderDetailApp: the detail stream joins the denormalized sku dim
+    (SkuInfoApp's output shape) per batch; late sku rows are picked up by
+    the NEXT batch; missing skus left-join to NULLs, not dropped."""
+    from sparkstreaming_gmall_scala_spark.streaming.pipelines import (
+        ORDER_DETAIL_SCHEMA,
+        order_detail_pipeline,
+    )
+
+    src, sku_dim, out, ckpt = _dirs(tmp_path, "src", "sku", "out", "ckpt")
+    sku_cols = (
+        "sku_id long, sku_name string, spu_id long, spu_name string, "
+        "tm_id long, tm_name string, category3_id long, category3_name string"
+    )
+    spark.createDataFrame(
+        [(100, "iphone", 1, "phones-spu", 5, "apple", 7, "phones")], sku_cols
+    ).write.mode("overwrite").parquet(sku_dim)
+
+    _drop(
+        spark,
+        ORDER_DETAIL_SCHEMA,
+        [(1, 10, 100, _t(1), 99.5), (2, 10, 200, _t(1), 10.0)],
+        src,
+    )
+    q = order_detail_pipeline(spark, src, sku_dim, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["detail_id"]: r for r in IdempotentBatchWriter(out).read(spark).collect()}
+    assert got[1]["tm_name"] == "apple" and got[1]["spu_name"] == "phones-spu"
+    assert got[2]["tm_name"] is None  # unknown sku → NULL enrich, row kept
+
+    # sku 200 lands in the dim; the NEXT batch sees it (per-batch re-read)
+    spark.createDataFrame(
+        [
+            (100, "iphone", 1, "phones-spu", 5, "apple", 7, "phones"),
+            (200, "pixel", 2, "pixel-spu", 6, "google", 7, "phones"),
+        ],
+        sku_cols,
+    ).write.mode("overwrite").parquet(sku_dim)
+    _drop(spark, ORDER_DETAIL_SCHEMA, [(3, 11, 200, _t(2), 5.0)], src)
+    q = order_detail_pipeline(spark, src, sku_dim, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["detail_id"]: r for r in IdempotentBatchWriter(out).read(spark).collect()}
+    assert got[3]["tm_name"] == "google"
+    assert got[2]["tm_name"] is None  # already-written batch unchanged
+
+
+def test_dim_to_sku_to_detail_composition(spark, tmp_path):
+    """The full DWD dim chain: trademark/category3/spu dim pipelines
+    maintain the parent dims, SkuInfoApp denormalizes against them, and
+    OrderDetailApp enriches from the result — reference apps composed
+    end-to-end through their materialized tables."""
+    from sparkstreaming_gmall_scala_spark.streaming.pipelines import (
+        CATEGORY3_SCHEMA,
+        ORDER_DETAIL_SCHEMA,
+        SKU_SCHEMA,
+        SPU_SCHEMA,
+        TRADEMARK_SCHEMA,
+        category3_dim_pipeline,
+        order_detail_pipeline,
+        sku_dim_pipeline,
+        spu_dim_pipeline,
+        trademark_dim_pipeline,
+    )
+
+    d = _dirs(
+        tmp_path, "tm_src", "c3_src", "spu_src", "sku_src", "det_src",
+        "tm", "c3", "spu", "sku", "out",
+        "ck1", "ck2", "ck3", "ck4", "ck5",
+    )
+    (tm_src, c3_src, spu_src, sku_src, det_src,
+     tm, c3, spu, sku, out, ck1, ck2, ck3, ck4, ck5) = d
+
+    for schema, rows, src, fn, ck, outdir in (
+        (TRADEMARK_SCHEMA, [(5, "apple", _t(1))], tm_src, trademark_dim_pipeline, ck1, tm),
+        (CATEGORY3_SCHEMA, [(7, "phones", 1, _t(1))], c3_src, category3_dim_pipeline, ck2, c3),
+        (SPU_SCHEMA, [(1, "phones-spu", _t(1))], spu_src, spu_dim_pipeline, ck3, spu),
+    ):
+        _drop(spark, schema, rows, src)
+        q = fn(spark, src, outdir, ck)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _drop(spark, SKU_SCHEMA, [(100, 1, 5, 7, "iphone", 999.0, _t(2))], sku_src)
+    q = sku_dim_pipeline(spark, sku_src, tm, c3, spu, sku, ck4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _drop(spark, ORDER_DETAIL_SCHEMA, [(1, 10, 100, _t(3), 999.0)], det_src)
+    q = order_detail_pipeline(spark, det_src, sku, out, ck5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    [row] = IdempotentBatchWriter(out).read(spark).collect()
+    assert row["sku_name"] == "iphone"
+    assert row["tm_name"] == "apple"
+    assert row["category3_name"] == "phones"
+    assert row["spu_name"] == "phones-spu"
