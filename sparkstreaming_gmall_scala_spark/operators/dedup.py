@@ -90,14 +90,14 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     sigs: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
-    """Band the signature and self-join on (band_idx, band_hash).
-
-    Docs sharing ANY band become a candidate pair (id_a < id_b). The band
-    hash concatenates ``band_size`` adjacent minhashes.
-    """
+    """Explode a signature frame into (id, band_idx, band_hash) rows: the
+    band hash concatenates ``band_size`` adjacent minhashes. This is the
+    unit the LSH index persists — batch self-join (lsh_candidate_pairs)
+    and the incremental streaming index (streaming/dedup.py) band docs
+    identically, which is what makes their pair sets comparable."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -110,9 +110,19 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
+    return sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, "band.band_idx", "band.band_hash"
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_hash).
+
+    Docs sharing ANY band become a candidate pair (id_a < id_b).
+    """
+    banded = band_signatures(sigs, id_col, num_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

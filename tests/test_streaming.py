@@ -960,3 +960,67 @@ def test_dim_to_sku_to_detail_composition(spark, tmp_path):
     assert row["tm_name"] == "apple"
     assert row["category3_name"] == "phones"
     assert row["spu_name"] == "phones-spu"
+
+
+def test_incremental_dedup_matches_batch_on_union(spark, tmp_path):
+    """Two micro-batches through the persisted-band-index pipeline emit
+    exactly the pair set the batch LSH self-join finds on the union of
+    the docs — including cross-batch near-dup pairs — and a direct batch
+    replay adds nothing new."""
+    from sparkstreaming_gmall_scala_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_rows,
+    )
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import (
+        DOC_SCHEMA,
+        dedup_candidates_batch,
+        dedup_index_pipeline,
+    )
+
+    src, idx, out, ckpt = _dirs(tmp_path, "src", "idx", "out", "ckpt")
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    batch1 = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1 (same batch)
+        (3, "completely different words about spark structured streaming state"),
+    ]
+    batch2 = [
+        (4, base + " indeed"),  # near-dup of 1/2 (CROSS-batch)
+        (5, "another unrelated document mentioning parquet columnar layouts"),
+    ]
+
+    _drop(spark, DOC_SCHEMA, batch1, src)
+    q = dedup_index_pipeline(spark, src, idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _drop(spark, DOC_SCHEMA, batch2, src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in IdempotentBatchWriter(out).read(spark).collect()
+    }
+    union_docs = spark.createDataFrame(batch1 + batch2, DOC_SCHEMA)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(shingle_rows(union_docs, "doc_id", "text"), "doc_id"),
+            "doc_id",
+        ).collect()
+    }
+    assert got == want
+    assert any(a in (1, 2) and b == 4 for a, b in got), "cross-batch pair missed"
+
+    # replay batch 1 against the now-full index: union of outputs unchanged
+    sink = IdempotentBatchWriter(out)
+    dedup_candidates_batch(spark, idx, sink)(
+        spark.createDataFrame(batch1, DOC_SCHEMA), 0
+    )
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in IdempotentBatchWriter(out).read(spark).collect()
+    }
+    assert got2 == want
