@@ -75,3 +75,33 @@ def test_entry_contract(spark):
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_ungated_sessionize_twin_agrees_with_session_stats(spark, sf_dir, registry):
+    """The gate-budget rationale for ungating sessionize is that its
+    behavior IS session_stats': aggregating sessionize's per-event session
+    ids (min ts, max ts + gap, count) must reproduce session_stats row for
+    row on the same data."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sess = registry["sessionize"].builder(spark, sf_dir)
+    derived = (
+        sess.join(ev, ["user_id", "event_id"])
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            (F.unix_micros(F.max("ts")) + 1800 * 1_000_000).alias(
+                "session_end_us"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_id")
+    )
+    stats = registry["session_stats"].builder(spark, sf_dir)
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+    a = sorted(tuple(r) for r in derived.select(cols).collect())
+    b = sorted(tuple(r) for r in stats.select(cols).collect())
+    assert a == b
