@@ -121,3 +121,115 @@ def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         punct_r.alias("punct_ratio"),
         score.alias("quality"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1's
+    duplicate-token and top-n-gram fractions — standard LLM corpus quality
+    filters the reference has no analog for):
+
+    - ``dup_token_frac``: 1 − |distinct tokens| / |tokens| — boilerplate
+      and keyword-stuffed docs score high;
+    - ``top_2gram_frac``: occurrences of the most frequent 2-gram over all
+      2-gram slots — repeated-phrase spam scores high.
+
+    Token/2-gram extraction is a codegen Column expression; the only
+    shuffle is one (doc, gram) groupBy for the mode — scan-bound at scale.
+    Fractions are floor-rounded to 6 dp for engine-portable comparison.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        ).alias("_toks"),
+    )
+    base = toks.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct"),
+        F.when(
+            F.size("_toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, 2)),
+            ),
+        )
+        .otherwise(F.array())
+        .alias("_grams"),
+    )
+    gram_counts = (
+        base.select(F.col(id_col), F.explode("_grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(F.max("n").alias("top_gram_n"), F.sum("n").alias("n_grams"))
+    )
+
+    def r6(c: Column) -> Column:
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    return (
+        base.drop("_grams")
+        .join(gram_counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            r6(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    1 - F.col("n_distinct") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup_token_frac"),
+            r6(
+                F.when(
+                    F.col("n_grams") > 0, F.col("top_gram_n") / F.col("n_grams")
+                ).otherwise(F.lit(0.0))
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
+def ngram_overlap_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination by n-gram collision (the GPT-3/LLaMA
+    practice: a training doc sharing any long n-gram with a benchmark doc
+    is contaminated and dropped).
+
+    Both sides explode into distinct word-n-gram shingles; the eval
+    shingle set — tiny by definition — is broadcast and the overlap count
+    per training doc is one anti-skew-free groupBy. Production uses
+    n≈8-13; ``n`` is a parameter (tests here use the corpus-standard 3 so
+    the DuckDB oracle reuses the shared shingle fragment).
+
+    Output: (id, n_shared_ngrams, contaminated) for EVERY input doc —
+    the keep-policy filter is ``NOT contaminated``.
+    """
+    from .dedup import shingle_rows
+
+    doc_sh = shingle_rows(docs, id_col, text_col, n=n)
+    eval_sh = (
+        shingle_rows(eval_docs, id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_shared_ngrams"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

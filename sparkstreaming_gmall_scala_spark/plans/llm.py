@@ -946,3 +946,83 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = to_binary_payload(d, "doc_id", "text")
     return frame_sample(media, "doc_id", stride=16)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality extensions beyond the 50-row gate budget (gated=False:
+# oracle-checked by tools/verify_local + pytest; the driver's gate spends
+# its 50 rows on the families above).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    base AS (
+      SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(generate_series(1, len(t) - 1),
+                                      i -> concat_ws(' ', t[i], t[i+1]))
+                  ELSE [] END AS grams
+      FROM toks
+    ),
+    gc AS (
+      SELECT doc_id, max(n) AS top_gram_n, sum(n) AS n_grams FROM (
+        SELECT doc_id, g, count(*) AS n
+        FROM (SELECT doc_id, unnest(grams) AS g FROM base) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           floor((CASE WHEN b.n_tokens > 0
+                       THEN 1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens
+                       ELSE 0 END) * 1000000 + 0.5) / 1000000 AS dup_token_frac,
+           floor((CASE WHEN gc.n_grams > 0
+                       THEN CAST(gc.top_gram_n AS DOUBLE) / gc.n_grams
+                       ELSE 0 END) * 1000000 + 0.5) / 1000000 AS top_2gram_frac
+    FROM base b LEFT JOIN gc ON b.doc_id = gc.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+    gated=False,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-token fraction,
+    top-2-gram fraction) — the standard repeated-phrase/boilerplate
+    filters for LLM corpora; one (doc, gram) groupBy, otherwise
+    scan-bound codegen."""
+    from ..operators.textstats import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text")
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+    hits AS (
+      SELECT d.doc_id, count(*) AS n
+      FROM sh d JOIN ev USING (shingle) GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(hits.n, 0) AS n_shared_ngrams,
+           COALESCE(hits.n, 0) > 0 AS contaminated
+    FROM documents doc LEFT JOIN hits ON doc.doc_id = hits.doc_id
+    """,
+    tags=("llm", "dedup", "decontamination"),
+    gated=False,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination by n-gram collision (the GPT-3/LLaMA
+    keep-policy): docs sharing any shingle with the eval set (doc_id<10
+    stands in for the benchmark) are flagged; the eval shingle set is
+    broadcast — tiny by definition — so the scan never shuffles on
+    content. Production uses n≈8-13-grams; this query uses the corpus-
+    standard 3 so the oracle shares the repo's shingle fragment."""
+    from ..operators.textstats import ngram_overlap_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_overlap_flags(
+        d, d.filter(F.col("doc_id") < 10), "doc_id", "text", n=3
+    )

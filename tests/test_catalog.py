@@ -49,6 +49,10 @@ def test_gate_budget(registry):
         "knn_lsh",  # in-memory twin of knn_lsh_persisted
         "knn_ivf",  # in-memory twin of knn_ivf_persisted
         "embed_near_dup_vec",  # pair-set == embed_near_dup (gated)
+        # extensions past the budget — full oracles, checked by
+        # tools/verify_local + pytest, just not by the driver's 50 rows
+        "doc_repetition",
+        "decontaminate",
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None

@@ -93,3 +93,47 @@ def test_multimodal_features_deterministic_fake(spark):
 def test_decode_media_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00", "image/png")
+
+
+def test_repetition_stats_known_values(spark):
+    from sparkstreaming_gmall_scala_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),   # 1 distinct / 4 → dup .75; top 2-gram "spam spam" 3/3
+            (2, "all words are unique here"),  # dup 0; each 2-gram once → 1/4
+            (3, "one"),                   # no 2-grams → frac 0
+            (4, ""),                      # empty → all 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert got[1]["dup_token_frac"] == 0.75 and got[1]["top_2gram_frac"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.0 and got[2]["top_2gram_frac"] == 0.25
+    assert got[3]["n_tokens"] == 1 and got[3]["top_2gram_frac"] == 0.0
+    assert got[4]["n_tokens"] == 0 and got[4]["dup_token_frac"] == 0.0
+
+
+def test_ngram_overlap_flags_contamination(spark):
+    from sparkstreaming_gmall_scala_spark.operators.textstats import (
+        ngram_overlap_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),       # eval doc
+            (2, "a quick brown fox appears here today"), # shares "quick brown fox"
+            (3, "completely unrelated text with nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_overlap_flags(
+        docs, docs.filter("doc_id = 1"), "doc_id", "text", n=3
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["contaminated"]  # eval doc trivially overlaps itself
+    assert got[2]["contaminated"] and got[2]["n_shared_ngrams"] == 1
+    assert not got[3]["contaminated"] and got[3]["n_shared_ngrams"] == 0
+    assert len(got) == 3  # every input doc present (left semantics)
