@@ -220,6 +220,21 @@ def _star_contraction(
     adversarial long-path graphs where min-label propagation's
     O(diameter) rounds would not terminate in any reasonable budget.
     """
+    def chk(frame: DataFrame) -> tuple:
+        """Fixed-point probe: one narrow aggregate instead of a pair of
+        exceptAll shuffles — (count, Σu, Σv, Σxxhash64(u,v)) summed in
+        DECIMAL(38,0) (no overflow, order-insensitive). Equal checksums on
+        a monotone contraction ⇒ equal edge sets (hash-collision odds are
+        ~2⁻⁶⁴ per round — the standard iterative-convergence trade)."""
+        return tuple(
+            frame.agg(
+                F.count(F.lit(1)),
+                F.sum(F.col("u").cast("decimal(38,0)")),
+                F.sum(F.col("v").cast("decimal(38,0)")),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
+        )
+
     e = cut(
         sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -255,11 +270,10 @@ def _star_contraction(
             .distinct()
         )
         ss = cut(ss)
-        if prev is not None and ss.exceptAll(prev).isEmpty() and prev.exceptAll(
-            ss
-        ).isEmpty():
+        c = chk(ss)
+        if c == prev:
             break
-        prev = e = ss
+        prev, e = c, ss
     else:
         raise RuntimeError(
             f"star contraction did not reach a fixed point in {max_rounds} "

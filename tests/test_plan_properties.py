@@ -102,3 +102,16 @@ def test_first_order_state_probe_is_not_forced_broadcast(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
+def test_decontaminate_broadcasts_the_eval_shingle_set(spark, sf_dir, registry):
+    # the eval side is tiny by definition; the corpus scan must not
+    # shuffle on shingle content to meet it
+    plan = _plan(spark, registry, "decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_doc_repetition_aggregates_partially(spark, sf_dir, registry):
+    # the (doc, gram) mode count must combine map-side before shuffling
+    plan = _plan(spark, registry, "doc_repetition", sf_dir)
+    assert "partial_count" in plan or "partial_max" in plan, plan[:2000]
