@@ -15,6 +15,8 @@ is byte-for-byte the same rule.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -43,4 +45,69 @@ def hash_stratified_sample(
     thr: Column = F.lit(default_threshold)
     for stratum, t in thresholds.items():
         thr = F.when(F.col(strata_col) == stratum, F.lit(t)).otherwise(thr)
+    return df.filter(sample_bucket(F.col(key_col)) <= thr)
+
+
+def mixture_thresholds(
+    counts: dict[str, int],
+    weights: dict[str, float],
+    budget_frac: float,
+    default_weight: float = 0.0,
+) -> dict[str, int]:
+    """Per-stratum 16-bit keep thresholds realizing a target domain mixture.
+
+    Given observed stratum sizes and target mixture weights, the keep count
+    for stratum s is ``min(count_s, floor(floor(total·budget_frac)·w_s))``
+    and its threshold is ``floor(65536·keep/count) − 1`` (−1 ⇒ drop the
+    stratum entirely — the hash rule cannot express rate 0 otherwise).
+
+    Every step is IEEE-double arithmetic in a fixed order so a SQL oracle
+    computing the same formula (``floor``, ``least``, literal weights)
+    reproduces the thresholds bit-for-bit. Callers should pick weights and
+    budget_frac exactly representable in binary (0.5, 0.25, 0.0078125, …)
+    so the literals round-trip identically through both engines.
+    """
+    total = sum(counts.values())
+    budget = math.floor(total * budget_frac)
+    out: dict[str, int] = {}
+    for stratum, cnt in counts.items():
+        w = weights.get(stratum, default_weight)
+        keep = min(cnt, math.floor(budget * w))
+        out[stratum] = min(65535, math.floor(65536.0 * keep / cnt) - 1) if cnt else -1
+    return out
+
+
+def domain_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    budget_frac: float,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Resample a corpus toward a target domain mixture, deterministically.
+
+    The LLM-pretraining data-mixing step (upweight curated sources,
+    downweight crawl): the output holds ≈ ``budget_frac·|df|`` rows whose
+    per-stratum shares follow ``weights`` (capped at each stratum's actual
+    size; weights needn't sum to 1 — ``budget·w_s`` is a per-stratum
+    target, not a partition of the budget).
+
+    100 TB shape: one partial-aggregated count per stratum (collected —
+    a legitimate post-agg scalar, one row per *domain*, dozens not
+    billions), thresholds computed driver-side with the exact integer/IEEE
+    recipe of :func:`mixture_thresholds`, then a literal CASE hash-filter
+    that evaluates scan-side in whole-stage codegen: zero shuffle on the
+    data path, identical keep set on every run/engine/retry.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1))).collect()
+    }
+    thr_int = mixture_thresholds(counts, weights, budget_frac, default_weight)
+    thr: Column = F.lit("")  # "" < any 4-hex bucket ⇒ unseen stratum drops
+    for stratum, t in thr_int.items():
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(format(t, "04x") if t >= 0 else "")
+        ).otherwise(thr)
     return df.filter(sample_bucket(F.col(key_col)) <= thr)

@@ -189,6 +189,68 @@ def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def boilerplate_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_df: int = 20,
+) -> DataFrame:
+    """Cross-document boilerplate detection (the C4/RefinedWeb repeated-
+    n-gram filter): an n-gram appearing in ≥ ``min_df`` distinct docs is
+    boilerplate (navigation chrome, licence footers, templated spam);
+    each doc reports how much of it is boilerplate.
+
+    Shape at 100 TB: the document frequency rides a window count over
+    ``partitionBy(shingle)`` — ONE raw shuffle of the shingle rows, no
+    join, no broadcast of the (unbounded, corpus-dependent) boilerplate
+    set; the per-doc rollup after it is a partial-aggregated groupBy that
+    compresses to one row per doc before its shuffle. The alternative
+    (df agg + join back) shuffles the raw shingle rows once anyway PLUS
+    the aggregated df table, and Catalyst cannot reuse the exchange
+    because the agg side shuffles a partial-agg'd subtree, not the raw
+    rows (verified on the physical plan).
+
+    Every doc appears in the output: ``shingle_rows`` is total (an empty
+    text yields one empty-string shingle), so no reconciling join against
+    the input is needed. Output per doc: ``(id, n_shingles, n_boiler,
+    boiler_frac)`` with boiler_frac floor-rounded to 6 dp for engine
+    portability.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import shingle_rows
+
+    sh = shingle_rows(docs, id_col, text_col, n=n)
+    with_df = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+
+    def r6(c: Column) -> Column:
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    return (
+        with_df.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_df") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_boiler").cast("long").alias("n_boiler"),
+            r6(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_boiler") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0))
+            ).alias("boiler_frac"),
+        )
+    )
+
+
 def ngram_overlap_flags(
     docs: DataFrame,
     eval_docs: DataFrame,

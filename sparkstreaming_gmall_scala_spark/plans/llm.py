@@ -1026,3 +1026,93 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_flags(
         d, d.filter(F.col("doc_id") < 10), "doc_id", "text", n=3
     )
+
+
+# Target mixture for the domain_mix gate query. All weights are exact
+# binary fractions (1/2, 1/4, 1/8, 1/128) so the Python driver-side
+# threshold math and the oracle's SQL literals are the same IEEE doubles.
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.125}
+_MIX_DEFAULT_W = 0.0078125  # 1/128
+_MIX_BUDGET_FRAC = 0.5
+
+
+@register(
+    "domain_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM counts),
+    thr AS (
+      SELECT source,
+             least(65535, CAST(floor(
+               65536.0 * least(cnt, floor(floor(total * 0.5) *
+                 CASE source WHEN 'src0' THEN 0.5
+                             WHEN 'src1' THEN 0.25
+                             WHEN 'src2' THEN 0.125
+                             ELSE 0.0078125 END)) / cnt
+             ) AS BIGINT) - 1) AS thr_int
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE thr.thr_int >= 0
+      AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+            <= lpad(lower(to_hex(thr.thr_int)), 4, '0')
+    """,
+    tags=("llm", "sampling", "mixing"),
+    gated=False,
+)
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling (the pretraining data-mixing
+    step: upweight curated sources, cap crawl): per-source hash-keep
+    thresholds derived from a target mixture + observed source counts;
+    the data path is a scan-side literal CASE filter — zero shuffle,
+    reproducible keep set on any engine or retry."""
+    from ..operators.sampling import domain_mix as _mix
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return _mix(
+        d, key_col="doc_id", strata_col="source",
+        weights=_MIX_WEIGHTS, budget_frac=_MIX_BUDGET_FRAC,
+        default_weight=_MIX_DEFAULT_W,
+    )
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    boiler AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 20
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    nb AS (
+      SELECT s.doc_id, count(*) AS n_boiler
+      FROM sh s JOIN boiler USING (shingle) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per_doc.n_shingles, 0) AS n_shingles,
+           COALESCE(nb.n_boiler, 0) AS n_boiler,
+           floor((CASE WHEN COALESCE(per_doc.n_shingles, 0) > 0
+                       THEN CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE)
+                            / per_doc.n_shingles
+                       ELSE 0 END) * 1000000 + 0.5) / 1000000 AS boiler_frac
+    FROM documents d
+    LEFT JOIN per_doc USING (doc_id) LEFT JOIN nb USING (doc_id)
+    """,
+    tags=("llm", "text", "quality"),
+    gated=False,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style cross-document boilerplate: shingles present in
+    ≥20 distinct docs are boilerplate; each doc reports its boilerplate
+    fraction. Document frequency rides a window count over the shingle
+    partition — one raw shuffle of the shingle set, no join, no unbounded
+    broadcast (plan-asserted: exactly 2 exchanges end-to-end)."""
+    from ..operators.textstats import boilerplate_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_stats(d, "doc_id", "text", n=3, min_df=20)

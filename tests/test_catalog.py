@@ -53,6 +53,8 @@ def test_gate_budget(registry):
         # tools/verify_local + pytest, just not by the driver's 50 rows
         "doc_repetition",
         "decontaminate",
+        "domain_mix",
+        "boilerplate_ngrams",
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None

@@ -115,3 +115,26 @@ def test_doc_repetition_aggregates_partially(spark, sf_dir, registry):
     # the (doc, gram) mode count must combine map-side before shuffling
     plan = _plan(spark, registry, "doc_repetition", sf_dir)
     assert "partial_count" in plan or "partial_max" in plan, plan[:2000]
+
+
+def test_domain_mix_is_pure_scan_no_shuffle(spark, sf_dir, registry):
+    # the mixing filter must be a literal CASE evaluated scan-side: the
+    # only job over the data path has no exchange and the md5 predicate
+    # sits in the scan's DataFilters (the counts agg is a separate tiny
+    # pre-pass, not part of this plan)
+    plan = _plan(spark, registry, "domain_mix", sf_dir)
+    assert "Exchange" not in plan, plan[:2000]
+    scan_lines = [
+        l for l in plan.split("\n") if "Scan parquet" in l or "DataFilters" in l
+    ]
+    assert any("md5" in l for l in scan_lines), plan[:2000]
+
+
+def test_boilerplate_ngrams_single_raw_shuffle_no_broadcast(spark, sf_dir, registry):
+    # df-by-window formulation: exactly 2 exchanges (shingle window +
+    # per-doc partial agg), no join, no broadcast of the unbounded
+    # boilerplate set
+    plan = _plan(spark, registry, "boilerplate_ngrams", sf_dir)
+    assert plan.count("Exchange") == 2, plan[:3000]
+    assert "Broadcast" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]

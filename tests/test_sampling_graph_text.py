@@ -193,3 +193,78 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
     }
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files"
+
+
+def test_mixture_thresholds_exact_math():
+    from sparkstreaming_gmall_scala_spark.operators.sampling import (
+        mixture_thresholds,
+    )
+
+    # total=1000, budget=500; a: want 250, cnt 100 -> keep 100 -> 'ffff';
+    # b: want 125, cnt 500 -> keep 125 -> floor(65536*125/500)-1 = 16383;
+    # c: weight 0 -> keep 0 -> floor(0)-1 = -1 (drop stratum entirely)
+    thr = mixture_thresholds(
+        {"a": 100, "b": 500, "c": 400},
+        {"a": 0.5, "b": 0.25},
+        budget_frac=0.5,
+        default_weight=0.0,
+    )
+    assert thr == {"a": 65535, "b": 16383, "c": -1}
+    # empty stratum can't divide by zero
+    assert mixture_thresholds({"z": 0}, {}, 0.5)["z"] == -1
+
+
+def test_domain_mix_hits_target_mixture_and_drops_zero_weight(spark):
+    import hashlib
+
+    from sparkstreaming_gmall_scala_spark.operators.sampling import domain_mix
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]  # 1000 per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mix(
+        df, "doc_id", "source",
+        weights={"s0": 0.5, "s1": 0.25},
+        budget_frac=0.5, default_weight=0.0,
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # zero-weight strata are dropped entirely, not sampled at 1/65536
+    assert "s2" not in by_src and "s3" not in by_src
+    # s0 wants 1000 of 1000 -> keep all; s1 wants 500 of 1000 -> ~half
+    assert len(by_src["s0"]) == 1000
+    assert abs(len(by_src["s1"]) - 500) < 60
+    # keep set is the exact md5 rule (reproducible in pure python)
+    thr_hex = format(
+        min(65535, (65536 * 500) // 1000 - 1), "04x"
+    )  # keep=500, cnt=1000 -> exact division, int math == float math
+    expect = {
+        i for i, s in rows
+        if s == "s1"
+        and hashlib.md5(str(i).encode()).hexdigest()[:4] <= thr_hex
+    }
+    assert by_src["s1"] == expect
+
+
+def test_boilerplate_stats_counts_cross_doc_ngrams(spark):
+    from sparkstreaming_gmall_scala_spark.operators.textstats import (
+        boilerplate_stats,
+    )
+
+    # "a b c" appears in every doc (df=4 >= min_df=3) -> boilerplate;
+    # each doc's tail shingles are unique to it
+    docs = spark.createDataFrame(
+        [(i, f"a b c tail{i} x{i} y{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_boiler"], r["boiler_frac"])
+        for r in boilerplate_stats(
+            docs, "doc_id", "text", n=3, min_df=3
+        ).collect()
+    }
+    # 6 tokens -> 4 shingles; only the shared leading "a b c" is boiler
+    for i in range(4):
+        n_sh, n_b, frac = got[i]
+        assert n_sh == 4 and n_b == 1
+        assert frac == 0.25
