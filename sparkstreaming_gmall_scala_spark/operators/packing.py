@@ -1,0 +1,117 @@
+"""Corpus-assembly operators: chunking for embedding/RAG ingestion and
+concat-and-chunk sequence packing for pretraining data loaders.
+
+Both are deterministic manifest builders — they tell a downstream loader
+exactly which tokens land where, reproducibly on any engine/run/retry —
+and both avoid the naive global-sort formulation that would serialize a
+100 TB corpus through one ordering:
+
+- ``chunk_tokens`` is a pure per-row explode: zero shuffle, runs at scan
+  speed inside whole-stage codegen.
+- ``pack_sequences`` shards the corpus by key first and packs within each
+  shard independently (training order inside a shard is all a loader
+  needs; global document order is an anti-feature for pretraining — you
+  shuffle shards at load time anyway). The only exchange is the shard
+  hash partition; each shard's running sum is a window over its own
+  partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into overlapping token windows (the RAG /
+    embedding-ingestion chunker): chunks start every ``stride =
+    chunk_size - overlap`` tokens; the final chunk may be short; a doc
+    with no tokens yields one empty chunk (every doc appears in the
+    output, no reconciling join needed).
+
+    ``chunk_id`` is ``tok_start // stride`` — derivable from the start
+    offset in any engine, no ordinality construct required.
+
+    100 TB shape: select + posexplode over a materialized token array —
+    zero shuffle, zero joins; the whole operator is scan-side.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    starts = toked.select(
+        id_col,
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("_toks") - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("_start"),
+    )
+    return starts.select(
+        id_col,
+        F.floor(F.col("_start") / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.col("_start").cast("long").alias("tok_start"),
+        F.greatest(
+            F.least(F.lit(chunk_size), F.size("_toks") - F.col("_start")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("_toks", F.col("_start") + 1, F.lit(chunk_size))
+        ).alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 128,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk packing manifest (the GPT-style pretraining step:
+    concatenate documents, slice into fixed ``seq_len``-token training
+    sequences). Output per doc: its shard, token count, offset into the
+    shard's token stream, and the first/last shard-local sequence index
+    it lands in (NULL for empty docs — they occupy no tokens).
+
+    Sequence ids are **shard-local**: a loader keys sequences by
+    ``(shard, seq)``. Packing is per-shard so the 100 TB corpus never
+    funnels through a global sort — one hash exchange on ``shard``
+    (pick ``n_shards`` ≈ corpus_tokens / (seq_len · seqs_per_task) at
+    scale), then a running-sum window inside each shard ordered by the
+    unique ``id_col``, which keeps the manifest deterministic across
+    runs, engines, and task retries.
+    """
+    t = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_end = F.sum("n_tokens").over(w)
+    tok_offset = cum_end - F.col("n_tokens")
+    return t.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        tok_offset.alias("tok_offset"),
+        F.when(F.col("n_tokens") > 0, F.floor(tok_offset / F.lit(seq_len)))
+        .cast("long")
+        .alias("seq_first"),
+        F.when(F.col("n_tokens") > 0, F.floor((cum_end - 1) / F.lit(seq_len)))
+        .cast("long")
+        .alias("seq_last"),
+    )
