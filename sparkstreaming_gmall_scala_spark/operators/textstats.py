@@ -201,15 +201,19 @@ def boilerplate_stats(
     boilerplate (navigation chrome, licence footers, templated spam);
     each doc reports how much of it is boilerplate.
 
-    Shape at 100 TB: the document frequency rides a window count over
-    ``partitionBy(shingle)`` — ONE raw shuffle of the shingle rows, no
-    join, no broadcast of the (unbounded, corpus-dependent) boilerplate
-    set; the per-doc rollup after it is a partial-aggregated groupBy that
-    compresses to one row per doc before its shuffle. The alternative
-    (df agg + join back) shuffles the raw shingle rows once anyway PLUS
-    the aggregated df table, and Catalyst cannot reuse the exchange
-    because the agg side shuffles a partial-agg'd subtree, not the raw
-    rows (verified on the physical plan).
+    Shape at 100 TB: document frequency comes from ``groupBy(shingle).
+    count()`` + join back — NOT a count window over
+    ``partitionBy(shingle)``. A boilerplate shingle is by definition
+    present in a huge share of documents, and a window partition cannot
+    be split: every occurrence of "click here to" would ship to ONE
+    window task (AQE skew handling covers joins, not windows). The
+    groupBy formulation is partial-aggregated map-side, so hot shingles
+    compress to one row per task BEFORE their shuffle, and the join-back
+    probe — the only remaining skewed exchange — is a sort-merge join
+    AQE's skew-split CAN cut into bounded tasks. The third exchange this
+    costs (agg subtree vs probe subtree, no exchange reuse) is the price
+    of bounded per-task work; the per-doc rollup after it is a
+    partial-aggregated groupBy on uniform doc keys.
 
     Every doc appears in the output: ``shingle_rows`` is total (an empty
     text yields one empty-string shingle), so no reconciling join against
@@ -217,14 +221,13 @@ def boilerplate_stats(
     boiler_frac)`` with boiler_frac floor-rounded to 6 dp for engine
     portability.
     """
-    from pyspark.sql import Window
-
     from .dedup import shingle_rows
 
     sh = shingle_rows(docs, id_col, text_col, n=n)
-    with_df = sh.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # inner join keeps every sh row (each shingle has a df row by
+    # construction), so the per-doc counts below are over the full set
+    with_df = sh.join(dfreq, "shingle")
 
     def r6(c: Column) -> Column:
         return F.floor(c * 1e6 + 0.5) / 1e6

@@ -380,6 +380,10 @@ def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     tags=("parity", "join"),
+    # The '1' branch of the same J5 existence probe as the gated
+    # customers_no_orders; ungated (round 5) to free a gate row for the
+    # corpus-quality ops.
+    gated=False,
 )
 def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join — the '1' branch of the same existence probe."""

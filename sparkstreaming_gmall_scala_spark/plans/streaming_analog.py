@@ -72,6 +72,10 @@ def dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("streaming-analog", "dedup", "window"),
+    # Same A2 streaming-distinct family as the gated dau (per-day distinct
+    # devices); ungated (round 5) to free a gate row for the corpus-quality
+    # ops.
+    gated=False,
 )
 def dau_first_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The row the reference actually emits per (day, device): the FIRST

@@ -44,17 +44,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # conf locked down — fall through and let the read decide
+    # Testdata written with isAdjustedToUTC=false would surface as
+    # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ, but the whole
+    # engine (unix_micros, date_format, window()) speaks TIMESTAMP, and
+    # reading as TIMESTAMP keeps ts/o_orderdate predicates pushable into
+    # the scan (a post-read cast would strip PushedFilters). Session tz
+    # is UTC wherever these tables ship, so the reads are micros-
+    # identical to the naive values DuckDB sees.
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), surfaced as a long via
-        # spark.sql.legacy.parquet.nanosAsLong; convert to a microsecond
-        # timestamp (Spark's native precision).
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # Integer `div`, NOT `/1000`: float division round-trips the
-            # nano count through a double, which is off by ±1 µs above
-            # 2^52 — and 2024 epoch-nanos are ~1.7e18.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # events.ts as parquet TIMESTAMP(NANOS), surfaced as a long via
+        # spark.sql.legacy.parquet.nanosAsLong; convert to a microsecond
+        # timestamp (Spark's native precision). Integer `div`, NOT
+        # `/1000`: float division round-trips the nano count through a
+        # double, which is off by ±1 µs above 2^52 — and 2024 epoch-nanos
+        # are ~1.7e18.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet written with isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ
+    # under Spark 4's inferTimestampNTZ; the whole engine (unix_micros,
+    # date_format, window()) speaks TIMESTAMP. The session tz is UTC in
+    # every supported deployment of these test tables, so the cast is
+    # micros-identical to the naive values DuckDB reads.
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df

@@ -21,6 +21,17 @@ yet contain its bands, recomputing identical pairs. Replaying a batch
 AFTER later batches committed emits a superset of its original pairs
 (new-vs-everything-indexed); those extras are exactly the later batches'
 rows, so the corpus-level pair set is unchanged.
+
+The band index is APPEND-ONLY: each batch writes its own ``batch_id=N``
+directory (``IdempotentBatchWriter`` — a replayed id overwrites itself
+with identical bands, never touching other batches' files). Bands are
+insert-only by construction, so no merge is needed: per-batch index
+maintenance is O(batch), not O(corpus) — the whole-index
+read-union-rewrite ``upsert_parquet`` (a small-dim tool) would be the
+bottleneck at 100 TB. The batch's own bands join the probe universe via
+a plain union (no ``distinct()``: the index is (doc_id, band_idx)-unique
+per batch dir by construction, and the final ``pairs.distinct()``
+already absorbs replay overlap).
 """
 
 from __future__ import annotations
@@ -30,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.dedup import band_signatures, minhash_signatures, shingle_rows
-from ..sinks.batch import IdempotentBatchWriter, has_parquet, upsert_parquet
+from ..sinks.batch import IdempotentBatchWriter, has_parquet
 from .sources import file_stream
 
 DOC_SCHEMA = T.StructType(
@@ -53,7 +64,8 @@ def dedup_candidates_batch(
     """Per-batch body (exposed so tests can replay a (batch_df, batch_id)
     directly): shingle → minhash → band the NEW docs, join against the
     persisted band index ∪ this batch, emit (id_a, id_b) candidates,
-    then upsert the new bands into the index."""
+    then append the new bands as the index's ``batch_id=N`` directory."""
+    index_writer = IdempotentBatchWriter(index_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.dropDuplicates(["doc_id"])
@@ -66,12 +78,13 @@ def dedup_candidates_batch(
             band_size,
         ).persist()
         if has_parquet(index_dir):
-            seen = spark.read.parquet(index_dir)
+            seen = index_writer.read(spark).drop("batch_id")
         else:
             seen = spark.createDataFrame([], _BAND_SCHEMA)
-        # distinct makes a replayed batch (bands already indexed) join the
-        # same universe as its first run
-        universe = seen.unionByName(banded_new).distinct()
+        # A replayed batch finds its own bands already indexed; the extra
+        # copies only produce duplicate pairs, which the distinct below
+        # absorbs — no O(corpus) universe.distinct() needed.
+        universe = seen.unionByName(banded_new)
         a, b = banded_new.alias("a"), universe.alias("b")
         pairs = (
             a.join(
@@ -87,9 +100,7 @@ def dedup_candidates_batch(
             .distinct()
         )
         sink(pairs, batch_id)
-        upsert_parquet(
-            spark, banded_new, index_dir, ["doc_id", "band_idx"]
-        )
+        index_writer(banded_new, batch_id)
         banded_new.unpersist()
 
     return process

@@ -49,12 +49,14 @@ def test_gate_budget(registry):
         "knn_lsh",  # in-memory twin of knn_lsh_persisted
         "knn_ivf",  # in-memory twin of knn_ivf_persisted
         "embed_near_dup_vec",  # pair-set == embed_near_dup (gated)
-        # extensions past the budget — full oracles, checked by
-        # tools/verify_local + pytest, just not by the driver's 50 rows
-        "doc_repetition",
-        "decontaminate",
-        "domain_mix",
-        "boilerplate_ngrams",
+        # round-5 rotation: near-twins of gated siblings, swapped out so
+        # the four distinct corpus-quality behaviors (doc_repetition,
+        # decontaminate, domain_mix, boilerplate_ngrams) get driver
+        # CORRECTNESS rows. Still registered, benched, pytest-covered.
+        "customers_with_orders",  # J5 twin of customers_no_orders
+        "dau_first_visit",  # A2 twin of dau
+        "multimodal_resize",  # same Arrow pipeline as multimodal_features
+        "multimodal_frames",  # same Arrow pipeline as multimodal_features
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None

@@ -130,11 +130,13 @@ def test_domain_mix_is_pure_scan_no_shuffle(spark, sf_dir, registry):
     assert any("md5" in l for l in scan_lines), plan[:2000]
 
 
-def test_boilerplate_ngrams_single_raw_shuffle_no_broadcast(spark, sf_dir, registry):
-    # df-by-window formulation: exactly 2 exchanges (shingle window +
-    # per-doc partial agg), no join, no broadcast of the unbounded
-    # boilerplate set
+def test_boilerplate_ngrams_df_is_partial_agg_not_window(spark, sf_dir, registry):
+    # document frequency must be a partial-aggregated groupBy(shingle)
+    # joined back (hot shingles compress map-side; the skewed probe join
+    # is AQE-splittable) — NOT a count window over partitionBy(shingle),
+    # which would ship every occurrence of a hot boilerplate shingle to
+    # one unsplittable window task at corpus scale
     plan = _plan(spark, registry, "boilerplate_ngrams", sf_dir)
-    assert plan.count("Exchange") == 2, plan[:3000]
-    assert "Broadcast" not in plan, plan[:3000]
-    assert "Join" not in plan, plan[:3000]
+    assert "partial_count" in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "Join" in plan, plan[:3000]

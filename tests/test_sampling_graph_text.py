@@ -268,3 +268,32 @@ def test_boilerplate_stats_counts_cross_doc_ngrams(spark):
         n_sh, n_b, frac = got[i]
         assert n_sh == 4 and n_b == 1
         assert frac == 0.25
+
+
+def test_boilerplate_stats_pathological_hot_shingle(spark):
+    """One shingle present in EVERY doc (the worst-case boilerplate skew:
+    a df-sized window partition would funnel all n_docs rows into one
+    task). The groupBy+join formulation must stay correct — and the df
+    side must compress hot shingles map-side (partial agg below its
+    exchange) so no task ever holds the full occurrence list."""
+    from sparkstreaming_gmall_scala_spark.operators.textstats import (
+        boilerplate_stats,
+    )
+
+    n_docs = 2000
+    docs = spark.createDataFrame(
+        [(i, f"hot hot hot u{i} v{i} w{i}") for i in range(n_docs)],
+        "doc_id long, text string",
+    ).repartition(16)
+    out = boilerplate_stats(docs, "doc_id", "text", n=3, min_df=n_docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == n_docs
+    # 6 tokens -> 4 shingles: "hot hot hot" (df = n_docs, boiler) plus
+    # three doc-unique tails
+    for i in (0, 1234, n_docs - 1):
+        assert got[i]["n_shingles"] == 4
+        assert got[i]["n_boiler"] == 1
+        assert got[i]["boiler_frac"] == 0.25

@@ -1024,3 +1024,37 @@ def test_incremental_dedup_matches_batch_on_union(spark, tmp_path):
         for r in IdempotentBatchWriter(out).read(spark).collect()
     }
     assert got2 == want
+
+
+def test_incremental_dedup_index_is_append_only(spark, tmp_path):
+    """Index maintenance must be O(batch), not O(corpus): processing batch
+    N+1 appends its own batch_id directory and leaves batch N's files
+    byte-for-byte untouched (no whole-index read-union-rewrite)."""
+    import os
+
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import (
+        DOC_SCHEMA,
+        dedup_candidates_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    sink = IdempotentBatchWriter(str(tmp_path / "out"))
+    run = dedup_candidates_batch(spark, idx, sink)
+
+    run(spark.createDataFrame([(1, "alpha beta gamma delta")], DOC_SCHEMA), 0)
+
+    def snapshot(d):
+        files = {}
+        for root, _dirs, names in os.walk(d):
+            for n in names:
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                files[p] = (st.st_size, st.st_mtime_ns)
+        return files
+
+    before = snapshot(os.path.join(idx, "batch_id=0"))
+    assert before, "batch 0 wrote no index files"
+
+    run(spark.createDataFrame([(2, "epsilon zeta eta theta")], DOC_SCHEMA), 1)
+    assert snapshot(os.path.join(idx, "batch_id=0")) == before
+    assert os.path.isdir(os.path.join(idx, "batch_id=1"))
