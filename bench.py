@@ -57,7 +57,50 @@ HEADLINE = (
     # ungated library twin) and the remaining gated temporal query
     "session_stats",
     "order_gaps",
+    # added r5: the corpus-quality family (gated this round) and the
+    # corpus-assembly manifests
+    "doc_repetition",
+    "decontaminate",
+    "domain_mix",
+    "boilerplate_ngrams",
+    "chunk_tokens",
+    "pack_sequences",
 )
+
+
+def bench_streaming_dedup(spark, sf_dir: str, limit: int | None = None) -> int:
+    """Incremental streaming-dedup probe: feed the documents table through
+    the persisted-band-index pipeline in two micro-batches (foreachBatch
+    body driven directly) and return the candidate-pair count. Times the
+    O(batch) shingle→minhash→band + index-probe path, including the
+    append-only index writes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_gmall_scala_spark.sinks.batch import (
+        IdempotentBatchWriter,
+    )
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import (
+        dedup_candidates_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if limit is not None:
+        docs = docs.limit(limit)
+    work = tempfile.mkdtemp(prefix="bench_sdedup_")
+    try:
+        sink = IdempotentBatchWriter(os.path.join(work, "out"))
+        run = dedup_candidates_batch(spark, os.path.join(work, "idx"), sink)
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        rest = docs.filter(F.col("doc_id") % 2 == 1)
+        run(half, 0)
+        run(rest, 1)
+        return sink.read(spark).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> int:
@@ -83,6 +126,20 @@ def main() -> int:
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+
+    # added r5: the incremental streaming-dedup probe (not a catalog
+    # query — it drives the foreachBatch body over two micro-batches).
+    # Warm its plan shapes on a 50-doc slice first: the probe path's
+    # codegen/classloading is ~15s cold, which would swamp the number.
+    bench_streaming_dedup(spark, sf_dir, limit=50)
+    t0 = time.perf_counter()
+    n = bench_streaming_dedup(spark, sf_dir)
+    times["streaming_dedup_2batches"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# streaming_dedup_2batches: {n} rows in "
+        f"{times['streaming_dedup_2batches']:.2f}s",
+        file=sys.stderr,
+    )
 
     total = round(sum(times.values()), 3)
     print(

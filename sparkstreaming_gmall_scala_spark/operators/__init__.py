@@ -30,7 +30,13 @@ from .multimodal import (
     resize_payload,
     to_binary_payload,
 )
-from .sampling import hash_stratified_sample, sample_bucket
+from .packing import chunk_tokens, pack_sequences
+from .sampling import (
+    domain_mix,
+    hash_stratified_sample,
+    mixture_thresholds,
+    sample_bucket,
+)
 from .similarity import (
     brute_force_topk,
     bucketed_topk,
@@ -46,17 +52,27 @@ from .similarity import (
 )
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join_bucketed
-from .textstats import lang_id, quality_score, tfidf_top_terms
+from .textstats import (
+    boilerplate_stats,
+    lang_id,
+    ngram_overlap_flags,
+    quality_score,
+    repetition_stats,
+    tfidf_top_terms,
+)
 
 __all__ = [
     "allocate",
     "asof_join",
+    "boilerplate_stats",
     "brute_force_topk",
     "bucketed_topk",
     "bucketize_corpus",
+    "chunk_tokens",
     "connected_components",
     "cosine_near_dup_pairs",
     "cosine_near_dup_vectorized",
+    "domain_mix",
     "enrich_left",
     "exact_dedup",
     "extract_features",
@@ -73,11 +89,15 @@ __all__ = [
     "lsh_candidate_pairs",
     "members_only",
     "minhash_signatures",
+    "mixture_thresholds",
+    "ngram_overlap_flags",
+    "pack_sequences",
     "parse_envelope",
     "parse_envelope_with_dead_letter",
     "probe_topk",
     "quality_score",
     "range_join_bucketed",
+    "repetition_stats",
     "resize_payload",
     "route_by_rules",
     "route_canal",

@@ -209,6 +209,12 @@ def jaccard_pairs(
     return out
 
 
+# Last connected_components run diagnostics (propagation round count,
+# whether the star fallback fired) — read by tests and perf tuning only;
+# not part of any result.
+CC_STATS: dict[str, int | bool] = {}
+
+
 def _star_contraction(
     sym: DataFrame, nodes: DataFrame, cut, max_rounds: int = 64
 ) -> DataFrame:
@@ -306,9 +312,14 @@ def connected_components(
     - **Large-star/small-star contraction** (the scale-safe path):
       O(log n) rounds regardless of diameter.
     ``method="auto"`` (default) runs propagation and falls back to star
-    contraction if the diameter exceeds ``max_iters``; ``"propagation"``
+    contraction if the diameter exceeds ``max_iters`` — or EARLY, as soon
+    as the label-sum deltas plateau: a long path collapses one hop per
+    round, so three consecutive near-equal non-zero deltas are the
+    diameter's signature, and burning the rest of the propagation budget
+    before restarting would double the worst-case work. ``"propagation"``
     raises instead of falling back (strict form); ``"star"`` skips
-    propagation entirely.
+    propagation entirely. ``CC_STATS`` records the last run's round
+    count and fallback decision (diagnostics/tests only).
 
     Lineage is cut per round (iterative plans otherwise grow
     exponentially): ``localCheckpoint`` by default — executor-memory
@@ -340,7 +351,9 @@ def connected_components(
     labels = cut(nodes.withColumn("label", F.col("node")))
     prev_sum = None
     converged = False
-    for _ in range(max_iters):
+    deltas: list[int] = []
+    CC_STATS.clear()
+    for i in range(max_iters):
         nbr = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
@@ -356,10 +369,26 @@ def connected_components(
             )
         )
         s = labels.agg(F.sum("label")).first()[0]
+        CC_STATS["prop_rounds"] = i + 1
         if s == prev_sum:
             converged = True
             break
+        if prev_sum is not None:
+            deltas.append(prev_sum - s)
+            # Diameter signature: propagation moves the min label ONE hop
+            # per round along a path, so the label sum drops by a near-
+            # constant amount each round. Three consecutive plateaued
+            # deltas ⇒ hand off to the O(log n) contraction now instead
+            # of propagating to budget exhaustion first.
+            if (
+                method == "auto"
+                and len(deltas) >= 3
+                and min(deltas[-3:]) > 0
+                and max(deltas[-3:]) <= 1.25 * min(deltas[-3:])
+            ):
+                break
         prev_sum = s
+    CC_STATS["fell_back"] = not converged
     if converged:
         return labels
     if method == "propagation":
@@ -369,8 +398,8 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds; "
             "raise max_iters (diameter exceeds it) or use method='star'"
         )
-    # auto: the diameter beat the propagation budget — restart with the
-    # O(log n) contraction, which cannot.
+    # auto: the diameter beat the propagation budget (or the plateau
+    # heuristic called it early) — restart with the O(log n) contraction.
     return _star_contraction(sym, nodes, cut)
 
 

@@ -1123,3 +1123,88 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return boilerplate_stats(d, "doc_id", "text", n=3, min_df=20)
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: chunking for embedding/RAG ingestion and concat-and-
+# chunk sequence packing for pretraining loaders (operators/packing.py).
+# Ungated (the driver's 50-row budget is spent on the families above);
+# full oracles, checked by tools/verify_local + the invariant pytests.
+# ---------------------------------------------------------------------------
+
+# Raw-case tokens (chunking preserves the original text, unlike the
+# lower-cased shingle fragments above).
+_RAW_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@register(
+    "chunk_tokens",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_RAW_TOKENS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, greatest(len(t) - 1, 0), 56)) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s // 56 AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS tok_start,
+           CAST(greatest(least(64, len(t) - s), 0) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+    FROM starts
+    """,
+    tags=("llm", "packing", "rag"),
+    gated=False,
+)
+def chunk_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding-ingestion chunker: overlapping 64-token windows with
+    8-token overlap (stride 56), one row per (doc, chunk). Pure per-row
+    posexplode — zero shuffle, runs at scan speed inside codegen; the
+    chunk id is derivable from the start offset so no ordinality
+    construct (and no sort) is needed on any engine."""
+    from ..operators.packing import chunk_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(d, "doc_id", "text", chunk_size=64, overlap=8)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,
+             CAST(len({_RAW_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_end
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum_end - n_tokens AS BIGINT) AS tok_offset,
+           CASE WHEN n_tokens > 0
+                THEN CAST((cum_end - n_tokens) // 128 AS BIGINT) END
+             AS seq_first,
+           CASE WHEN n_tokens > 0
+                THEN CAST((cum_end - 1) // 128 AS BIGINT) END AS seq_last
+    FROM w
+    """,
+    tags=("llm", "packing", "pretraining"),
+    gated=False,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing manifest (GPT-style pretraining): docs are
+    hash-sharded, concatenated per shard in doc_id order, and sliced into
+    128-token sequences; each doc reports its shard, token offset, and
+    first/last shard-local sequence index. Per-shard windows — one hash
+    exchange, no global sort — keep the manifest deterministic across
+    runs, engines, and task retries."""
+    from ..operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", seq_len=128, n_shards=32)

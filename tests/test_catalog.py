@@ -57,6 +57,10 @@ def test_gate_budget(registry):
         "dau_first_visit",  # A2 twin of dau
         "multimodal_resize",  # same Arrow pipeline as multimodal_features
         "multimodal_frames",  # same Arrow pipeline as multimodal_features
+        # corpus-assembly extensions past the budget — full oracles,
+        # checked by tools/verify_local + invariant pytests
+        "chunk_tokens",
+        "pack_sequences",
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None

@@ -138,6 +138,43 @@ def test_connected_components_long_path_falls_back_to_star(spark):
     assert labels == {i: 0 for i in range(n + 1)}
 
 
+def test_connected_components_plateau_bails_before_budget_exhaustion(spark):
+    """auto: a long path collapses one hop per propagation round (near-
+    constant label-sum delta), and the plateau heuristic must hand off to
+    star contraction well before the 25-round default budget burns —
+    correctness unchanged."""
+    from sparkstreaming_gmall_scala_spark.operators.dedup import CC_STATS
+
+    n = 60  # diameter 59 >> default max_iters=25
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    labels = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert labels == {i: 0 for i in range(n + 1)}
+    assert CC_STATS["fell_back"] is True
+    # 3 plateaued deltas are observable by round ~5; anything ≤ 8 proves
+    # the early bail (budget exhaustion would be 25)
+    assert CC_STATS["prop_rounds"] <= 8, CC_STATS
+
+
+def test_connected_components_short_graphs_do_not_fall_back(spark):
+    """The plateau heuristic must not fire on ordinary dedup graphs
+    (short chains converge before three plateaued deltas can appear)."""
+    from sparkstreaming_gmall_scala_spark.operators.dedup import CC_STATS
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    labels = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert CC_STATS["fell_back"] is False
+
+
 def test_connected_components_star_matches_propagation_on_random_graph(spark):
     """Both forms agree with a driver-side union-find on a seeded random
     graph (many components, varied shapes)."""
