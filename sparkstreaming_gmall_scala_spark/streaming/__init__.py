@@ -9,6 +9,11 @@ Modules:
   sources.py          - streaming sources (file for tests, kafka gated)
   dau.py              - A2 streaming distinct (watermark + dropDuplicates)
   join.py             - J1 watermarked stream-stream join
-  allocation_state.py - A4-a exact-parity stateful allocation
-  sinks.py            - foreachBatch sink helpers (idempotent / txn / topic)
+  allocation.py       - A4 exact-parity stateful allocation
+  running.py          - W2 running sums (transformWithStateInPandas)
+  pipelines.py        - the nine reference apps as wired pipelines
+  dedup.py            - incremental LSH dedup over a persisted band index
+                        (minhash / simhash-limb / embedding-hyperplane
+                        banders behind one generic pipeline)
+  sessions.py         - session_window sessionization
 """

@@ -36,11 +36,18 @@ already absorbs replay overlap).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.dedup import band_signatures, minhash_signatures, shingle_rows
+from ..operators.dedup import (
+    band_signatures,
+    minhash_signatures,
+    shingle_rows,
+    simhash64,
+)
 from ..sinks.batch import IdempotentBatchWriter, has_parquet
 from .sources import file_stream
 
@@ -51,32 +58,109 @@ DOC_SCHEMA = T.StructType(
     ]
 )
 
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
 _BAND_SCHEMA = "doc_id long, band_idx int, band_hash string"
 
+# A bander maps a deduped batch of new docs to its LSH band rows
+# (doc_id, band_idx, band_hash) — the ONE family-specific step. Two docs
+# are candidates iff they share a (band_idx, band_hash) cell, so the
+# index layout, probe join, and replay semantics below are identical for
+# every signature family.
+Bander = Callable[[DataFrame], DataFrame]
 
-def dedup_candidates_batch(
-    spark: SparkSession,
-    index_dir: str,
-    sink: IdempotentBatchWriter,
-    num_hashes: int = 8,
-    band_size: int = 2,
-):
-    """Per-batch body (exposed so tests can replay a (batch_df, batch_id)
-    directly): shingle → minhash → band the NEW docs, join against the
-    persisted band index ∪ this batch, emit (id_a, id_b) candidates,
-    then append the new bands as the index's ``batch_id=N`` directory."""
-    index_writer = IdempotentBatchWriter(index_dir)
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        new = batch_df.dropDuplicates(["doc_id"])
-        banded_new = band_signatures(
+def minhash_bander(num_hashes: int = 8, band_size: int = 2) -> Bander:
+    """Shingle → minhash → banded signature rows (the Jaccard family)."""
+
+    def band(new: DataFrame) -> DataFrame:
+        return band_signatures(
             minhash_signatures(
                 shingle_rows(new, "doc_id", "text"), "doc_id", num_hashes
             ),
             "doc_id",
             num_hashes,
             band_size,
-        ).persist()
+        )
+
+    return band
+
+
+def simhash_bander() -> Bander:
+    """SimHash64 limbs as bands: each of the four 16-bit limbs is one
+    band, so any two docs whose signatures agree on a limb collide —
+    the pigeonhole guarantee that Hamming distance ≤ 3 over 64 bits
+    always shares one exact limb (the standard simhash blocking
+    scheme)."""
+
+    def band(new: DataFrame) -> DataFrame:
+        sig = simhash64(shingle_rows(new, "doc_id", "text"), "doc_id")
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("band_idx"),
+                            F.col(f"simhash_limb{i}")
+                            .cast("string")
+                            .alias("band_hash"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("_b"),
+        ).select(
+            "doc_id", F.col("_b.band_idx"), F.col("_b.band_hash")
+        )
+
+    return band
+
+
+def embedding_bander(
+    planes: list[list[float]], bands: int, vec_col: str = "embedding"
+) -> Bander:
+    """Banded random-hyperplane LSH over an embedding column (the cosine
+    family): the plane list splits into ``bands`` groups; each group's
+    sign bits form one bucket id (operators/similarity.py's
+    OR-construction, re-used here as band rows)."""
+
+    def band(new: DataFrame) -> DataFrame:
+        from ..operators.similarity import _band_buckets
+
+        bb = _band_buckets(
+            new.select("doc_id", vec_col), vec_col, planes, bands
+        )
+        return bb.select(
+            "doc_id",
+            F.col("band").cast("int").alias("band_idx"),
+            F.col("bucket").cast("string").alias("band_hash"),
+        )
+
+    return band
+
+
+def banded_candidates_batch(
+    spark: SparkSession,
+    index_dir: str,
+    sink: IdempotentBatchWriter,
+    bander: Bander,
+):
+    """Per-batch body (exposed so tests can replay a (batch_df, batch_id)
+    directly), generic over the signature family: band the NEW docs via
+    ``bander``, join against the persisted band index ∪ this batch, emit
+    (id_a, id_b) candidates, then append the new bands as the index's
+    ``batch_id=N`` directory."""
+    index_writer = IdempotentBatchWriter(index_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.dropDuplicates(["doc_id"])
+        banded_new = bander(new).persist()
         if has_parquet(index_dir):
             seen = index_writer.read(spark).drop("batch_id")
         else:
@@ -106,6 +190,39 @@ def dedup_candidates_batch(
     return process
 
 
+def dedup_candidates_batch(
+    spark: SparkSession,
+    index_dir: str,
+    sink: IdempotentBatchWriter,
+    num_hashes: int = 8,
+    band_size: int = 2,
+):
+    """MinHash-family per-batch body (the original surface; see
+    ``banded_candidates_batch`` for the generic form)."""
+    return banded_candidates_batch(
+        spark, index_dir, sink, minhash_bander(num_hashes, band_size)
+    )
+
+
+def _banded_pipeline(
+    spark: SparkSession,
+    src: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    bander: Bander,
+):
+    sink = IdempotentBatchWriter(out_dir)
+    return (
+        src.writeStream.foreachBatch(
+            banded_candidates_batch(spark, index_dir, sink, bander)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def dedup_index_pipeline(
     spark: SparkSession,
     src_dir: str,
@@ -115,14 +232,42 @@ def dedup_index_pipeline(
     num_hashes: int = 8,
     band_size: int = 2,
 ):
-    """Document stream → incremental LSH candidate pairs + band index."""
+    """Document stream → incremental MinHash-LSH candidate pairs + index."""
     docs = file_stream(spark, src_dir, DOC_SCHEMA)
-    sink = IdempotentBatchWriter(out_dir)
-    return (
-        docs.writeStream.foreachBatch(
-            dedup_candidates_batch(spark, index_dir, sink, num_hashes, band_size)
-        )
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .start()
+    return _banded_pipeline(
+        spark, docs, index_dir, out_dir, checkpoint,
+        minhash_bander(num_hashes, band_size),
+    )
+
+
+def simhash_index_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Document stream → incremental SimHash-limb candidate pairs + index."""
+    docs = file_stream(spark, src_dir, DOC_SCHEMA)
+    return _banded_pipeline(
+        spark, docs, index_dir, out_dir, checkpoint, simhash_bander()
+    )
+
+
+def embed_index_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    planes: list[list[float]],
+    bands: int,
+):
+    """Embedding stream → incremental hyperplane-LSH candidate pairs +
+    index (near-dup candidates by cosine family; verify with
+    operators/similarity.py's scorers downstream)."""
+    embs = file_stream(spark, src_dir, EMB_SCHEMA)
+    return _banded_pipeline(
+        spark, embs, index_dir, out_dir, checkpoint,
+        embedding_bander(planes, bands),
     )

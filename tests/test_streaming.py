@@ -1026,6 +1026,121 @@ def test_incremental_dedup_matches_batch_on_union(spark, tmp_path):
     assert got2 == want
 
 
+def _expected_band_pairs(spark, bander, df):
+    """The batch self-join over the full corpus for any bander: pairs
+    sharing a (band_idx, band_hash) cell."""
+    from pyspark.sql import functions as F
+
+    banded = bander(df)
+    a, b = banded.alias("a"), banded.alias("b")
+    return {
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+        .collect()
+    }
+
+
+def test_incremental_simhash_dedup_matches_batch_on_union(spark, tmp_path):
+    """SimHash-limb family through the generic banded pipeline: two
+    micro-batches emit exactly the limb-collision pair set of the batch
+    self-join on the union — including cross-batch pairs."""
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import (
+        DOC_SCHEMA,
+        simhash_bander,
+        simhash_index_pipeline,
+    )
+
+    src, idx, out, ckpt = _dirs(tmp_path, "src", "idx", "out", "ckpt")
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    batch1 = [
+        (1, base),
+        (2, base + " extra"),  # near-identical shingles → limb collisions
+        (3, "completely different words about spark structured streaming"),
+    ]
+    batch2 = [
+        # CROSS-batch exact dup of 1: identical shingle set ⇒ identical
+        # simhash ⇒ all four limbs collide (one changed word can flip
+        # bits in every limb, so near-dup collisions are probabilistic —
+        # the exact dup pins the cross-batch path deterministically)
+        (4, base),
+        (5, "another unrelated document mentioning parquet columnar files"),
+    ]
+    _drop(spark, DOC_SCHEMA, batch1, src)
+    q = simhash_index_pipeline(spark, src, idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _drop(spark, DOC_SCHEMA, batch2, src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in IdempotentBatchWriter(out).read(spark).collect()
+    }
+    union_docs = spark.createDataFrame(batch1 + batch2, DOC_SCHEMA)
+    want = _expected_band_pairs(spark, simhash_bander(), union_docs)
+    assert got == want
+    assert any(a in (1, 2) and b == 4 for a, b in got), "cross-batch pair missed"
+
+
+def test_incremental_embed_dedup_matches_batch_on_union(spark, tmp_path):
+    """Hyperplane-LSH embedding family through the generic banded
+    pipeline: two micro-batches ≡ the batch self-join on the union."""
+    import random
+
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import (
+        EMB_SCHEMA,
+        embed_index_pipeline,
+        embedding_bander,
+    )
+
+    rng = random.Random(11)
+    dim, bands, per_band = 8, 2, 3
+    planes = [
+        [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(bands * per_band)
+    ]
+    base = [1.0, 0.2, -0.5, 0.8, 0.0, 0.3, -0.1, 0.6]
+    jiggle = [x + 0.01 for x in base]
+    anti = [-x for x in base]
+    batch1 = [(1, base), (2, jiggle), (3, anti)]
+    batch2 = [(4, [x + 0.02 for x in base]), (5, [0.0] * 7 + [1.0])]
+
+    src, idx, out, ckpt = _dirs(tmp_path, "src", "idx", "out", "ckpt")
+    _drop(spark, EMB_SCHEMA, batch1, src)
+    q = embed_index_pipeline(spark, src, idx, out, ckpt, planes, bands)
+    try:
+        q.processAllAvailable()
+        _drop(spark, EMB_SCHEMA, batch2, src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in IdempotentBatchWriter(out).read(spark).collect()
+    }
+    union = spark.createDataFrame(batch1 + batch2, EMB_SCHEMA)
+    want = _expected_band_pairs(
+        spark, embedding_bander(planes, bands), union
+    )
+    assert got == want
+    # near-identical vectors land in the same bucket in every band
+    assert (1, 2) in got and (1, 4) in got
+    # an antipodal vector flips every sign bit — never a candidate of 1
+    assert (1, 3) not in got
+
+
 def test_incremental_dedup_index_is_append_only(spark, tmp_path):
     """Index maintenance must be O(batch), not O(corpus): processing batch
     N+1 appends its own batch_id directory and leaves batch N's files
