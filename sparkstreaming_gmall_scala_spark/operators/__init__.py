@@ -13,6 +13,7 @@ from .cdc import (
     route_canal,
     route_maxwell,
 )
+from .cleaning import line_dedup, pii_mask
 from .dedup import (
     connected_components,
     exact_dedup,
@@ -54,11 +55,13 @@ from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join_bucketed
 from .textstats import (
     boilerplate_stats,
+    gopher_quality,
     lang_id,
     ngram_overlap_flags,
     quality_score,
     repetition_stats,
     tfidf_top_terms,
+    token_entropy,
 )
 
 __all__ = [
@@ -78,6 +81,7 @@ __all__ = [
     "extract_features",
     "first_event_flag",
     "frame_sample",
+    "gopher_quality",
     "hash_stratified_sample",
     "ivf_build",
     "ivf_probe",
@@ -86,6 +90,7 @@ __all__ = [
     "kmeans_centroids",
     "label_centroids",
     "lang_id",
+    "line_dedup",
     "lsh_candidate_pairs",
     "members_only",
     "minhash_signatures",
@@ -94,6 +99,7 @@ __all__ = [
     "pack_sequences",
     "parse_envelope",
     "parse_envelope_with_dead_letter",
+    "pii_mask",
     "probe_topk",
     "quality_score",
     "range_join_bucketed",
@@ -109,4 +115,5 @@ __all__ = [
     "simhash64",
     "tfidf_top_terms",
     "to_binary_payload",
+    "token_entropy",
 ]

@@ -1208,3 +1208,175 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d, "doc_id", "text", seq_len=128, n_shards=32)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 corpus-cleaning extensions: Gopher-rule composite filter,
+# token-entropy perplexity proxy, PII masking, cross-doc line dedup.
+# Ungated (gate budget); full oracles via tools/verify_local + pytest.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gopher_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_RAW_TOKENS} AS toks,
+             list_filter(string_split_regex(text, '\\n'),
+                         l -> trim(l) <> '') AS ls,
+             (len(string_split(text, '#')) - 1)
+               + (len(string_split_regex(text, '\\.\\.\\.')) - 1)
+               + (len(string_split(text, '…')) - 1) AS n_symbols
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CASE WHEN len(toks) > 0 THEN
+               floor((list_aggregate(list_transform(toks, x -> length(x)),
+                                     'sum')::DOUBLE / len(toks))
+                     * 1000000 + 0.5) / 1000000 ELSE 0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0 THEN
+               floor((n_symbols::DOUBLE / len(toks)) * 1000000 + 0.5)
+               / 1000000 ELSE 0 END AS symbol_ratio,
+             CASE WHEN len(ls) > 0 THEN
+               floor((len(list_filter(ls,
+                       l -> regexp_matches(trim(l), '^([*•-]\\s)')))::DOUBLE
+                      / len(ls)) * 1000000 + 0.5) / 1000000
+             ELSE 0 END AS bullet_frac,
+             CASE WHEN len(ls) > 0 THEN
+               floor((len(list_filter(ls,
+                       l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE
+                      / len(ls)) * 1000000 + 0.5) / 1000000
+             ELSE 0 END AS ellipsis_frac,
+             CASE WHEN len(toks) > 0 THEN
+               floor((len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                      / len(toks)) * 1000000 + 0.5) / 1000000
+             ELSE 0 END AS alpha_frac
+      FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+           (n_words >= 5 AND n_words <= 100000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+            AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.6) AS keep
+    FROM f
+    """,
+    tags=("llm", "text", "quality"),
+    gated=False,
+)
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule composite quality filter (word-count/word-length
+    bounds, symbol ratio, bullet/ellipsis line fractions, alphabetic
+    fraction + keep flag) — zero-shuffle scan-side Column expressions."""
+    from ..operators.textstats import gopher_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_quality(d, "doc_id", "text")
+
+
+@register(
+    "token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    pd AS (
+      SELECT doc_id, sum(tf) AS n, sum(tf * ln(tf::DOUBLE)) AS s
+      FROM tf GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n, 0) AS BIGINT) AS n_tokens,
+           floor((CASE WHEN pd.n > 0 THEN ln(pd.n::DOUBLE) - pd.s / pd.n
+                       ELSE 0 END) * 1000000 + 0.5) / 1000000 AS entropy
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    tags=("llm", "text", "quality"),
+    gated=False,
+)
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per doc — the model-free perplexity proxy
+    (low entropy ⇒ degenerate/repetitive text); one uniform (doc, term)
+    groupBy + per-doc rollup, both partial-aggregated."""
+    from ..operators.textstats import token_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_entropy(d, "doc_id", "text")
+
+
+@register(
+    "pii_mask",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\\d{3}[- ]\\d{3,4}[- ]\\d{4}')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\\d{3}[- ]\\d{3,4}[- ]\\d{4}', '<PHONE>', 'g') AS masked_text
+    FROM documents
+    """,
+    tags=("llm", "text", "pii"),
+    gated=False,
+)
+def pii_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails then phone-shaped digit groups redacted with
+    per-doc hit counts — a zero-shuffle scan-side rewrite."""
+    from ..operators.cleaning import pii_mask
+
+    d = load_table(spark, sf_dir, "documents")
+    return pii_mask(d, "doc_id", "text")
+
+
+@register(
+    "line_dedup",
+    oracle="""
+    WITH l0 AS (
+      SELECT doc_id, string_split_regex(text, '\\n') AS ls FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos, ls[i] AS line, trim(ls[i]) AS key
+      FROM l0, unnest(generate_series(1, greatest(len(ls), 1))) AS u(i)
+    ),
+    dfreq AS (
+      SELECT key, count(DISTINCT doc_id) AS df
+      FROM lines WHERE key <> '' GROUP BY key
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (l.key <> '' AND COALESCE(d.df, 0) >= 3) AS dropped
+      FROM lines l LEFT JOIN dfreq d USING (key)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT dropped), '') AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+    gated=False,
+)
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (RefinedWeb/CCNet): lines appearing in
+    ≥3 distinct docs are boilerplate and drop from every doc; survivors
+    re-join in original order. Line df is a partial-aggregated
+    groupBy(line) + join back — the boilerplate_stats de-skew shape."""
+    from ..operators.cleaning import line_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return line_dedup(d, "doc_id", "text", min_df=3)

@@ -61,6 +61,13 @@ def test_gate_budget(registry):
         # checked by tools/verify_local + invariant pytests
         "chunk_tokens",
         "pack_sequences",
+        # round-5 corpus-cleaning extensions — full oracles; the corpus
+        # has no newlines/PII so their branch behavior is pinned by
+        # tests/test_cleaning.py on crafted rows
+        "gopher_quality",
+        "token_entropy",
+        "pii_mask",
+        "line_dedup",
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None
