@@ -65,6 +65,11 @@ HEADLINE = (
     "boilerplate_ngrams",
     "chunk_tokens",
     "pack_sequences",
+    # added r5: corpus cleaning
+    "gopher_quality",
+    "token_entropy",
+    "pii_mask",
+    "line_dedup",
 )
 
 
