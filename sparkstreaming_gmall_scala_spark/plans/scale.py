@@ -93,7 +93,13 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per brand (median + p90) — both
     engines use the same linear-interpolation definition; results are
     2-dp-rounded so a last-ulp arithmetic difference can't flip the hash.
-    The dim side broadcasts; one shuffle on brand."""
+    The dim side broadcasts; one shuffle on brand.
+
+    NOTE: exact percentile's aggregation buffer holds every value in the
+    group — fine at oracle scale, unbounded at 100 TB. The production
+    form is ``price_quantiles_approx`` (mergeable bounded-memory sketch);
+    this exact twin exists because its result is engine-portable and
+    hash-checkable."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -209,4 +215,38 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup("region_name", "nation_name").agg(
         (F.sum("cents").cast("double") / 100).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "price_quantiles_approx",
+    # approx_percentile's sketch is engine-specific (Greenwald-Khanna
+    # variant) — no DuckDB oracle; pytest bounds the rank error against
+    # the exact form instead (the dau_approx pattern).
+    oracle=None,
+    tags=("scale", "agg", "quantile", "approx"),
+    gated=False,
+)
+def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``price_quantiles``: ``approx_percentile`` keeps
+    a bounded mergeable sketch per group (state O(accuracy), rank error
+    ≤ n/accuracy) instead of exact percentile's collect-every-value
+    buffer — the only formulation that survives a group with billions of
+    rows. Same plan shape otherwise: broadcast dim, one shuffle on brand,
+    partial-aggregated sketches merged map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    acc = F.lit(10_000)
+    return j.groupBy("p_brand").agg(
+        r2(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), acc)
+        ).alias("median_price"),
+        r2(
+            F.percentile_approx("l_extendedprice", F.lit(0.9), acc)
+        ).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_items"),
     )

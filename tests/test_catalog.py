@@ -33,6 +33,9 @@ def test_oracle_coverage(registry):
         "embed_near_dup_vec",
         # HLL estimates are engine-specific; pytest bounds the error
         "dau_approx",
+        # GK-sketch percentiles are engine-specific; pytest bounds the
+        # rank error against the exact (gated, hash-checked) twin
+        "price_quantiles_approx",
     }, no_oracle
 
 
@@ -68,6 +71,8 @@ def test_gate_budget(registry):
         "token_entropy",
         "pii_mask",
         "line_dedup",
+        # bounded-memory sketch twin of the gated price_quantiles
+        "price_quantiles_approx",
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None

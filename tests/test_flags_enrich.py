@@ -76,3 +76,54 @@ def test_dau_approx_within_error_bound(spark, sf):
     assert set(exact) == set(approx)
     for dt, n in exact.items():
         assert abs(approx[dt] - n) / max(n, 1) <= 0.05, (dt, n, approx[dt])
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+)
+def test_price_quantiles_approx_within_rank_error(spark, sf):
+    """approx_percentile at accuracy=10000 guarantees rank error
+    ≤ n/accuracy per group; every group here has n << 10000 at sf0.001
+    and n/accuracy ≤ ~2.4 ranks at sf0.1, so the approx median/p90 must
+    sit inside the exact [p-ε, p+ε] value bracket with ε = 0.01 of rank
+    space (plus one interpolation step of slack)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    reg = load_all()
+    approx = {
+        r["p_brand"]: r
+        for r in reg["price_quantiles_approx"].builder(spark, sf).collect()
+    }
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    eps = 0.01
+    brackets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(q)).alias(name)
+                for name, q in (
+                    ("med_lo", 0.5 - eps),
+                    ("med_hi", 0.5 + eps),
+                    ("p90_lo", 0.9 - eps),
+                    ("p90_hi", 0.9 + eps),
+                )
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert {r["p_brand"] for r in brackets} == set(approx)
+    for r in brackets:
+        a = approx[r["p_brand"]]
+        # r2 rounding in the query ⇒ 0.01 value slack on the bracket edges
+        assert r["med_lo"] - 0.01 <= a["median_price"] <= r["med_hi"] + 0.01, (
+            r["p_brand"], a["median_price"], r["med_lo"], r["med_hi"],
+        )
+        assert r["p90_lo"] - 0.01 <= a["p90_price"] <= r["p90_hi"] + 0.01, (
+            r["p_brand"], a["p90_price"], r["p90_lo"], r["p90_hi"],
+        )
