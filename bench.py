@@ -65,11 +65,12 @@ HEADLINE = (
     "boilerplate_ngrams",
     "chunk_tokens",
     "pack_sequences",
-    # added r5: corpus cleaning
+    # added r5: corpus cleaning + the composed curation recipe
     "gopher_quality",
     "token_entropy",
     "pii_mask",
     "line_dedup",
+    "corpus_curate",
 )
 
 

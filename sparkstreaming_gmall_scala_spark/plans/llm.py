@@ -1217,9 +1217,9 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "gopher_quality",
-    oracle=f"""
+# Shared by the standalone gopher_quality oracle and the composed
+# corpus_curate oracle (DuckDB allows a WITH inside a CTE subquery).
+_GOPHER_SQL = f"""
     WITH t AS (
       SELECT doc_id,
              {_RAW_TOKENS} AS toks,
@@ -1264,7 +1264,12 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
             AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.6) AS keep
     FROM f
-    """,
+"""
+
+
+@register(
+    "gopher_quality",
+    oracle=_GOPHER_SQL,
     tags=("llm", "text", "quality"),
     gated=False,
 )
@@ -1380,3 +1385,114 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return line_dedup(d, "doc_id", "text", min_df=3)
+
+
+@register(
+    "corpus_curate",
+    oracle=f"""
+    WITH keeps AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_TEXT})
+    ),
+    g AS ({_GOPHER_SQL}),
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+    hits AS (
+      SELECT d.doc_id, count(*) AS n
+      FROM sh d JOIN ev USING (shingle) GROUP BY d.doc_id
+    ),
+    boiler AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 20
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    nb AS (
+      SELECT s.doc_id, count(*) AS n_boiler
+      FROM sh s JOIN boiler USING (shingle) GROUP BY s.doc_id
+    ),
+    bf AS (
+      SELECT d.doc_id,
+             floor((CASE WHEN COALESCE(per_doc.n_shingles, 0) > 0
+                         THEN CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE)
+                              / per_doc.n_shingles
+                         ELSE 0 END) * 1000000 + 0.5) / 1000000 AS boiler_frac
+      FROM documents d
+      LEFT JOIN per_doc USING (doc_id) LEFT JOIN nb USING (doc_id)
+    ),
+    counts AS (
+      SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM counts),
+    thr AS (
+      SELECT source,
+             least(65535, CAST(floor(
+               65536.0 * least(cnt, floor(floor(total * 0.5) *
+                 CASE source WHEN 'src0' THEN 0.5
+                             WHEN 'src1' THEN 0.25
+                             WHEN 'src2' THEN 0.125
+                             ELSE 0.0078125 END)) / cnt
+             ) AS BIGINT) - 1) AS thr_int
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN keeps USING (doc_id)
+    JOIN g ON g.doc_id = d.doc_id AND g.keep
+    LEFT JOIN hits ON hits.doc_id = d.doc_id
+    JOIN bf ON bf.doc_id = d.doc_id
+    JOIN thr USING (source)
+    WHERE COALESCE(hits.n, 0) = 0
+      AND bf.boiler_frac < 0.5
+      AND thr.thr_int >= 0
+      AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+            <= lpad(lower(to_hex(thr.thr_int)), 4, '0')
+    """,
+    tags=("llm", "pipeline", "quality", "dedup", "sampling"),
+    gated=False,
+)
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation recipe as ONE composed query — the
+    operator-composition contract at the cleaning level (the corpus_clean
+    pattern widened to the new families): exact-dedup survivors ∩
+    Gopher-rule keeps ∩ not eval-contaminated ∩ boilerplate fraction
+    < 0.5 ∩ domain-mixture hash-keeps. Every stage is the SAME pure
+    operator the standalone queries run, chained without glue; the final
+    plan is a join tree over their (mostly scan-side) outputs that
+    Catalyst reorders freely."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.sampling import domain_mix as _mix
+    from ..operators.textstats import (
+        boilerplate_stats,
+        gopher_quality,
+        ngram_overlap_flags,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    keeps = exact_dedup(d, "doc_id", "text").select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    g = gopher_quality(d, "doc_id", "text").filter("keep").select("doc_id")
+    dec = (
+        ngram_overlap_flags(
+            d, d.filter(F.col("doc_id") < 10), "doc_id", "text", n=3
+        )
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    bp = (
+        boilerplate_stats(d, "doc_id", "text", n=3, min_df=20)
+        .filter(F.col("boiler_frac") < 0.5)
+        .select("doc_id")
+    )
+    mix = _mix(
+        d.select("doc_id", "source"), key_col="doc_id", strata_col="source",
+        weights=_MIX_WEIGHTS, budget_frac=_MIX_BUDGET_FRAC,
+        default_weight=_MIX_DEFAULT_W,
+    )
+    return (
+        mix.join(keeps, "doc_id")
+        .join(g, "doc_id")
+        .join(dec, "doc_id")
+        .join(bp, "doc_id")
+        .select("doc_id", "source")
+    )

@@ -73,6 +73,9 @@ def test_gate_budget(registry):
         "line_dedup",
         # bounded-memory sketch twin of the gated price_quantiles
         "price_quantiles_approx",
+        # the composed round-5 curation recipe (every stage is a gated or
+        # parity-tested operator; the composition has its own full oracle)
+        "corpus_curate",
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None

@@ -119,3 +119,65 @@ def test_operator_surface_exports_resolve():
         "mixture_thresholds",
     ):
         assert required in O.__all__, required
+
+
+def test_chunk_and_pack_invariants_hold_on_random_corpora(spark):
+    """Property test: for random corpora (varied token counts, empty docs,
+    whitespace runs), chunking tiles every doc and packing is contiguous
+    per shard with globally consistent sequence indices."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=0, max_size=40).map(" ".join)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(texts=st.lists(doc, min_size=1, max_size=12))
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        chunk_size, overlap, stride = 5, 2, 3
+        chunks = chunk_tokens(
+            docs, "doc_id", "text", chunk_size=chunk_size, overlap=overlap
+        ).collect()
+        by_doc = {}
+        for r in chunks:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, t in rows:
+            toks = t.split()
+            rs = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+            covered = set()
+            for r in rs:
+                assert r["chunk_text"].split() == toks[
+                    r["tok_start"] : r["tok_start"] + chunk_size
+                ]
+                covered.update(
+                    range(r["tok_start"], r["tok_start"] + r["n_chunk_tokens"])
+                )
+            assert covered == set(range(len(toks)))
+
+        seq_len, n_shards = 4, 3
+        packed = pack_sequences(
+            docs, "doc_id", "text", seq_len=seq_len, n_shards=n_shards
+        ).collect()
+        by_shard = {}
+        for r in packed:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for rs in by_shard.values():
+            rs.sort(key=lambda r: r["doc_id"])
+            off = 0
+            for r in rs:
+                assert r["tok_offset"] == off
+                off += r["n_tokens"]
+                if r["n_tokens"]:
+                    assert r["seq_first"] == r["tok_offset"] // seq_len
+                    assert (
+                        r["seq_last"]
+                        == (r["tok_offset"] + r["n_tokens"] - 1) // seq_len
+                    )
+
+    run()
