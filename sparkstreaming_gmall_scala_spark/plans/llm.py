@@ -1458,7 +1458,13 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 0.5 ∩ domain-mixture hash-keeps. Every stage is the SAME pure
     operator the standalone queries run, chained without glue; the final
     plan is a join tree over their (mostly scan-side) outputs that
-    Catalyst reorders freely."""
+    Catalyst reorders freely.
+
+    Scan accounting at 100 TB: this composition re-scans documents per
+    stage (column-pruned to doc_id/text/source). A production curation
+    run materializes the per-doc feature table once and filters it —
+    the standalone queries ARE those stages; this entry is the
+    correctness contract that their conjunction composes exactly."""
     from ..operators.dedup import exact_dedup
     from ..operators.sampling import domain_mix as _mix
     from ..operators.textstats import (
