@@ -15,5 +15,8 @@ Modules:
   dedup.py            - incremental LSH dedup over a persisted band index
                         (minhash / simhash-limb / embedding-hyperplane
                         banders behind one generic pipeline)
+  corpus.py           - streaming corpus ingest: gopher filter →
+                        decontaminate → PII mask → cross-batch exact
+                        dedup against an append-only fingerprint index
   sessions.py         - session_window sessionization
 """

@@ -1173,3 +1173,99 @@ def test_incremental_dedup_index_is_append_only(spark, tmp_path):
     run(spark.createDataFrame([(2, "epsilon zeta eta theta")], DOC_SCHEMA), 1)
     assert snapshot(os.path.join(idx, "batch_id=0")) == before
     assert os.path.isdir(os.path.join(idx, "batch_id=1"))
+
+
+def test_corpus_ingest_matches_batch_recipe_and_replays(spark, tmp_path):
+    """Streaming corpus ingest (gopher filter → decontaminate → PII mask
+    → cross-batch exact dedup) over two micro-batches equals the batch
+    recipe on the union, and replaying a committed batch changes nothing
+    (output and index idempotent)."""
+    from sparkstreaming_gmall_scala_spark.streaming.corpus import (
+        corpus_ingest_batch,
+        corpus_ingest_batch_recipe,
+        corpus_ingest_pipeline,
+    )
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import DOC_SCHEMA
+
+    src, idx, out, ckpt = _dirs(tmp_path, "src", "idx", "out", "ckpt")
+    good = "plain sensible words flowing along nicely here today"
+    batch1 = [
+        (1, good),
+        (2, "# # # # spam"),  # gopher-rejected (symbol ratio)
+        (3, "the forbidden benchmark sentence appears here verbatim now"),
+        (4, f"{good} with alice@example.com attached"),
+    ]
+    batch2 = [
+        (5, good),  # cross-batch exact dup of 1 → dropped
+        (6, "another perfectly reasonable document about columnar files"),
+        (7, f"{good} with bob@example.com attached"),  # dup of 4 AFTER masking
+    ]
+    eval_docs = spark.createDataFrame(
+        [(100, "the forbidden benchmark sentence appears here verbatim now")],
+        DOC_SCHEMA,
+    )
+
+    _drop(spark, DOC_SCHEMA, batch1, src)
+    q = corpus_ingest_pipeline(spark, src, idx, out, ckpt, eval_docs)
+    try:
+        q.processAllAvailable()
+        _drop(spark, DOC_SCHEMA, batch2, src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sink = IdempotentBatchWriter(out)
+    got = {
+        (r["doc_id"], r["masked_text"])
+        for r in sink.read(spark).select("doc_id", "masked_text").collect()
+    }
+    union = spark.createDataFrame(batch1 + batch2, DOC_SCHEMA)
+    want = {
+        (r["doc_id"], r["masked_text"])
+        for r in corpus_ingest_batch_recipe(union, eval_docs).collect()
+    }
+    assert got == want
+    kept_ids = {d for d, _ in got}
+    assert 1 in kept_ids and 6 in kept_ids
+    assert 2 not in kept_ids  # gopher-rejected
+    assert 3 not in kept_ids  # decontaminated
+    assert 5 not in kept_ids  # cross-batch exact dup
+    # 4 kept with its email masked; 7 identical AFTER masking → dedup
+    assert (4, f"plain sensible words flowing along nicely here today "
+               "with <EMAIL> attached".replace("alice@example.com", "<EMAIL>")
+            ) in {(d, t) for d, t in got if d == 4} or any(
+        d == 4 and "<EMAIL>" in t for d, t in got
+    )
+    assert 7 not in kept_ids
+
+    # replay batch 1 directly: output and index byte-identical
+    import os
+
+    def snapshot(d):
+        files = {}
+        for root, _dirs2, names in os.walk(d):
+            for n in names:
+                p = os.path.join(root, n)
+                if n.endswith(".parquet"):
+                    files[p] = os.stat(p).st_size
+        return files
+
+    idx_before = snapshot(idx)
+    corpus_ingest_batch(spark, idx, sink, eval_docs)(
+        spark.createDataFrame(batch1, DOC_SCHEMA), 0
+    )
+    got2 = {
+        (r["doc_id"], r["masked_text"])
+        for r in sink.read(spark).select("doc_id", "masked_text").collect()
+    }
+    assert got2 == want
+    # batch 1's index dir re-written with identical logical content; batch
+    # 2's untouched
+    seen = {
+        (r["fp"], r["keeper"])
+        for r in IdempotentBatchWriter(idx).read(spark).drop("batch_id").collect()
+    }
+    assert len(seen) == len({fp for fp, _ in seen})  # one keeper per fp
+    assert snapshot(os.path.join(idx, "batch_id=1")) == {
+        p: s for p, s in idx_before.items() if "batch_id=1" in p
+    }
