@@ -46,6 +46,26 @@ from .sources import file_stream
 _FP_SCHEMA = "fp string, keeper long"
 
 
+def probe_fingerprints(fps: DataFrame, seen: DataFrame) -> DataFrame:
+    """Replay-safe dedup probe that NEVER shuffles the index: a naive
+    ``fps.join(seen, "fp", "left")`` cannot broadcast the batch side (the
+    preserved side of a left-outer join is not broadcastable), so at
+    corpus scale the whole fingerprint index would re-shuffle every
+    micro-batch. Instead the batch's fingerprints — bounded by batch
+    size by definition — broadcast into an inner join against the index
+    SCAN (O(index) read, zero index shuffle), and the ≈ batch-sized hit
+    set broadcasts back into the left join. No dedup of the broadcast
+    fingerprints: duplicate fps only duplicate hit rows, which the
+    caller's per-fp aggregate absorbs — a dropDuplicates here would be
+    the probe's only exchange. Returns the keep candidates: unseen
+    fingerprints plus rows whose seen keeper is themselves (replay)."""
+    hits = seen.join(F.broadcast(fps.select("fp")), "fp")
+    probed = fps.join(F.broadcast(hits), "fp", "left")
+    return probed.filter(
+        F.col("keeper").isNull() | (F.col("keeper") == F.col("doc_id"))
+    )
+
+
 def corpus_ingest_batch(
     spark: SparkSession,
     index_dir: str,
@@ -84,12 +104,8 @@ def corpus_ingest_batch(
             seen = index_writer.read(spark).drop("batch_id")
         else:
             seen = spark.createDataFrame([], _FP_SCHEMA)
-        probed = fps.join(seen, "fp", "left")
-        # unseen fp, or the seen keeper IS this doc (replay) — then the
-        # smallest candidate doc per fp within the batch wins
-        candidates = probed.filter(
-            F.col("keeper").isNull() | (F.col("keeper") == F.col("doc_id"))
-        )
+        # the smallest candidate doc per fp within the batch wins
+        candidates = probe_fingerprints(fps, seen)
         kept = candidates.groupBy("fp").agg(
             F.min("doc_id").alias("doc_id"),
         )

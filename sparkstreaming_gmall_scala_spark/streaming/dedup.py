@@ -145,6 +145,30 @@ def embedding_bander(
     return band
 
 
+def band_probe(banded_new: DataFrame, universe: DataFrame) -> DataFrame:
+    """Candidate pairs for the NEW docs against the band universe, with
+    the index side never shuffled: the batch's bands — bounded by batch
+    size — broadcast into the join, so the persisted index contributes a
+    scan, not an exchange (at corpus scale re-shuffling the index every
+    micro-batch would dominate). The inequality keeps self-pairs out;
+    least/greatest + distinct canonicalize and absorb replay overlap."""
+    a, b = banded_new.alias("a"), universe.alias("b")
+    return (
+        F.broadcast(a)
+        .join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def banded_candidates_batch(
     spark: SparkSession,
     index_dir: str,
@@ -166,23 +190,9 @@ def banded_candidates_batch(
         else:
             seen = spark.createDataFrame([], _BAND_SCHEMA)
         # A replayed batch finds its own bands already indexed; the extra
-        # copies only produce duplicate pairs, which the distinct below
+        # copies only produce duplicate pairs, which band_probe's distinct
         # absorbs — no O(corpus) universe.distinct() needed.
-        universe = seen.unionByName(banded_new)
-        a, b = banded_new.alias("a"), universe.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("id_a"),
-                F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
-            )
-            .distinct()
-        )
+        pairs = band_probe(banded_new, seen.unionByName(banded_new))
         sink(pairs, batch_id)
         index_writer(banded_new, batch_id)
         banded_new.unpersist()

@@ -140,3 +140,70 @@ def test_boilerplate_ngrams_df_is_partial_agg_not_window(spark, sf_dir, registry
     assert "partial_count" in plan, plan[:3000]
     assert "Window" not in plan, plan[:3000]
     assert "Join" in plan, plan[:3000]
+
+
+def _no_autobroadcast(spark):
+    class Ctx:
+        def __enter__(self):
+            self.old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def __exit__(self, *a):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.old)
+
+    return Ctx()
+
+
+def test_fingerprint_probe_never_shuffles_the_index(spark):
+    """Streaming corpus ingest probes a fingerprint index that grows with
+    the corpus; the probe must broadcast the (batch-bounded) fingerprint
+    set and leave the index as a scan — a left join that shuffles `seen`
+    every micro-batch would be O(corpus) per batch. Asserted with
+    auto-broadcast disabled so only the explicit hints can produce the
+    broadcast."""
+    from sparkstreaming_gmall_scala_spark.streaming.corpus import (
+        probe_fingerprints,
+    )
+
+    fps = spark.range(10).selectExpr(
+        "md5(CAST(id AS STRING)) AS fp", "id AS doc_id", "'t' AS masked_text"
+    )
+    seen = spark.range(100000).selectExpr(
+        "md5(CAST(id + 5 AS STRING)) AS fp", "id + 5 AS keeper"
+    )
+    with _no_autobroadcast(spark):
+        plan = (
+            probe_fingerprints(fps, seen)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+
+
+def test_band_probe_never_shuffles_the_index(spark):
+    """Same property for the LSH band probe: the batch's bands broadcast;
+    the persisted band universe contributes a scan, never an exchange."""
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import band_probe
+
+    new = spark.range(5).selectExpr(
+        "id AS doc_id", "CAST(id % 2 AS INT) AS band_idx",
+        "md5(CAST(id AS STRING)) AS band_hash",
+    )
+    universe = spark.range(100000).selectExpr(
+        "id AS doc_id", "CAST(id % 2 AS INT) AS band_idx",
+        "md5(CAST(id % 997 AS STRING)) AS band_hash",
+    )
+    with _no_autobroadcast(spark):
+        plan = (
+            band_probe(new, universe)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the pair distinct aggregates AFTER the join — the only exchange
+    # allowed is on the (id_a, id_b) output, never on the universe scan
+    pre_join = plan.split("BroadcastHashJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in pre_join, plan[:3000]
