@@ -181,3 +181,102 @@ def kafka_fanout(
     if default_topic is not None:
         writer = writer.option("topic", default_topic)
     return writer
+
+
+class AppendOnlyIndex:
+    """Persisted append-only index for streaming probes (LSH bands,
+    dedup fingerprints): per-batch ``batch_id=N`` directories written
+    overwrite-idempotent (the ``IdempotentBatchWriter`` discipline — a
+    replayed batch rewrites only its own directory), plus an optional
+    compacted ``base`` generation so a long-running stream does not
+    accumulate one directory of small files per micro-batch forever.
+
+    ``compact(upto)`` folds base ∪ batch dirs ≤ upto into a new base via
+    the ``recover_dir`` two-rename swap, then deletes the folded dirs.
+    Crash matrix: a crash before the swap leaves the old base + dirs
+    authoritative; a crash after the swap but mid-delete leaves batch
+    dirs whose rows are ALSO in base — readers must therefore tolerate
+    duplicate rows (both probes do: band pairs end in distinct(), and
+    duplicate fingerprint hits collapse in the per-fp aggregate). Only
+    compact batches strictly below the stream's in-flight batch id:
+    a replay can rewrite the in-flight directory, never committed ones.
+    """
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self._writer = IdempotentBatchWriter(index_dir)
+        self._base = os.path.join(index_dir, "base")
+
+    def append(self, df: DataFrame, batch_id: int) -> None:
+        self._writer(df, batch_id)
+
+    def _batch_ids(self) -> list[int]:
+        if not os.path.isdir(self.index_dir):
+            return []
+        out = []
+        for name in os.listdir(self.index_dir):
+            if name.startswith("batch_id="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def has_data(self) -> bool:
+        return has_parquet(self._base) or any(
+            has_parquet(os.path.join(self.index_dir, f"batch_id={b}"))
+            for b in self._batch_ids()
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Everything indexed so far (base generation ∪ batch dirs).
+        May contain duplicate rows after an interrupted compaction —
+        callers tolerate that by contract."""
+        recover_dir(self._base)
+        parts = []
+        if has_parquet(self._base):
+            parts.append(spark.read.parquet(self._base))
+        if self._batch_ids():
+            parts.append(self._writer.read(spark).drop("batch_id"))
+        if not parts:
+            raise FileNotFoundError(f"empty index at {self.index_dir}")
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def compact(self, spark: SparkSession, upto_batch_id: int) -> int:
+        """Fold base ∪ batch dirs with id ≤ ``upto_batch_id`` into a new
+        base generation; returns how many batch dirs were folded. Pass
+        the last COMMITTED batch id (never the in-flight one)."""
+        import shutil
+
+        recover_dir(self._base)
+        todo = [b for b in self._batch_ids() if b <= upto_batch_id]
+        if not todo:
+            return 0
+        parts = []
+        if has_parquet(self._base):
+            parts.append(spark.read.parquet(self._base))
+        for b in todo:
+            parts.append(
+                spark.read.parquet(
+                    os.path.join(self.index_dir, f"batch_id={b}")
+                )
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        tmp = self._base + ".tmp"
+        old = self._base + ".old"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self._base):
+            os.rename(self._base, old)
+        os.rename(tmp, self._base)
+        shutil.rmtree(old, ignore_errors=True)
+        for b in todo:
+            shutil.rmtree(
+                os.path.join(self.index_dir, f"batch_id={b}"),
+                ignore_errors=True,
+            )
+        return len(todo)

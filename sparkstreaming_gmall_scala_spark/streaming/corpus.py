@@ -39,7 +39,7 @@ from ..functions.text import fingerprint
 from ..operators.cleaning import pii_mask
 from ..operators.dedup import shingle_rows
 from ..operators.textstats import gopher_quality
-from ..sinks.batch import IdempotentBatchWriter, has_parquet
+from ..sinks.batch import AppendOnlyIndex, IdempotentBatchWriter
 from .dedup import DOC_SCHEMA
 from .sources import file_stream
 
@@ -73,7 +73,7 @@ def corpus_ingest_batch(
     eval_docs: DataFrame | None = None,
 ):
     """Per-batch body (exposed so tests can replay (batch_df, batch_id))."""
-    index_writer = IdempotentBatchWriter(index_dir)
+    index = AppendOnlyIndex(index_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.dropDuplicates(["doc_id"])
@@ -100,8 +100,8 @@ def corpus_ingest_batch(
             "doc_id", F.col("masked_text")
         )
         fps = masked.withColumn("fp", fingerprint(F.col("masked_text")))
-        if has_parquet(index_dir):
-            seen = index_writer.read(spark).drop("batch_id")
+        if index.has_data():
+            seen = index.read(spark)
         else:
             seen = spark.createDataFrame([], _FP_SCHEMA)
         # the smallest candidate doc per fp within the batch wins
@@ -116,7 +116,7 @@ def corpus_ingest_batch(
         # are already in seen, and "new only" would rewrite the batch dir
         # empty, losing the index. Writing the keeper set is idempotent
         # (replay rewrites identical rows) and still O(batch).
-        index_writer(
+        index.append(
             kept.select("fp", F.col("doc_id").alias("keeper")), batch_id
         )
 

@@ -22,9 +22,11 @@ AFTER later batches committed emits a superset of its original pairs
 (new-vs-everything-indexed); those extras are exactly the later batches'
 rows, so the corpus-level pair set is unchanged.
 
-The band index is APPEND-ONLY: each batch writes its own ``batch_id=N``
-directory (``IdempotentBatchWriter`` — a replayed id overwrites itself
-with identical bands, never touching other batches' files). Bands are
+The band index is APPEND-ONLY (``sinks.batch.AppendOnlyIndex``): each
+batch writes its own ``batch_id=N`` directory — a replayed id overwrites
+itself with identical bands, never touching other batches' files — and
+committed dirs fold into a compacted ``base`` generation offline so a
+long-running stream doesn't accumulate small files forever. Bands are
 insert-only by construction, so no merge is needed: per-batch index
 maintenance is O(batch), not O(corpus) — the whole-index
 read-union-rewrite ``upsert_parquet`` (a small-dim tool) would be the
@@ -48,7 +50,7 @@ from ..operators.dedup import (
     shingle_rows,
     simhash64,
 )
-from ..sinks.batch import IdempotentBatchWriter, has_parquet
+from ..sinks.batch import AppendOnlyIndex, IdempotentBatchWriter
 from .sources import file_stream
 
 DOC_SCHEMA = T.StructType(
@@ -180,13 +182,13 @@ def banded_candidates_batch(
     ``bander``, join against the persisted band index ∪ this batch, emit
     (id_a, id_b) candidates, then append the new bands as the index's
     ``batch_id=N`` directory."""
-    index_writer = IdempotentBatchWriter(index_dir)
+    index = AppendOnlyIndex(index_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.dropDuplicates(["doc_id"])
         banded_new = bander(new).persist()
-        if has_parquet(index_dir):
-            seen = index_writer.read(spark).drop("batch_id")
+        if index.has_data():
+            seen = index.read(spark)
         else:
             seen = spark.createDataFrame([], _BAND_SCHEMA)
         # A replayed batch finds its own bands already indexed; the extra
@@ -194,7 +196,7 @@ def banded_candidates_batch(
         # absorbs — no O(corpus) universe.distinct() needed.
         pairs = band_probe(banded_new, seen.unionByName(banded_new))
         sink(pairs, batch_id)
-        index_writer(banded_new, batch_id)
+        index.append(banded_new, batch_id)
         banded_new.unpersist()
 
     return process

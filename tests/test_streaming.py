@@ -1269,3 +1269,53 @@ def test_corpus_ingest_matches_batch_recipe_and_replays(spark, tmp_path):
     assert snapshot(os.path.join(idx, "batch_id=1")) == {
         p: s for p, s in idx_before.items() if "batch_id=1" in p
     }
+
+
+def test_band_index_compaction_preserves_pairs(spark, tmp_path):
+    """Compacting committed batch dirs into the base generation must not
+    change any future batch's candidate pairs, must shrink the directory
+    count, and must survive an interrupted delete (duplicate rows are
+    absorbed by the probes)."""
+    from sparkstreaming_gmall_scala_spark.sinks.batch import AppendOnlyIndex
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import (
+        DOC_SCHEMA,
+        dedup_candidates_batch,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog by the river"
+    idx = str(tmp_path / "idx")
+    sink = IdempotentBatchWriter(str(tmp_path / "out"))
+    run = dedup_candidates_batch(spark, idx, sink)
+    run(spark.createDataFrame([(1, base_text)], DOC_SCHEMA), 0)
+    run(spark.createDataFrame([(2, base_text + " x")], DOC_SCHEMA), 1)
+
+    index = AppendOnlyIndex(idx)
+    rows_before = {tuple(r) for r in index.read(spark).collect()}
+    assert index.compact(spark, upto_batch_id=1) == 2
+    assert not os.path.isdir(os.path.join(idx, "batch_id=0"))
+    assert not os.path.isdir(os.path.join(idx, "batch_id=1"))
+    assert os.path.isdir(os.path.join(idx, "base"))
+    assert {tuple(r) for r in index.read(spark).collect()} == rows_before
+
+    # a later batch probes base + its own bands exactly as before
+    run(spark.createDataFrame([(3, base_text + " y")], DOC_SCHEMA), 2)
+    got = {
+        (r["id_a"], r["id_b"]) for r in sink.read(spark).collect()
+    }
+    assert (1, 3) in got and (2, 3) in got and (1, 2) in got
+
+    # interrupted compaction: base written but one batch dir not yet
+    # deleted ⇒ duplicate rows in read(); pair set unchanged
+    import shutil
+
+    shutil.copytree(
+        os.path.join(idx, "base"), os.path.join(idx, "batch_id=7")
+    )
+    run(spark.createDataFrame([(4, base_text + " z")], DOC_SCHEMA), 3)
+    got2 = {
+        (r["id_a"], r["id_b"]) for r in sink.read(spark).collect()
+    }
+    assert {(a, b) for a, b in got2 if b == 4} == {(1, 4), (2, 4), (3, 4)}
+    # a fresh compaction folds the leftover dir away
+    assert AppendOnlyIndex(idx).compact(spark, upto_batch_id=7) >= 1
+    assert not os.path.isdir(os.path.join(idx, "batch_id=7"))
