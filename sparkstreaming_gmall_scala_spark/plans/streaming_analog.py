@@ -225,3 +225,54 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("session_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W3 — watermarked tumbling-window aggregate (the canonical Structured
+# Streaming shape, SURVEY §2.9): per-hour per-type event rollup. The live
+# form (streaming/rollup.py) emits each window once in append mode when
+# the watermark passes its end and drops later-than-watermark rows; this
+# batch analog is the on-time result the oracle checks.
+# ---------------------------------------------------------------------------
+@register(
+    "hourly_event_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming-analog", "window", "agg"),
+    gated=False,
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type: count + cents-exact value
+    sum (per-row rounding to integer cents, THEN the sum — double sums
+    are partition-order-dependent in the last ulp; integer sums are
+    exact on any engine). One shuffle on (window, type), partial-
+    aggregated map-side; at 100 TB this is the continuous-aggregate /
+    hypertable-rollup shape, and the streaming twin maintains it
+    incrementally with bounded watermark state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )

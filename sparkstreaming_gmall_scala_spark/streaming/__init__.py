@@ -18,5 +18,7 @@ Modules:
   corpus.py           - streaming corpus ingest: gopher filter →
                         decontaminate → PII mask → cross-batch exact
                         dedup against an append-only fingerprint index
+  rollup.py           - W3 watermarked tumbling-window aggregate
+                        (append-once per closed window, late rows drop)
   sessions.py         - session_window sessionization
 """

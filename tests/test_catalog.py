@@ -76,6 +76,9 @@ def test_gate_budget(registry):
         # the composed round-5 curation recipe (every stage is a gated or
         # parity-tested operator; the composition has its own full oracle)
         "corpus_curate",
+        # W3 watermarked tumbling-window rollup (batch analog; live form
+        # in streaming/rollup.py with watermark-drop pytest)
+        "hourly_event_rollup",
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None

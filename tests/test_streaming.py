@@ -1319,3 +1319,67 @@ def test_band_index_compaction_preserves_pairs(spark, tmp_path):
     # a fresh compaction folds the leftover dir away
     assert AppendOnlyIndex(idx).compact(spark, upto_batch_id=7) >= 1
     assert not os.path.isdir(os.path.join(idx, "batch_id=7"))
+
+
+def test_windowed_rollup_append_once_and_drops_late_rows(spark, tmp_path):
+    """W3: each window emits exactly once when the watermark passes its
+    end; a row arriving after the watermark has passed its window is
+    dropped (the reference's drop-horizon semantics generalized to
+    aggregation); emitted rows equal the batch rollup on the on-time
+    subset."""
+    from sparkstreaming_gmall_scala_spark.streaming.rollup import (
+        hourly_rollup_pipeline,
+    )
+
+    def ev(eid, h, m, typ, val):
+        from datetime import datetime
+
+        return (eid, datetime(2024, 1, 1, h, m, 0), 1, typ, val, "{}")
+
+    src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+    # batch 1: two 10:00-window events + an 11:20 event that pushes the
+    # watermark to 11:10 (delay 10m) — past the 10:00 window's end, so
+    # that window closes and emits in the NEXT trigger
+    _drop(
+        spark,
+        EVENT_SCHEMA,
+        [
+            ev(1, 10, 5, "click", 1.0),
+            ev(2, 10, 40, "click", 2.5),
+            ev(3, 11, 20, "view", 9.0),
+        ],
+        src,
+    )
+    q = hourly_rollup_pipeline(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE 10:30 event (watermark 11:10 > 11:00) must be
+        # dropped; a 12:30 event closes the 11:00 window
+        _drop(
+            spark,
+            EVENT_SCHEMA,
+            [ev(4, 10, 30, "click", 100.0), ev(5, 12, 30, "view", 3.0)],
+            src,
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r["window_start"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value_cents"],
+        )
+        for r in IdempotentBatchWriter(out).read(spark).collect()
+    }
+    # 10:00 window: only the two on-time clicks — the late 100.0 never lands
+    assert rows[("2024-01-01 10:00:00", "click")] == (2, 350)
+    # 11:00 window closed by the 12:30 event
+    assert rows[("2024-01-01 11:00:00", "view")] == (1, 900)
+    # the 12:00 window is still open — not emitted
+    assert not any(ws.startswith("2024-01-01 12:") for ws, _ in rows)
+    # each closed window emitted exactly once across all batch dirs
+    all_rows = IdempotentBatchWriter(out).read(spark).collect()
+    keys = [(r["window_start"], r["event_type"]) for r in all_rows]
+    assert len(keys) == len(set(keys))
