@@ -71,6 +71,7 @@ HEADLINE = (
     "pii_mask",
     "line_dedup",
     "corpus_curate",
+    "hourly_event_rollup",
 )
 
 

@@ -346,13 +346,15 @@ def connected_components(
         .distinct()
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
+    CC_STATS.clear()
     if method == "star":
+        CC_STATS["prop_rounds"] = 0
+        CC_STATS["fell_back"] = True
         return _star_contraction(sym, nodes, cut)
     labels = cut(nodes.withColumn("label", F.col("node")))
     prev_sum = None
     converged = False
     deltas: list[int] = []
-    CC_STATS.clear()
     for i in range(max_iters):
         nbr = (
             sym.join(labels, sym["dst"] == labels["node"])

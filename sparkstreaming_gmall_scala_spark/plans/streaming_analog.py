@@ -257,22 +257,10 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated map-side; at 100 TB this is the continuous-aggregate /
     hypertable-rollup shape, and the streaming twin maintains it
     incrementally with bounded watermark state."""
+    from ..streaming.rollup import windowed_rollup
+
+    # The SAME transformation as the live pipeline (withWatermark is
+    # eliminated on batch frames), so the oracle checks the streaming
+    # code path, not a parallel reimplementation.
     ev = load_table(spark, sf_dir, "events")
-    w = F.window(F.col("ts"), "1 hour")
-    return (
-        ev.groupBy(w.alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(
-                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-            ).alias("sum_value_cents"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "event_type",
-            "n_events",
-            "sum_value_cents",
-        )
-    )
+    return windowed_rollup(ev, window="1 hour", delay="10 minutes")

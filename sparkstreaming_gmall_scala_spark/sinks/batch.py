@@ -214,12 +214,27 @@ class AppendOnlyIndex:
         if not os.path.isdir(self.index_dir):
             return []
         out = []
+        stray = []
         for name in os.listdir(self.index_dir):
             if name.startswith("batch_id="):
                 try:
                     out.append(int(name.split("=", 1)[1]))
                 except ValueError:
                     pass
+            elif name.endswith(".parquet"):
+                stray.append(name)
+        if stray:
+            # A flat-layout index (the pre-AppendOnlyIndex upsert format)
+            # would be silently invisible to the batch_id=* read glob —
+            # the probe would see an empty universe and quietly emit no
+            # pairs against everything previously indexed. Fail loud.
+            raise ValueError(
+                f"{self.index_dir} holds flat parquet files "
+                f"({stray[:3]}…) — not an AppendOnlyIndex layout. "
+                "Migrate them into a base/ generation (one-off: read the "
+                "flat files, write to <dir>/base, delete the flat files) "
+                "before resuming the stream."
+            )
         return sorted(out)
 
     def has_data(self) -> bool:

@@ -66,6 +66,36 @@ def probe_fingerprints(fps: DataFrame, seen: DataFrame) -> DataFrame:
     )
 
 
+def _mask_and_fingerprint(
+    docs: DataFrame, eval_docs: DataFrame | None
+) -> DataFrame:
+    """The shared filter chain (ONE definition so the streaming body and
+    the batch recipe cannot drift apart — the equivalence test pins them
+    equal): gopher keeps → eval decontamination → PII mask → fingerprint.
+    Returns (doc_id, masked_text, fp)."""
+    keeps = (
+        gopher_quality(docs, "doc_id", "text").filter("keep").select("doc_id")
+    )
+    survivors = docs.join(keeps, "doc_id")
+    if eval_docs is not None:
+        eval_sh = (
+            shingle_rows(eval_docs, "doc_id", "text")
+            .select("shingle")
+            .distinct()
+        )
+        contaminated = (
+            shingle_rows(survivors, "doc_id", "text")
+            .join(F.broadcast(eval_sh), "shingle")
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = survivors.join(contaminated, "doc_id", "left_anti")
+    masked = pii_mask(survivors, "doc_id", "text").select(
+        "doc_id", "masked_text"
+    )
+    return masked.withColumn("fp", fingerprint(F.col("masked_text")))
+
+
 def corpus_ingest_batch(
     spark: SparkSession,
     index_dir: str,
@@ -77,39 +107,26 @@ def corpus_ingest_batch(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.dropDuplicates(["doc_id"])
-        keeps = (
-            gopher_quality(b, "doc_id", "text")
-            .filter("keep")
-            .select("doc_id")
-        )
-        survivors = b.join(keeps, "doc_id")
-        if eval_docs is not None:
-            eval_sh = (
-                shingle_rows(eval_docs, "doc_id", "text")
-                .select("shingle")
-                .distinct()
-            )
-            contaminated = (
-                shingle_rows(survivors, "doc_id", "text")
-                .join(F.broadcast(eval_sh), "shingle")
-                .select("doc_id")
-                .distinct()
-            )
-            survivors = survivors.join(contaminated, "doc_id", "left_anti")
-        masked = pii_mask(survivors, "doc_id", "text").select(
-            "doc_id", F.col("masked_text")
-        )
-        fps = masked.withColumn("fp", fingerprint(F.col("masked_text")))
+        # Persisted: fps feeds three subtrees (the broadcast probe, the
+        # probed left side, the output join) across TWO actions (sink +
+        # index append) — unpersisted, the gopher/decontaminate/mask
+        # chain would re-execute per subtree per action.
+        fps = _mask_and_fingerprint(b, eval_docs).persist()
         if index.has_data():
             seen = index.read(spark)
         else:
             seen = spark.createDataFrame([], _FP_SCHEMA)
-        # the smallest candidate doc per fp within the batch wins
+        # the smallest candidate doc per fp within the batch wins;
+        # persisted so the second action doesn't re-probe the index
         candidates = probe_fingerprints(fps, seen)
-        kept = candidates.groupBy("fp").agg(
-            F.min("doc_id").alias("doc_id"),
+        kept = (
+            candidates.groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .persist()
         )
-        out = kept.join(masked, "doc_id").select("doc_id", "masked_text")
+        out = kept.join(
+            fps.select("doc_id", "masked_text"), "doc_id"
+        ).select("doc_id", "masked_text")
         sink(out, batch_id)
         # The batch dir holds THIS batch's keeper rows. Deliberately NOT
         # an anti-join against seen: on replay the keepers' own entries
@@ -119,6 +136,8 @@ def corpus_ingest_batch(
         index.append(
             kept.select("fp", F.col("doc_id").alias("keeper")), batch_id
         )
+        kept.unpersist()
+        fps.unpersist()
 
     return process
 
@@ -148,28 +167,10 @@ def corpus_ingest_batch_recipe(
     docs: DataFrame, eval_docs: DataFrame | None = None
 ) -> DataFrame:
     """The batch form of the same recipe (for equivalence tests and
-    backfills): gopher keeps ∩ not-contaminated, PII-masked, min-doc_id
+    backfills): the SAME ``_mask_and_fingerprint`` chain, then min-doc_id
     exact dedup on the masked fingerprint."""
-    keeps = (
-        gopher_quality(docs, "doc_id", "text").filter("keep").select("doc_id")
-    )
-    survivors = docs.join(keeps, "doc_id")
-    if eval_docs is not None:
-        eval_sh = (
-            shingle_rows(eval_docs, "doc_id", "text")
-            .select("shingle")
-            .distinct()
-        )
-        contaminated = (
-            shingle_rows(survivors, "doc_id", "text")
-            .join(F.broadcast(eval_sh), "shingle")
-            .select("doc_id")
-            .distinct()
-        )
-        survivors = survivors.join(contaminated, "doc_id", "left_anti")
-    masked = pii_mask(survivors, "doc_id", "text").select(
-        "doc_id", "masked_text"
-    )
-    fps = masked.withColumn("fp", fingerprint(F.col("masked_text")))
+    fps = _mask_and_fingerprint(docs, eval_docs)
     kept = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return kept.join(masked, "doc_id").select("doc_id", "masked_text")
+    return kept.join(
+        fps.select("doc_id", "masked_text"), "doc_id"
+    ).select("doc_id", "masked_text")

@@ -1231,11 +1231,7 @@ def test_corpus_ingest_matches_batch_recipe_and_replays(spark, tmp_path):
     assert 3 not in kept_ids  # decontaminated
     assert 5 not in kept_ids  # cross-batch exact dup
     # 4 kept with its email masked; 7 identical AFTER masking → dedup
-    assert (4, f"plain sensible words flowing along nicely here today "
-               "with <EMAIL> attached".replace("alice@example.com", "<EMAIL>")
-            ) in {(d, t) for d, t in got if d == 4} or any(
-        d == 4 and "<EMAIL>" in t for d, t in got
-    )
+    assert (4, f"{good} with <EMAIL> attached") in got
     assert 7 not in kept_ids
 
     # replay batch 1 directly: output and index byte-identical
