@@ -1379,3 +1379,41 @@ def test_windowed_rollup_append_once_and_drops_late_rows(spark, tmp_path):
     all_rows = IdempotentBatchWriter(out).read(spark).collect()
     keys = [(r["window_start"], r["event_type"]) for r in all_rows]
     assert len(keys) == len(set(keys))
+
+
+def test_stream_restart_after_index_compaction(spark, tmp_path):
+    """A checkpointed dedup stream stopped, its index compacted offline,
+    then restarted must keep emitting complete cross-batch pairs — the
+    compaction maintenance window composes with checkpoint recovery."""
+    from sparkstreaming_gmall_scala_spark.sinks.batch import AppendOnlyIndex
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import (
+        DOC_SCHEMA,
+        dedup_index_pipeline,
+    )
+
+    src, idx, out, ckpt = _dirs(tmp_path, "src", "idx", "out", "ckpt")
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    _drop(spark, DOC_SCHEMA, [(1, base)], src)
+    q = dedup_index_pipeline(spark, src, idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _drop(spark, DOC_SCHEMA, [(2, base + " x")], src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # offline maintenance between runs: fold both committed batch dirs
+    assert AppendOnlyIndex(idx).compact(spark, upto_batch_id=1) == 2
+
+    _drop(spark, DOC_SCHEMA, [(3, base + " y")], src)
+    q = dedup_index_pipeline(spark, src, idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in IdempotentBatchWriter(out).read(spark).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= got
