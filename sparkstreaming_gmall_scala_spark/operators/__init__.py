@@ -32,6 +32,7 @@ from .multimodal import (
     to_binary_payload,
 )
 from .packing import chunk_tokens, pack_sequences
+from .scoring import model_score
 from .sampling import (
     domain_mix,
     hash_stratified_sample,
@@ -95,6 +96,7 @@ __all__ = [
     "members_only",
     "minhash_signatures",
     "mixture_thresholds",
+    "model_score",
     "ngram_overlap_flags",
     "pack_sequences",
     "parse_envelope",

@@ -1502,3 +1502,26 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bp, "doc_id")
         .select("doc_id", "source")
     )
+
+
+@register(
+    "model_score",
+    oracle="""
+    SELECT doc_id,
+           (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000000)
+             / 1000000.0 AS score
+    FROM documents
+    """,
+    tags=("llm", "scoring", "classifier"),
+    gated=False,
+)
+def model_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-filter scoring (the GPT-3/LLaMA quality-classifier
+    stage) through real per-partition-model-load mapInPandas plumbing;
+    the model is a deterministic md5 pseudo-logit (library absent — the
+    multimodal stub discipline), which is exactly what the oracle
+    recomputes."""
+    from ..operators.scoring import model_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return model_score(d, "doc_id", "text")

@@ -79,6 +79,9 @@ def test_gate_budget(registry):
         # W3 watermarked tumbling-window rollup (batch analog; live form
         # in streaming/rollup.py with watermark-drop pytest)
         "hourly_event_rollup",
+        # classifier-filter scoring plumbing (deterministic fake model —
+        # the multimodal stub discipline)
+        "model_score",
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None

@@ -165,3 +165,26 @@ def test_gopher_and_pii_plans_are_shuffle_free(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan[:2000]
+
+
+def test_model_score_plumbing(spark):
+    """Classifier scoring: deterministic scores in [0,1), every doc
+    scored exactly once (including empty/odd texts), zero shuffle."""
+    import hashlib
+
+    from sparkstreaming_gmall_scala_spark.operators.scoring import (
+        model_score,
+    )
+
+    rows = [(1, "hello world"), (2, ""), (3, "hello world"), (4, "ünïcödé")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    out = model_score(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan.split("MapInPandas")[-1]
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert len(got) == 4
+    for doc_id, text in rows:
+        want = (int(hashlib.md5(text.encode()).hexdigest()[:8], 16) % 1_000_000) / 1e6
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    assert got[1] == got[3]  # identical text ⇒ identical score
+    assert all(0.0 <= s < 1.0 for s in got.values())
