@@ -72,6 +72,7 @@ HEADLINE = (
     "line_dedup",
     "corpus_curate",
     "hourly_event_rollup",
+    "model_score",
 )
 
 
