@@ -207,3 +207,23 @@ def test_band_probe_never_shuffles_the_index(spark):
     # allowed is on the (id_a, id_b) output, never on the universe scan
     pre_join = plan.split("BroadcastHashJoin", 1)[1]
     assert "Exchange hashpartitioning" not in pre_join, plan[:3000]
+
+
+def test_corpus_curate_mix_filter_reaches_scan_no_cartesian(spark, sf_dir, registry):
+    # the composed curation recipe is a doc_id join tree; the domain-mix
+    # hash predicate must still push into its scan, and no stage may
+    # degenerate into a cartesian/nested-loop join
+    plan = _plan(spark, registry, "corpus_curate", sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    scan_lines = [
+        l for l in plan.split("\n") if "Scan parquet" in l or "DataFilters" in l
+    ]
+    assert any("md5" in l for l in scan_lines), plan[:3000]
+
+
+def test_hourly_rollup_is_single_partial_agg_shuffle(spark, sf_dir, registry):
+    # the W3 rollup must be one hash exchange on (window, type) with
+    # map-side partial aggregation below it — the mergeable-rollup shape
+    plan = _plan(spark, registry, "hourly_event_rollup", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:3000]
