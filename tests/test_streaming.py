@@ -1417,3 +1417,32 @@ def test_stream_restart_after_index_compaction(spark, tmp_path):
         for r in IdempotentBatchWriter(out).read(spark).collect()
     }
     assert {(1, 2), (1, 3), (2, 3)} <= got
+
+
+def test_index_compaction_crash_before_swap_rolls_forward(spark, tmp_path):
+    """Compaction crash matrix: a crash after writing base.tmp/_SUCCESS
+    but before the rename swap must roll FORWARD on the next read (the
+    recover_dir discipline) — no index rows lost, duplicates with
+    not-yet-deleted batch dirs tolerated."""
+    from sparkstreaming_gmall_scala_spark.sinks.batch import AppendOnlyIndex
+
+    idx = str(tmp_path / "idx")
+    index = AppendOnlyIndex(idx)
+    b0 = spark.createDataFrame(
+        [(1, 0, "h1"), (2, 1, "h2")], "doc_id long, band_idx int, band_hash string"
+    )
+    index.append(b0, 0)
+    rows = {tuple(r) for r in index.read(spark).collect()}
+
+    # simulate the crash: the merged generation fully written to
+    # base.tmp (with _SUCCESS), process died before the swap + deletes
+    b0.write.mode("overwrite").parquet(os.path.join(idx, "base.tmp"))
+    assert os.path.exists(os.path.join(idx, "base.tmp", "_SUCCESS"))
+
+    got = {tuple(r) for r in index.read(spark).collect()}
+    assert got == rows  # rolled forward; duplicate batch-dir rows absorbed
+    assert os.path.isdir(os.path.join(idx, "base"))
+    assert not os.path.isdir(os.path.join(idx, "base.tmp"))
+    # the next compact folds the leftover batch dir into the new base
+    assert index.compact(spark, upto_batch_id=0) == 1
+    assert {tuple(r) for r in index.read(spark).collect()} == rows
