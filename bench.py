@@ -73,6 +73,7 @@ HEADLINE = (
     "corpus_curate",
     "hourly_event_rollup",
     "model_score",
+    "containment_pairs",
 )
 
 

@@ -16,6 +16,7 @@ from .cdc import (
 from .cleaning import line_dedup, pii_mask
 from .dedup import (
     connected_components,
+    containment_pairs,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -74,6 +75,7 @@ __all__ = [
     "bucketize_corpus",
     "chunk_tokens",
     "connected_components",
+    "containment_pairs",
     "cosine_near_dup_pairs",
     "cosine_near_dup_vectorized",
     "domain_mix",

@@ -139,19 +139,11 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(
-    sh: DataFrame,
-    id_col: str,
-    max_df: int = 20,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every doc pair sharing at least
-    one (non-stop) shingle; emits pairs with similarity >= threshold.
-
-    jaccard = |A∩B| / (|A| + |B| - |A∩B|), with sizes counted over the
-    SAME stop-shingle-filtered sets so the measure is internally
-    consistent.
-    """
+def _pair_candidates(sh: DataFrame, id_col: str, max_df: int):
+    """Shared front half of the exact-similarity pair ops: stop-shingle
+    removal, per-doc set sizes, and co-shingled pair intersection counts
+    joined with both sizes. Returns (joined, release) where ``release()``
+    unpersists the cached intermediates after the caller materializes."""
     # The exploded shingle frame feeds stops AND the kept frame below;
     # shingling is an interpreted higher-order-function expression (the
     # most expensive scan in this pipeline), so compute it once.
@@ -185,14 +177,33 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    jac = (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_shared").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double"),
-        )
+    joined = shared.join(sa, "id_a").join(sb, "id_b")
+
+    def release() -> None:
+        sh.unpersist()
+        kept.unpersist()
+
+    return joined, release
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str,
+    max_df: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every doc pair sharing at least
+    one (non-stop) shingle; emits pairs with similarity >= threshold.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|), with sizes counted over the
+    SAME stop-shingle-filtered sets so the measure is internally
+    consistent.
+    """
+    joined, release = _pair_candidates(sh, id_col, max_df)
+    jac = joined.withColumn(
+        "jaccard",
+        F.col("n_shared").cast("double")
+        / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double"),
     )
     out = jac.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", (F.floor(F.col("jaccard") * 1e6 + 0.5) / 1e6).alias("jaccard")
@@ -204,8 +215,37 @@ def jaccard_pairs(
     # so an executor loss just recomputes from source.
     out = out.persist()
     out.count()
-    sh.unpersist()
-    kept.unpersist()
+    release()
+    return out
+
+
+def containment_pairs(
+    sh: DataFrame,
+    id_col: str,
+    max_df: int = 20,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Max-containment near-dup pairs: |A∩B| / min(|A|, |B|) ≥ threshold —
+    the ASYMMETRIC complement to Jaccard that catches sub-document
+    duplication (a short doc quoted or embedded inside a long one scores
+    near 1.0 here but low on Jaccard, because the union in Jaccard's
+    denominator is dominated by the long doc). Standard companion filter
+    in LLM dedup pipelines; same stop-shingle-bounded candidate machinery
+    as ``jaccard_pairs``, so the blowup guards are shared."""
+    joined, release = _pair_candidates(sh, id_col, max_df)
+    cont = joined.withColumn(
+        "containment",
+        F.col("n_shared").cast("double")
+        / F.least("size_a", "size_b").cast("double"),
+    )
+    out = cont.filter(F.col("containment") >= threshold).select(
+        "id_a",
+        "id_b",
+        (F.floor(F.col("containment") * 1e6 + 0.5) / 1e6).alias("containment"),
+    )
+    out = out.persist()
+    out.count()
+    release()
     return out
 
 

@@ -299,7 +299,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared CTE chain producing the >=0.5-Jaccard near-dup pairs; reused by
 # ngram_jaccard_pairs and (under WITH RECURSIVE) dup_clusters.
-_PAIR_CTES = f"""sh AS (
+# Candidate machinery shared by the Jaccard and containment oracles:
+# distinct shingles, stop-shingle removal, set sizes, co-shingled pair
+# intersection counts.
+_CAND_CTES = f"""sh AS (
       SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
     ), stops AS (
       SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20
@@ -312,7 +315,9 @@ _PAIR_CTES = f"""sh AS (
       FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), pairs AS (
+    )"""
+
+_PAIR_CTES = f"""{_CAND_CTES}, pairs AS (
       SELECT id_a, id_b,
              n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared) AS jac
       FROM shared
@@ -1525,3 +1530,29 @@ def model_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return model_score(d, "doc_id", "text")
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH {_CAND_CTES}
+    SELECT id_a, id_b,
+           floor(n_shared::DOUBLE / least(sa.set_size, sb.set_size)
+                 * 1000000 + 0.5) / 1000000 AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_shared::DOUBLE / least(sa.set_size, sb.set_size) >= 0.8
+    """,
+    tags=("llm", "dedup", "containment"),
+    gated=False,
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication pairs: max-containment ≥ 0.8 over
+    stop-shingle-filtered 3-gram sets — catches a short doc embedded in
+    a long one, which Jaccard's union denominator hides."""
+    from ..operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", n=3)
+    return containment_pairs(sh, "doc_id", max_df=20, threshold=0.8)

@@ -82,6 +82,8 @@ def test_gate_budget(registry):
         # classifier-filter scoring plumbing (deterministic fake model —
         # the multimodal stub discipline)
         "model_score",
+        # asymmetric containment companion to the gated ngram_jaccard_pairs
+        "containment_pairs",
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None

@@ -129,3 +129,33 @@ def test_minhash_rejects_unknown_hash_fn(spark):
     sh = shingle_rows(_docs(spark), "doc_id", "text", n=3)
     with pytest.raises(ValueError, match="hash_fn"):
         minhash_signatures(sh, "doc_id", hash_fn="sha1")
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    ≈ 1.0 (every short-doc shingle is shared) while Jaccard stays low
+    (the union is dominated by the long doc) — the asymmetric case the
+    containment filter exists for."""
+    from sparkstreaming_gmall_scala_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_rows,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, f"{filler} {short} {filler}")],
+        "doc_id long, text string",
+    )
+    sh = shingle_rows(docs, "doc_id", "text", n=3)
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(sh, "doc_id", max_df=50, threshold=0.8).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", max_df=50, threshold=0.5).collect()
+    }
+    assert cont[(1, 2)] >= 0.8  # short doc fully contained
+    assert (1, 2) not in jac  # union-dominated Jaccard misses it
