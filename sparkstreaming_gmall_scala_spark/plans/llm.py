@@ -183,6 +183,9 @@ _QUALITY_SQL = f"""
     WHERE q.quality >= 0.45 AND l.pred_lang = 'en'
     """,
     tags=("llm", "text", "dedup", "pipeline"),
+    # round-6 rotation: subset of the still-gated corpus_clean_near and
+    # of corpus_curate (now gated); slot freed for the round-5 families.
+    gated=False,
 )
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data cleaning recipe as ONE composed query:
@@ -743,6 +746,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by construction; pytest asserts exact
     # result-equality with the in-memory ivf_topk instead.
     tags=("llm", "similarity", "ivf", "persisted"),
+    # round-6 rotation: a rows-only driver row carries less signal than a
+    # hash-green one; the real checks (recall bound + persisted≡in-memory
+    # path equality) live in pytest. Slot freed for the round-5 families.
+    gated=False,
 )
 def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 over PERSISTED inverted lists: ivf_build assigns cells
@@ -862,6 +869,10 @@ def _near_dup_lsh_oracle() -> str:
     "embed_near_dup_lsh",
     oracle=_near_dup_lsh_oracle(),
     tags=("llm", "dedup", "similarity", "lsh"),
+    # round-6 rotation: OR-construction twin of gated embed_near_dup; the
+    # banded machinery is gated via minhash_lsh_pairs. In-suite parity
+    # keeps the full oracle check.
+    gated=False,
 )
 def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, 100 TB path: banded-LSH candidate pairs then
@@ -1276,7 +1287,6 @@ _GOPHER_SQL = f"""
     "gopher_quality",
     oracle=_GOPHER_SQL,
     tags=("llm", "text", "quality"),
-    gated=False,
 )
 def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule composite quality filter (word-count/word-length
@@ -1308,7 +1318,6 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN pd USING (doc_id)
     """,
     tags=("llm", "text", "quality"),
-    gated=False,
 )
 def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram token entropy per doc — the model-free perplexity proxy
@@ -1379,7 +1388,6 @@ def pii_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM flagged GROUP BY doc_id
     """,
     tags=("llm", "text", "dedup"),
-    gated=False,
 )
 def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document line dedup (RefinedWeb/CCNet): lines appearing in
@@ -1453,7 +1461,6 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= lpad(lower(to_hex(thr.thr_int)), 4, '0')
     """,
     tags=("llm", "pipeline", "quality", "dedup", "sampling"),
-    gated=False,
 )
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-5 curation recipe as ONE composed query — the
@@ -1545,7 +1552,6 @@ def model_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_shared::DOUBLE / least(sa.set_size, sb.set_size) >= 0.8
     """,
     tags=("llm", "dedup", "containment"),
-    gated=False,
 )
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document duplication pairs: max-containment ≥ 0.8 over

@@ -359,16 +359,27 @@ def customer_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers_no_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
     """,
     tags=("parity", "join"),
 )
 def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the reference's NOT-IN membership probe against the
-    USER_STATUS state table, without the hand-built IN-list SQL."""
+    USER_STATUS state table, without the hand-built IN-list SQL.
+
+    The probe is restricted to fulfilled ('F') orders: at the gate SF every
+    customer has *some* order, so the unrestricted anti-join returns 0 rows
+    on both engines and proves nothing (round-5 verdict).  Against the
+    F-only side the result is genuinely row-bearing at every SF
+    (5 / 71 / 511 rows at sf 0.001 / 0.01 / 0.1) while the plan shape — a
+    pushed-down filter under a left-anti hash join — is unchanged."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.join(o, on="c_custkey", how="left_anti").select("c_custkey", "c_name")
 
@@ -524,6 +535,10 @@ def windowed_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_orderkey
     """,
     tags=("parity", "dedup"),
+    # round-6 rotation: the J2 dedup semantics are subsumed by the gated
+    # windowed_order_join (whose oracle dedups the window re-emissions);
+    # in-suite parity keeps this exact check. Slot freed for round-5 work.
+    gated=False,
 )
 def join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference re-emits each joined pair up to 4× (sliding window

@@ -54,7 +54,7 @@ def test_gate_budget(registry):
         "embed_near_dup_vec",  # pair-set == embed_near_dup (gated)
         # round-5 rotation: near-twins of gated siblings, swapped out so
         # the four distinct corpus-quality behaviors (doc_repetition,
-        # decontaminate, domain_mix, boilerplate_ngrams) get driver
+        # decontaminate, domain_mix, boilerplate_ngrams) got driver
         # CORRECTNESS rows. Still registered, benched, pytest-covered.
         "customers_with_orders",  # J5 twin of customers_no_orders
         "dau_first_visit",  # A2 twin of dau
@@ -64,31 +64,30 @@ def test_gate_budget(registry):
         # checked by tools/verify_local + invariant pytests
         "chunk_tokens",
         "pack_sequences",
-        # round-5 corpus-cleaning extensions — full oracles; the corpus
-        # has no newlines/PII so their branch behavior is pinned by
+        # full oracle; branch behavior (the corpus has no PII) pinned by
         # tests/test_cleaning.py on crafted rows
-        "gopher_quality",
-        "token_entropy",
         "pii_mask",
-        "line_dedup",
         # bounded-memory sketch twin of the gated price_quantiles
         "price_quantiles_approx",
-        # the composed round-5 curation recipe (every stage is a gated or
-        # parity-tested operator; the composition has its own full oracle)
-        "corpus_curate",
-        # W3 watermarked tumbling-window rollup (batch analog; live form
-        # in streaming/rollup.py with watermark-drop pytest)
-        "hourly_event_rollup",
         # classifier-filter scoring plumbing (deterministic fake model —
         # the multimodal stub discipline)
         "model_score",
-        # asymmetric containment companion to the gated ngram_jaccard_pairs
-        "containment_pairs",
+        # round-6 rotation OUT (slots freed for the round-5 families —
+        # gopher_quality, token_entropy, line_dedup, corpus_curate,
+        # containment_pairs, hourly_event_rollup are now gated):
+        "corpus_clean",  # subset of gated corpus_clean_near/corpus_curate
+        "embed_near_dup_lsh",  # OR-construction twin of embed_near_dup
+        "join_dedup",  # J2 dedup subsumed by gated windowed_order_join
+        "skew_salted_agg",  # salting gated via skew_salted_join
+        "dau_approx",  # rows-only row; 5% error bound lives in pytest
+        "knn_ivf_persisted",  # rows-only row; recall+path-equality pytest
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None
     }
-    assert gated_no_oracle == {"knn_ivf_persisted", "dau_approx"}
+    # round-6 rotation demoted both rows-only entries: every gated row is
+    # now a full hash-checked oracle row.
+    assert gated_no_oracle == set()
 
 
 @pytest.mark.parametrize(
