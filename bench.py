@@ -74,6 +74,11 @@ HEADLINE = (
     "hourly_event_rollup",
     "model_score",
     "containment_pairs",
+    # added r6: single-scan curation — corpus_curate_fast is directly
+    # comparable to corpus_curate above (same result, 1 scan vs 5);
+    # corpus_features is the materialization it amortizes
+    "corpus_features",
+    "corpus_curate_fast",
 )
 
 
@@ -108,6 +113,32 @@ def bench_streaming_dedup(spark, sf_dir: str) -> int:
         return sink.read(spark).count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def calibrate(spark, k: int = 3) -> dict:
+    """Host-speed calibration probe (round-5 verdict #5): BENCH totals
+    moved ~1.5× between rounds on identical code because each round runs
+    on a different-speed VM. This times a fixed, data-independent,
+    CPU-bound query (md5+crc32 over a 20M range, 32 partitions — the
+    same codegen'd hash kernels the real queries lean on) k times after
+    one warm run; cross-round comparison divides per-query times by
+    ``median_sec`` to normalize mechanically instead of eyeballing a
+    stable cheap query."""
+    probe = lambda: spark.range(0, 20_000_000, 1, 32).selectExpr(  # noqa: E731
+        "sum(crc32(md5(CAST(id AS STRING)))) AS s"
+    ).collect()
+    probe()  # warm codegen/classloading
+    runs = []
+    for _ in range(k):
+        t0 = time.perf_counter()
+        probe()
+        runs.append(round(time.perf_counter() - t0, 4))
+    med = sorted(runs)[len(runs) // 2]
+    return {
+        "probe": "range20m_md5_crc32_local32",
+        "runs": runs,
+        "median_sec": med,
+    }
 
 
 def main() -> int:
@@ -150,6 +181,9 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    calibration = calibrate(spark)
+    print(f"# calibration: {calibration}", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -159,6 +193,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "calibration": calibration,
             }
         )
     )

@@ -14,6 +14,7 @@ from .cdc import (
     route_maxwell,
 )
 from .cleaning import line_dedup, pii_mask
+from .curation import corpus_features, curate_filter
 from .dedup import (
     connected_components,
     containment_pairs,
@@ -76,8 +77,10 @@ __all__ = [
     "chunk_tokens",
     "connected_components",
     "containment_pairs",
+    "corpus_features",
     "cosine_near_dup_pairs",
     "cosine_near_dup_vectorized",
+    "curate_filter",
     "domain_mix",
     "enrich_left",
     "exact_dedup",

@@ -1400,9 +1400,10 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(d, "doc_id", "text", min_df=3)
 
 
-@register(
-    "corpus_curate",
-    oracle=f"""
+# The curation policy's DuckDB form — shared verbatim by corpus_curate
+# (the 5-stage composition) and corpus_curate_fast (the single-scan
+# feature-table filter): one oracle, two physical strategies.
+_CURATE_SQL = f"""
     WITH keeps AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_TEXT})
     ),
@@ -1459,7 +1460,12 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND thr.thr_int >= 0
       AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
             <= lpad(lower(to_hex(thr.thr_int)), 4, '0')
-    """,
+"""
+
+
+@register(
+    "corpus_curate",
+    oracle=_CURATE_SQL,
     tags=("llm", "pipeline", "quality", "dedup", "sampling"),
 )
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,8 +1481,9 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scan accounting at 100 TB: this composition re-scans documents per
     stage (column-pruned to doc_id/text/source). A production curation
     run materializes the per-doc feature table once and filters it —
-    the standalone queries ARE those stages; this entry is the
-    correctness contract that their conjunction composes exactly."""
+    that run is ``corpus_curate_fast`` (single scan, plan-guarded); this
+    entry is the correctness contract that the stage conjunction
+    composes exactly, and pytest pins fast ≡ composed."""
     from ..operators.dedup import exact_dedup
     from ..operators.sampling import domain_mix as _mix
     from ..operators.textstats import (
@@ -1514,6 +1521,104 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bp, "doc_id")
         .select("doc_id", "source")
     )
+
+
+_FEATURES_SQL = f"""
+    WITH fps AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),
+    keeps AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
+    g AS ({_GOPHER_SQL}),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+    hits AS (
+      SELECT d.doc_id, count(*) AS n
+      FROM sh d JOIN ev USING (shingle) GROUP BY d.doc_id
+    ),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    bo AS (
+      SELECT s.doc_id, count(*) AS n_shingles,
+             sum(CASE WHEN f.df >= 20 THEN 1 ELSE 0 END) AS n_boiler
+      FROM sh s JOIN dfreq f USING (shingle) GROUP BY s.doc_id
+    ),
+    counts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    tot AS (SELECT sum(cnt) AS total FROM counts),
+    thr AS (
+      SELECT source,
+             least(65535, CAST(floor(
+               65536.0 * least(cnt, floor(floor(total * 0.5) *
+                 CASE source WHEN 'src0' THEN 0.5
+                             WHEN 'src1' THEN 0.25
+                             WHEN 'src2' THEN 0.125
+                             ELSE 0.0078125 END)) / cnt
+             ) AS BIGINT) - 1) AS thr_int
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source,
+           (d.doc_id = k.keep_id) AS is_keeper,
+           g.keep AS gopher_keep,
+           CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_shared_ngrams,
+           CAST(bo.n_shingles AS BIGINT) AS n_shingles,
+           CAST(bo.n_boiler AS BIGINT) AS n_boiler,
+           floor((CASE WHEN bo.n_shingles > 0
+                       THEN CAST(bo.n_boiler AS DOUBLE) / bo.n_shingles
+                       ELSE 0 END) * 1000000 + 0.5) / 1000000 AS boiler_frac,
+           (thr.thr_int >= 0
+            AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                  <= lpad(lower(to_hex(thr.thr_int)), 4, '0')) AS mix_keep
+    FROM documents d
+    JOIN fps ON fps.doc_id = d.doc_id
+    JOIN keeps k ON k.fp = fps.fp
+    JOIN g ON g.doc_id = d.doc_id
+    LEFT JOIN hits ON hits.doc_id = d.doc_id
+    JOIN bo ON bo.doc_id = d.doc_id
+    JOIN thr ON thr.source = d.source
+"""
+
+
+@register(
+    "corpus_features",
+    oracle=_FEATURES_SQL,
+    tags=("llm", "pipeline", "quality", "dedup", "sampling"),
+    gated=False,
+)
+def corpus_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-scan curation feature table (round-5 verdict's 100 TB
+    fix for corpus_curate's per-stage re-scans): one pass over documents
+    into a persisted pruned base, every per-doc feature — exact-dup
+    keeper flag, Gopher keep, eval-overlap count, boilerplate fraction,
+    mixture hash-keep — derived from that cache. Plan-guarded: the
+    feature-assembly plan reads caches only, never re-scans parquet."""
+    from ..operators.curation import corpus_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_features(
+        d,
+        weights=_MIX_WEIGHTS,
+        budget_frac=_MIX_BUDGET_FRAC,
+        default_weight=_MIX_DEFAULT_W,
+    )
+
+
+@register(
+    "corpus_curate_fast",
+    oracle=_CURATE_SQL,
+    tags=("llm", "pipeline", "quality", "dedup", "sampling"),
+    gated=False,
+)
+def corpus_curate_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curate's result from ONE corpus scan: filter the
+    corpus_features table with the stage conjunction. Same oracle string
+    as corpus_curate — one contract, two physical strategies — and
+    pytest pins fast ≡ composed row-for-row."""
+    from ..operators.curation import corpus_features, curate_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = corpus_features(
+        d,
+        weights=_MIX_WEIGHTS,
+        budget_frac=_MIX_BUDGET_FRAC,
+        default_weight=_MIX_DEFAULT_W,
+    )
+    return curate_filter(feats).select("doc_id", "source")
 
 
 @register(

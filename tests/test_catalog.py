@@ -81,6 +81,11 @@ def test_gate_budget(registry):
         "skew_salted_agg",  # salting gated via skew_salted_join
         "dau_approx",  # rows-only row; 5% error bound lives in pytest
         "knn_ivf_persisted",  # rows-only row; recall+path-equality pytest
+        # round-6 single-scan curation (verdict #2): full oracles; the
+        # one-documents-scan property is plan-guarded and fast ≡ composed
+        # is pinned in tests/test_curation.py
+        "corpus_features",
+        "corpus_curate_fast",
     }, ungated
     gated_no_oracle = {
         n for n in gated if registry[n].oracle is None

@@ -91,6 +91,31 @@ def test_pack_offsets_contiguous_per_shard(spark, docs):
                 assert r["seq_first"] <= r["seq_last"]
 
 
+def test_pack_derives_n_shards_from_token_count(spark, docs):
+    """With n_shards unset, sharding is derived as
+    ceil(total_tokens / (seq_len · seqs_per_shard)) — the scale-safe
+    default (round-5 verdict #6) — and the manifest matches an explicit
+    call with that value."""
+    total = sum(len(t.split()) for _, t in DOCS)  # 37 tokens
+    seq_len, per_shard = 5, 4  # → ceil(37 / 20) = 2 shards
+    expect_shards = -(-total // (seq_len * per_shard))
+    assert expect_shards == 2
+    derived = pack_sequences(
+        docs, "doc_id", "text", seq_len=seq_len, seqs_per_shard=per_shard
+    ).collect()
+    explicit = pack_sequences(
+        docs, "doc_id", "text", seq_len=seq_len, n_shards=expect_shards
+    ).collect()
+    assert sorted(map(tuple, derived)) == sorted(map(tuple, explicit))
+    assert {r["shard"] for r in derived} <= set(range(expect_shards))
+    # an all-empty corpus degrades to one shard, not a crash
+    empty = spark.createDataFrame(
+        [(0, ""), (1, "")], "doc_id long, text string"
+    )
+    rows = pack_sequences(empty, "doc_id", "text", seq_len=seq_len).collect()
+    assert {r["shard"] for r in rows} == {0}
+
+
 def test_chunker_plan_is_shuffle_free(spark, docs):
     plan = (
         chunk_tokens(docs, "doc_id", "text")
