@@ -421,9 +421,15 @@ def connected_components(
             # per round along a path, so the label sum drops by a near-
             # constant amount each round. Three consecutive plateaued
             # deltas ⇒ hand off to the O(log n) contraction now instead
-            # of propagating to budget exhaustion first.
+            # of propagating to budget exhaustion first. Only after half
+            # the budget, though: early on, many equal-length chains
+            # finishing together produce the same constant-rate signature
+            # on a graph that is one or two rounds from converging, and
+            # abandoning it would pay the full contraction restart for
+            # nothing.
             if (
                 method == "auto"
+                and i + 1 >= max_iters // 2
                 and len(deltas) >= 3
                 and min(deltas[-3:]) > 0
                 and max(deltas[-3:]) <= 1.25 * min(deltas[-3:])

@@ -40,9 +40,12 @@ def _load_model():
         # pseudo-logit in [0, 1): first 8 md5 hex chars as an integer,
         # scaled — integer math end-to-end, so DuckDB reproduces it
         # bit-for-bit (a real model's float logits would be rows-only).
-        return texts.fillna("").map(
+        # NULL text scores NULL (na_action keeps NaN as NaN), matching
+        # the oracle where md5(NULL) is NULL — not md5('').
+        return texts.map(
             lambda t: (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1_000_000)
-            / 1e6
+            / 1e6,
+            na_action="ignore",
         )
 
     return score_batch

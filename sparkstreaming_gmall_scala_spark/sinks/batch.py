@@ -235,13 +235,19 @@ class AppendOnlyIndex:
                 "flat files, write to <dir>/base, delete the flat files) "
                 "before resuming the stream."
             )
-        return sorted(out)
+        # Only dirs that actually hold part files count: a crash during
+        # the very first append can leave an empty batch_id dir, which
+        # would otherwise surface as an opaque schema-inference error in
+        # read()/compact() instead of a clean empty-index signal. The
+        # stream's replay rewrites such a dir on restart.
+        return sorted(
+            b
+            for b in out
+            if has_parquet(os.path.join(self.index_dir, f"batch_id={b}"))
+        )
 
     def has_data(self) -> bool:
-        return has_parquet(self._base) or any(
-            has_parquet(os.path.join(self.index_dir, f"batch_id={b}"))
-            for b in self._batch_ids()
-        )
+        return has_parquet(self._base) or bool(self._batch_ids())
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Everything indexed so far (base generation ∪ batch dirs).
@@ -282,6 +288,13 @@ class AppendOnlyIndex:
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p)
+        # An interrupted compaction rolls forward to the new base but can
+        # leave the folded batch dirs on disk; without this, the NEXT
+        # compact would bake those rows into base a second time — readers
+        # tolerate duplicates, but base would inflate per crash cycle.
+        # Safe for both index row shapes ((doc_id, band_idx, band_hash)
+        # and (fp, keeper)): index rows are identity, not counters.
+        merged = merged.dropDuplicates()
         tmp = self._base + ".tmp"
         old = self._base + ".old"
         merged.write.mode("overwrite").parquet(tmp)

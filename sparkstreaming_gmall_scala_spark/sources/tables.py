@@ -77,6 +77,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for f in df.schema.fields
         if isinstance(f.dataType, T.TimestampNTZType)
     ]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    if ntz:
+        # The NTZ→TIMESTAMP cast is wall-clock-preserving ONLY under a
+        # UTC session zone; under any other zone it silently shifts every
+        # value relative to the naive micros DuckDB reads. Fail loud
+        # instead of skewing results (our session factory sets UTC; this
+        # guards sessions we don't construct).
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"load_table({name!r}) must run under a UTC session "
+                f"timezone (spark.sql.session.timeZone={tz!r}): the "
+                "TIMESTAMP_NTZ→TIMESTAMP cast would shift "
+                f"{ntz} relative to the oracle's naive values. Set "
+                'spark.conf.set("spark.sql.session.timeZone", "UTC").'
+            )
+        for c in ntz:
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df

@@ -188,3 +188,14 @@ def test_model_score_plumbing(spark):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
     assert got[1] == got[3]  # identical text ⇒ identical score
     assert all(0.0 <= s < 1.0 for s in got.values())
+
+    # NULL text scores NULL — matching the oracle's md5(NULL) = NULL,
+    # not md5('') (round-5 advice): NULL and empty must score differently
+    with_null = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    got_null = {
+        r["doc_id"]: r["score"] for r in model_score(with_null, "doc_id", "text").collect()
+    }
+    assert got_null[1] is None
+    assert got_null[2] is not None

@@ -1312,9 +1312,41 @@ def test_band_index_compaction_preserves_pairs(spark, tmp_path):
         (r["id_a"], r["id_b"]) for r in sink.read(spark).collect()
     }
     assert {(a, b) for a, b in got2 if b == 4} == {(1, 4), (2, 4), (3, 4)}
-    # a fresh compaction folds the leftover dir away
+    # a fresh compaction folds the leftover dir away — and dedups: the
+    # leftover's rows are already in base, and without the dropDuplicates
+    # each crash cycle would bake another copy into the new base
     assert AppendOnlyIndex(idx).compact(spark, upto_batch_id=7) >= 1
     assert not os.path.isdir(os.path.join(idx, "batch_id=7"))
+    base_df = spark.read.parquet(os.path.join(idx, "base"))
+    assert base_df.count() == base_df.distinct().count()
+
+
+def test_index_tolerates_empty_batch_dir_from_crashed_first_append(
+    spark, tmp_path
+):
+    """A crash between mkdir and the first part file leaves an empty
+    batch_id dir; read()/compact()/has_data() must treat it as absent (a
+    replay rewrites it) instead of surfacing a schema-inference error."""
+    from sparkstreaming_gmall_scala_spark.sinks.batch import AppendOnlyIndex
+
+    idx = str(tmp_path / "idx")
+    index = AppendOnlyIndex(idx)
+    os.makedirs(os.path.join(idx, "batch_id=0"))  # crashed first append
+    assert not index.has_data()
+    with pytest.raises(FileNotFoundError):
+        index.read(spark)
+    assert index.compact(spark, upto_batch_id=5) == 0
+
+    # with real data alongside, the empty dir stays invisible
+    index.append(
+        spark.createDataFrame([(1, 0, "h")], "doc_id long, band_idx int, band_hash string"),
+        1,
+    )
+    os.makedirs(os.path.join(idx, "batch_id=2"))  # crashed later append
+    assert index.has_data()
+    assert index.read(spark).count() == 1
+    assert index.compact(spark, upto_batch_id=2) == 1
+    assert index.read(spark).count() == 1
 
 
 def test_windowed_rollup_append_once_and_drops_late_rows(spark, tmp_path):
