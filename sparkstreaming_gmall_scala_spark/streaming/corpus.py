@@ -101,9 +101,17 @@ def corpus_ingest_batch(
     index_dir: str,
     sink: IdempotentBatchWriter,
     eval_docs: DataFrame | None = None,
+    compact_every: int | None = None,
 ):
-    """Per-batch body (exposed so tests can replay (batch_df, batch_id))."""
+    """Per-batch body (exposed so tests can replay (batch_df, batch_id)).
+
+    ``compact_every=N`` folds committed fingerprint dirs into the base
+    generation every N batches (ids ≤ current − 1 only — the current dir
+    is the replay-rewritable one); see banded_candidates_batch for the
+    amortization argument."""
     index = AppendOnlyIndex(index_dir)
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.dropDuplicates(["doc_id"])
@@ -138,6 +146,8 @@ def corpus_ingest_batch(
         )
         kept.unpersist()
         fps.unpersist()
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact(spark, upto_batch_id=batch_id - 1)
 
     return process
 
@@ -149,13 +159,14 @@ def corpus_ingest_pipeline(
     out_dir: str,
     checkpoint: str,
     eval_docs: DataFrame | None = None,
+    compact_every: int | None = None,
 ):
     """Document stream → curated, masked, deduped corpus + fp index."""
     docs = file_stream(spark, src_dir, DOC_SCHEMA)
     sink = IdempotentBatchWriter(out_dir)
     return (
         docs.writeStream.foreachBatch(
-            corpus_ingest_batch(spark, index_dir, sink, eval_docs)
+            corpus_ingest_batch(spark, index_dir, sink, eval_docs, compact_every)
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("append")

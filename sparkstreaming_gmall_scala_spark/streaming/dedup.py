@@ -176,13 +176,27 @@ def banded_candidates_batch(
     index_dir: str,
     sink: IdempotentBatchWriter,
     bander: Bander,
+    compact_every: int | None = None,
 ):
     """Per-batch body (exposed so tests can replay a (batch_df, batch_id)
     directly), generic over the signature family: band the NEW docs via
     ``bander``, join against the persisted band index ∪ this batch, emit
     (id_a, id_b) candidates, then append the new bands as the index's
-    ``batch_id=N`` directory."""
+    ``batch_id=N`` directory.
+
+    ``compact_every=N`` folds committed batch dirs into the ``base``
+    generation every N batches, inline in the foreachBatch body — without
+    it a long-running stream accumulates one small-file directory per
+    micro-batch until someone compacts offline. Only ids ≤ current − 1
+    fold: the current batch's dir is the one a post-crash replay may
+    rewrite, so it must stay its own generation. Compaction cost is
+    O(index) every N batches — amortized O(index/N) per batch; pick N so
+    that's ≪ the per-batch probe cost (and note the probe itself gets
+    FASTER after each fold: one coalesced base beats N small-file dirs).
+    """
     index = AppendOnlyIndex(index_dir)
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.dropDuplicates(["doc_id"])
@@ -198,6 +212,11 @@ def banded_candidates_batch(
         sink(pairs, batch_id)
         index.append(banded_new, batch_id)
         banded_new.unpersist()
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # A crash in here replays the batch: it re-probes against
+            # base ∪ its own dir (identical universe) and re-compacts —
+            # compact() is idempotent and dedups, so no harm either way.
+            index.compact(spark, upto_batch_id=batch_id - 1)
 
     return process
 
@@ -223,11 +242,14 @@ def _banded_pipeline(
     out_dir: str,
     checkpoint: str,
     bander: Bander,
+    compact_every: int | None = None,
 ):
     sink = IdempotentBatchWriter(out_dir)
     return (
         src.writeStream.foreachBatch(
-            banded_candidates_batch(spark, index_dir, sink, bander)
+            banded_candidates_batch(
+                spark, index_dir, sink, bander, compact_every
+            )
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
@@ -243,12 +265,13 @@ def dedup_index_pipeline(
     checkpoint: str,
     num_hashes: int = 8,
     band_size: int = 2,
+    compact_every: int | None = None,
 ):
     """Document stream → incremental MinHash-LSH candidate pairs + index."""
     docs = file_stream(spark, src_dir, DOC_SCHEMA)
     return _banded_pipeline(
         spark, docs, index_dir, out_dir, checkpoint,
-        minhash_bander(num_hashes, band_size),
+        minhash_bander(num_hashes, band_size), compact_every,
     )
 
 
@@ -258,11 +281,13 @@ def simhash_index_pipeline(
     index_dir: str,
     out_dir: str,
     checkpoint: str,
+    compact_every: int | None = None,
 ):
     """Document stream → incremental SimHash-limb candidate pairs + index."""
     docs = file_stream(spark, src_dir, DOC_SCHEMA)
     return _banded_pipeline(
-        spark, docs, index_dir, out_dir, checkpoint, simhash_bander()
+        spark, docs, index_dir, out_dir, checkpoint, simhash_bander(),
+        compact_every,
     )
 
 
@@ -274,6 +299,7 @@ def embed_index_pipeline(
     checkpoint: str,
     planes: list[list[float]],
     bands: int,
+    compact_every: int | None = None,
 ):
     """Embedding stream → incremental hyperplane-LSH candidate pairs +
     index (near-dup candidates by cosine family; verify with
@@ -281,5 +307,5 @@ def embed_index_pipeline(
     embs = file_stream(spark, src_dir, EMB_SCHEMA)
     return _banded_pipeline(
         spark, embs, index_dir, out_dir, checkpoint,
-        embedding_bander(planes, bands),
+        embedding_bander(planes, bands), compact_every,
     )

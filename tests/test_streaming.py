@@ -1321,6 +1321,114 @@ def test_band_index_compaction_preserves_pairs(spark, tmp_path):
     assert base_df.count() == base_df.distinct().count()
 
 
+def test_inline_compaction_bounds_index_dirs_and_preserves_pairs(
+    spark, tmp_path
+):
+    """compact_every=N wired into the foreachBatch body: a many-batch run
+    ends with O(1) index dirs (base + at most N uncompacted), the pair
+    set equals an uncompacted twin's, and a replay of the last batch
+    right after an inline compaction still rewrites only its own dir."""
+    from sparkstreaming_gmall_scala_spark.sinks.batch import AppendOnlyIndex
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import (
+        DOC_SCHEMA,
+        banded_candidates_batch,
+        minhash_bander,
+    )
+
+    texts = [
+        (i, f"the quick brown fox jumps over the lazy dog number {i % 4}")
+        for i in range(12)
+    ]
+    batches = [
+        spark.createDataFrame([texts[i]], DOC_SCHEMA) for i in range(12)
+    ]
+    compact_every = 3
+
+    sink_c = IdempotentBatchWriter(str(tmp_path / "out_c"))
+    run_c = banded_candidates_batch(
+        spark, str(tmp_path / "idx_c"), sink_c, minhash_bander(),
+        compact_every=compact_every,
+    )
+    sink_p = IdempotentBatchWriter(str(tmp_path / "out_p"))
+    run_p = banded_candidates_batch(
+        spark, str(tmp_path / "idx_p"), sink_p, minhash_bander()
+    )
+    for i, b in enumerate(batches):
+        run_c(b, i)
+        run_p(b, i)
+
+    pairs_c = {(r["id_a"], r["id_b"]) for r in sink_c.read(spark).collect()}
+    pairs_p = {(r["id_a"], r["id_b"]) for r in sink_p.read(spark).collect()}
+    assert pairs_c == pairs_p and pairs_c  # identical and non-trivial
+
+    dirs_c = [
+        d for d in os.listdir(str(tmp_path / "idx_c")) if d != "base"
+    ]
+    dirs_p = os.listdir(str(tmp_path / "idx_p"))
+    assert len(dirs_p) == 12  # uncompacted twin: one dir per batch
+    # last inline fold ran at batch 9 (ids <= 8); dirs 9..11 remain
+    assert sorted(dirs_c) == ["batch_id=10", "batch_id=11", "batch_id=9"]
+    assert os.path.isdir(str(tmp_path / "idx_c" / "base"))
+
+    # both indexes still hold the same band universe
+    idx_rows_c = {
+        tuple(r)
+        for r in AppendOnlyIndex(str(tmp_path / "idx_c")).read(spark).collect()
+    }
+    idx_rows_p = {
+        tuple(r)
+        for r in AppendOnlyIndex(str(tmp_path / "idx_p")).read(spark).collect()
+    }
+    assert idx_rows_c == idx_rows_p
+
+    # replay the batch whose run performed the fold: it must re-emit a
+    # superset of its original pairs and leave the dir layout intact
+    run_c(batches[9], 9)
+    pairs_replay = {
+        (r["id_a"], r["id_b"]) for r in sink_c.read(spark).collect()
+    }
+    assert pairs_replay == pairs_c
+    assert {
+        tuple(r)
+        for r in AppendOnlyIndex(str(tmp_path / "idx_c")).read(spark).collect()
+    } == idx_rows_c
+
+
+def test_corpus_ingest_inline_compaction_keeps_equivalence(spark, tmp_path):
+    """Streaming corpus ingest with compact_every: union of batch outputs
+    still equals the batch recipe, and the fp index ends with O(1) dirs."""
+    from sparkstreaming_gmall_scala_spark.streaming.corpus import (
+        corpus_ingest_batch,
+        corpus_ingest_batch_recipe,
+    )
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import DOC_SCHEMA
+
+    rows = [
+        (i, f"a perfectly ordinary document about topic {i % 3} " * 3)
+        for i in range(8)
+    ]
+    idx = str(tmp_path / "fpidx")
+    sink = IdempotentBatchWriter(str(tmp_path / "keep"))
+    run = corpus_ingest_batch(spark, idx, sink, compact_every=2)
+    for i in range(8):
+        run(spark.createDataFrame([rows[i]], DOC_SCHEMA), i)
+
+    got = {
+        (r["doc_id"], r["masked_text"])
+        for r in sink.read(spark).select("doc_id", "masked_text").collect()
+    }
+    want = {
+        (r["doc_id"], r["masked_text"])
+        for r in corpus_ingest_batch_recipe(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    assert got == want and got
+    non_base = [d for d in os.listdir(idx) if d != "base"]
+    # last fold at batch 6 (ids <= 5); dirs 6, 7 remain
+    assert sorted(non_base) == ["batch_id=6", "batch_id=7"]
+
+
 def test_index_tolerates_empty_batch_dir_from_crashed_first_append(
     spark, tmp_path
 ):
