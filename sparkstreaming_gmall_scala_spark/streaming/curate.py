@@ -1,0 +1,151 @@
+"""Streaming curation: corpus ingest + near-dup candidate generation in
+ONE pipeline — the full 100 TB ingest recipe.
+
+``streaming/corpus.py`` curates each micro-batch (Gopher keeps, eval
+decontamination, PII mask, exact dedup against the fingerprint index);
+``streaming/dedup.py`` finds near-dup candidates against the band index.
+A production ingest wants both from the same pass: this module composes
+them so each batch's curated SURVIVORS feed the bander — near-dup
+candidates are computed over exactly the docs that enter the corpus
+(post-mask text, so the signatures match what downstream stores), and a
+doc dropped by curation never pays shingle/minhash cost.
+
+Two outputs, two indexes, one foreachBatch body:
+
+- ``docs_sink``:  (doc_id, masked_text) — this batch's curated keeps;
+- ``pairs_sink``: (id_a, id_b) — near-dup candidates among keeps, new
+  vs. everything previously kept (band-index probe, batch side
+  broadcast — the index never shuffles);
+- fingerprint index + band index, both append-only with optional inline
+  compaction (``compact_every``).
+
+Replay: the fp probe re-keeps a replayed batch's original survivors
+(their own index entries match — corpus.py's contract), so the bander
+re-bands the same rows, the band probe re-emits a superset of the
+original pairs (extras are later batches' rows), and both sinks
+overwrite their own ``batch_id=N`` dirs — the corpus-level doc set and
+pair set are unchanged. Pinned by tests/test_streaming.py.
+
+What this deliberately does NOT stream: the boilerplate fraction and
+domain-mix stages of ``corpus_curate``. Both are corpus-retrospective —
+a doc's boiler_frac depends on documents that arrive AFTER it, and mix
+thresholds on final stratum counts — so a streaming keep/drop decision
+cannot match the batch result without retractions. At 100 TB those run
+as the batch ``corpus_features`` pass over the ingested corpus (or an
+offline sweep during the compaction window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.batch import AppendOnlyIndex, IdempotentBatchWriter
+from .corpus import _FP_SCHEMA, _mask_and_fingerprint, probe_fingerprints
+from .dedup import _BAND_SCHEMA, Bander, band_probe, minhash_bander
+from .sources import file_stream
+
+
+def curate_ingest_batch(
+    spark: SparkSession,
+    fp_index_dir: str,
+    band_index_dir: str,
+    docs_sink: IdempotentBatchWriter,
+    pairs_sink: IdempotentBatchWriter,
+    bander: Bander | None = None,
+    eval_docs: DataFrame | None = None,
+    compact_every: int | None = None,
+):
+    """Per-batch body (exposed so tests can replay (batch_df, batch_id)):
+    curate the batch, emit keeps, band the keeps, emit near-dup candidate
+    pairs against the band index, append both indexes."""
+    bander = bander or minhash_bander()
+    fp_index = AppendOnlyIndex(fp_index_dir)
+    band_index = AppendOnlyIndex(band_index_dir)
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.dropDuplicates(["doc_id"])
+        fps = _mask_and_fingerprint(b, eval_docs).persist()
+        if fp_index.has_data():
+            seen_fp = fp_index.read(spark)
+        else:
+            seen_fp = spark.createDataFrame([], _FP_SCHEMA)
+        kept = (
+            probe_fingerprints(fps, seen_fp)
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .persist()
+        )
+        out = kept.join(
+            fps.select("doc_id", "masked_text"), "doc_id"
+        ).select("doc_id", "masked_text").persist()
+
+        # Near-dup candidates over exactly the docs entering the corpus:
+        # signatures come from the post-mask text (what downstream holds).
+        banded_new = bander(
+            out.select("doc_id", F.col("masked_text").alias("text"))
+        ).persist()
+        if band_index.has_data():
+            seen_bands = band_index.read(spark)
+        else:
+            seen_bands = spark.createDataFrame([], _BAND_SCHEMA)
+        pairs = band_probe(banded_new, seen_bands.unionByName(banded_new))
+
+        # Output-then-index, both families (the order_info_batch claims
+        # pattern): a crash between any two writes replays the batch and
+        # rewrites only batch_id=N dirs.
+        docs_sink(out, batch_id)
+        pairs_sink(pairs, batch_id)
+        fp_index.append(
+            kept.select("fp", F.col("doc_id").alias("keeper")), batch_id
+        )
+        band_index.append(banded_new, batch_id)
+        banded_new.unpersist()
+        out.unpersist()
+        kept.unpersist()
+        fps.unpersist()
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            fp_index.compact(spark, upto_batch_id=batch_id - 1)
+            band_index.compact(spark, upto_batch_id=batch_id - 1)
+
+    return process
+
+
+def curate_ingest_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    fp_index_dir: str,
+    band_index_dir: str,
+    docs_out_dir: str,
+    pairs_out_dir: str,
+    checkpoint: str,
+    bander: Bander | None = None,
+    eval_docs: DataFrame | None = None,
+    compact_every: int | None = None,
+):
+    """Document stream → curated corpus + near-dup candidate pairs + both
+    indexes, one checkpointed query."""
+    from .dedup import DOC_SCHEMA
+
+    docs = file_stream(spark, src_dir, DOC_SCHEMA)
+    docs_sink = IdempotentBatchWriter(docs_out_dir)
+    pairs_sink = IdempotentBatchWriter(pairs_out_dir)
+    return (
+        docs.writeStream.foreachBatch(
+            curate_ingest_batch(
+                spark,
+                fp_index_dir,
+                band_index_dir,
+                docs_sink,
+                pairs_sink,
+                bander,
+                eval_docs,
+                compact_every,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
