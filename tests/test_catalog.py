@@ -39,60 +39,81 @@ def test_oracle_coverage(registry):
     }, no_oracle
 
 
+# Never gated regardless of rotation parity: documented twins/subsets
+# whose behavior a gated sibling + pytest equality covers, and the
+# rows-only entries whose real checks are pytest bounds.
+STATIC_UNGATED = {
+    "sessionize",  # behavior == session_stats (gated, hash-green)
+    "knn_lsh",  # in-memory twin of knn_lsh_persisted
+    "knn_ivf",  # in-memory twin of knn_ivf_persisted
+    "embed_near_dup_vec",  # pair-set == embed_near_dup (gated)
+    "customers_with_orders",  # J5 twin of customers_no_orders
+    "dau_first_visit",  # A2 twin of dau
+    "multimodal_resize",  # same Arrow pipeline as multimodal_features
+    "multimodal_frames",  # same Arrow pipeline as multimodal_features
+    # bounded-memory sketch twin of the gated price_quantiles
+    "price_quantiles_approx",
+    # round-6 rotation OUT (slots feed the two rotating sets):
+    "corpus_clean",  # subset of gated corpus_clean_near/corpus_curate
+    "embed_near_dup_lsh",  # OR-construction twin of embed_near_dup
+    "join_dedup",  # J2 dedup subsumed by gated windowed_order_join
+    "skew_salted_agg",  # salting gated via skew_salted_join
+    "dau_approx",  # rows-only row; 5% error bound lives in pytest
+    "knn_ivf_persisted",  # rows-only row; recall+path-equality pytest
+}
+
+
 def test_gate_budget(registry):
     """The driver's correctness gate budgets 50 rows: exactly that many
-    entries are gated, ungated entries are the documented twins whose
-    behavior a gated sibling + pytest equality covers, and gated rows-only
-    entries (no oracle) are the two genuinely non-SQL ones."""
+    entries are gated; the ungated remainder is the pinned static set of
+    twins/subsets plus whichever rotation half-set is inactive this
+    round. The rotating sets themselves are pinned in plans/rotation.py
+    (drift-guarded here); only the parity selection is dynamic."""
+    import glob as _glob
+    import os as _os
+
+    from sparkstreaming_gmall_scala_spark.plans.rotation import (
+        SET_A,
+        SET_B,
+        active_rotation,
+    )
+
+    # the two half-sets: pinned contents, disjoint, all oracle-bearing
+    assert set(SET_A) == {
+        "gopher_quality",
+        "token_entropy",
+        "line_dedup",
+        "corpus_curate",
+        "containment_pairs",
+        "hourly_event_rollup",
+    }
+    assert set(SET_B) == {
+        "model_score",
+        "chunk_tokens",
+        "pack_sequences",
+        "pii_mask",
+        "corpus_features",
+        "corpus_curate_fast",
+    }
+    assert not set(SET_A) & set(SET_B)
+    for n in (*SET_A, *SET_B):
+        assert registry[n].oracle is not None, n
+
+    # independent recomputation of the parity selection: round N ⇔ N−1
+    # CORRECTNESS files in the repo root
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    n_files = len(_glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")))
+    expect_active = set(SET_A if (n_files + 1) % 2 == 0 else SET_B)
+    assert set(active_rotation()) == expect_active
+
     gated = {n for n, q in registry.items() if q.gated}
     ungated = set(registry) - gated
     assert len(gated) == 50, len(gated)
-    assert ungated == {
-        "sessionize",  # behavior == session_stats (gated, hash-green)
-        "knn_lsh",  # in-memory twin of knn_lsh_persisted
-        "knn_ivf",  # in-memory twin of knn_ivf_persisted
-        "embed_near_dup_vec",  # pair-set == embed_near_dup (gated)
-        # round-5 rotation: near-twins of gated siblings, swapped out so
-        # the four distinct corpus-quality behaviors (doc_repetition,
-        # decontaminate, domain_mix, boilerplate_ngrams) got driver
-        # CORRECTNESS rows. Still registered, benched, pytest-covered.
-        "customers_with_orders",  # J5 twin of customers_no_orders
-        "dau_first_visit",  # A2 twin of dau
-        "multimodal_resize",  # same Arrow pipeline as multimodal_features
-        "multimodal_frames",  # same Arrow pipeline as multimodal_features
-        # corpus-assembly extensions past the budget — full oracles,
-        # checked by tools/verify_local + invariant pytests
-        "chunk_tokens",
-        "pack_sequences",
-        # full oracle; branch behavior (the corpus has no PII) pinned by
-        # tests/test_cleaning.py on crafted rows
-        "pii_mask",
-        # bounded-memory sketch twin of the gated price_quantiles
-        "price_quantiles_approx",
-        # classifier-filter scoring plumbing (deterministic fake model —
-        # the multimodal stub discipline)
-        "model_score",
-        # round-6 rotation OUT (slots freed for the round-5 families —
-        # gopher_quality, token_entropy, line_dedup, corpus_curate,
-        # containment_pairs, hourly_event_rollup are now gated):
-        "corpus_clean",  # subset of gated corpus_clean_near/corpus_curate
-        "embed_near_dup_lsh",  # OR-construction twin of embed_near_dup
-        "join_dedup",  # J2 dedup subsumed by gated windowed_order_join
-        "skew_salted_agg",  # salting gated via skew_salted_join
-        "dau_approx",  # rows-only row; 5% error bound lives in pytest
-        "knn_ivf_persisted",  # rows-only row; recall+path-equality pytest
-        # round-6 single-scan curation (verdict #2): full oracles; the
-        # one-documents-scan property is plan-guarded and fast ≡ composed
-        # is pinned in tests/test_curation.py
-        "corpus_features",
-        "corpus_curate_fast",
-    }, ungated
-    gated_no_oracle = {
-        n for n in gated if registry[n].oracle is None
-    }
-    # round-6 rotation demoted both rows-only entries: every gated row is
-    # now a full hash-checked oracle row.
-    assert gated_no_oracle == set()
+    inactive = (set(SET_A) | set(SET_B)) - expect_active
+    assert ungated == STATIC_UNGATED | inactive, ungated
+    # every gated row is a full hash-checked oracle row (both rows-only
+    # entries are statically ungated since round 6)
+    assert {n for n in gated if registry[n].oracle is None} == set()
 
 
 @pytest.mark.parametrize(
