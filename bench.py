@@ -79,6 +79,9 @@ HEADLINE = (
     # corpus_features is the materialization it amortizes
     "corpus_features",
     "corpus_curate_fast",
+    # added r6: product-quantization ANN (train + encode + ADC scan +
+    # exact rerank of the shortlist — the memory-bounded scan path)
+    "knn_pq",
 )
 
 

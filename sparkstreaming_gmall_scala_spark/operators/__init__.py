@@ -34,6 +34,7 @@ from .multimodal import (
     to_binary_payload,
 )
 from .packing import chunk_tokens, pack_sequences
+from .pq import pq_encode, pq_topk, pq_train
 from .scoring import model_score
 from .sampling import (
     domain_mix,
@@ -107,6 +108,9 @@ __all__ = [
     "parse_envelope",
     "parse_envelope_with_dead_letter",
     "pii_mask",
+    "pq_encode",
+    "pq_topk",
+    "pq_train",
     "probe_topk",
     "quality_score",
     "range_join_bucketed",

@@ -797,6 +797,38 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_pq",
+    oracle=None,  # numpy-trained codebooks and argmin codes are not
+    # DuckDB-reproducible (the IVF family's constraint, squared); recall
+    # floor + full-path determinism pinned in tests/test_similarity.py.
+    tags=("llm", "similarity", "pq"),
+    # Rows-only entry — stays ungated for the same reason the other two
+    # rows-only rows rotated out in round 6: a hash-green slot carries
+    # more driver signal than a rows-only one.
+    gated=False,
+)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 by product quantization (operators/pq.py): m=8 subspace
+    codebooks of 16 centroids trained on a deterministic sample, corpus
+    encoded to 8 codes/vector (32× smaller than float32), queries scored
+    by ADC lookup tables with per-partition local shortlists, then the
+    standard refine stage — exact cosine over only the shortlisted raw
+    vectors (point-lookup-sized IO) — ranks the final k. The
+    memory-bounded 100 TB scan path that complements the candidate-
+    bounding LSH/IVF entries."""
+    from ..operators.pq import pq_encode, pq_topk, pq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, "embedding", m=8, ksub=16)
+    codes = pq_encode(e, "vec_id", "embedding", books)
+    queries = e.filter(F.col("vec_id") < 10)
+    return pq_topk(
+        codes, queries, "vec_id", "embedding", books, k=5,
+        rerank=e, shortlist=64,
+    )
+
+
+@register(
     "embed_near_dup",
     oracle=f"""
     WITH scored AS (

@@ -36,6 +36,8 @@ def test_oracle_coverage(registry):
         # GK-sketch percentiles are engine-specific; pytest bounds the
         # rank error against the exact (gated, hash-checked) twin
         "price_quantiles_approx",
+        # numpy-trained PQ codebooks/codes — the IVF constraint, squared
+        "knn_pq",
     }, no_oracle
 
 
@@ -60,6 +62,7 @@ STATIC_UNGATED = {
     "skew_salted_agg",  # salting gated via skew_salted_join
     "dau_approx",  # rows-only row; 5% error bound lives in pytest
     "knn_ivf_persisted",  # rows-only row; recall+path-equality pytest
+    "knn_pq",  # rows-only; recall floor + determinism in pytest
 }
 
 

@@ -288,3 +288,89 @@ def test_persisted_index_rebuilds_when_corpus_changes(spark, tmp_path):
         "stale index served a deleted vector"
     )
     assert run1  # both runs produced neighbors
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark, sf_dir):
+    """pq_train: identical codebooks on repeated runs (no RNG anywhere);
+    shape (m, ksub, dsub) with dsub = dim/m."""
+    from sparkstreaming_gmall_scala_spark.operators.pq import pq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = pq_train(e, "embedding", m=8, ksub=16, sample_n=512, iters=4)
+    b = pq_train(e, "embedding", m=8, ksub=16, sample_n=512, iters=4)
+    assert a == b
+    assert len(a) == 8 and all(len(s) == 16 for s in a)
+    assert all(len(c) == 8 for s in a for c in s)
+
+
+def test_pq_codes_shape_range_and_determinism(spark, sf_dir):
+    """pq_encode: one code per subspace, every code in [0, ksub); two
+    encodes agree row-for-row (vectorized argmin is deterministic)."""
+    from sparkstreaming_gmall_scala_spark.operators.pq import (
+        pq_encode,
+        pq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, "embedding", m=8, ksub=16, sample_n=512, iters=4)
+    c1 = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode(e, "vec_id", "embedding", books).collect()
+    }
+    c2 = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode(e, "vec_id", "embedding", books).collect()
+    }
+    assert c1 == c2
+    assert len(c1) == e.count()
+    for codes in c1.values():
+        assert len(codes) == 8  # 8 codes ≈ 8 B vs 256 B float32 — 32×
+        assert all(0 <= c < 16 for c in codes)
+
+
+def test_pq_recall_reasonable(spark, sf_dir):
+    """PQ top-5 over 8×16 codebooks vs brute force: the pure ADC ranking
+    clears a better-than-chance floor (codes alone can't separate
+    near-ties), and the refine stage (exact rerank of a 64-deep ADC
+    shortlist — the production shape) clears a real one. Reranked scores
+    are exact cosines, so every returned pair's score must equal the
+    brute-force score for that pair."""
+    from sparkstreaming_gmall_scala_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    books = pq_train(e, "embedding", m=8, ksub=16)
+    codes = pq_encode(e, "vec_id", "embedding", books)
+    exact_rows = brute_force_topk(
+        e, queries, "vec_id", "embedding", k=5
+    ).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(codes, queries, "vec_id", "embedding", books, k=5).collect()
+    }
+    assert len(exact & adc) / len(exact) >= 0.05  # chance ≈ k/n = 1%
+
+    rer_rows = pq_topk(
+        codes, queries, "vec_id", "embedding", books, k=5,
+        rerank=e, shortlist=64,
+    ).collect()
+    rer = {(r["query_id"], r["neighbor_id"]) for r in rer_rows}
+    recall = len(exact & rer) / len(exact)
+    assert recall >= 0.5, f"reranked recall {recall:.2f}"
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in exact_rows
+    }
+    for r in rer_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:  # shared pairs: identical exact cosine
+            assert r["score"] == exact_scores[key], key
+    per_q: dict = {}
+    for r in rer_rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())
