@@ -79,9 +79,12 @@ HEADLINE = (
     # corpus_features is the materialization it amortizes
     "corpus_features",
     "corpus_curate_fast",
-    # added r6: product-quantization ANN (train + encode + ADC scan +
-    # exact rerank of the shortlist — the memory-bounded scan path)
+    # added r6: product-quantization ANN — knn_pq carries the full
+    # train + encode + ADC + rerank cost per run (the comparison twin);
+    # knn_pq_persisted is the production path, its number is the
+    # probe-only steady state (codes cached at warm time)
     "knn_pq",
+    "knn_pq_persisted",
 )
 
 
@@ -156,7 +159,7 @@ def main() -> int:
     # in-memory variants (knn_lsh, knn_ivf) carry the rebuild-per-run
     # number for comparison.
     registry["trademark_stat"].builder(spark, sf_dir).count()
-    for warm in ("knn_lsh_persisted", "knn_ivf_persisted"):
+    for warm in ("knn_lsh_persisted", "knn_ivf_persisted", "knn_pq_persisted"):
         registry[warm].builder(spark, sf_dir).count()
 
     times: dict[str, float] = {}

@@ -829,6 +829,58 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_pq_persisted",
+    oracle=None,  # same constraint as knn_pq; pytest asserts exact
+    # result-equality with the in-memory path (deterministic train ⇒
+    # identical codebooks ⇒ identical codes ⇒ identical ranking).
+    tags=("llm", "similarity", "pq", "persisted"),
+    gated=False,
+)
+def knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 over a PERSISTED PQ index: codebooks + codes are trained
+    and encoded once per corpus (cached under /tmp keyed by params AND a
+    data fingerprint, like the LSH/IVF persisted twins) and probes pay
+    only the ADC scan + shortlist rerank — the ingest-once form whose
+    bench number is the steady-state query cost, next to knn_pq which
+    re-trains per run by design."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..operators.pq import pq_encode, pq_topk, pq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pq_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pqcodes_{_os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('pq', 8, 16, _data_fingerprint(sf_dir, 'embeddings'))}",
+    )
+    books_path = _os.path.join(pq_dir, "codebooks.json")
+    codes_dir = _os.path.join(pq_dir, "codes")
+    if not (
+        _os.path.exists(books_path)
+        and _os.path.exists(_os.path.join(codes_dir, "_SUCCESS"))
+    ):
+        books = pq_train(e, "embedding", m=8, ksub=16)
+        pq_encode(e, "vec_id", "embedding", books).write.mode(
+            "overwrite"
+        ).parquet(codes_dir)
+        _os.makedirs(pq_dir, exist_ok=True)
+        tmp = books_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(books, f)
+        _os.replace(tmp, books_path)  # atomic: readers never see partial
+    with open(books_path) as f:
+        books = _json.load(f)
+    codes = spark.read.parquet(codes_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return pq_topk(
+        codes, queries, "vec_id", "embedding", books, k=5,
+        rerank=e, shortlist=64,
+    )
+
+
+@register(
     "embed_near_dup",
     oracle=f"""
     WITH scored AS (

@@ -38,6 +38,7 @@ def test_oracle_coverage(registry):
         "price_quantiles_approx",
         # numpy-trained PQ codebooks/codes — the IVF constraint, squared
         "knn_pq",
+        "knn_pq_persisted",
     }, no_oracle
 
 
@@ -63,6 +64,7 @@ STATIC_UNGATED = {
     "dau_approx",  # rows-only row; 5% error bound lives in pytest
     "knn_ivf_persisted",  # rows-only row; recall+path-equality pytest
     "knn_pq",  # rows-only; recall floor + determinism in pytest
+    "knn_pq_persisted",  # rows-only; persisted≡in-memory pytest
 }
 
 

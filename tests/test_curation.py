@@ -51,6 +51,11 @@ def test_corpus_features_assembly_never_rescans_parquet(spark, sf_dir):
     )
     from sparkstreaming_gmall_scala_spark.sources import load_table
 
+    # an earlier test may have left the MATERIALIZED feature table in the
+    # cache manager, in which case this identical plan would substitute
+    # wholesale into one InMemoryTableScan of the result — clear first so
+    # the guard inspects the real assembly plan
+    spark.catalog.clearCache()
     d = load_table(spark, sf_dir, "documents")
     feats = corpus_features(
         d,

@@ -154,9 +154,12 @@ def test_connected_components_plateau_bails_before_budget_exhaustion(spark):
     }
     assert labels == {i: 0 for i in range(n + 1)}
     assert CC_STATS["fell_back"] is True
-    # 3 plateaued deltas are observable by round ~5; anything ≤ 8 proves
-    # the early bail (budget exhaustion would be 25)
-    assert CC_STATS["prop_rounds"] <= 8, CC_STATS
+    # The plateau signature is observable by round ~5, but the heuristic
+    # deliberately waits out half the budget first (round-5 advice: many
+    # equal-length chains converging together fake the same signature on
+    # a nearly-done graph), so the bail lands AT max_iters//2 — still
+    # well before the 25-round budget exhaustion.
+    assert CC_STATS["prop_rounds"] == 25 // 2, CC_STATS
 
 
 def test_connected_components_short_graphs_do_not_fall_back(spark):

@@ -374,3 +374,25 @@ def test_pq_recall_reasonable(spark, sf_dir):
     for r in rer_rows:
         per_q.setdefault(r["query_id"], []).append(r)
     assert all(len(v) == 5 for v in per_q.values())
+
+
+def test_pq_persisted_equals_in_memory(spark, sf_dir):
+    """knn_pq_persisted reads cached codebooks+codes; deterministic train
+    ⇒ identical codebooks ⇒ identical codes ⇒ identical ranking to the
+    in-memory knn_pq — and a second call hits the cache (same result)."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    reg = load_all()
+    mem = sorted(
+        tuple(r) for r in reg["knn_pq"].builder(spark, sf_dir).collect()
+    )
+    per1 = sorted(
+        tuple(r)
+        for r in reg["knn_pq_persisted"].builder(spark, sf_dir).collect()
+    )
+    per2 = sorted(
+        tuple(r)
+        for r in reg["knn_pq_persisted"].builder(spark, sf_dir).collect()
+    )
+    assert per1 == mem
+    assert per2 == mem
