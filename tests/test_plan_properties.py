@@ -227,3 +227,40 @@ def test_hourly_rollup_is_single_partial_agg_shuffle(spark, sf_dir, registry):
     plan = _plan(spark, registry, "hourly_event_rollup", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert "partial_count" in plan or "partial_sum" in plan, plan[:3000]
+
+
+def test_pq_codes_scan_shuffle_free_and_rerank_broadcasts(spark, sf_dir, registry):
+    """PQ ADC scan (r6): the codes table must flow into MapInPandas with
+    no exchange under it (the compressed corpus never shuffles), and the
+    rerank stage must broadcast the shortlist into the raw-vector join —
+    the corpus side of the refine read stays a scan."""
+
+    def walk(node):
+        name = node.nodeName()
+        yield node
+        if name == "AdaptiveSparkPlan":
+            yield from walk(node.executedPlan())
+            return
+        if name.endswith("QueryStage"):
+            yield from walk(node.plan())
+            return
+        if name.startswith("ReusedExchange"):
+            yield from walk(node.child())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    df = registry["knn_pq_persisted"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan()
+    nodes = list(walk(plan))
+    mips = [n for n in nodes if n.nodeName() == "MapInPandas"]
+    assert mips, [n.nodeName() for n in nodes][:30]
+    for mip in mips:
+        under = list(walk(mip))[1:]
+        assert not any(
+            "Exchange" in n.nodeName() for n in under
+        ), [n.nodeName() for n in under]
+    assert any(
+        n.nodeName() == "BroadcastHashJoin" for n in nodes
+    ), [n.nodeName() for n in nodes][:40]
