@@ -85,6 +85,10 @@ HEADLINE = (
     # probe-only steady state (codes cached at warm time)
     "knn_pq",
     "knn_pq_persisted",
+    # added r6: the composed IVF-PQ architecture (cells bound candidates,
+    # codes bound bytes; trains both quantizers per run by design — the
+    # persisted form's probe cost is covered by its pytest twin)
+    "knn_ivf_pq",
 )
 
 

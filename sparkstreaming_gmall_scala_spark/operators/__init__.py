@@ -34,7 +34,7 @@ from .multimodal import (
     to_binary_payload,
 )
 from .packing import chunk_tokens, pack_sequences
-from .pq import pq_encode, pq_topk, pq_train
+from .pq import ivf_pq_encode, ivf_pq_topk, pq_encode, pq_topk, pq_train
 from .scoring import model_score
 from .sampling import (
     domain_mix,
@@ -91,6 +91,8 @@ __all__ = [
     "gopher_quality",
     "hash_stratified_sample",
     "ivf_build",
+    "ivf_pq_encode",
+    "ivf_pq_topk",
     "ivf_probe",
     "ivf_topk",
     "jaccard_pairs",

@@ -238,3 +238,145 @@ def pq_topk(
         .select("query_id", "neighbor_id", "score")
     )
     return _rank_topk(scored, k)
+
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """One pass producing the IVF-PQ index rows (id, cell, codes): coarse
+    cell = argmin over the IVF centroids, codes = per-subspace PQ argmin —
+    both vectorized in the same Arrow batch, so building the composed
+    index costs exactly one corpus read. Ties resolve to the lowest index
+    on both quantizers (numpy argmin), matching the build's own probe."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _ksub, dsub = cb.shape
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = d.argmin(axis=1).astype(np.int64)
+            codes = np.empty((x.shape[0], m), dtype=np.int64)
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                ds = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = ds.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": cell, "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, cell long, codes array<int>"
+    )
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 3,
+    rerank: DataFrame | None = None,
+    shortlist: int = 32,
+) -> DataFrame:
+    """The composed 100 TB ANN shape (faiss IVFPQ): IVF cells bound the
+    CANDIDATES (each query scores only its ``nprobe`` nearest cells — a
+    partition-pruned read when ``index`` is written partitioned by
+    ``cell``), PQ codes bound the BYTES (candidates are scanned as m
+    codes via ADC tables, raw vectors untouched), and the optional
+    refine stage exact-reranks the shortlist. ``index`` is
+    ``ivf_pq_encode``'s output (or a parquet read of its persisted,
+    cell-partitioned form)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("ivf_pq_topk needs a non-empty query batch")
+    n_short = max(shortlist, k + 1) if rerank is not None else k + 1
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    dq = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probed = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+    # cell → local indices of the queries probing it
+    by_cell: dict[int, np.ndarray] = {}
+    for j in range(len(q_ids)):
+        for c in probed[j]:
+            by_cell.setdefault(int(c), []).append(j)
+    by_cell = {c: np.array(js, dtype=np.int64) for c, js in by_cell.items()}
+    tables = np.empty((len(q), m, ksub), dtype=np.float64)
+    for s in range(m):
+        qs = q[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = ((qs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+
+    # partition-prunable read: only probed cells are scanned at all
+    cells = sorted(by_cell)
+    pruned = index.filter(F.col("cell").isin(cells))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_q, out_n, out_d = [], [], []
+            for c, grp in pdf.groupby("cell"):
+                js = by_cell.get(int(c))
+                if js is None:
+                    continue
+                codes = np.array(grp["codes"].tolist(), dtype=np.int64)
+                ids = grp[id_col].to_numpy()
+                d2 = np.zeros((len(js), codes.shape[0]), dtype=np.float64)
+                for s in range(m):
+                    d2 += tables[js][:, s, codes[:, s]]
+                kk = min(n_short, codes.shape[0])
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                for jj, j in enumerate(js):
+                    out_q.extend([q_ids[j]] * kk)
+                    out_n.extend(ids[part[jj]])
+                    out_d.extend(d2[jj, part[jj]])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "_d2": out_d}
+            )
+
+    local = pruned.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, _d2 double"
+    )
+    cand = local.filter(F.col("neighbor_id") != F.col("query_id"))
+    if rerank is None:
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            (F.floor((1.0 - F.col("_d2") / 2.0) * 1e6 + 0.5) / 1e6).alias(
+                "score"
+            ),
+        )
+        return _rank_topk(scored, k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("neighbor_id")
+    )
+    short = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_short)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cvec = rerank.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        cvec.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "score",
+            F.floor(cosine(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5) / 1e6,
+        )
+        .select("query_id", "neighbor_id", "score")
+    )
+    return _rank_topk(scored, k)

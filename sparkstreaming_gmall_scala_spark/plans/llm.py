@@ -881,6 +881,34 @@ def knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf_pq",
+    oracle=None,  # composes the two non-reproducible quantizers; recall
+    # floor + partition-pruning plan guard in tests/test_similarity.py.
+    tags=("llm", "similarity", "ivf", "pq"),
+    gated=False,
+)
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB ANN architecture (faiss IVFPQ): IVF cells
+    bound the CANDIDATES (each query scans nprobe/k_cells of the index —
+    a partition-pruned read when persisted), PQ codes bound the BYTES
+    (candidates scan as 8 codes, 32× smaller), and the refine stage
+    exact-reranks the shortlist. ivf_pq_encode builds the (id, cell,
+    codes) index in ONE corpus pass."""
+    from ..operators.pq import ivf_pq_encode, ivf_pq_topk, pq_train
+    from ..operators.similarity import kmeans_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, "embedding", k=8, iters=2)
+    books = pq_train(e, "embedding", m=8, ksub=16)
+    index = ivf_pq_encode(e, "vec_id", "embedding", cents, books)
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk(
+        index, queries, "vec_id", "embedding", cents, books,
+        k=5, nprobe=4, rerank=e, shortlist=64,
+    )
+
+
+@register(
     "embed_near_dup",
     oracle=f"""
     WITH scored AS (

@@ -39,6 +39,7 @@ def test_oracle_coverage(registry):
         # numpy-trained PQ codebooks/codes — the IVF constraint, squared
         "knn_pq",
         "knn_pq_persisted",
+        "knn_ivf_pq",
     }, no_oracle
 
 
@@ -65,6 +66,7 @@ STATIC_UNGATED = {
     "knn_ivf_persisted",  # rows-only row; recall+path-equality pytest
     "knn_pq",  # rows-only; recall floor + determinism in pytest
     "knn_pq_persisted",  # rows-only; persisted≡in-memory pytest
+    "knn_ivf_pq",  # rows-only; recall + partition-prune plan guard
 }
 
 

@@ -396,3 +396,57 @@ def test_pq_persisted_equals_in_memory(spark, sf_dir):
     )
     assert per1 == mem
     assert per2 == mem
+
+
+def test_ivf_pq_recall_and_partition_pruning(spark, sf_dir, tmp_path):
+    """The composed IVF-PQ path: reranked recall clears a floor at
+    nprobe=4/8, the persisted cell-partitioned index serves an identical
+    result to the in-memory frame, and the probe's scan carries a
+    partition filter on cell — unprobed cell directories are never
+    read."""
+    from sparkstreaming_gmall_scala_spark.operators.pq import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        pq_train,
+    )
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    cents = kmeans_centroids(e, "embedding", k=8, iters=2)
+    books = pq_train(e, "embedding", m=8, ksub=16)
+    index = ivf_pq_encode(e, "vec_id", "embedding", cents, books)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, queries, "vec_id", "embedding", k=5).collect()
+    }
+    mem_rows = ivf_pq_topk(
+        index, queries, "vec_id", "embedding", cents, books,
+        k=5, nprobe=4, rerank=e, shortlist=64,
+    ).collect()
+    mem = {(r["query_id"], r["neighbor_id"]) for r in mem_rows}
+    recall = len(exact & mem) / len(exact)
+    assert recall >= 0.4, f"recall {recall:.2f}"
+
+    # persisted, cell-partitioned form: identical result + pruned scan
+    idx_dir = str(tmp_path / "ivfpq")
+    index.write.partitionBy("cell").parquet(idx_dir)
+    persisted = spark.read.parquet(idx_dir)
+    per_df = ivf_pq_topk(
+        persisted, queries, "vec_id", "embedding", cents, books,
+        k=5, nprobe=4, rerank=e, shortlist=64,
+    )
+    per_rows = per_df.collect()
+    assert sorted(map(tuple, per_rows)) == sorted(map(tuple, mem_rows))
+    plan = per_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        l for l in plan.split("\n")
+        if "ivfpq" in l and ("Scan parquet" in l or "PartitionFilters" in l)
+    ]
+    assert any(
+        "cell" in l and "PartitionFilters: [" in l and "cell#" in l.split("PartitionFilters:")[1][:200]
+        for l in scan_lines
+    ), plan[:3000]
