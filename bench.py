@@ -89,6 +89,8 @@ HEADLINE = (
     # codes bound bytes; trains both quantizers per run by design — the
     # persisted form's probe cost is covered by its pytest twin)
     "knn_ivf_pq",
+    # added r6: CCNet-style bigram-LM quality signal (full oracle)
+    "lm_perplexity",
 )
 
 

@@ -61,6 +61,7 @@ from .textstats import (
     boilerplate_stats,
     gopher_quality,
     lang_id,
+    lm_doc_logprob,
     ngram_overlap_flags,
     quality_score,
     repetition_stats,
@@ -100,6 +101,7 @@ __all__ = [
     "label_centroids",
     "lang_id",
     "line_dedup",
+    "lm_doc_logprob",
     "lsh_candidate_pairs",
     "members_only",
     "minhash_signatures",

@@ -438,3 +438,81 @@ def token_entropy(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
         (F.floor(ent * 1e6 + 0.5) / 1e6).alias("entropy"),
     )
+
+
+def lm_doc_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc bigram-LM score — the CCNet/KenLM perplexity filter signal
+    (Wenzek et al. 2020) with the LM trained on the corpus itself: docs
+    whose token sequences are improbable under the corpus's own bigram
+    statistics (keyboard mash, wrong-language fragments, templated spam)
+    score low, and the standard keep-policy drops the tail.
+
+    Model: MLE bigram probabilities P(w2|w1) = c(w1,w2) / c(w1,·) with
+    counts over the SAME corpus being scored — every scored bigram exists
+    in the table by construction, so no smoothing branch is needed and
+    the whole computation is exactly SQL-expressible (full DuckDB oracle,
+    unlike an external-LM variant). Output per doc: ``n_bigrams`` and
+    ``avg_logprob`` (mean ln P; perplexity = exp(−avg_logprob) is the
+    monotone-equivalent report, left to callers to avoid a second
+    transcendental in the cross-engine hash). Docs with < 2 tokens score
+    0.0 with n_bigrams = 0.
+
+    100 TB shape: bigram extraction is scan-side (one materialized token
+    array per doc — the shingle_rows discipline); counts are TWO
+    partial-aggregated groupBys on uniform-ish bigram/prefix keys (hot
+    bigrams compress map-side, the join-back probe is AQE-splittable —
+    the boilerplate_stats de-skew argument); the per-doc rollup is one
+    more uniform groupBy. avg rounded to 6 dp for engine portability.
+    """
+    toked = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        ).alias("_toks"),
+    )
+    bg = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_toks", i).alias("w1"),
+                        F.element_at("_toks", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_n12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_n1"))
+    per = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.log(F.col("_n12").cast("double") / F.col("_n1"))
+            ).alias("_s"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.when(
+                        F.col("n_bigrams") > 0, F.col("_s") / F.col("n_bigrams")
+                    ).otherwise(F.lit(0.0))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("avg_logprob"),
+        )
+    )

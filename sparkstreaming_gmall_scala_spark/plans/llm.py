@@ -1576,6 +1576,44 @@ _CURATE_SQL = f"""
 
 
 @register(
+    "lm_perplexity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+    bg AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM toks, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+    per AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             sum(ln(n12::DOUBLE / n1)) AS s
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           floor((CASE WHEN per.n_bigrams > 0 THEN per.s / per.n_bigrams
+                       ELSE 0 END) * 1000000 + 0.5) / 1000000 AS avg_logprob
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("llm", "text", "quality", "lm"),
+    gated=False,
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc mean bigram log-probability
+    under the corpus's own MLE bigram model (perplexity = exp(−avg) —
+    monotone-equivalent, so the filter thresholds on avg_logprob
+    directly). Self-training makes every scored bigram present in the
+    count table, so the whole computation is exactly SQL-expressible —
+    a fully hash-checked LM filter, unlike external-model scorers."""
+    from ..operators.textstats import lm_doc_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm_doc_logprob(d, "doc_id", "text")
+
+
+@register(
     "corpus_curate",
     oracle=_CURATE_SQL,
     tags=("llm", "pipeline", "quality", "dedup", "sampling"),

@@ -67,6 +67,9 @@ STATIC_UNGATED = {
     "knn_pq",  # rows-only; recall floor + determinism in pytest
     "knn_pq_persisted",  # rows-only; persisted≡in-memory pytest
     "knn_ivf_pq",  # rows-only; recall + partition-prune plan guard
+    # round-6 LM quality signal: full oracle, in-suite parity + crafted-
+    # row pytest; rotation candidate for a future driver row
+    "lm_perplexity",
 }
 
 

@@ -199,3 +199,39 @@ def test_model_score_plumbing(spark):
     }
     assert got_null[1] is None
     assert got_null[2] is not None
+
+
+def test_lm_doc_logprob_matches_hand_computation(spark):
+    """Bigram-LM scoring on a toy corpus where the MLE probabilities are
+    computable by hand; docs with <2 tokens score 0.0 with n_bigrams=0."""
+    import math
+
+    from sparkstreaming_gmall_scala_spark.operators.textstats import (
+        lm_doc_logprob,
+    )
+
+    rows = [
+        (1, "a b a b"),   # bigrams: (a,b) (b,a) (a,b)
+        (2, "a b c"),     # bigrams: (a,b) (b,c)
+        (3, "x"),         # no bigrams
+        (4, ""),          # no tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm_doc_logprob(docs, "doc_id", "text").collect()
+    }
+    # corpus counts: c(a,b)=3 c(b,a)=1 c(b,c)=1; prefixes: c(a,·)=3 c(b,·)=2
+    p_ab, p_ba, p_bc = 3 / 3, 1 / 2, 1 / 2
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    want1 = r6((math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3)
+    want2 = r6((math.log(p_ab) + math.log(p_bc)) / 2)
+    assert got[1] == (3, want1)
+    assert got[2] == (2, want2)
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)
+    # repetitive doc 1 is MORE probable (closer to 0) than varied doc 2
+    assert got[1][1] > got[2][1]
