@@ -898,8 +898,25 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(e, "embedding", k=8, iters=2)
-    books = pq_train(e, "embedding", m=8, ksub=16)
+    # Train the coarse quantizer on a deterministic hash-ordered sample,
+    # not the full corpus — the standard IVF practice (the quantizer
+    # needs the density shape, not every point) and the difference
+    # between O(sample) and O(corpus) Lloyd passes per build. The sample
+    # is collected once (2048×64 floats ≈ 1 MB) so each Lloyd iteration
+    # scans a local frame instead of re-sorting the corpus.
+    sample_rows = (
+        e.select("vec_id", "embedding")
+        .withColumn("_h", F.hash(F.col("embedding").cast("array<string>")))
+        .orderBy("_h")
+        .limit(2048)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    sample = spark.createDataFrame(sample_rows, e.select("vec_id", "embedding").schema)
+    cents = kmeans_centroids(sample, "embedding", k=8, iters=2)
+    # pq_train's own sampling picks the SAME first-2048-by-hash rows, so
+    # feeding it the local sample is exact — and skips a second corpus sort
+    books = pq_train(sample, "embedding", m=8, ksub=16)
     index = ivf_pq_encode(e, "vec_id", "embedding", cents, books)
     queries = e.filter(F.col("vec_id") < 10)
     return ivf_pq_topk(
