@@ -91,6 +91,9 @@ HEADLINE = (
     "knn_ivf_pq",
     # added r6: CCNet-style bigram-LM quality signal (full oracle)
     "lm_perplexity",
+    # added r6: substring-level dedup spans (window-hash suffix-array
+    # analog, full oracle)
+    "dup_spans",
 )
 
 

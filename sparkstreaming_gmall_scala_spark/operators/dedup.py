@@ -489,3 +489,89 @@ def simhash64(sh: DataFrame, id_col: str) -> DataFrame:
             limb_val = limb_val + F.shiftleft(bit, b)
         limb_cols.append(limb_val.alias(f"simhash_limb{i}"))
     return counted.select(F.col(id_col), *limb_cols)
+
+
+def dup_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplication spans (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token range covered by ``window``-token substrings that
+    occur at least ``min_count`` times in the corpus (cross-doc OR
+    repeated within one doc), as (id, tok_start, tok_end) rows a cleaner
+    can cut. This is the FOURTH dedup granularity next to exact-doc
+    (fingerprint), near-doc (MinHash/SimHash/Jaccard), and line
+    (line_dedup): a long passage quoted inside an otherwise unique doc is
+    invisible to all three, but its windows collide here.
+
+    The suffix-array machinery of the paper is replaced by the
+    shuffle-friendly window-hash equivalent: every doc explodes into its
+    L-token rolling windows (scan-side, one materialized token array —
+    the shingle_rows discipline), window occurrence counts come from a
+    partial-aggregated ``groupBy(hash)`` (a passage duplicated a million
+    times compresses map-side; the join-back probe is the only skewed
+    exchange and AQE can split it — the boilerplate_stats argument), and
+    surviving window starts merge into maximal spans with a per-doc
+    gaps-and-islands window (uniform doc keys; doc length bounds the
+    partition). Detection is exact for duplicated runs of ≥ ``window``
+    tokens; shorter duplicates are below the detection length by design
+    (the paper uses 50; the default 20 suits the small test corpus).
+
+    1-based token positions, end-inclusive — matching the SQL oracle's
+    list-slice convention.
+    """
+    toked = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        ).alias("_toks"),
+    )
+    wins = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_toks") >= window,
+                F.sequence(F.lit(1), F.size("_toks") - window + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("start"),
+        "_toks",
+    ).select(
+        F.col(id_col),
+        "start",
+        F.md5(
+            F.concat_ws(" ", F.slice("_toks", F.col("start"), window))
+        ).alias("_h"),
+    )
+    dup_counts = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    dup = wins.join(dup_counts, "_h").select(
+        id_col, "start", (F.col("start") + window - 1).alias("end")
+    )
+    from pyspark.sql import Window as W
+
+    order = W.partitionBy(id_col).orderBy("start")
+    prev_max_end = F.max("end").over(
+        order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("start") <= F.coalesce(prev_max_end, F.lit(-1)) + 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    grouped = dup.select(
+        id_col, "start", "end", F.sum(brk).over(order).alias("_grp")
+    )
+    return (
+        grouped.groupBy(id_col, "_grp")
+        .agg(
+            F.min("start").cast("long").alias("tok_start"),
+            F.max("end").cast("long").alias("tok_end"),
+        )
+        .select(id_col, "tok_start", "tok_end")
+    )

@@ -1593,6 +1593,56 @@ _CURATE_SQL = f"""
 
 
 @register(
+    "dup_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+    wins AS (
+      SELECT doc_id, i AS start,
+             md5(array_to_string(ts[i:i + 19], ' ')) AS h
+      FROM toks, unnest(generate_series(1, greatest(len(ts) - 19, 0))) AS u(i)
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+    d AS (
+      SELECT w.doc_id, w.start, w.start + 19 AS "end"
+      FROM wins w JOIN dup USING (h)
+    ),
+    m AS (
+      SELECT doc_id, start, "end",
+             CASE WHEN start <= COALESCE(max("end") OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) + 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, start, "end",
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS grp
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(min(start) AS BIGINT) AS tok_start,
+           CAST(max("end") AS BIGINT) AS tok_end
+    FROM g GROUP BY doc_id, grp
+    """,
+    tags=("llm", "dedup", "substring"),
+    gated=False,
+)
+def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication spans (the Lee et al. 2021
+    suffix-array dedup, re-expressed as window hashing): maximal token
+    ranges covered by 20-token substrings occurring ≥2 times anywhere in
+    the corpus — the fourth dedup granularity (doc / near-doc / line /
+    substring), catching a long passage quoted inside an otherwise
+    unique document. Fully SQL-expressible, so unlike the ANN family
+    this dedup path is hash-checked end to end."""
+    from ..operators.dedup import dup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return dup_spans(d, "doc_id", "text", window=20, min_count=2)
+
+
+@register(
     "lm_perplexity",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),

@@ -70,6 +70,9 @@ STATIC_UNGATED = {
     # round-6 LM quality signal: full oracle, in-suite parity + crafted-
     # row pytest; rotation candidate for a future driver row
     "lm_perplexity",
+    # round-6 substring-level dedup (Lee et al. window-hash form): full
+    # oracle, in-suite parity + crafted span-merge pytest
+    "dup_spans",
 }
 
 

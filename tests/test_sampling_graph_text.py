@@ -337,3 +337,37 @@ def test_boilerplate_stats_pathological_hot_shingle(spark):
         assert got[i]["n_shingles"] == 4
         assert got[i]["n_boiler"] == 1
         assert got[i]["boiler_frac"] == 0.25
+
+
+def test_dup_spans_merging_and_granularity(spark):
+    """Substring dedup: cross-doc duplicated passages surface as merged
+    maximal spans with 1-based inclusive positions; within-doc repeats
+    count toward min_count; unique docs and sub-window duplicates emit
+    nothing."""
+    from sparkstreaming_gmall_scala_spark.operators.dedup import dup_spans
+
+    passage = " ".join(f"w{i}" for i in range(6))  # 6 shared tokens
+    rows = [
+        # docs 1/2 share the 6-token passage at different offsets
+        (1, passage + " unique tail one two"),
+        (2, "lead in tokens here " + passage),
+        # doc 3 repeats a 6-token run of ITSELF twice (within-doc dup)
+        (3, "r0 r1 r2 r3 r4 r5 mid r0 r1 r2 r3 r4 r5"),
+        # doc 4 shares only 3 tokens with the passage — below window
+        (4, "w0 w1 w2 entirely different everything else here"),
+        (5, "wholly unique text with no duplicated windows at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_spans(docs, "doc_id", "text", window=4, min_count=2)
+    got = {
+        (r["doc_id"], r["tok_start"], r["tok_end"]) for r in out.collect()
+    }
+    # doc 1: passage at tokens 1..6 → windows 1..3 merge to span (1, 6)
+    # doc 2: passage at tokens 5..10 → span (5, 10)
+    # doc 3: "r0..r5" at 1..6 and 8..13 → two spans (gap 'mid' at 7)
+    assert got == {
+        (1, 1, 6),
+        (2, 5, 10),
+        (3, 1, 6),
+        (3, 8, 13),
+    }, got
