@@ -62,14 +62,27 @@ def pq_train(
     ksub: int = 16,
     sample_n: int = 2048,
     iters: int = 8,
+    id_col: str | None = None,
 ) -> list[list[list[float]]]:
     """Train the m per-subspace codebooks (each ksub × dsub) on a
     deterministic sample. Returns plain nested lists (JSON-serializable —
-    persist next to the codes table the way ivf caches its centroids)."""
+    persist next to the codes table the way ivf caches its centroids).
+
+    Pass ``id_col`` (a unique key) whenever the corpus has one: the
+    sample orders by ``(hash(vec), id)``, so 32-bit hash ties (duplicate
+    vectors always collide; distinct vectors are birthday-probable at
+    scale) cannot reorder rows across the ``sample_n`` cutoff between
+    runs/partitionings. Without it, ordering among tied hashes is
+    engine-dependent and the identical-codebooks contract only holds
+    when the corpus is collision-free."""
+    order = ["_h"] if id_col is None else ["_h", id_col]
+    sel = [F.col(vec_col).alias("v")] + (
+        [] if id_col is None else [F.col(id_col).alias(id_col)]
+    )
     rows = (
-        corpus.select(F.col(vec_col).alias("v"))
+        corpus.select(*sel)
         .withColumn("_h", F.hash(F.col("v").cast("array<string>")))
-        .orderBy("_h")
+        .orderBy(*order)
         .limit(sample_n)
         .collect()
     )

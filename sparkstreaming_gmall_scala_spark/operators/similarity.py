@@ -345,20 +345,27 @@ def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
 
 
 def kmeans_centroids(
-    df: DataFrame, vec_col: str, k: int = 16, iters: int = 3
+    df: DataFrame, vec_col: str, k: int = 16, iters: int = 3,
+    id_col: str | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd iterations for the IVF coarse quantizer.
 
     Seeds are the first k vectors by a deterministic hash order (spread,
-    reproducible, no RNG). Each iteration is one distributed pass
+    reproducible, no RNG); pass ``id_col`` to break 32-bit hash ties
+    (duplicate vectors, birthday collisions) deterministically — the
+    ``pq_train`` discipline. Each iteration is one distributed pass
     (assign via codegen'd when-chain, update via per-dim avg); only the
     k×dim centroid matrix ever reaches the driver — the legitimate
     post-aggregation collect.
     """
+    order = ["_h"] if id_col is None else ["_h", id_col]
+    sel = [F.col(vec_col).alias("v")] + (
+        [] if id_col is None else [F.col(id_col).alias(id_col)]
+    )
     seeds = (
-        df.select(F.col(vec_col).alias("v"))
+        df.select(*sel)
         .withColumn("_h", F.hash(F.col("v").cast("array<string>")))
-        .orderBy("_h")
+        .orderBy(*order)
         .limit(k)
         .collect()
     )

@@ -59,19 +59,18 @@ def register(
 
 def load_all() -> dict[str, Query]:
     """Import every plans module so decorators populate REGISTRY, then
-    overlay the round-robin gate rotation: six slots alternate between
-    ``rotation.SET_A`` and ``rotation.SET_B`` by round parity so every
-    distinct oracle-bearing behavior gets a driver CORRECTNESS row at
-    least once every two rounds (the static ``gated`` flags carry the
-    non-rotating majority; registration flags for rotating names are
-    their SET_A defaults and are overridden here)."""
+    overlay the round-robin gate rotation: six slots cycle through
+    ``rotation.POOL`` so every distinct oracle-bearing behavior gets a
+    driver CORRECTNESS row at least once per pool cycle (the static
+    ``gated`` flags carry the non-rotating majority; registration flags
+    for POOL names are overridden here each load)."""
     import dataclasses
 
     from . import llm, parity, scale, streaming_analog, temporal  # noqa: F401
-    from .rotation import SET_A, SET_B, active_rotation
+    from .rotation import POOL, active_rotation
 
     active = set(active_rotation())
-    for name in (*SET_A, *SET_B):
+    for name in POOL:
         q = REGISTRY[name]
         want = name in active
         if q.gated != want:

@@ -728,7 +728,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk, kmeans_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_centroids(e, "embedding", k=8, iters=2)
+    centroids = kmeans_centroids(e, "embedding", k=8, iters=2, id_col="vec_id")
     return ivf_topk(
         e,
         e.filter(F.col("vec_id") < 10),
@@ -768,7 +768,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_dir = _os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_ivfcells_{_os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{_params_key('ivf-k8-i2-seedhash', 64, _data_fingerprint(sf_dir, 'embeddings'))}",
+        f"{_params_key('ivf-k8-i2-seedhash-idtie', 64, _data_fingerprint(sf_dir, 'embeddings'))}",
     )
     # The quantizer is PART of the index: persist the centroids next to
     # the inverted lists so warm probes skip the Lloyd iterations (which
@@ -780,7 +780,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(sidecar) as f:
             centroids = _json.load(f)
     else:
-        centroids = kmeans_centroids(e, "embedding", k=8, iters=2)
+        centroids = kmeans_centroids(e, "embedding", k=8, iters=2, id_col="vec_id")
         ivf_build(e, "vec_id", "embedding", centroids, cell_dir, dim=64)
         with open(sidecar, "w") as f:
             _json.dump(centroids, f)
@@ -819,7 +819,7 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import pq_encode, pq_topk, pq_train
 
     e = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(e, "embedding", m=8, ksub=16)
+    books = pq_train(e, "embedding", m=8, ksub=16, id_col="vec_id")
     codes = pq_encode(e, "vec_id", "embedding", books)
     queries = e.filter(F.col("vec_id") < 10)
     return pq_topk(
@@ -853,7 +853,7 @@ def knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_dir = _os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_pqcodes_{_os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{_params_key('pq', 8, 16, _data_fingerprint(sf_dir, 'embeddings'))}",
+        f"{_params_key('pq-idtie', 8, 16, _data_fingerprint(sf_dir, 'embeddings'))}",
     )
     books_path = _os.path.join(pq_dir, "codebooks.json")
     codes_dir = _os.path.join(pq_dir, "codes")
@@ -861,7 +861,7 @@ def knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.exists(books_path)
         and _os.path.exists(_os.path.join(codes_dir, "_SUCCESS"))
     ):
-        books = pq_train(e, "embedding", m=8, ksub=16)
+        books = pq_train(e, "embedding", m=8, ksub=16, id_col="vec_id")
         pq_encode(e, "vec_id", "embedding", books).write.mode(
             "overwrite"
         ).parquet(codes_dir)
@@ -907,16 +907,16 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_rows = (
         e.select("vec_id", "embedding")
         .withColumn("_h", F.hash(F.col("embedding").cast("array<string>")))
-        .orderBy("_h")
+        .orderBy("_h", "vec_id")
         .limit(2048)
         .select("vec_id", "embedding")
         .collect()
     )
     sample = spark.createDataFrame(sample_rows, e.select("vec_id", "embedding").schema)
-    cents = kmeans_centroids(sample, "embedding", k=8, iters=2)
+    cents = kmeans_centroids(sample, "embedding", k=8, iters=2, id_col="vec_id")
     # pq_train's own sampling picks the SAME first-2048-by-hash rows, so
     # feeding it the local sample is exact — and skips a second corpus sort
-    books = pq_train(sample, "embedding", m=8, ksub=16)
+    books = pq_train(sample, "embedding", m=8, ksub=16, id_col="vec_id")
     index = ivf_pq_encode(e, "vec_id", "embedding", cents, books)
     queries = e.filter(F.col("vec_id") < 10)
     return ivf_pq_topk(

@@ -369,6 +369,12 @@ def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the reference's NOT-IN membership probe against the
     USER_STATUS state table, without the hand-built IN-list SQL.
 
+    NAMING CAVEAT (round-6 advice): since round 6 this computes customers
+    with no FULFILLED ('F') orders, not "no orders at all" — the name is
+    kept because the driver's CORRECTNESS history is keyed on it; any
+    external consumer expecting the pre-round-6 unrestricted anti-join
+    must filter orders themselves.
+
     The probe is restricted to fulfilled ('F') orders: at the gate SF every
     customer has *some* order, so the unrestricted anti-join returns 0 rows
     on both engines and proves nothing (round-5 verdict).  Against the

@@ -202,10 +202,18 @@ class AppendOnlyIndex:
     a replay can rewrite the in-flight directory, never committed ones.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, identity_rows: bool = True):
         self.index_dir = index_dir
         self._writer = IdempotentBatchWriter(index_dir)
         self._base = os.path.join(index_dir, "base")
+        # compact() dedups the merged base to survive interrupted
+        # compactions (see below) — which silently LOSES rows if an index
+        # ever carries counter/payload rows where duplicates are data.
+        # Every current index shape ((doc_id, band_idx, band_hash),
+        # (fp, keeper), (doc_id, start, win_hash)) is identity-semantic;
+        # a future non-identity index must opt out consciously and supply
+        # its own fold (e.g. a groupBy-sum) before compaction is safe.
+        self.identity_rows = identity_rows
 
     def append(self, df: DataFrame, batch_id: int) -> None:
         self._writer(df, batch_id)
@@ -292,8 +300,17 @@ class AppendOnlyIndex:
         # leave the folded batch dirs on disk; without this, the NEXT
         # compact would bake those rows into base a second time — readers
         # tolerate duplicates, but base would inflate per crash cycle.
-        # Safe for both index row shapes ((doc_id, band_idx, band_hash)
-        # and (fp, keeper)): index rows are identity, not counters.
+        # Only identity-semantic row shapes may be deduped (the
+        # constructor flag); a counter/payload index must opt out and
+        # fold duplicates itself before this is safe.
+        if not self.identity_rows:
+            raise ValueError(
+                f"compact() on {self.index_dir}: identity_rows=False — "
+                "this index's rows are not identity-semantic, so the "
+                "crash-consistency dropDuplicates() would lose data. "
+                "Fold duplicates explicitly (e.g. groupBy-sum into a new "
+                "index) instead of compacting in place."
+            )
         merged = merged.dropDuplicates()
         tmp = self._base + ".tmp"
         old = self._base + ".old"

@@ -67,64 +67,71 @@ STATIC_UNGATED = {
     "knn_pq",  # rows-only; recall floor + determinism in pytest
     "knn_pq_persisted",  # rows-only; persisted≡in-memory pytest
     "knn_ivf_pq",  # rows-only; recall + partition-prune plan guard
-    # round-6 LM quality signal: full oracle, in-suite parity + crafted-
-    # row pytest; rotation candidate for a future driver row
-    "lm_perplexity",
-    # round-6 substring-level dedup (Lee et al. window-hash form): full
-    # oracle, in-suite parity + crafted span-merge pytest
-    "dup_spans",
 }
 
 
 def test_gate_budget(registry):
     """The driver's correctness gate budgets 50 rows: exactly that many
     entries are gated; the ungated remainder is the pinned static set of
-    twins/subsets plus whichever rotation half-set is inactive this
-    round. The rotating sets themselves are pinned in plans/rotation.py
-    (drift-guarded here); only the parity selection is dynamic."""
+    twins/subsets plus whichever POOL names are outside this round's
+    window. The pool itself is pinned in plans/rotation.py (drift-guarded
+    here); only the window selection is dynamic."""
     import glob as _glob
     import os as _os
 
     from sparkstreaming_gmall_scala_spark.plans.rotation import (
+        POOL,
         SET_A,
         SET_B,
         active_rotation,
     )
 
-    # the two half-sets: pinned contents, disjoint, all oracle-bearing
-    assert set(SET_A) == {
+    # the pool: pinned contents + cycle ORDER (the window arithmetic is
+    # anchored on it — round 6 gated POOL[0:6], round 7 POOL[6:12]),
+    # no duplicates, all oracle-bearing
+    assert POOL == (
         "gopher_quality",
         "token_entropy",
         "line_dedup",
         "corpus_curate",
         "containment_pairs",
         "hourly_event_rollup",
-    }
-    assert set(SET_B) == {
         "model_score",
         "chunk_tokens",
         "pack_sequences",
         "pii_mask",
         "corpus_features",
         "corpus_curate_fast",
-    }
-    assert not set(SET_A) & set(SET_B)
-    for n in (*SET_A, *SET_B):
+        "dup_spans",
+        "lm_perplexity",
+    )
+    assert len(set(POOL)) == len(POOL)
+    assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
+    for n in POOL:
         assert registry[n].oracle is not None, n
 
-    # independent recomputation of the parity selection: round N ⇔ N−1
-    # CORRECTNESS files in the repo root
+    # independent recomputation of the window: round N ⇔ N−1 CORRECTNESS
+    # files in the repo root; window starts at ((N−6)*6) mod |POOL|
     repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     n_files = len(_glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")))
-    expect_active = set(SET_A if (n_files + 1) % 2 == 0 else SET_B)
+    start = ((n_files + 1 - 6) * 6) % len(POOL)
+    expect_active = {POOL[(start + i) % len(POOL)] for i in range(6)}
     assert set(active_rotation()) == expect_active
+
+    # every pool name gets a driver row at least once per ceil(|POOL|/6)
+    # consecutive rounds (the rotation's whole point)
+    windows = set()
+    for r in range(7, 7 + (len(POOL) + 5) // 6):
+        s = ((r - 6) * 6) % len(POOL)
+        windows |= {POOL[(s + i) % len(POOL)] for i in range(6)}
+    assert windows == set(POOL)
 
     gated = {n for n, q in registry.items() if q.gated}
     ungated = set(registry) - gated
     assert len(gated) == 50, len(gated)
-    inactive = (set(SET_A) | set(SET_B)) - expect_active
+    inactive = set(POOL) - expect_active
     assert ungated == STATIC_UNGATED | inactive, ungated
-    # every gated row is a full hash-checked oracle row (both rows-only
+    # every gated row is a full hash-checked oracle row (the rows-only
     # entries are statically ungated since round 6)
     assert {n for n in gated if registry[n].oracle is None} == set()
 
