@@ -18,6 +18,7 @@ from .curation import corpus_features, curate_filter
 from .dedup import (
     connected_components,
     containment_pairs,
+    cut_spans,
     dup_spans,
     exact_dedup,
     jaccard_pairs,
@@ -84,6 +85,7 @@ __all__ = [
     "cosine_near_dup_pairs",
     "cosine_near_dup_vectorized",
     "curate_filter",
+    "cut_spans",
     "domain_mix",
     "dup_spans",
     "enrich_left",

@@ -524,13 +524,36 @@ def dup_spans(
     1-based token positions, end-inclusive — matching the SQL oracle's
     list-slice convention.
     """
-    toked = docs.select(
+    wins = _window_hashes(_tokenized(docs, id_col, text_col), id_col, window)
+    dup_counts = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    dup = wins.join(dup_counts, "_h").select(
+        id_col, "start", (F.col("start") + window - 1).alias("end")
+    )
+    return _merge_spans(dup, id_col)
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _toks): the lowercased whitespace token array — the shared
+    scan-side tokenization of the window-hash dedup family."""
+    return docs.select(
         F.col(id_col),
         F.filter(
             F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
         ).alias("_toks"),
     )
-    wins = toked.select(
+
+
+def _window_hashes(
+    toked: DataFrame, id_col: str, window: int
+) -> DataFrame:
+    """(id, start, _h): every L-token rolling window's md5, 1-based
+    starts; docs shorter than the window emit nothing."""
+    return toked.select(
         F.col(id_col),
         F.explode(
             F.when(
@@ -546,15 +569,13 @@ def dup_spans(
             F.concat_ws(" ", F.slice("_toks", F.col("start"), window))
         ).alias("_h"),
     )
-    dup_counts = (
-        wins.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_count)
-        .select("_h")
-    )
-    dup = wins.join(dup_counts, "_h").select(
-        id_col, "start", (F.col("start") + window - 1).alias("end")
-    )
+
+
+def _merge_spans(dup: DataFrame, id_col: str) -> DataFrame:
+    """Merge (id, start, end) window rows into maximal spans per doc —
+    the gaps-and-islands window (uniform doc keys; doc length bounds the
+    partition). Overlapping AND adjacent windows fuse, so the output
+    spans are pairwise disjoint and non-adjacent per doc."""
     from pyspark.sql import Window as W
 
     order = W.partitionBy(id_col).orderBy("start")
@@ -574,4 +595,98 @@ def dup_spans(
             F.max("end").cast("long").alias("tok_end"),
         )
         .select(id_col, "tok_start", "tok_end")
+    )
+
+
+def cut_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply substring-level dedup: remove every duplicated ≥``window``-
+    token run EXCEPT its first occurrence and emit the cleaned text —
+    the actual "cut" step of the Lee et al. 2021 pipeline (``dup_spans``
+    detects; this executes). Output: (id, cleaned_text, n_tokens_cut).
+
+    Keep-first policy (deterministic, global): every duplicated window
+    hash keeps exactly the occurrence with the lowest (doc_id, start) —
+    packed as ``doc_id·10⁶ + start`` so the arg-min is a plain integer
+    ``min`` under the partial-aggregated ``groupBy(hash)`` (no window
+    function over the hot hash key; requires docs < 10⁶ tokens and
+    doc_id < 2⁵³/10⁶ ≈ 9·10¹², documented bounds of the packed key).
+    All other occurrences' windows merge into maximal cut spans per doc
+    (gaps-and-islands) and their token ranges are deleted; survivors
+    re-join with single spaces.
+
+    Because the kept occurrence is first in (doc, start) order, each
+    original window hash occurs at most once in the cleaned corpus —
+    re-running ``dup_spans`` on the output finds no spans except
+    coincidental splice artifacts (pinned empty on the test corpus).
+
+    ``cleaned_text`` is the NORMALIZED reconstruction (lowercased,
+    whitespace-collapsed) — the same canonical token stream every other
+    dedup granularity keys on. Default ``window=50`` per the paper; the
+    catalog entry uses 20 to suit the small test corpus (the dup_spans
+    default note).
+
+    100 TB shape: identical exchanges to ``dup_spans`` (one explode →
+    partial-agg groupBy(hash) → AQE-splittable join-back probe → per-doc
+    islands) plus one uniform groupBy(doc) to assemble each doc's span
+    array and an array-level filter — the reconstruction never explodes
+    token positions into rows.
+    """
+    toked = _tokenized(docs, id_col, text_col)
+    wins = _window_hashes(toked, id_col, window)
+    packed = (F.col(id_col).cast("long") * F.lit(1_000_000) + F.col("start"))
+    keyed = wins.select(id_col, "start", "_h", packed.alias("_pk"))
+    dup_keep = (
+        keyed.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("_pk").alias("_keep_pk"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h", "_keep_pk")
+    )
+    cuts = (
+        keyed.join(dup_keep, "_h")
+        .filter(F.col("_pk") != F.col("_keep_pk"))
+        .select(
+            id_col, "start", (F.col("start") + window - 1).alias("end")
+        )
+    )
+    spans = _merge_spans(cuts, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("tok_start", "tok_end")).alias("_spans")
+    )
+    kept_pos = F.filter(
+        F.when(
+            F.size("_toks") > 0, F.sequence(F.lit(1), F.size("_toks"))
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (i >= sp["tok_start"]) & (i <= sp["tok_end"]),
+        ),
+    )
+    return (
+        toked.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.coalesce(
+                "_spans",
+                F.array().cast(
+                    "array<struct<tok_start:bigint,tok_end:bigint>>"
+                ),
+            ).alias("_spans"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                F.transform(kept_pos, lambda i: F.element_at("_toks", i)),
+            ).alias("cleaned_text"),
+            (F.size("_toks") - F.size(kept_pos))
+            .cast("long")
+            .alias("n_tokens_cut"),
+        )
     )

@@ -463,6 +463,15 @@ def lm_doc_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bigrams compress map-side, the join-back probe is AQE-splittable —
     the boilerplate_stats de-skew argument); the per-doc rollup is one
     more uniform groupBy. avg rounded to 6 dp for engine portability.
+
+    Determinism (round-6 advice): each per-bigram ln is quantized to an
+    integer nano-unit (floor(ln·1e9 + 0.5) as BIGINT) BEFORE summation,
+    so the per-doc total is exact integer arithmetic — independent of
+    partition/accumulation order on both engines. A float F.sum of
+    doubles is order-dependent in the last ulp, which could flip the
+    6-dp rounding of a doc landing near a 0.5e-6 boundary between runs;
+    the 1e-9 quantization error (≤ n_bigrams·5e-10 on the mean) is far
+    below the 6-dp report.
     """
     toked = docs.select(
         F.col(id_col),
@@ -494,8 +503,11 @@ def lm_doc_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(
-                F.log(F.col("_n12").cast("double") / F.col("_n1"))
-            ).alias("_s"),
+                F.floor(
+                    F.log(F.col("_n12").cast("double") / F.col("_n1")) * 1e9
+                    + 0.5
+                ).cast("long")
+            ).alias("_s9"),
         )
     )
     return (
@@ -507,7 +519,8 @@ def lm_doc_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (
                 F.floor(
                     F.when(
-                        F.col("n_bigrams") > 0, F.col("_s") / F.col("n_bigrams")
+                        F.col("n_bigrams") > 0,
+                        F.col("_s9") / 1e9 / F.col("n_bigrams"),
                     ).otherwise(F.lit(0.0))
                     * 1e6
                     + 0.5

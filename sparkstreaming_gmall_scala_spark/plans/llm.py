@@ -1643,6 +1643,77 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cut_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+    wins AS (
+      SELECT doc_id, i AS start, doc_id * 1000000 + i AS pk,
+             md5(array_to_string(ts[i:i + 19], ' ')) AS h
+      FROM toks, unnest(generate_series(1, greatest(len(ts) - 19, 0))) AS u(i)
+    ),
+    dup AS (
+      SELECT h, min(pk) AS keep_pk FROM wins GROUP BY h HAVING count(*) >= 2
+    ),
+    cuts AS (
+      SELECT w.doc_id, w.start, w.start + 19 AS "end"
+      FROM wins w JOIN dup USING (h) WHERE w.pk <> dup.keep_pk
+    ),
+    m AS (
+      SELECT doc_id, start, "end",
+             CASE WHEN start <= COALESCE(max("end") OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) + 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM cuts
+    ),
+    g AS (
+      SELECT doc_id, start, "end",
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, min(start) AS s, max("end") AS e
+      FROM g GROUP BY doc_id, grp
+    ),
+    pos0 AS (
+      SELECT t.doc_id, i, ts[i] AS tok
+      FROM toks t,
+           unnest(generate_series(1, greatest(len(ts), 0))) AS u(i)
+    ),
+    pos AS (
+      SELECT p.doc_id, p.i, p.tok, sp.doc_id IS NOT NULL AS cut
+      FROM pos0 p LEFT JOIN spans sp
+        ON sp.doc_id = p.doc_id AND p.i BETWEEN sp.s AND sp.e
+    )
+    SELECT d.doc_id,
+           COALESCE(string_agg(tok, ' ' ORDER BY i)
+                      FILTER (WHERE NOT cut), '') AS cleaned_text,
+           CAST(COALESCE(sum(CASE WHEN cut THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_tokens_cut
+    FROM documents d LEFT JOIN pos USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "dedup", "substring"),
+    gated=False,
+)
+def cut_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply substring-level dedup (the Lee et al. 2021 "cut" step
+    completing dup_spans's detection): every duplicated ≥20-token run is
+    deleted from all but its first occurrence — keep-first is the global
+    arg-min of (doc_id, start), packed as doc_id·10⁶+start so it rides
+    the partial-aggregated groupBy(hash) — and survivors re-join into
+    (doc_id, cleaned_text, n_tokens_cut). The merged spans are disjoint,
+    so the oracle's span probe is a ≤1-match LEFT JOIN, and re-running
+    dup_spans on the output is pinned empty in pytest. window=20 here to
+    suit the test corpus; the operator default is the paper's 50."""
+    from ..operators.dedup import cut_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return cut_spans(d, "doc_id", "text", window=20, min_count=2)
+
+
+@register(
     "lm_perplexity",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
@@ -1654,13 +1725,15 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
     per AS (
       SELECT doc_id, count(*) AS n_bigrams,
-             sum(ln(n12::DOUBLE / n1)) AS s
+             sum(CAST(floor(ln(n12::DOUBLE / n1) * 1000000000 + 0.5)
+                      AS BIGINT)) AS s9
       FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id
     )
     SELECT d.doc_id,
            CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           floor((CASE WHEN per.n_bigrams > 0 THEN per.s / per.n_bigrams
+           floor((CASE WHEN per.n_bigrams > 0
+                       THEN s9 / 1000000000.0 / per.n_bigrams
                        ELSE 0 END) * 1000000 + 0.5) / 1000000 AS avg_logprob
     FROM documents d LEFT JOIN per USING (doc_id)
     """,

@@ -60,6 +60,7 @@ POOL: tuple[str, ...] = (
     # round-6/7 full-oracle additions (first driver rows: r8)
     "dup_spans",
     "lm_perplexity",
+    "cut_spans",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

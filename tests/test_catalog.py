@@ -104,6 +104,7 @@ def test_gate_budget(registry):
         "corpus_curate_fast",
         "dup_spans",
         "lm_perplexity",
+        "cut_spans",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
