@@ -3,11 +3,12 @@ the per-doc feature row every cleaning stage needs, and the curated keep
 set is a filter over that table.
 
 Why this exists (round-5 verdict "What's wrong #1"): the composed
-``corpus_curate`` recipe chains five independent operators — exact dedup,
-Gopher rules, decontamination, boilerplate fraction, domain mix — and each
-one re-reads ``documents`` (column-pruned, but still a full scan).
-Catalyst cannot fuse subtrees across separate scans, so at 100 TB the
-recipe's dominant cost is ~5× the corpus read. The fix is the classic
+``corpus_curate`` recipe chains six independent operators — exact dedup,
+Gopher rules, decontamination, boilerplate fraction, bigram-LM scoring
+(round 7), domain mix — and each one re-reads ``documents``
+(column-pruned, but still a full scan). Catalyst cannot fuse subtrees
+across separate scans, so at 100 TB the recipe's dominant cost is ~6×
+the corpus read. The fix is the classic
 feature-materialization shape: scan the corpus ONCE into a persisted,
 column-pruned base, derive every per-doc feature from that cache, and
 express curation as a filter over the feature table.
@@ -42,7 +43,15 @@ from pyspark.storagelevel import StorageLevel
 from ..functions.text import fingerprint
 from .dedup import shingle_rows
 from .sampling import mixture_thresholds, sample_bucket
-from .textstats import gopher_quality
+from .textstats import gopher_quality, lm_doc_logprob
+
+# The CCNet-stage keep threshold on the self-trained bigram LM's per-doc
+# mean ln P (perplexity ≈ e^3.45 ≈ 31.5): calibrated on the test corpus
+# to cut the low-probability tail (~3% at sf0.001, ~5% at sf0.01) without
+# gutting it. A production run re-calibrates per corpus (CCNet uses
+# percentile buckets); the constant keeps the policy SQL-expressible and
+# hash-checkable.
+LM_THRESHOLD = -3.45
 
 
 def _r6(c: Column) -> Column:
@@ -65,7 +74,7 @@ def corpus_features(
     """One row per document with every curation feature:
 
     ``(id, source, is_keeper, gopher_keep, n_shared_ngrams, n_shingles,
-    n_boiler, boiler_frac, mix_keep)``
+    n_boiler, boiler_frac, avg_logprob, mix_keep)``
 
     - ``is_keeper``: doc is its exact-dup group's representative (smallest
       id per normalized-text fingerprint — ``exact_dedup`` semantics);
@@ -77,6 +86,10 @@ def corpus_features(
       ``boilerplate_stats`` join-back shape over the shared shingle cache
       (document frequency via partial-aggregated groupBy — never a window
       over the hot shingle key);
+    - ``avg_logprob``: the CCNet-stage LM signal (``lm_doc_logprob`` —
+      per-doc mean ln P under the corpus's own MLE bigram model), derived
+      off the SAME base cache (its bigram explode re-tokenizes cached
+      rows — CPU over cached data, never a second corpus read);
     - ``mix_keep``: the deterministic ``domain_mix`` hash rule with
       thresholds from the full per-source counts.
 
@@ -105,6 +118,7 @@ def corpus_features(
     is_keeper = fp.join(keepers, "fp").select(
         F.col(id_col), (F.col(id_col) == F.col("_keep_id")).alias("is_keeper")
     )
+    lm = lm_doc_logprob(base, id_col, text_col).select(id_col, "avg_logprob")
 
     # -- shingle-derived features: tokenize/shingle ONCE -------------------
     sh = shingle_rows(base, id_col, text_col, n=n).persist(
@@ -150,8 +164,9 @@ def corpus_features(
         .join(g, id_col)
         .join(hits, id_col, "left")
         # inner: shingle_rows emits one (empty) shingle even for empty
-        # text, so boil covers every doc
+        # text, so boil covers every doc; lm emits one row per doc too
         .join(boil, id_col)
+        .join(lm, id_col)
         .select(
             id_col,
             source_col,
@@ -168,6 +183,7 @@ def corpus_features(
                     F.col("n_boiler") / F.col("n_shingles"),
                 ).otherwise(F.lit(0.0))
             ).alias("boiler_frac"),
+            "avg_logprob",
             "mix_keep",
         )
     )
@@ -183,15 +199,20 @@ def corpus_features(
     return out
 
 
-def curate_filter(features: DataFrame) -> DataFrame:
+def curate_filter(
+    features: DataFrame, lm_threshold: float = LM_THRESHOLD
+) -> DataFrame:
     """The curation policy as a filter over the feature table: exact-dup
     representative ∩ Gopher keep ∩ not contaminated ∩ boilerplate
-    fraction < 0.5 ∩ mixture hash-keep — exactly ``corpus_curate``'s
-    stage conjunction, now costing one corpus scan instead of five."""
+    fraction < 0.5 ∩ LM keep (avg_logprob ≥ ``lm_threshold`` — the
+    CCNet perplexity-tail cut, round 7) ∩ mixture hash-keep — exactly
+    ``corpus_curate``'s stage conjunction, costing one corpus scan
+    instead of six."""
     return features.filter(
         F.col("is_keeper")
         & F.col("gopher_keep")
         & (F.col("n_shared_ngrams") == 0)
         & (F.col("boiler_frac") < 0.5)
+        & (F.col("avg_logprob") >= lm_threshold)
         & F.col("mix_keep")
     )

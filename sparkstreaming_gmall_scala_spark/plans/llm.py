@@ -1529,11 +1529,41 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(d, "doc_id", "text", min_df=3)
 
 
+# The self-trained bigram-LM CTE chain (lm_doc_logprob's SQL form),
+# shared by the curation oracles — ends in lm(doc_id, avg_logprob) with
+# the same integer-nano quantization as the operator.
+_LM_CTES = f"""
+    toks_lm AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+    bg_lm AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM toks_lm,
+           unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+    ),
+    c12_lm AS (SELECT w1, w2, count(*) AS n12 FROM bg_lm GROUP BY w1, w2),
+    c1_lm AS (SELECT w1, count(*) AS n1 FROM bg_lm GROUP BY w1),
+    per_lm AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             sum(CAST(floor(ln(n12::DOUBLE / n1) * 1000000000 + 0.5)
+                      AS BIGINT)) AS s9
+      FROM bg_lm JOIN c12_lm USING (w1, w2) JOIN c1_lm USING (w1)
+      GROUP BY doc_id
+    ),
+    lm AS (
+      SELECT d.doc_id,
+             floor((CASE WHEN per_lm.n_bigrams > 0
+                         THEN s9 / 1000000000.0 / per_lm.n_bigrams
+                         ELSE 0 END) * 1000000 + 0.5) / 1000000
+               AS avg_logprob
+      FROM documents d LEFT JOIN per_lm USING (doc_id)
+    )
+"""
+
 # The curation policy's DuckDB form — shared verbatim by corpus_curate
-# (the 5-stage composition) and corpus_curate_fast (the single-scan
+# (the 6-stage composition) and corpus_curate_fast (the single-scan
 # feature-table filter): one oracle, two physical strategies.
 _CURATE_SQL = f"""
-    WITH keeps AS (
+    WITH {_LM_CTES},
+    keeps AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_TEXT})
     ),
     g AS ({_GOPHER_SQL}),
@@ -1583,9 +1613,11 @@ _CURATE_SQL = f"""
     JOIN g ON g.doc_id = d.doc_id AND g.keep
     LEFT JOIN hits ON hits.doc_id = d.doc_id
     JOIN bf ON bf.doc_id = d.doc_id
+    JOIN lm ON lm.doc_id = d.doc_id
     JOIN thr USING (source)
     WHERE COALESCE(hits.n, 0) = 0
       AND bf.boiler_frac < 0.5
+      AND lm.avg_logprob >= -3.45
       AND thr.thr_int >= 0
       AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
             <= lpad(lower(to_hex(thr.thr_int)), 4, '0')
@@ -1763,7 +1795,8 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator-composition contract at the cleaning level (the corpus_clean
     pattern widened to the new families): exact-dedup survivors ∩
     Gopher-rule keeps ∩ not eval-contaminated ∩ boilerplate fraction
-    < 0.5 ∩ domain-mixture hash-keeps. Every stage is the SAME pure
+    < 0.5 ∩ LM keeps (avg_logprob ≥ −3.45, the CCNet stage — round 7)
+    ∩ domain-mixture hash-keeps. Every stage is the SAME pure
     operator the standalone queries run, chained without glue; the final
     plan is a join tree over their (mostly scan-side) outputs that
     Catalyst reorders freely.
@@ -1774,11 +1807,13 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     that run is ``corpus_curate_fast`` (single scan, plan-guarded); this
     entry is the correctness contract that the stage conjunction
     composes exactly, and pytest pins fast ≡ composed."""
+    from ..operators.curation import LM_THRESHOLD
     from ..operators.dedup import exact_dedup
     from ..operators.sampling import domain_mix as _mix
     from ..operators.textstats import (
         boilerplate_stats,
         gopher_quality,
+        lm_doc_logprob,
         ngram_overlap_flags,
     )
 
@@ -1799,6 +1834,11 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("boiler_frac") < 0.5)
         .select("doc_id")
     )
+    lmk = (
+        lm_doc_logprob(d, "doc_id", "text")
+        .filter(F.col("avg_logprob") >= LM_THRESHOLD)
+        .select("doc_id")
+    )
     mix = _mix(
         d.select("doc_id", "source"), key_col="doc_id", strata_col="source",
         weights=_MIX_WEIGHTS, budget_frac=_MIX_BUDGET_FRAC,
@@ -1809,12 +1849,14 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(g, "doc_id")
         .join(dec, "doc_id")
         .join(bp, "doc_id")
+        .join(lmk, "doc_id")
         .select("doc_id", "source")
     )
 
 
 _FEATURES_SQL = f"""
-    WITH fps AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),
+    WITH {_LM_CTES},
+    fps AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),
     keeps AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
     g AS ({_GOPHER_SQL}),
     sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
@@ -1851,6 +1893,7 @@ _FEATURES_SQL = f"""
            floor((CASE WHEN bo.n_shingles > 0
                        THEN CAST(bo.n_boiler AS DOUBLE) / bo.n_shingles
                        ELSE 0 END) * 1000000 + 0.5) / 1000000 AS boiler_frac,
+           lm.avg_logprob AS avg_logprob,
            (thr.thr_int >= 0
             AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
                   <= lpad(lower(to_hex(thr.thr_int)), 4, '0')) AS mix_keep
@@ -1860,6 +1903,7 @@ _FEATURES_SQL = f"""
     JOIN g ON g.doc_id = d.doc_id
     LEFT JOIN hits ON hits.doc_id = d.doc_id
     JOIN bo ON bo.doc_id = d.doc_id
+    JOIN lm ON lm.doc_id = d.doc_id
     JOIN thr ON thr.source = d.source
 """
 

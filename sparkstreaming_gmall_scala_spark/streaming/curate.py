@@ -26,11 +26,13 @@ original pairs (extras are later batches' rows), and both sinks
 overwrite their own ``batch_id=N`` dirs — the corpus-level doc set and
 pair set are unchanged. Pinned by tests/test_streaming.py.
 
-What this deliberately does NOT stream: the boilerplate fraction and
-domain-mix stages of ``corpus_curate``. Both are corpus-retrospective —
-a doc's boiler_frac depends on documents that arrive AFTER it, and mix
-thresholds on final stratum counts — so a streaming keep/drop decision
-cannot match the batch result without retractions. At 100 TB those run
+What this deliberately does NOT stream: the boilerplate-fraction,
+bigram-LM (avg_logprob — the model is trained on the FULL corpus), and
+domain-mix stages of ``corpus_curate``. All three are
+corpus-retrospective — a doc's boiler_frac and LM score depend on
+documents that arrive AFTER it, and mix thresholds on final stratum
+counts — so a streaming keep/drop decision cannot match the batch
+result without retractions. At 100 TB those run
 as the batch ``corpus_features`` pass over the ingested corpus (or an
 offline sweep during the compaction window).
 """

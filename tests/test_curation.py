@@ -121,6 +121,10 @@ def test_curate_filter_consistent_with_feature_flags(spark, sf_dir, registry):
         curate_filter,
     )
 
+    from sparkstreaming_gmall_scala_spark.operators.curation import (
+        LM_THRESHOLD,
+    )
+
     feats = registry["corpus_features"].builder(spark, sf_dir)
     kept = {r["doc_id"] for r in curate_filter(feats).collect()}
     rows = feats.collect()
@@ -130,6 +134,9 @@ def test_curate_filter_consistent_with_feature_flags(spark, sf_dir, registry):
             and r["gopher_keep"]
             and r["n_shared_ngrams"] == 0
             and r["boiler_frac"] < 0.5
+            and r["avg_logprob"] >= LM_THRESHOLD
             and r["mix_keep"]
         )
         assert (r["doc_id"] in kept) == ok, r
+    # the LM stage is non-vacuous on the test corpus: some doc fails it
+    assert any(r["avg_logprob"] < LM_THRESHOLD for r in rows)
