@@ -86,9 +86,13 @@ HEADLINE = (
     "knn_pq",
     "knn_pq_persisted",
     # added r6: the composed IVF-PQ architecture (cells bound candidates,
-    # codes bound bytes; trains both quantizers per run by design — the
-    # persisted form's probe cost is covered by its pytest twin)
+    # codes bound bytes; trains both quantizers per run by design)
     "knn_ivf_pq",
+    # added r7: the persisted cell-partitioned IVF-PQ index — the probe's
+    # cell filter is partition pruning on the parquet read, so this
+    # number is the flagship ANN shape's steady-state query cost next to
+    # knn_ivf_pq's build-included number
+    "knn_ivf_pq_persisted",
     # added r6: CCNet-style bigram-LM quality signal (full oracle)
     "lm_perplexity",
     # added r6: substring-level dedup spans (window-hash suffix-array
@@ -168,7 +172,12 @@ def main() -> int:
     # in-memory variants (knn_lsh, knn_ivf) carry the rebuild-per-run
     # number for comparison.
     registry["trademark_stat"].builder(spark, sf_dir).count()
-    for warm in ("knn_lsh_persisted", "knn_ivf_persisted", "knn_pq_persisted"):
+    for warm in (
+        "knn_lsh_persisted",
+        "knn_ivf_persisted",
+        "knn_pq_persisted",
+        "knn_ivf_pq_persisted",
+    ):
         registry[warm].builder(spark, sf_dir).count()
 
     times: dict[str, float] = {}

@@ -926,6 +926,81 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf_pq_persisted",
+    oracle=None,  # same constraint as knn_ivf_pq; pytest pins persisted
+    # ≡ in-memory and the partition-pruned probe scan.
+    tags=("llm", "similarity", "ivf", "pq", "persisted"),
+    gated=False,
+)
+def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 over a PERSISTED IVF-PQ index — the steady-state form of
+    the flagship 100 TB ANN shape: ivf_pq_encode's (id, cell, codes) rows
+    are written ONCE as parquet PARTITIONED BY cell (quantizers cached as
+    sidecars, dir keyed by params + data fingerprint like the other
+    persisted twins), so each probe's ``cell IN (probed)`` filter becomes
+    partition pruning — unprobed cell DIRECTORIES are never opened, the
+    probe reads nprobe/k_cells of the index as 8-byte code rows, and the
+    refine stage touches raw vectors only shortlist-wide. knn_ivf_pq
+    (in-memory twin) carries the full train+encode+probe cost per run;
+    this entry's bench number is the per-query steady state."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..operators.pq import ivf_pq_encode, ivf_pq_topk, pq_train
+    from ..operators.similarity import kmeans_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pq_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_{_os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('ivfpq-idtie', 8, 8, 16, _data_fingerprint(sf_dir, 'embeddings'))}",
+    )
+    quant_path = _os.path.join(pq_dir, "quantizers.json")
+    index_dir = _os.path.join(pq_dir, "index")
+    if not (
+        _os.path.exists(quant_path)
+        and _os.path.exists(_os.path.join(index_dir, "_SUCCESS"))
+    ):
+        # one collected hash-ordered sample trains BOTH quantizers (the
+        # knn_ivf_pq argument: pq_train re-derives the same rows)
+        sample_rows = (
+            e.select("vec_id", "embedding")
+            .withColumn(
+                "_h", F.hash(F.col("embedding").cast("array<string>"))
+            )
+            .orderBy("_h", "vec_id")
+            .limit(2048)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        sample = spark.createDataFrame(
+            sample_rows, e.select("vec_id", "embedding").schema
+        )
+        cents = kmeans_centroids(
+            sample, "embedding", k=8, iters=2, id_col="vec_id"
+        )
+        books = pq_train(sample, "embedding", m=8, ksub=16, id_col="vec_id")
+        ivf_pq_encode(
+            e, "vec_id", "embedding", cents, books
+        ).write.partitionBy("cell").mode("overwrite").parquet(index_dir)
+        _os.makedirs(pq_dir, exist_ok=True)
+        tmp = quant_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"centroids": cents, "codebooks": books}, f)
+        _os.replace(tmp, quant_path)  # atomic: readers never see partial
+    with open(quant_path) as f:
+        quant = _json.load(f)
+    index = spark.read.parquet(index_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk(
+        index, queries, "vec_id", "embedding",
+        quant["centroids"], quant["codebooks"],
+        k=5, nprobe=4, rerank=e, shortlist=64,
+    )
+
+
+@register(
     "embed_near_dup",
     oracle=f"""
     WITH scored AS (

@@ -40,6 +40,7 @@ def test_oracle_coverage(registry):
         "knn_pq",
         "knn_pq_persisted",
         "knn_ivf_pq",
+        "knn_ivf_pq_persisted",
     }, no_oracle
 
 
@@ -67,6 +68,8 @@ STATIC_UNGATED = {
     "knn_pq",  # rows-only; recall floor + determinism in pytest
     "knn_pq_persisted",  # rows-only; persisted≡in-memory pytest
     "knn_ivf_pq",  # rows-only; recall + partition-prune plan guard
+    # rows-only; persisted≡in-memory + entry-level pruning pytest
+    "knn_ivf_pq_persisted",
 }
 
 

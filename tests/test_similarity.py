@@ -450,3 +450,37 @@ def test_ivf_pq_recall_and_partition_pruning(spark, sf_dir, tmp_path):
         "cell" in l and "PartitionFilters: [" in l and "cell#" in l.split("PartitionFilters:")[1][:200]
         for l in scan_lines
     ), plan[:3000]
+
+
+def test_ivf_pq_persisted_entry_equals_in_memory_and_prunes(spark, sf_dir):
+    """The knn_ivf_pq_persisted catalog entry: identical ranking to the
+    in-memory knn_ivf_pq (one shared deterministic sample trains both
+    quantizers in both paths), a second call serves from the cached
+    index, and the probe's parquet scan carries a PartitionFilter on
+    cell — the entry-level version of the tmp_path pruning guard."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    reg = load_all()
+    mem = sorted(
+        tuple(r) for r in reg["knn_ivf_pq"].builder(spark, sf_dir).collect()
+    )
+    per_df = reg["knn_ivf_pq_persisted"].builder(spark, sf_dir)
+    per1 = sorted(tuple(r) for r in per_df.collect())
+    per2 = sorted(
+        tuple(r)
+        for r in reg["knn_ivf_pq_persisted"].builder(spark, sf_dir).collect()
+    )
+    assert per1 == mem
+    assert per2 == mem
+
+    plan = per_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        l for l in plan.split("\n")
+        if "spark_graft_ivfpq" in l
+        and ("Scan parquet" in l or "PartitionFilters" in l)
+    ]
+    assert any(
+        "PartitionFilters: [" in l
+        and "cell#" in l.split("PartitionFilters:")[1][:200]
+        for l in scan_lines
+    ), plan[:3000]
