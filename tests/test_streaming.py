@@ -1704,3 +1704,80 @@ def test_index_compaction_crash_before_swap_rolls_forward(spark, tmp_path):
     # the next compact folds the leftover batch dir into the new base
     assert index.compact(spark, upto_batch_id=0) == 1
     assert {tuple(r) for r in index.read(spark).collect()} == rows
+
+
+def test_streaming_curate_substring_candidates_union_equals_batch(
+    spark, tmp_path
+):
+    """Round-7 window-hash surface: the union of per-batch substring-dup
+    occurrence pairs equals the batch win_probe self-join over the SAME
+    curated survivors (cross-batch and within-doc dups included), with
+    inline compaction of the window index, and replaying a batch changes
+    nothing."""
+    from sparkstreaming_gmall_scala_spark.streaming.corpus import (
+        corpus_ingest_batch_recipe,
+    )
+    from sparkstreaming_gmall_scala_spark.streaming.curate import (
+        curate_ingest_batch,
+        win_probe,
+        window_rows,
+    )
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import DOC_SCHEMA
+
+    passage = "w0 w1 w2 w3 w4 w5"  # 6 tokens → three 4-token windows
+    batches = [
+        [
+            (1, passage + " unique tail one two"),
+            # within-doc repeated 6-token run (same-doc occurrence pairs)
+            (3, "r0 r1 r2 r3 r4 r5 mid r0 r1 r2 r3 r4 r5"),
+        ],
+        # cross-batch dup: doc 2 shares the passage with already-indexed 1
+        [(2, "lead in tokens here " + passage)],
+        # third batch so compact_every=1 folds committed window dirs
+        [(9, "another wholly unrelated sentence about stream compaction")],
+    ]
+    fp_idx, band_idx, win_idx = (
+        str(tmp_path / "fpi"),
+        str(tmp_path / "bdi"),
+        str(tmp_path / "wni"),
+    )
+    docs_sink = IdempotentBatchWriter(str(tmp_path / "docs"))
+    pairs_sink = IdempotentBatchWriter(str(tmp_path / "pairs"))
+    wins_sink = IdempotentBatchWriter(str(tmp_path / "wins"))
+    run = curate_ingest_batch(
+        spark, fp_idx, band_idx, docs_sink, pairs_sink,
+        compact_every=1, win_index_dir=win_idx, wins_sink=wins_sink,
+        window=4,
+    )
+    for i, rows in enumerate(batches):
+        run(spark.createDataFrame(rows, DOC_SCHEMA), i)
+
+    union_docs = spark.createDataFrame(
+        batches[0] + batches[1] + batches[2], DOC_SCHEMA
+    )
+    survivors = corpus_ingest_batch_recipe(union_docs).select(
+        "doc_id", F.col("masked_text").alias("text")
+    )
+    wins = window_rows(survivors, window=4)
+    want = {
+        (r["id_a"], r["start_a"], r["id_b"], r["start_b"])
+        for r in win_probe(wins, wins).collect()
+    }
+    got = {
+        (r["id_a"], r["start_a"], r["id_b"], r["start_b"])
+        for r in wins_sink.read(spark).collect()
+    }
+    assert got == want
+    # cross-batch: doc 1's passage (starts 1..3) vs doc 2's (starts 5..7)
+    assert (1, 1, 2, 5) in got
+    # within-doc: doc 3's first run (1..3) vs its repeat (8..10)
+    assert (3, 1, 3, 8) in got
+    # the compacted window index folded committed dirs into base
+    assert os.path.isdir(os.path.join(win_idx, "base"))
+
+    # replay batch 0 after later batches committed: union unchanged
+    run(spark.createDataFrame(batches[0], DOC_SCHEMA), 0)
+    assert {
+        (r["id_a"], r["start_a"], r["id_b"], r["start_b"])
+        for r in wins_sink.read(spark).collect()
+    } == want
