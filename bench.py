@@ -98,6 +98,12 @@ HEADLINE = (
     # added r6: substring-level dedup spans (window-hash suffix-array
     # analog, full oracle)
     "dup_spans",
+    # added r7: the cut step applying dup_spans (keep-first substring
+    # dedup producing cleaned text, full oracle)
+    "cut_spans",
+    # added r7: SemDeDup — semantic near-dup removal with the pair space
+    # bounded by k-means cells (rows-only; pytest-pinned vs exact pairs)
+    "semantic_dedup",
 )
 
 
@@ -134,7 +140,15 @@ def bench_streaming_dedup(spark, sf_dir: str) -> int:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def calibrate(spark, k: int = 3) -> dict:
+# The round-6 host's calibration median (BENCH_r06.json) — the pinned
+# reference point for cross-round normalization: normalized_total
+# = total × (REF_CALIBRATION_MEDIAN / this run's median), so a round on
+# a 2×-slower VM reports the same normalized number for identical code
+# and cross-round comparison is mechanical instead of eyeballed.
+REF_CALIBRATION_MEDIAN = 0.278
+
+
+def calibrate(spark, k: int = 5) -> dict:
     """Host-speed calibration probe (round-5 verdict #5): BENCH totals
     moved ~1.5× between rounds on identical code because each round runs
     on a different-speed VM. This times a fixed, data-independent,
@@ -157,6 +171,11 @@ def calibrate(spark, k: int = 3) -> dict:
         "probe": "range20m_md5_crc32_local32",
         "runs": runs,
         "median_sec": med,
+        # min is the noise-robust host-speed floor (a GC pause or a
+        # contention spike right after 50 heavy queries can inflate
+        # individual probe runs 5-10× — observed in round 7); median
+        # stays the normalization key for r6-compatibility
+        "min_sec": min(runs),
     }
 
 
@@ -209,6 +228,9 @@ def main() -> int:
     print(f"# calibration: {calibration}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    normalized_total = round(
+        total * REF_CALIBRATION_MEDIAN / calibration["median_sec"], 3
+    )
     print(
         json.dumps(
             {
@@ -218,6 +240,9 @@ def main() -> int:
                 "queries": times,
                 "sf": sf,
                 "calibration": calibration,
+                # host-speed-normalized to the round-6 reference probe
+                "normalized_total": normalized_total,
+                "ref_calibration_median": REF_CALIBRATION_MEDIAN,
             }
         )
     )

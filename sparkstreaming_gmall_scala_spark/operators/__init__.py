@@ -54,6 +54,7 @@ from .similarity import (
     ivf_probe,
     ivf_topk,
     kmeans_centroids,
+    semantic_dedup,
     label_centroids,
     probe_topk,
 )
@@ -130,6 +131,7 @@ __all__ = [
     "salted_agg",
     "salted_join",
     "sample_bucket",
+    "semantic_dedup",
     "shingle_rows",
     "simhash64",
     "tfidf_top_terms",

@@ -495,7 +495,7 @@ def dup_spans(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    window: int = 20,
+    window: int = 50,
     min_count: int = 2,
 ) -> DataFrame:
     """Exact substring-level duplication spans (Lee et al. 2021,
@@ -519,7 +519,8 @@ def dup_spans(
     gaps-and-islands window (uniform doc keys; doc length bounds the
     partition). Detection is exact for duplicated runs of ≥ ``window``
     tokens; shorter duplicates are below the detection length by design
-    (the paper uses 50; the default 20 suits the small test corpus).
+    (default 50 per the paper — the round-7 config alignment with
+    ``cut_spans``; the catalog entries pass 20 to suit the test corpus).
 
     1-based token positions, end-inclusive — matching the SQL oracle's
     list-slice convention.

@@ -638,3 +638,71 @@ def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
             F.transform(F.col("_pairs"), lambda s: s.dim_mean).alias("centroid"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): semantic near-duplicate
+    removal with the pair space bounded by k-means cells — each doc
+    compares only against its OWN cell's members, so at 100 TB the
+    pairwise cosine work is Σ|cell|² instead of n² (the paper's argument:
+    semantic duplicates land in the same cell because they are near the
+    same centroid; recall < 1 for pairs straddling a cell boundary, by
+    construction).
+
+    Keep rule (deterministic, the embed_near_dup keep-first convention):
+    a doc is dropped iff SOME lower-id doc in its cell scores cosine ≥
+    ``threshold`` against it — one cell-keyed self-join, no iterative
+    clustering (the paper keeps one point per intra-cell duplicate group;
+    the lower-id rule is the same greedy, ordered by id instead of
+    random). Output: (id, cell, keep) — one row per input doc, so both
+    the keeps and the drop set are downstream-filterable.
+
+    Cells come from ``kmeans_centroids`` (engine-opaque argmin seeding →
+    rows-only catalog entry, the IVF family's constraint); soundness and
+    subset-of-exact-drops are pinned in pytest instead.
+    """
+    cells = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    a = _with_norm(
+        cells.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("qvec"),
+            F.col("cell"),
+        ),
+        "qvec", "_qnorm", dim,
+    )
+    b = _with_norm(
+        cells.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("cvec"),
+            F.col("cell"),
+        ),
+        "cvec", "_cnorm", dim,
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", _pair_score(dim))
+        .filter(F.col("score") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

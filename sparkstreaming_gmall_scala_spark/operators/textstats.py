@@ -457,12 +457,19 @@ def lm_doc_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     transcendental in the cross-engine hash). Docs with < 2 tokens score
     0.0 with n_bigrams = 0.
 
-    100 TB shape: bigram extraction is scan-side (one materialized token
-    array per doc — the shingle_rows discipline); counts are TWO
-    partial-aggregated groupBys on uniform-ish bigram/prefix keys (hot
-    bigrams compress map-side, the join-back probe is AQE-splittable —
-    the boilerplate_stats de-skew argument); the per-doc rollup is one
-    more uniform groupBy. avg rounded to 6 dp for engine portability.
+    100 TB shape (round-7 restructure): the per-occurrence bigram frame
+    is touched by exactly ONE partial-aggregated groupBy — into per-doc
+    DISTINCT bigram counts ``(doc, w1, w2, c)`` — and everything after
+    runs at distinct-bigram granularity: the global bigram table derives
+    from that aggregate (not from the occurrence frame again), the
+    prefix table derives from the bigram table (vocab²-bounded, tiny by
+    comparison), and the join-back probe matches per-doc DISTINCT
+    bigrams, weighting each log by its count. The earlier form ran two
+    corpus-sized groupBys plus a corpus-sized two-table join-back —
+    measurably slower and strictly more exchange bytes. Hot bigrams
+    still compress map-side; the join-back stays AQE-splittable (the
+    boilerplate_stats de-skew argument). avg rounded to 6 dp for engine
+    portability.
 
     Determinism (round-6 advice): each per-bigram ln is quantized to an
     integer nano-unit (floor(ln·1e9 + 0.5) as BIGINT) BEFORE summation,
@@ -494,20 +501,31 @@ def lm_doc_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("_bg"),
     ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_n12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_n1"))
+    # the ONLY pass over the occurrence frame
+    bgc = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    c12 = bgc.groupBy("w1", "w2").agg(F.sum("_c").alias("_n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("_n12").alias("_n1"))
+    # per-bigram quantized log-rate; |l9| ≤ ~3.6e10 and counts ≤ 1e6
+    # tokens/doc keep the weighted products far inside long range
+    rate = (
+        c12.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(F.col("_n12").cast("double") / F.col("_n1")) * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("_l9"),
+        )
+    )
     per = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+        bgc.join(rate, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(
-                F.floor(
-                    F.log(F.col("_n12").cast("double") / F.col("_n1")) * 1e9
-                    + 0.5
-                ).cast("long")
-            ).alias("_s9"),
+            F.sum("_c").alias("n_bigrams"),
+            F.sum(F.col("_c") * F.col("_l9")).alias("_s9"),
         )
     )
     return (

@@ -1001,6 +1001,30 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup",
+    oracle=None,  # k-means cells are engine-opaque (the IVF constraint);
+    # soundness/completeness-within-cells pinned in tests/test_similarity.py
+    tags=("llm", "dedup", "similarity"),
+    gated=False,
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal with the
+    pair space bounded by k-means cells — each doc cosine-compares only
+    against its own cell, dropping docs with a lower-id within-cell
+    neighbor ≥ τ=0.4 (embed_near_dup's threshold, so the exact pair set
+    cross-checks it in pytest). The Σ|cell|² work bound is what makes
+    embedding-level dedup tractable at 100 TB where the exact pair join
+    is n²."""
+    from ..operators.similarity import kmeans_centroids, semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, "embedding", k=8, iters=2, id_col="vec_id")
+    return semantic_dedup(
+        e, "vec_id", "embedding", cents, threshold=0.4, dim=64
+    )
+
+
+@register(
     "embed_near_dup",
     oracle=f"""
     WITH scored AS (

@@ -41,6 +41,9 @@ def test_oracle_coverage(registry):
         "knn_pq_persisted",
         "knn_ivf_pq",
         "knn_ivf_pq_persisted",
+        # k-means cells again (SemDeDup); soundness/within-cell
+        # completeness pinned against the exact pair set in pytest
+        "semantic_dedup",
     }, no_oracle
 
 
@@ -70,6 +73,8 @@ STATIC_UNGATED = {
     "knn_ivf_pq",  # rows-only; recall + partition-prune plan guard
     # rows-only; persisted≡in-memory + entry-level pruning pytest
     "knn_ivf_pq_persisted",
+    # rows-only; SemDeDup soundness/completeness pytest vs exact pairs
+    "semantic_dedup",
 }
 
 

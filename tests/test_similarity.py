@@ -484,3 +484,47 @@ def test_ivf_pq_persisted_entry_equals_in_memory_and_prunes(spark, sf_dir):
         and "cell#" in l.split("PartitionFilters:")[1][:200]
         for l in scan_lines
     ), plan[:3000]
+
+
+def test_semantic_dedup_sound_complete_within_cells_deterministic(
+    spark, sf_dir
+):
+    """SemDeDup contract vs the exact pair set at the same τ:
+    - SOUND: every dropped doc has a lower-id exact near-dup (≥ τ) —
+      drops ⊆ the exact keep-first drop set;
+    - COMPLETE within cells: every doc with a lower-id SAME-CELL exact
+      near-dup is dropped (misses can only straddle cell boundaries);
+    - one row per doc, deterministic across runs."""
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, "embedding", k=8, iters=2, id_col="vec_id")
+    out1 = semantic_dedup(
+        e, "vec_id", "embedding", cents, threshold=0.4, dim=64
+    ).collect()
+    out2 = semantic_dedup(
+        e, "vec_id", "embedding", cents, threshold=0.4, dim=64
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == e.count()
+
+    cell_of = {r["vec_id"]: r["cell"] for r in out1}
+    dropped = {r["vec_id"] for r in out1 if not r["keep"]}
+    exact = [
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            e, "vec_id", "embedding", threshold=0.4, dim=64
+        ).collect()
+    ]
+    exact_drops = {b for _, b in exact}
+    assert dropped <= exact_drops
+    same_cell_drops = {
+        b for a, b in exact if cell_of[a] == cell_of[b]
+    }
+    assert same_cell_drops <= dropped
+    # non-vacuous: the test corpus has semantic dups inside cells
+    assert dropped
