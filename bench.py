@@ -104,6 +104,10 @@ HEADLINE = (
     # added r7: SemDeDup — semantic near-dup removal with the pair space
     # bounded by k-means cells (rows-only; pytest-pinned vs exact pairs)
     "semantic_dedup",
+    # added r7: DSIR importance selection (broadcast bucket-model scoring,
+    # full oracle) and the CCNet head/middle/tail perplexity split
+    "dsir_select",
+    "ccnet_buckets",
 )
 
 

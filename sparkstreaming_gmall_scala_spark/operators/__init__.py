@@ -27,6 +27,7 @@ from .dedup import (
     shingle_rows,
     simhash64,
 )
+from .dsir import dsir_logweights, dsir_select, hashed_ngram_buckets
 from .enrich import enrich_left
 from .flags import first_event_flag, members_only
 from .multimodal import (
@@ -66,6 +67,7 @@ from .textstats import (
     lang_id,
     lm_doc_logprob,
     ngram_overlap_flags,
+    perplexity_buckets,
     quality_score,
     repetition_stats,
     tfidf_top_terms,
@@ -88,6 +90,8 @@ __all__ = [
     "curate_filter",
     "cut_spans",
     "domain_mix",
+    "dsir_logweights",
+    "dsir_select",
     "dup_spans",
     "enrich_left",
     "exact_dedup",
@@ -96,6 +100,7 @@ __all__ = [
     "frame_sample",
     "gopher_quality",
     "hash_stratified_sample",
+    "hashed_ngram_buckets",
     "ivf_build",
     "ivf_pq_encode",
     "ivf_pq_topk",
@@ -116,6 +121,7 @@ __all__ = [
     "pack_sequences",
     "parse_envelope",
     "parse_envelope_with_dead_letter",
+    "perplexity_buckets",
     "pii_mask",
     "pq_encode",
     "pq_topk",

@@ -547,3 +547,47 @@ def lm_doc_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    strata_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): within each
+    stratum (CCNet: language shard; here: source domain), rank docs by
+    LM score and cut into ``k`` equal tiles — head = best-scoring third,
+    the slice usually kept for pretraining, tail = the drop candidate.
+
+    Built on lm_doc_logprob (higher avg_logprob = more probable = better),
+    ordered by (avg_logprob DESC, id) so ties break deterministically and
+    NTILE is total-order-exact on both engines (same first-(n mod k)-
+    tiles-get-one-extra semantics). The per-stratum window is a sort
+    within each domain partition — fine while no single domain dominates
+    a shard set; at 100 TB with a monster stratum the same contract is
+    served by two approx_percentile thresholds per stratum (no sort,
+    broadcast thresholds), trading exact tile sizes for a bounded-error
+    split. This exact form is the oracle-checkable contract.
+    """
+    from pyspark.sql import Window
+
+    lm = lm_doc_logprob(docs, id_col, text_col)
+    scored = docs.select(id_col, strata_col).join(lm, id_col)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col)
+    )
+    tile = F.ntile(k).over(w)
+    label = (
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == k, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return scored.select(
+        id_col,
+        strata_col,
+        "avg_logprob",
+        tile.alias("tile"),
+        label.alias("ppl_bucket"),
+    )

@@ -2100,3 +2100,123 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_rows(d, "doc_id", "text", n=3)
     return containment_pairs(sh, "doc_id", max_df=20, threshold=0.8)
+
+
+@register(
+    "dsir_select",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+    feats AS (
+      SELECT doc_id, ts[i] AS feat
+      FROM toks, unnest(generate_series(1, greatest(len(ts), 0))) AS u(i)
+      UNION ALL
+      SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS feat
+      FROM toks, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+    ),
+    pd AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 4096 AS bucket,
+             count(*) AS c
+      FROM feats GROUP BY 1, 2
+    ),
+    raw AS (SELECT bucket, sum(c) AS cr FROM pd GROUP BY bucket),
+    tgt AS (
+      SELECT bucket, sum(c) AS ct
+      FROM pd JOIN documents USING (doc_id) WHERE lang = 'en'
+      GROUP BY bucket
+    ),
+    nr AS (SELECT sum(cr) AS nr FROM raw),
+    nt AS (SELECT COALESCE(sum(ct), 0) AS nt FROM tgt),
+    ratio AS (
+      SELECT raw.bucket,
+             CAST(floor((ln((COALESCE(ct, 0) + 1)::DOUBLE / (nt + 4096))
+                       - ln((cr + 1)::DOUBLE / (nr + 4096)))
+                        * 1000000000 + 0.5) AS BIGINT) AS l9
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, nr, nt
+    ),
+    per AS (
+      SELECT doc_id, sum(c) AS n_feats, sum(c * l9) AS s9
+      FROM pd JOIN ratio USING (bucket) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+           floor((CASE WHEN n_feats > 0
+                       THEN s9 / 1000000000.0 / n_feats
+                       ELSE 0 END) * 1000000 + 0.5) / 1000000 AS avg_logw,
+           floor((CASE WHEN n_feats > 0
+                       THEN s9 / 1000000000.0 / n_feats
+                       ELSE 0 END) * 1000000 + 0.5) / 1000000
+             >= -0.09 AS keep
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("llm", "sampling", "selection", "dsir"),
+    gated=False,
+)
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (Xie et al. 2023): weight every doc by
+    its per-feature mean log importance ratio between two
+    Laplace-smoothed hashed-ngram bag models — target = the corpus's
+    English subset, raw = everything — and keep docs scoring
+    target-like (avg_logw >= DSIR_TAU). The learned "model" is one
+    <=4096-row per-bucket log-ratio table, broadcast to the scoring
+    join, so selection over a 100 TB crawl shuffles the occurrence
+    frame exactly once (into per-doc bucket counts) and never again;
+    logs are nano-quantized before summation so scores are
+    partition-order-exact (full DuckDB oracle)."""
+    from ..operators.dsir import DSIR_TAU, dsir_select
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text", b=4096,
+        tau=DSIR_TAU,
+    )
+
+
+@register(
+    "ccnet_buckets",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+    bg AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM toks, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+    per AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             sum(CAST(floor(ln(n12::DOUBLE / n1) * 1000000000 + 0.5)
+                      AS BIGINT)) AS s9
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id
+    ),
+    lm AS (
+      SELECT d.doc_id, d.source,
+             floor((CASE WHEN per.n_bigrams > 0
+                         THEN s9 / 1000000000.0 / per.n_bigrams
+                         ELSE 0 END) * 1000000 + 0.5) / 1000000 AS avg_logprob
+      FROM documents d LEFT JOIN per USING (doc_id)
+    ),
+    tiled AS (
+      SELECT doc_id, source, avg_logprob,
+             ntile(3) OVER (PARTITION BY source
+                            ORDER BY avg_logprob DESC, doc_id) AS tile
+      FROM lm
+    )
+    SELECT doc_id, source, avg_logprob, CAST(tile AS INTEGER) AS tile,
+           CASE tile WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                     ELSE 'middle' END AS ppl_bucket
+    FROM tiled
+    """,
+    tags=("llm", "text", "quality", "lm", "ccnet"),
+    gated=False,
+)
+def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split: per-source NTILE(3) over
+    the self-trained bigram-LM score (ties broken by doc_id, so the
+    tiling is total-order-exact cross-engine) — the published pipeline
+    stage between lm_perplexity scoring and mixture selection. Higher
+    avg_logprob ranks earlier: head is the keep-slice."""
+    from ..operators.textstats import perplexity_buckets
+
+    d = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(d, "doc_id", "text", "source", k=3)

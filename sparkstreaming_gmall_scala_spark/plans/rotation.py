@@ -61,6 +61,9 @@ POOL: tuple[str, ...] = (
     "dup_spans",
     "lm_perplexity",
     "cut_spans",
+    "dsir_select",
+    # round-7 additions (first driver rows: r8/r9)
+    "ccnet_buckets",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -113,6 +113,8 @@ def test_gate_budget(registry):
         "dup_spans",
         "lm_perplexity",
         "cut_spans",
+        "dsir_select",
+        "ccnet_buckets",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
