@@ -108,6 +108,9 @@ HEADLINE = (
     # full oracle) and the CCNet head/middle/tail perplexity split
     "dsir_select",
     "ccnet_buckets",
+    # added r7: bloom-filter decontamination (fixed 128 KiB filter state,
+    # zero-shuffle probe; FPs deterministic => full oracle)
+    "bloom_decontaminate",
 )
 
 

@@ -13,6 +13,7 @@ from .cdc import (
     route_canal,
     route_maxwell,
 )
+from .bloom import bloom_build, bloom_contaminated
 from .cleaning import line_dedup, pii_mask
 from .curation import corpus_features, curate_filter
 from .dedup import (
@@ -77,6 +78,8 @@ from .textstats import (
 __all__ = [
     "allocate",
     "asof_join",
+    "bloom_build",
+    "bloom_contaminated",
     "boilerplate_stats",
     "brute_force_topk",
     "bucketed_topk",

@@ -2220,3 +2220,59 @@ def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return perplexity_buckets(d, "doc_id", "text", "source", k=3)
+
+
+@register(
+    "bloom_decontaminate",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS g FROM documents WHERE doc_id < 10
+    ),
+    pos AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || g), 1, 8))
+                  AS BIGINT) % 1048576 AS p
+      FROM ev, unnest(generate_series(0, 3)) AS u(j)
+    ),
+    docsh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS g FROM documents
+    ),
+    docpos AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('0|' || g), 1, 8)) AS BIGINT)
+               % 1048576 AS p0,
+             CAST(('0x' || substr(md5('1|' || g), 1, 8)) AS BIGINT)
+               % 1048576 AS p1,
+             CAST(('0x' || substr(md5('2|' || g), 1, 8)) AS BIGINT)
+               % 1048576 AS p2,
+             CAST(('0x' || substr(md5('3|' || g), 1, 8)) AS BIGINT)
+               % 1048576 AS p3
+      FROM docsh
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id FROM docpos
+      WHERE p0 IN (SELECT p FROM pos) AND p1 IN (SELECT p FROM pos)
+        AND p2 IN (SELECT p FROM pos) AND p3 IN (SELECT p FROM pos)
+    )
+    SELECT d.doc_id,
+           CAST(len({_SHINGLES}) AS BIGINT) AS n_ngrams,
+           h.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("llm", "decontamination", "bloom"),
+    gated=False,
+)
+def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination through an m-bit bloom filter (the Dolma
+    BFF shape): the eval set (doc_id<10, the decontaminate twin's
+    benchmark stand-in) compresses to 2^20 bits / k=4 md5 positions, and
+    the probe is zero-shuffle — positions JVM-side, one Arrow-batched
+    bit-test UDF against the broadcast bitset. Bloom FPs are a
+    deterministic function of (hash family, m, k), so the oracle
+    reproduces the flag exactly with the join-semantics definition;
+    pytest pins contaminated ⊇ the exact ngram_overlap_flags set."""
+    from ..operators.bloom import bloom_build, bloom_contaminated
+
+    d = load_table(spark, sf_dir, "documents")
+    bits = bloom_build(d.filter(F.col("doc_id") < 10), "doc_id", "text", n=3)
+    return bloom_contaminated(d, "doc_id", "text", bits, n=3)

@@ -64,6 +64,7 @@ POOL: tuple[str, ...] = (
     "dsir_select",
     # round-7 additions (first driver rows: r8/r9)
     "ccnet_buckets",
+    "bloom_decontaminate",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -115,6 +115,7 @@ def test_gate_budget(registry):
         "cut_spans",
         "dsir_select",
         "ccnet_buckets",
+        "bloom_decontaminate",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
