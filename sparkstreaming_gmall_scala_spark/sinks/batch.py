@@ -202,9 +202,21 @@ class AppendOnlyIndex:
     a replay can rewrite the in-flight directory, never committed ones.
     """
 
-    def __init__(self, index_dir: str, identity_rows: bool = True):
+    def __init__(
+        self,
+        index_dir: str,
+        identity_rows: bool = True,
+        partition_by: tuple[str, ...] = (),
+    ):
         self.index_dir = index_dir
-        self._writer = IdempotentBatchWriter(index_dir)
+        # partition_by threads an inner layout through every generation
+        # (batch dirs AND the compacted base): the streaming IVF index
+        # partitions by ``cell`` so probes get partition pruning on the
+        # same column ivf_build's batch layout prunes on.
+        self.partition_by = tuple(partition_by)
+        self._writer = IdempotentBatchWriter(
+            index_dir, partition_by=self.partition_by
+        )
         self._base = os.path.join(index_dir, "base")
         # compact() dedups the merged base to survive interrupted
         # compactions (see below) — which silently LOSES rows if an index
@@ -314,7 +326,10 @@ class AppendOnlyIndex:
         merged = merged.dropDuplicates()
         tmp = self._base + ".tmp"
         old = self._base + ".old"
-        merged.write.mode("overwrite").parquet(tmp)
+        writer = merged.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
         if os.path.isdir(self._base):
             os.rename(self._base, old)
         os.rename(tmp, self._base)

@@ -21,4 +21,9 @@ Modules:
   rollup.py           - W3 watermarked tumbling-window aggregate
                         (append-once per closed window, late rows drop)
   sessions.py         - session_window sessionization
+  ann.py              - incremental IVF ANN ingest: frozen-centroid cell
+                        assignment per batch into a cell-partitioned
+                        append-only index; probes ≡ batch ivf_build
+  curate.py           - ingest + near-dup + substring-dup candidates in
+                        one checkpointed pipeline
 """

@@ -1,0 +1,174 @@
+"""Incremental IVF ANN ingest: a vector index that grows with the stream.
+
+The batch ANN family (operators/similarity.py, operators/pq.py) builds
+its cell-partitioned index in one pass over a static corpus. At ingest
+scale the corpus isn't static — embeddings arrive continuously — and
+re-running ivf_build per batch is O(corpus) each time. This pipeline is
+the O(batch) form: each micro-batch assigns its NEW vectors to their
+nearest coarse-quantizer cell and appends them to a cell-partitioned
+``AppendOnlyIndex`` whose merged content is EXACTLY ivf_build's layout
+over the union of batches — so the probe is the same cell-pruned join,
+and results are identical to a batch-built index at every point in time
+(pinned in tests).
+
+Centroids are FROZEN at index bootstrap (trained once on a seed sample
+via ``kmeans_centroids``): the standard streaming-IVF contract, since
+moving centroids would strand already-indexed vectors in stale cells.
+Drift is handled the way faiss deployments do — periodically retrain
+offline and rebuild, which here is just ivf_build into a fresh dir.
+
+Scale shape:
+- Per-batch work is assignment (a codegen'd when-chain over k cells) +
+  one partitioned write of the batch — no shuffle of the index, no read
+  of prior batches at ingest time.
+- Every generation (batch dirs and the compacted base) is partitioned by
+  ``cell``, so a probe's cell filter prunes directories at scan time in
+  each generation — the knn_ivf_pq_persisted pruning argument, kept true
+  under streaming growth.
+- Inline compaction (``compact_every``) folds committed batch dirs into
+  one base generation, keeping directory count O(1) over an unbounded
+  stream (the streaming/dedup.py lifecycle, reused verbatim).
+
+Replay: a retried batch rewrites its own ``batch_id=N`` dir with
+identical rows (assignment is deterministic given frozen centroids) —
+no other batch's files are touched. After an interrupted compaction the
+index may transiently hold duplicate rows; the probe dedups candidate
+(query, neighbor) pairs AFTER cell pruning — O(candidates), not
+O(corpus) — so top-k never surfaces a neighbor twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    _nearest_cell,
+    _pair_score,
+    _rank_topk,
+    _sq_dist,
+    _with_norm,
+)
+from ..sinks.batch import AppendOnlyIndex
+from .dedup import EMB_SCHEMA
+from .sources import file_stream
+
+
+def ivf_assign(
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    dim: int | None = None,
+) -> DataFrame:
+    """(neighbor_id, cvec, _cnorm, cell): ivf_build's exact row layout
+    for a batch of new vectors — norms precomputed at ingest so probes
+    never redo corpus-side math."""
+    return _with_norm(
+        new.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        "cvec",
+        "_cnorm",
+        dim,
+    ).withColumn("cell", _nearest_cell(F.col("cvec"), centroids))
+
+
+def ivf_ingest_batch(
+    spark: SparkSession,
+    index_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    compact_every: int | None = None,
+):
+    """Per-batch body (exposed so tests can drive (batch_df, batch_id)
+    directly): dedup the batch on id, assign cells, append the batch's
+    own cell-partitioned directory. O(batch) — the index is never read
+    at ingest time."""
+    index = AppendOnlyIndex(index_dir, partition_by=("cell",))
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.dropDuplicates([id_col])
+        index.append(ivf_assign(new, id_col, vec_col, centroids, dim), batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact(spark, upto_batch_id=batch_id - 1)
+
+    return process
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k against the streamed index: identical semantics to
+    operators/similarity.py::ivf_probe over an ivf_build of the same
+    rows — same frozen centroids, same cell pruning (the broadcast join
+    on the ``cell`` partition column prunes unprobed directories in
+    every generation), same scoring and tie-break. The candidate-level
+    dropDuplicates absorbs post-crash compaction duplicates by the
+    AppendOnlyIndex reader contract."""
+    spark = queries.sparkSession
+    cb = AppendOnlyIndex(index_dir, partition_by=("cell",)).read(spark)
+    qv = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "qvec",
+        "_qnorm",
+        dim,
+    )
+    cell_d = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col("qvec"), c).alias("d"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    qb = qv.withColumn(
+        "cell",
+        F.explode(F.slice(F.array_sort(cell_d), 1, nprobe).getField("cell")),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", _pair_score(dim))
+    )
+    return _rank_topk(scored, k)
+
+
+def ivf_ingest_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    centroids: list[list[float]],
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    compact_every: int | None = None,
+):
+    """Embedding file-drop stream → incrementally grown IVF index."""
+    embs = file_stream(spark, src_dir, EMB_SCHEMA)
+    return (
+        embs.writeStream.foreachBatch(
+            ivf_ingest_batch(
+                spark, index_dir, centroids, id_col, vec_col, dim,
+                compact_every,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
