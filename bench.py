@@ -111,6 +111,10 @@ HEADLINE = (
     # added r7: bloom-filter decontamination (fixed 128 KiB filter state,
     # zero-shuffle probe; FPs deterministic => full oracle)
     "bloom_decontaminate",
+    # added r7: cluster keep-policy (best-quality canonical doc) and the
+    # token-budgeted mixture (both full oracle)
+    "dedup_keep_best",
+    "token_mix",
 )
 
 

@@ -23,6 +23,7 @@ from .dedup import (
     dup_spans,
     exact_dedup,
     jaccard_pairs,
+    keep_best_per_cluster,
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_rows,
@@ -45,6 +46,7 @@ from .sampling import (
     hash_stratified_sample,
     mixture_thresholds,
     sample_bucket,
+    token_budget_mix,
 )
 from .similarity import (
     brute_force_topk,
@@ -110,6 +112,7 @@ __all__ = [
     "ivf_probe",
     "ivf_topk",
     "jaccard_pairs",
+    "keep_best_per_cluster",
     "kmeans_centroids",
     "label_centroids",
     "lang_id",
@@ -145,5 +148,6 @@ __all__ = [
     "simhash64",
     "tfidf_top_terms",
     "to_binary_payload",
+    "token_budget_mix",
     "token_entropy",
 ]

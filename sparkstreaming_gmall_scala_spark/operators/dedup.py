@@ -691,3 +691,47 @@ def cut_spans(
             .alias("n_tokens_cut"),
         )
     )
+
+
+def keep_best_per_cluster(
+    scored: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Canonical-document selection: turn near-dup CLUSTERS into a keep
+    decision that keeps the BEST copy, not an arbitrary one.
+
+    ``connected_components``' default keep rule (min id per component) is
+    what dedup papers use for determinism, but production pipelines keep
+    the highest-quality copy of a duplicated doc (RefinedWeb keeps the
+    longest, Dolma the first by collection priority). ``scored`` is
+    (id, ..., score_col); ``components`` is connected_components' output
+    (node, label) covering only clustered docs — unclustered docs form
+    their own singleton cluster and always keep.
+
+    keep = argmax score per cluster, ties to the lowest id — a total
+    order, so the flag is deterministic and cross-engine exact when the
+    score is (like quality_score's 6-dp output). The per-cluster window
+    partitions on cluster_id: near-dup clusters are small by nature
+    (pathological mega-clusters are exactly what the boilerplate/df caps
+    upstream prevent), so no single window partition can dominate.
+    """
+    from pyspark.sql import Window as W
+
+    lab = (
+        scored.join(
+            components.withColumnRenamed("node", id_col), id_col, "left"
+        )
+        .withColumn("cluster_id", F.coalesce("label", F.col(id_col)))
+        .drop("label")
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return lab.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col(score_col),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -111,3 +111,44 @@ def domain_mix(
             F.col(strata_col) == stratum, F.lit(format(t, "04x") if t >= 0 else "")
         ).otherwise(thr)
     return df.filter(sample_bucket(F.col(key_col)) <= thr)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    budget_frac: float,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """``domain_mix`` with the budget measured in TOKENS, not documents —
+    how pretraining mixtures are actually specified ("300B tokens, 50%
+    web, 25% books…"): a doc-count mixture over-represents short-doc
+    domains by token share.
+
+    Identical machinery, different unit: one partial-aggregated SUM of
+    ``tokens_col`` per stratum (collected — one row per domain), the
+    :func:`mixture_thresholds` integer/IEEE recipe on those token
+    counts, then the same scan-side literal CASE hash-filter. Keeping a
+    hash-uniform ``keep_tokens/stratum_tokens`` fraction of DOCS keeps
+    that fraction of the stratum's tokens in expectation (doc length is
+    independent of its key hash); exact-to-the-token budgeting would
+    need an order-dependent running sum — not scan-side, not
+    replay-stable — so the expected-token contract is the deliberate
+    choice, same as every hash-sampling operator here.
+    """
+    counts = {
+        r[0]: int(r[1] or 0)
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(F.col(tokens_col).cast("long")))
+        .collect()
+    }
+    thr_int = mixture_thresholds(counts, weights, budget_frac, default_weight)
+    thr: Column = F.lit("")
+    for stratum, t in thr_int.items():
+        thr = F.when(
+            F.col(strata_col) == stratum,
+            F.lit(format(t, "04x") if t >= 0 else ""),
+        ).otherwise(thr)
+    return df.filter(sample_bucket(F.col(key_col)) <= thr)

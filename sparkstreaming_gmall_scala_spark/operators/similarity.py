@@ -371,9 +371,18 @@ def kmeans_centroids(
     )
     centroids = [[float(x) for x in r["v"]] for r in seeds]
     for _ in range(iters):
+        # Assignment BELOW the explode, in its own projection: a select
+        # that mixes a generator with other expressions puts those
+        # expressions in the Project ABOVE the Generate, so the k×dim
+        # argmin fold would re-evaluate once per EXPLODED row (×dim) —
+        # measured 9.5 s/iter vs 1.4 s at sf0.1 with k=8×64-dim. The
+        # optimizer never collapses a Project across a Generate, so the
+        # two-step shape is stable.
         assigned = df.select(
             _nearest_cell(F.col(vec_col), centroids).alias("cell"),
-            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+            F.col(vec_col).alias("_v"),
+        ).select(
+            "cell", F.posexplode(F.col("_v")).alias("pos", "x")
         )
         per_dim = (
             assigned.groupBy("cell", "pos")

@@ -2276,3 +2276,130 @@ def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bits = bloom_build(d.filter(F.col("doc_id") < 10), "doc_id", "text", n=3)
     return bloom_contaminated(d, "doc_id", "text", bits, n=3)
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    ),
+    qt AS (
+      SELECT doc_id,
+             len({_TOKENS}) AS n_tokens,
+             floor((len(list_filter({_TOKENS},
+                      t -> t IN ('the','a','of','and','to')))::DOUBLE
+                    / greatest(len({_TOKENS}), 1)) * 1000000 + 0.5) / 1000000
+               AS stop_ratio,
+             floor((length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1)) * 1000000 + 0.5) / 1000000
+               AS punct_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             floor((0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+                    + 0.4 * stop_ratio
+                    + 0.2 * (1.0 - punct_ratio)) * 1000000 + 0.5) / 1000000
+               AS quality
+      FROM qt
+    ),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             q.quality
+      FROM documents d
+      LEFT JOIN comp c USING (doc_id)
+      JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, quality,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id) = 1 AS keep
+    FROM lab
+    """,
+    tags=("llm", "dedup", "graph", "policy"),
+    gated=False,
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc keep policy over near-dup clusters: where
+    dup_clusters keeps the min-id doc per component (the papers'
+    determinism convention), this keeps the HIGHEST-QUALITY copy
+    (quality_score's 6-dp composite; ties to lowest id) — the decision
+    production pipelines actually want when a cleaned mirror and a
+    boilerplate-ridden scrape of the same page collide. Same
+    connected-components machinery, same recursive-CTE oracle, plus the
+    per-cluster argmax window (clusters are small by construction — the
+    upstream df cap kills mega-clusters — so no window partition can
+    dominate)."""
+    from ..operators.dedup import connected_components, keep_best_per_cluster
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_rows(d, "doc_id", "text", n=3), "doc_id", max_df=20,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    from ..operators.textstats import quality_score
+
+    scored = quality_score(d, "doc_id", "text").select("doc_id", "quality")
+    return keep_best_per_cluster(scored, cc, "doc_id", "quality")
+
+
+@register(
+    "token_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, sum(len({_TOKENS})) AS cnt FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM counts),
+    thr AS (
+      SELECT source,
+             least(65535, CAST(floor(
+               65536.0 * least(cnt, floor(floor(total * 0.5) *
+                 CASE source WHEN 'src0' THEN 0.5
+                             WHEN 'src1' THEN 0.25
+                             WHEN 'src2' THEN 0.125
+                             ELSE 0.0078125 END)) / cnt
+             ) AS BIGINT) - 1) AS thr_int
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE thr.thr_int >= 0
+      AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+            <= lpad(lower(to_hex(thr.thr_int)), 4, '0')
+    """,
+    tags=("llm", "sampling", "mixing", "tokens"),
+    gated=False,
+)
+def token_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """domain_mix with the budget in TOKENS — how mixtures are actually
+    specified ("50% web, 25% books… of N tokens"); a doc-count mixture
+    over-represents short-doc domains by token share. One token-sum per
+    stratum (collected, one row per domain), the same exact-IEEE
+    threshold recipe, the same zero-shuffle scan-side hash filter —
+    keeping a hash-uniform fraction of docs keeps that fraction of the
+    stratum's tokens in expectation (doc length ⊥ key hash)."""
+    from ..operators.sampling import token_budget_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        )
+    )
+    dd = d.select("doc_id", "source", toks.alias("_n_toks"))
+    return token_budget_mix(
+        dd, key_col="doc_id", strata_col="source", tokens_col="_n_toks",
+        weights=_MIX_WEIGHTS, budget_frac=_MIX_BUDGET_FRAC,
+        default_weight=_MIX_DEFAULT_W,
+    ).select("doc_id", "source")

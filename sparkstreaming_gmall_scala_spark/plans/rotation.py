@@ -65,6 +65,8 @@ POOL: tuple[str, ...] = (
     # round-7 additions (first driver rows: r8/r9)
     "ccnet_buckets",
     "bloom_decontaminate",
+    "dedup_keep_best",
+    "token_mix",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -116,6 +116,8 @@ def test_gate_budget(registry):
         "dsir_select",
         "ccnet_buckets",
         "bloom_decontaminate",
+        "dedup_keep_best",
+        "token_mix",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
