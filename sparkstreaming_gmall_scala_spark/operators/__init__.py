@@ -29,7 +29,13 @@ from .dedup import (
     shingle_rows,
     simhash64,
 )
-from .dsir import dsir_logweights, dsir_select, hashed_ngram_buckets
+from .dsir import (
+    dsir_bucket_model,
+    dsir_logweights,
+    dsir_score_with_model,
+    dsir_select,
+    hashed_ngram_buckets,
+)
 from .enrich import enrich_left
 from .flags import first_event_flag, members_only
 from .multimodal import (
@@ -95,7 +101,9 @@ __all__ = [
     "curate_filter",
     "cut_spans",
     "domain_mix",
+    "dsir_bucket_model",
     "dsir_logweights",
+    "dsir_score_with_model",
     "dsir_select",
     "dup_spans",
     "enrich_left",

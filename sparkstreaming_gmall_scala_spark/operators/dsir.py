@@ -91,36 +91,30 @@ def hashed_ngram_buckets(
     )
 
 
-def dsir_logweights(
+def dsir_bucket_model(
     docs: DataFrame,
     target: DataFrame,
     id_col: str,
     text_col: str,
     b: int = 4096,
 ) -> DataFrame:
-    """(id, n_feats, avg_logw): per-doc DSIR log importance weight.
-
-    ``target`` is a subset of ``docs`` (same id/text columns) defining
-    the distribution to select toward. Both bag-of-buckets models are
-    Laplace-smoothed — p(bucket | class) = (c + 1) / (N + b) — so every
-    bucket scores finitely even when unseen in a class. avg_logw is the
-    MEAN over doc feature occurrences of ln(p_t/p_r) (the paper's sum
-    normalized by length, so the score ranks docs rather than lengths),
-    reported to 6 dp; docs with no features score 0.0 with n_feats = 0.
-    """
+    """(bucket, _l9): the learned DSIR "model" — one row per occupied
+    bucket with the nano-quantized log importance ratio
+    floor((ln p̂_target(b) − ln p̂_raw(b))·1e9 + 0.5). At most ``b``
+    rows, so it persists as a KB-scale parquet and broadcasts into any
+    later scoring join (the streaming pipeline freezes this table at
+    train time — the frozen-centroid contract of streaming/ann.py)."""
     per_doc = hashed_ngram_buckets(docs, id_col, text_col, b)
     target_ids = target.select(id_col).distinct()
-
     raw_counts = per_doc.groupBy("bucket").agg(F.sum("c").alias("cr"))
     tgt_counts = (
         per_doc.join(F.broadcast(target_ids), id_col)
         .groupBy("bucket")
         .agg(F.sum("c").alias("ct"))
     )
-    # ≤ b rows each; the cross-join of two 1-row totals is trivial
     n_raw = raw_counts.agg(F.sum("cr").alias("nr"))
     n_tgt = tgt_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
-    ratio = (
+    return (
         raw_counts.join(tgt_counts, "bucket", "left")
         .crossJoin(n_raw)
         .crossJoin(n_tgt)
@@ -143,12 +137,30 @@ def dsir_logweights(
             .alias("_l9"),
         )
     )
+
+
+def dsir_score_with_model(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    b: int = 4096,
+) -> DataFrame:
+    """(id, n_feats, avg_logw): score docs against a FIXED bucket model
+    (dsir_bucket_model's output, in-memory or read back from parquet).
+    The model broadcasts; the only shuffle is the per-doc bucket-count
+    groupBy. Features hashing to a bucket absent from the model (possible
+    when scoring docs unseen at train time) contribute 0 — the neutral
+    prior — while still counting in n_feats."""
+    per_doc = hashed_ngram_buckets(docs, id_col, text_col, b)
     per = (
-        per_doc.join(F.broadcast(ratio), "bucket")
+        per_doc.join(F.broadcast(model), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_feats"),
-            F.sum(F.col("c") * F.col("_l9")).alias("_s9"),
+            F.sum(
+                F.col("c") * F.coalesce(F.col("_l9"), F.lit(0))
+            ).alias("_s9"),
         )
     )
     return (
@@ -170,6 +182,33 @@ def dsir_logweights(
             ).alias("avg_logw"),
         )
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    b: int = 4096,
+) -> DataFrame:
+    """(id, n_feats, avg_logw): per-doc DSIR log importance weight.
+
+    ``target`` is a subset of ``docs`` (same id/text columns) defining
+    the distribution to select toward. Both bag-of-buckets models are
+    Laplace-smoothed — p(bucket | class) = (c + 1) / (N + b) — so every
+    bucket scores finitely even when unseen in a class. avg_logw is the
+    MEAN over doc feature occurrences of ln(p_t/p_r) (the paper's sum
+    normalized by length, so the score ranks docs rather than lengths),
+    reported to 6 dp; docs with no features score 0.0 with n_feats = 0.
+
+    Composition: train + score in one plan — the self-scoring special
+    case of dsir_bucket_model → dsir_score_with_model, where every doc
+    bucket exists in the model by construction (raw counts come from the
+    same corpus), so the scoring join's missing-bucket prior never
+    fires. Catalyst reuses the shared per-doc bucket-count subtree.
+    """
+    model = dsir_bucket_model(docs, target, id_col, text_col, b)
+    return dsir_score_with_model(docs, model, id_col, text_col, b)
 
 
 # Per-feature log-ratio threshold for dsir_select's keep flag. The raw

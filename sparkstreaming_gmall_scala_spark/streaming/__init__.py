@@ -26,4 +26,6 @@ Modules:
                         append-only index; probes ≡ batch ivf_build
   curate.py           - ingest + near-dup + substring-dup candidates in
                         one checkpointed pipeline
+  select.py           - streaming DSIR selection against a frozen,
+                        persisted bucket model
 """
