@@ -115,6 +115,9 @@ HEADLINE = (
     # token-budgeted mixture (both full oracle)
     "dedup_keep_best",
     "token_mix",
+    # added r7: the end-to-end corpus->training-shards pipeline (single-scan
+    # curation feeding the packing manifest; one hash-checked oracle row)
+    "corpus_to_shards",
 )
 
 

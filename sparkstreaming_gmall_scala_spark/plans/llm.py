@@ -2403,3 +2403,62 @@ def token_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights=_MIX_WEIGHTS, budget_frac=_MIX_BUDGET_FRAC,
         default_weight=_MIX_DEFAULT_W,
     ).select("doc_id", "source")
+
+
+@register(
+    "corpus_to_shards",
+    oracle=f"""
+    WITH curated AS (
+      {_CURATE_SQL}
+    ),
+    t AS (
+      SELECT d.doc_id, CAST(d.doc_id % 16 AS BIGINT) AS shard,
+             CAST(len({_RAW_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents d JOIN curated USING (doc_id)
+    ),
+    w AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_end
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum_end - n_tokens AS BIGINT) AS tok_offset,
+           CASE WHEN n_tokens > 0
+                THEN CAST((cum_end - n_tokens) // 128 AS BIGINT) END
+             AS seq_first,
+           CASE WHEN n_tokens > 0
+                THEN CAST((cum_end - 1) // 128 AS BIGINT) END AS seq_last
+    FROM w
+    """,
+    tags=("llm", "pipeline", "packing", "pretraining"),
+    gated=False,
+)
+def corpus_to_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus-preparation pipeline as one composed query:
+    single-scan curation (exact-dup representative ∩ Gopher ∩ not
+    contaminated ∩ boilerplate < 0.5 ∩ CCNet-LM keep ∩ mixture
+    hash-keep — exactly corpus_curate_fast's contract) feeding straight
+    into the GPT-style packing manifest (hash-sharded concat-and-chunk,
+    128-token sequences, per-shard running-sum windows). This is what a
+    user of the engine actually runs: raw corpus in, training-shard
+    manifest out, one plan end to end — curation costs one corpus scan
+    (plan-guarded via corpus_features), packing adds one hash exchange
+    on shard, and every stage is the SAME operator the standalone gated
+    queries verify. Fully SQL-expressible, so the whole pipeline is one
+    hash-checked oracle row."""
+    from ..operators.curation import corpus_features, curate_filter
+    from ..operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = corpus_features(
+        d,
+        weights=_MIX_WEIGHTS,
+        budget_frac=_MIX_BUDGET_FRAC,
+        default_weight=_MIX_DEFAULT_W,
+    )
+    keeps = curate_filter(feats).select("doc_id")
+    kept = d.join(keeps, "doc_id").select("doc_id", "text")
+    return pack_sequences(kept, "doc_id", "text", seq_len=128, n_shards=16)

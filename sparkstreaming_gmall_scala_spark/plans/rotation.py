@@ -67,6 +67,7 @@ POOL: tuple[str, ...] = (
     "bloom_decontaminate",
     "dedup_keep_best",
     "token_mix",
+    "corpus_to_shards",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -118,6 +118,7 @@ def test_gate_budget(registry):
         "bloom_decontaminate",
         "dedup_keep_best",
         "token_mix",
+        "corpus_to_shards",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

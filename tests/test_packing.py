@@ -206,3 +206,27 @@ def test_chunk_and_pack_invariants_hold_on_random_corpora(spark):
                     )
 
     run()
+
+
+def test_corpus_to_shards_composes_curate_then_pack(spark, sf_dir):
+    """The end-to-end entry must be exactly pack_sequences over the
+    curated keep set: same doc set as corpus_curate_fast, per-shard
+    offsets contiguous (each doc starts where the previous one ended)."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    reg = load_all()
+    shards = reg["corpus_to_shards"].builder(spark, sf_dir).collect()
+    keeps = {
+        r["doc_id"]
+        for r in reg["corpus_curate_fast"].builder(spark, sf_dir).collect()
+    }
+    assert {r["doc_id"] for r in shards} == keeps
+    by_shard: dict[int, list] = {}
+    for r in shards:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for sh, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            assert r["tok_offset"] == off, (sh, r)
+            off += r["n_tokens"]
