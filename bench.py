@@ -118,6 +118,9 @@ HEADLINE = (
     # added r7: the end-to-end corpus->training-shards pipeline (single-scan
     # curation feeding the packing manifest; one hash-checked oracle row)
     "corpus_to_shards",
+    # added r7: deterministic epoch shuffle + media checksum dedup
+    "shuffle_shards",
+    "media_dedup",
 )
 
 

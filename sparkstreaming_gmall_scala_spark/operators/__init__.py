@@ -44,7 +44,7 @@ from .multimodal import (
     resize_payload,
     to_binary_payload,
 )
-from .packing import chunk_tokens, pack_sequences
+from .packing import chunk_tokens, pack_sequences, shuffle_shards
 from .pq import ivf_pq_encode, ivf_pq_topk, pq_encode, pq_topk, pq_train
 from .scoring import model_score
 from .sampling import (
@@ -153,6 +153,7 @@ __all__ = [
     "sample_bucket",
     "semantic_dedup",
     "shingle_rows",
+    "shuffle_shards",
     "simhash64",
     "tfidf_top_terms",
     "to_binary_payload",

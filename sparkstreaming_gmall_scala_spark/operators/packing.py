@@ -130,3 +130,37 @@ def pack_sequences(
         .cast("long")
         .alias("seq_last"),
     )
+
+
+def shuffle_shards(
+    docs: DataFrame, id_col: str, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic global training-order shuffle, the scale-safe way:
+    (id, shuffle_key, shard, shard_pos).
+
+    Training wants examples in pseudo-random order, but a global
+    sort-by-random is a single total order (driver-bottlenecked rank) and
+    rand() breaks retry reproducibility. Instead: md5(id) is the shuffle
+    key (uniform, engine-portable, stable across runs/retries), its
+    prefix hash-assigns one of ``n_shards`` shards, and position within a
+    shard is a per-shard window over (key, id) — one hash exchange, rank
+    windows bounded by shard size. A loader reading shards round-robin by
+    shard_pos sees a deterministic interleave that is
+    indistinguishable-from-random for training purposes (the md5 keys are
+    uniform), and any epoch can be re-shuffled by salting the key.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    base = docs.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+            % F.lit(n_shards)
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return base.withColumn(
+        "shard_pos", (F.row_number().over(w) - 1).cast("long")
+    )

@@ -2462,3 +2462,78 @@ def corpus_to_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps = curate_filter(feats).select("doc_id")
     kept = d.join(keeps, "doc_id").select("doc_id", "text")
     return pack_sequences(kept, "doc_id", "text", seq_len=128, n_shards=16)
+
+
+@register(
+    "shuffle_shards",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS shard
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) - 1
+                AS BIGINT) AS shard_pos
+    FROM base
+    """,
+    tags=("llm", "packing", "pretraining", "shuffle"),
+    gated=False,
+)
+def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: md5(id) shuffle keys
+    (uniform, retry-stable — rand() would break replay), hash-assigned
+    shards, per-shard rank windows. No global total order anywhere: one
+    hash exchange + shard-bounded windows, so the 100 TB epoch shuffle
+    never funnels through a single sort; a loader round-robins shards by
+    shard_pos for the interleave."""
+    from ..operators.packing import shuffle_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(d, "doc_id", n_shards=16)
+
+
+@register(
+    "media_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5(text) AS media_fp,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    k AS (SELECT media_fp, min(doc_id) AS _k FROM fp GROUP BY media_fp)
+    SELECT fp.doc_id, fp.media_fp, fp.n_bytes,
+           fp.doc_id = k._k AS keep
+    FROM fp JOIN k USING (media_fp)
+    """,
+    tags=("llm", "multimodal", "dedup"),
+    gated=False,
+)
+def media_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload checksum (the LAION-style stage:
+    identical images downloaded under different URLs collapse on their
+    byte hash): md5 over the BINARY payload column of the multimodal
+    shape, keep-lowest-id per fingerprint. Unlike dedup_exact this
+    hashes raw bytes — no text normalization — which is the correct
+    equality for opaque media; the oracle's md5(text) is byte-identical
+    because the payload is the text's utf-8 bytes by construction
+    (to_binary_payload). One hash groupBy, no skew (fingerprints are
+    uniform)."""
+    from ..operators.multimodal import to_binary_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    media = to_binary_payload(d, "doc_id", "text")
+    fp = media.select(
+        "doc_id",
+        F.md5("payload").alias("media_fp"),
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+    )
+    keepers = fp.groupBy("media_fp").agg(F.min("doc_id").alias("_k"))
+    return fp.join(keepers, "media_fp").select(
+        "doc_id",
+        "media_fp",
+        "n_bytes",
+        (F.col("doc_id") == F.col("_k")).alias("keep"),
+    )

@@ -68,6 +68,8 @@ POOL: tuple[str, ...] = (
     "dedup_keep_best",
     "token_mix",
     "corpus_to_shards",
+    "shuffle_shards",
+    "media_dedup",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -119,6 +119,8 @@ def test_gate_budget(registry):
         "dedup_keep_best",
         "token_mix",
         "corpus_to_shards",
+        "shuffle_shards",
+        "media_dedup",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
