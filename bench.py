@@ -121,6 +121,8 @@ HEADLINE = (
     # added r7: deterministic epoch shuffle + media checksum dedup
     "shuffle_shards",
     "media_dedup",
+    # added r7: hardest-negative mining (label-filtered exact rerank)
+    "hard_negatives",
 )
 
 

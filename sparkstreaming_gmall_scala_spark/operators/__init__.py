@@ -60,6 +60,7 @@ from .similarity import (
     bucketize_corpus,
     cosine_near_dup_pairs,
     cosine_near_dup_vectorized,
+    hard_negatives,
     ivf_build,
     ivf_probe,
     ivf_topk,
@@ -112,6 +113,7 @@ __all__ = [
     "first_event_flag",
     "frame_sample",
     "gopher_quality",
+    "hard_negatives",
     "hash_stratified_sample",
     "hashed_ngram_buckets",
     "ivf_build",

@@ -715,3 +715,54 @@ def semantic_dedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per query,
+    the ``k`` MOST-similar corpus vectors with a DIFFERENT label — the
+    near-misses that make the strongest negatives (in-batch random
+    negatives are mostly easy; hardest-negative selection is the standard
+    upgrade, e.g. dense-retrieval training à la DPR/ANCE).
+
+    Same broadcast-queries/scan-corpus shape as brute_force_topk — the
+    corpus side never shuffles; the label filter drops same-label pairs
+    BEFORE ranking, so rank k means k-th hardest NEGATIVE (not k-th
+    neighbor that happens to be negative). At 100 TB the exact scan swaps
+    for any of the ANN front-ends (LSH/IVF/PQ probe feeding the same
+    label-filtered rerank) — this form is the oracle-exact contract."""
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col(label_col).alias("_qlabel"),
+        ),
+        "qvec", "_qnorm", dim,
+    )
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            F.col(label_col).alias("_nlabel"),
+        ),
+        "cvec", "_cnorm", dim,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("_nlabel") != F.col("_qlabel"))
+        )
+        .withColumn("score", _pair_score(dim))
+    )
+    return _rank_topk(scored, k).join(
+        c.select("neighbor_id", F.col("_nlabel").alias("neighbor_label")),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "neighbor_label", "score", "rank")

@@ -2537,3 +2537,41 @@ def media_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         (F.col("doc_id") == F.col("_k")).alias("keep"),
     )
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5)
+               / 1000000 AS score
+      FROM embeddings q JOIN embeddings c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, neighbor_label, score, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "contrastive"),
+    gated=False,
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/ANCE
+    upgrade over in-batch random negatives): per query (vec_id<10), the
+    5 most-similar corpus vectors with a DIFFERENT label — label filter
+    BEFORE ranking, so rank k is the k-th hardest negative. Broadcast
+    queries, one corpus scan, no corpus shuffle; at scale the exact scan
+    swaps for the ANN front-ends feeding the same label-filtered
+    rerank."""
+    from ..operators.similarity import hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", "label",
+        k=5, dim=64,
+    )

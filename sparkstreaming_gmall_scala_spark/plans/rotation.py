@@ -70,6 +70,7 @@ POOL: tuple[str, ...] = (
     "corpus_to_shards",
     "shuffle_shards",
     "media_dedup",
+    "hard_negatives",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -121,6 +121,7 @@ def test_gate_budget(registry):
         "corpus_to_shards",
         "shuffle_shards",
         "media_dedup",
+        "hard_negatives",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
