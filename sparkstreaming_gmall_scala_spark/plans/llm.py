@@ -2448,7 +2448,15 @@ def corpus_to_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-guarded via corpus_features), packing adds one hash exchange
     on shard, and every stage is the SAME operator the standalone gated
     queries verify. Fully SQL-expressible, so the whole pipeline is one
-    hash-checked oracle row."""
+    hash-checked oracle row.
+
+    Scan accounting: TWO corpus scans total — one into the feature cache
+    (curation), one re-reading kept docs' text for token counting at
+    pack time (the feature table deliberately doesn't carry text; its
+    schema is this round's gated corpus_features contract). The pack-time
+    scan is keep-filtered and pruned to (doc_id, text). Plan-guarded in
+    tests/test_packing.py: the post-materialization plan holds exactly
+    one file scan."""
     from ..operators.curation import corpus_features, curate_filter
     from ..operators.packing import pack_sequences
 

@@ -230,3 +230,40 @@ def test_corpus_to_shards_composes_curate_then_pack(spark, sf_dir):
         for r in rs:
             assert r["tok_offset"] == off, (sh, r)
             off += r["n_tokens"]
+
+
+def test_corpus_to_shards_post_feature_plan_scans_once(spark, sf_dir):
+    """After the feature table materializes (its own single-scan property
+    is guarded in test_curation), the EXECUTED read path of the pipeline
+    plan must touch the documents file exactly once more — the
+    keep-filtered, pruned (doc_id, text) read feeding token counting.
+    The walker stops at InMemoryTableScan: a formatted explain unrolls
+    the cache-build subtree (already materialized, never re-executed),
+    which would miscount."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    df = load_all()["corpus_to_shards"].builder(spark, sf_dir)
+
+    def walk(node):
+        name = node.nodeName()
+        yield name
+        if name.startswith("InMemoryTableScan"):
+            return  # cache boundary: build plan below is not re-executed
+        if name == "AdaptiveSparkPlan":
+            yield from walk(node.executedPlan())
+            return
+        if name.endswith("QueryStage"):
+            yield from walk(node.plan())
+            return
+        if name.startswith("ReusedExchange"):
+            yield from walk(node.child())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    names = list(walk(df._jdf.queryExecution().sparkPlan()))
+    file_scans = [n for n in names if n.startswith("Scan parquet")]
+    cache_scans = [n for n in names if n.startswith("InMemoryTableScan")]
+    assert len(file_scans) == 1, names
+    assert cache_scans, names
