@@ -196,3 +196,56 @@ def test_checkpointed_pipeline_matches_batch(spark, sf_dir, tmp_path):
         dim=DIM,
     )
     assert _rows(streamed) == _rows(batch)
+
+
+def test_pipeline_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """Kill the ingest query between batches and restart from the same
+    checkpoint: the second query object must continue the SAME index
+    (no re-ingest of batch 0, no gap), and the final probe must equal a
+    batch build over everything dropped across both query lifetimes."""
+    from test_streaming import _drop
+
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import EMB_SCHEMA
+
+    e = _embs(spark, sf_dir).limit(60)
+    cents = _centroids(spark, sf_dir)
+    rows = [
+        (r["doc_id"], [float(x) for x in r["embedding"]]) for r in e.collect()
+    ]
+    src, idx, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(src, exist_ok=True)
+
+    q1 = ivf_ingest_pipeline(spark, src, idx, ckpt, cents, dim=DIM)
+    try:
+        _drop(spark, EMB_SCHEMA, rows[:30], src)
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    q2 = ivf_ingest_pipeline(spark, src, idx, ckpt, cents, dim=DIM)
+    try:
+        _drop(spark, EMB_SCHEMA, rows[30:], src)
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    queries = e.filter(F.col("doc_id") < 5)
+    streamed = ivf_index_topk(
+        queries, idx, "doc_id", "embedding", cents, k=5, nprobe=2, dim=DIM
+    )
+    batch_dir = str(tmp_path / "batch_idx")
+    ivf_build(e, "doc_id", "embedding", cents, batch_dir, dim=DIM)
+    batch = ivf_probe(
+        queries, batch_dir, "doc_id", "embedding", cents, k=5, nprobe=2,
+        dim=DIM,
+    )
+    assert _rows(streamed) == _rows(batch)
+    # exactly one batch dir per committed micro-batch, no duplicates
+    dirs = sorted(
+        n for n in os.listdir(idx) if n.startswith("batch_id=")
+    )
+    assert dirs == ["batch_id=0", "batch_id=1"], dirs
