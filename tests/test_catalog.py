@@ -203,3 +203,27 @@ def test_ungated_sessionize_twin_agrees_with_session_stats(spark, sf_dir, regist
     a = sorted(tuple(r) for r in derived.select(cols).collect())
     b = sorted(tuple(r) for r in stats.select(cols).collect())
     assert a == b
+
+
+def test_catalog_md_is_current():
+    """CATALOG.md must equal a fresh render of the registry — the
+    committed table can't drift from the code."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import gen_catalog
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CATALOG.md",
+    )
+    with open(path) as f:
+        committed = f.read()
+    assert committed == gen_catalog.render()
