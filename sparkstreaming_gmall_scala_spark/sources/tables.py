@@ -95,3 +95,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for c in ntz:
             df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a session temp view so users can run
+    raw ``spark.sql(...)`` against the same data the DataFrame catalog
+    reads — the SQL surface the reference's hand-authored per-app SQL
+    implies, served by ONE declarative call. Views go through
+    ``load_table`` (same nanos handling, same pushdown behavior: a temp
+    view over a parquet scan prunes and pushes exactly like the
+    DataFrame path — Catalyst sees the identical plan)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """One-shot SQL entry point: register the views, run the statement.
+    The oracle SQL strings in the catalog are DuckDB-flavored; this runs
+    Spark SQL — for most relational queries (joins/aggregates/windows on
+    the parity tables) the two dialects coincide."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)
