@@ -249,6 +249,15 @@ def main() -> int:
         f"{times['streaming_dedup_2batches']:.2f}s",
         file=sys.stderr,
     )
+    # BASELINE.md's streaming metric: rows/sec SUSTAINED through the
+    # foreachBatch ingest path (input docs over the two-batch wall time —
+    # the unit the reference's 5 s micro-batch envelope is judged in).
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    streaming_rows_per_sec = round(
+        n_docs / times["streaming_dedup_2batches"], 1
+    )
 
     total = round(sum(times.values()), 3)
     # Normalize on the noise-robust MIN of the probe runs (r6's pinned
@@ -269,6 +278,9 @@ def main() -> int:
                 # host-speed-normalized to the round-6 reference probe
                 "normalized_total": normalized_total,
                 "ref_calibration_median": REF_CALIBRATION_MEDIAN,
+                # BASELINE.md streaming envelope: docs/sec sustained
+                # through the incremental-dedup foreachBatch path
+                "streaming_rows_per_sec": streaming_rows_per_sec,
             }
         )
     )
