@@ -3,3 +3,7 @@ from .batch import (  # noqa: F401
     kafka_fanout,
     upsert_parquet,
 )
+from .corpus import (  # noqa: F401
+    read_training_shard,
+    write_training_shards,
+)

@@ -267,3 +267,49 @@ def test_corpus_to_shards_post_feature_plan_scans_once(spark, sf_dir):
     cache_scans = [n for n in names if n.startswith("InMemoryTableScan")]
     assert len(file_scans) == 1, names
     assert cache_scans, names
+
+
+def test_training_shards_land_in_manifest_order(spark, sf_dir, tmp_path):
+    """write_training_shards must land one directory per shard whose
+    read-back row order equals the manifest's shard_pos order — the
+    loader contract (round-robin shard files, zero loader-side sorting).
+    A second write overwrites byte-identically (idempotent retry)."""
+    from sparkstreaming_gmall_scala_spark.operators.packing import (
+        shuffle_shards,
+    )
+    from sparkstreaming_gmall_scala_spark.sinks import (
+        read_training_shard,
+        write_training_shards,
+    )
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    manifest = shuffle_shards(d, "doc_id", n_shards=4)
+    out = str(tmp_path / "shards")
+    write_training_shards(d, manifest, "doc_id", out)
+
+    want = {}
+    for r in manifest.collect():
+        want.setdefault(r["shard"], []).append((r["shard_pos"], r["doc_id"]))
+    for shard, pairs in want.items():
+        pairs.sort()
+        got = [
+            r["doc_id"] for r in read_training_shard(spark, out, shard).collect()
+        ]
+        assert got == [doc for _, doc in pairs], shard
+
+    # retry idempotence: same bytes after a second write
+    import hashlib
+    import os as _os
+
+    def tree_hash(root):
+        h = hashlib.md5()
+        for dirpath, _dirs, files in sorted(_os.walk(root)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    h.update(open(_os.path.join(dirpath, f), "rb").read())
+        return h.hexdigest()
+
+    h1 = tree_hash(out)
+    write_training_shards(d, manifest, "doc_id", out)
+    assert tree_hash(out) == h1
