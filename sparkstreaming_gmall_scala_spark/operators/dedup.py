@@ -622,9 +622,17 @@ def cut_spans(
     re-join with single spaces.
 
     Because the kept occurrence is first in (doc, start) order, each
-    original window hash occurs at most once in the cleaned corpus —
-    re-running ``dup_spans`` on the output finds no spans except
-    coincidental splice artifacts (pinned empty on the test corpus).
+    original window hash survives contiguously at most once in the
+    cleaned corpus. That does NOT make the cut idempotent: deleting a
+    span SPLICES its neighbors together, and a splice-created window can
+    collide with text elsewhere (hypothesis found the minimal case —
+    cutting "…bb [cc dd bb aa] bb" yields "…bb cc dd bb", a new 4-gram
+    matching another doc). This is inherent to single-pass span removal
+    (Lee et al.'s tool has the same property); production either accepts
+    it (one pass removes the overwhelming mass) or iterates to fixpoint
+    — each pass is this same operator. The sound invariant — per window
+    hash, at most ONE original-contiguous survivor; any re-detected
+    duplicate involves a splice — is property-tested on random corpora.
 
     ``cleaned_text`` is the NORMALIZED reconstruction (lowercased,
     whitespace-collapsed) — the same canonical token stream every other

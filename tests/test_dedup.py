@@ -165,9 +165,14 @@ def test_substring_dedup_invariants_hold_on_random_corpora(spark):
     """Property test over random corpora (repeated phrases, empty docs,
     shared fragments): (1) dup_spans marks exactly the token positions
     covered by >=window-token substrings occurring >=2 times — verified
-    against a brute-force Python reference; (2) cut_spans removes every
-    marked position except the keep-first occurrence and re-running
-    detection on the cleaned corpus finds nothing."""
+    against a brute-force Python reference; (2) cut_spans' cleaned text
+    equals a brute-force replay of the keep-first cut; (3) the sound
+    post-cut invariant: per window-gram, at most ONE surviving occurrence
+    is contiguous in the original text — single-pass span removal splices
+    neighbors together and CAN create new (splice-crossing) duplicates
+    (hypothesis originally falsified the naive "re-detection is empty"
+    claim; see cut_spans' docstring), but it can never leave two
+    original-contiguous copies."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -180,24 +185,50 @@ def test_substring_dedup_invariants_hold_on_random_corpora(spark):
     word = st.sampled_from(["aa", "bb", "cc", "dd"])
     doc = st.lists(word, min_size=0, max_size=18).map(" ".join)
 
-    def brute_dup_positions(texts):
-        """doc -> set of 0-based token positions covered by any WINDOW-gram
-        occurring >= 2 times anywhere in the corpus."""
+    def brute(texts):
+        """Replays the operator contract in plain Python: returns
+        (marked positions per doc, cleaned tokens per doc, surviving
+        original positions per doc)."""
         from collections import Counter
 
-        grams = Counter()
         toks = {i: t.split() for i, t in enumerate(texts)}
+        grams = Counter()
         for ts in toks.values():
-            for s in range(len(ts) - WINDOW + 1):
-                grams[tuple(ts[s : s + WINDOW])] += 1
-        out = {}
+            for s0 in range(len(ts) - WINDOW + 1):
+                grams[tuple(ts[s0 : s0 + WINDOW])] += 1
+        marked = {}
         for i, ts in toks.items():
             cov = set()
-            for s in range(len(ts) - WINDOW + 1):
-                if grams[tuple(ts[s : s + WINDOW])] >= 2:
-                    cov.update(range(s, s + WINDOW))
-            out[i] = cov
-        return out
+            for s0 in range(len(ts) - WINDOW + 1):
+                if grams[tuple(ts[s0 : s0 + WINDOW])] >= 2:
+                    cov.update(range(s0, s0 + WINDOW))
+            marked[i] = cov
+        # keep-first cut: min (doc, start) occurrence of each dup gram
+        # survives; every other occurrence's window is deleted
+        keep_pk = {}
+        for i in sorted(toks):
+            ts = toks[i]
+            for s0 in range(len(ts) - WINDOW + 1):
+                g = tuple(ts[s0 : s0 + WINDOW])
+                if grams[g] >= 2 and g not in keep_pk:
+                    keep_pk[g] = (i, s0)
+        cut = {}
+        for i, ts in toks.items():
+            dead = set()
+            for s0 in range(len(ts) - WINDOW + 1):
+                g = tuple(ts[s0 : s0 + WINDOW])
+                if grams[g] >= 2 and keep_pk[g] != (i, s0):
+                    dead.update(range(s0, s0 + WINDOW))
+            cut[i] = dead
+        cleaned = {
+            i: [t for p0, t in enumerate(ts) if p0 not in cut[i]]
+            for i, ts in toks.items()
+        }
+        surv_pos = {
+            i: [p0 for p0 in range(len(ts)) if p0 not in cut[i]]
+            for i, ts in toks.items()
+        }
+        return marked, cleaned, surv_pos
 
     @settings(
         max_examples=10,
@@ -208,6 +239,8 @@ def test_substring_dedup_invariants_hold_on_random_corpora(spark):
     def run(texts):
         rows = [(i, t) for i, t in enumerate(texts)]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
+        marked, cleaned, surv_pos = brute(texts)
+
         spans = dup_spans(
             docs, "doc_id", "text", window=WINDOW, min_count=2
         ).collect()
@@ -216,21 +249,62 @@ def test_substring_dedup_invariants_hold_on_random_corpora(spark):
             got.setdefault(r["doc_id"], set()).update(
                 range(r["tok_start"] - 1, r["tok_end"])  # spans are 1-based
             )
-        want = brute_dup_positions(texts)
-        for i in want:
-            assert got.get(i, set()) == want[i], (i, texts)
+        for i in marked:
+            assert got.get(i, set()) == marked[i], (i, texts)
 
-        cleaned = cut_spans(
-            docs, "doc_id", "text", window=WINDOW, min_count=2
-        ).collect()
-        cleaned_rows = [(r["doc_id"], r["cleaned_text"]) for r in cleaned]
-        # total cut tokens == total marked positions minus the keep-first
-        # occurrences' tokens (exactly one kept copy per duplicated run is
-        # retained corpus-wide; weaker but structural: re-detection empty)
-        docs2 = spark.createDataFrame(cleaned_rows, "doc_id long, text string")
-        again = dup_spans(
-            docs2, "doc_id", "text", window=WINDOW, min_count=2
-        ).count()
-        assert again == 0, (texts, cleaned_rows)
+        out = {
+            r["doc_id"]: r["cleaned_text"]
+            for r in cut_spans(
+                docs, "doc_id", "text", window=WINDOW, min_count=2
+            ).collect()
+        }
+        for i, toks_clean in cleaned.items():
+            assert out[i] == " ".join(toks_clean), (i, texts)
+
+        # sound invariant: per gram, <=1 original-contiguous survivor
+        from collections import Counter
+
+        contiguous = Counter()
+        for i, toks_clean in cleaned.items():
+            pos = surv_pos[i]
+            for s0 in range(len(toks_clean) - WINDOW + 1):
+                if pos[s0 + WINDOW - 1] - pos[s0] == WINDOW - 1:
+                    contiguous[tuple(toks_clean[s0 : s0 + WINDOW])] += 1
+        for g, n in contiguous.items():
+            assert n <= 1, (g, texts)
 
     run()
+
+
+def test_cut_splice_can_create_new_duplicates_known_case(spark):
+    """The exact hypothesis counterexample, pinned: cutting doc 7's copy
+    of 'cc dd bb aa' splices 'bb cc dd' against the trailing 'bb',
+    creating a NEW 4-gram that matches doc 2 — re-detection is non-empty
+    by design (single-pass cut), while the sound invariant (at most one
+    original-contiguous survivor per gram) holds. Guards the documented
+    semantics against an accidental 'fix' that silently iterates."""
+    from sparkstreaming_gmall_scala_spark.operators.dedup import (
+        cut_spans,
+        dup_spans,
+    )
+
+    texts = [
+        "aa bb cc dd bb aa aa aa aa",
+        "aa cc cc dd bb cc dd cc dd bb aa bb",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in cut_spans(
+            docs, "doc_id", "text", window=4, min_count=2
+        ).collect()
+    }
+    assert out[0] == texts[0]  # kept occurrence: first in (doc, start)
+    assert out[1] == "aa cc cc dd bb cc dd bb"
+    docs2 = spark.createDataFrame(
+        list(out.items()), "doc_id long, text string"
+    )
+    again = dup_spans(docs2, "doc_id", "text", window=4, min_count=2)
+    assert again.count() > 0  # the splice-created collision
