@@ -34,6 +34,20 @@ def get_spark(
     cpus = int(_DEFAULT_CPUS)
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Python WORKERS (forked for pandas UDF / mapInPandas operators)
+    # resolve imports from the process environment, not the driver's
+    # sys.path — a driver started outside the repo dir would hit
+    # ModuleNotFoundError the moment an Arrow operator deserializes a
+    # closure referencing this package. Exporting the package root on
+    # PYTHONPATH before the context starts makes session construction
+    # location-independent (a cluster deployment ships the package via
+    # pip/--py-files instead; this covers the local/driver-script case).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

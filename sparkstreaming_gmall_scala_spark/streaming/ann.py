@@ -172,3 +172,98 @@ def ivf_ingest_pipeline(
         .outputMode("append")
         .start()
     )
+
+
+def ivfpq_ingest_batch(
+    spark: SparkSession,
+    index_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """Streaming IVF-PQ ingest — the 32×-compressed sibling of
+    ``ivf_ingest_batch``: each micro-batch's new vectors are encoded to
+    (id, cell, codes) with BOTH quantizers frozen at bootstrap (coarse
+    centroids + PQ codebooks — the faiss contract: retrain offline,
+    rebuild into a fresh dir) and appended as a cell-partitioned batch
+    directory. At 100 TB this is the ingest shape that matters: the
+    index grows by code bytes (m bytes/vector), not raw float32s, while
+    probes keep both bounds — cells bound candidates via partition
+    pruning, codes bound bytes via the ADC scan."""
+    from ..operators.pq import ivf_pq_encode
+
+    index = AppendOnlyIndex(index_dir, partition_by=("cell",))
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.dropDuplicates([id_col])
+        index.append(
+            ivf_pq_encode(new, id_col, vec_col, centroids, codebooks),
+            batch_id,
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact(spark, upto_batch_id=batch_id - 1)
+
+    return process
+
+
+def ivfpq_index_topk(
+    queries: DataFrame,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 3,
+    rerank: DataFrame | None = None,
+    shortlist: int = 32,
+) -> DataFrame:
+    """ADC top-k against the streamed codes index: identical semantics to
+    ``operators.pq.ivf_pq_topk`` over an ivf_pq_encode of the same rows
+    (same frozen quantizers ⇒ same cells, same codes). The id-dedup
+    absorbs post-crash compaction duplicates per the AppendOnlyIndex
+    reader contract — a shuffle of m-byte code rows (32× smaller than
+    the raw vectors it replaces), and only transiently non-trivial."""
+    from ..operators.pq import ivf_pq_topk
+
+    spark = queries.sparkSession
+    idx = (
+        AppendOnlyIndex(index_dir, partition_by=("cell",))
+        .read(spark)
+        .dropDuplicates([id_col])
+    )
+    return ivf_pq_topk(
+        idx, queries, id_col, vec_col, centroids, codebooks,
+        k=k, nprobe=nprobe, rerank=rerank, shortlist=shortlist,
+    )
+
+
+def ivfpq_ingest_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """Embedding file-drop stream → incrementally grown IVF-PQ codes
+    index."""
+    embs = file_stream(spark, src_dir, EMB_SCHEMA)
+    return (
+        embs.writeStream.foreachBatch(
+            ivfpq_ingest_batch(
+                spark, index_dir, centroids, codebooks, id_col, vec_col,
+                compact_every,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
