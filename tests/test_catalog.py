@@ -205,9 +205,7 @@ def test_ungated_sessionize_twin_agrees_with_session_stats(spark, sf_dir, regist
     assert a == b
 
 
-def test_catalog_md_is_current():
-    """CATALOG.md must equal a fresh render of the registry — the
-    committed table can't drift from the code."""
+def _gen_catalog():
     import os
     import sys
 
@@ -220,6 +218,15 @@ def test_catalog_md_is_current():
     )
     import gen_catalog
 
+    return gen_catalog
+
+
+def test_catalog_md_is_current():
+    """CATALOG.md must equal a fresh render of the registry — the
+    committed table can't drift from the code."""
+    import os
+
+    gen_catalog = _gen_catalog()
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "CATALOG.md",
@@ -227,3 +234,29 @@ def test_catalog_md_is_current():
     with open(path) as f:
         committed = f.read()
     assert committed == gen_catalog.render()
+
+
+def test_catalog_render_is_round_invariant(tmp_path, monkeypatch):
+    """Round-7 verdict regression: the committed CATALOG.md (and hence the
+    pin test above) must not depend on how many CORRECTNESS_r*.json files
+    exist — the driver writing the current round's file mid-session used
+    to flip the rendered Gate labels and turn the suite red. Render with
+    the rotation pointed at repo roots holding N and N+1 stub files and
+    require byte-identical output."""
+    from sparkstreaming_gmall_scala_spark.plans import rotation
+
+    gen_catalog = _gen_catalog()
+    renders = []
+    windows = []
+    for n_files in (7, 8):
+        d = tmp_path / f"files{n_files}"
+        d.mkdir()
+        for i in range(1, n_files + 1):
+            (d / f"CORRECTNESS_r{i:02d}.json").write_text("{}")
+        monkeypatch.setattr(rotation, "_REPO_ROOT", str(d))
+        # sanity: the stub count really does shift the rotation window …
+        windows.append(rotation.active_rotation())
+        renders.append(gen_catalog.render())
+    assert windows[0] != windows[1]
+    # … but the rendered catalog is byte-identical either way
+    assert renders[0] == renders[1]

@@ -27,31 +27,42 @@ def first_sentence(doc: str) -> str:
 
 
 def render() -> str:
+    """Render CATALOG.md. Deliberately ROUND-INVARIANT (round-7 verdict):
+    the Gate column shows the static registration status only — ``gated``
+    for always-gated entries, ``pool`` for rotation-pool members (whose
+    per-round gate flag cycles; see `plans/rotation.py`), ``—`` for the
+    statically ungated twins. Nothing here reads ``current_round()``, so
+    the committed file (and its pin test) cannot go stale when the driver
+    writes a new CORRECTNESS_r*.json."""
     reg = load_all()
+    pool = set(POOL)
+    always_gated = sum(1 for n, q in reg.items() if q.gated and n not in pool)
     lines = [
         "# Query catalog",
         "",
         "Auto-generated from the live registry by `tools/gen_catalog.py` "
-        "(pinned current by `tests/test_catalog.py`). Gate status reflects "
-        "THIS round's rotation window over the pool in "
-        "`plans/rotation.py`; every pool name cycles into the driver's "
-        "50-row correctness gate within `ceil(len(POOL)/6)` rounds.",
+        "(pinned current by `tests/test_catalog.py`). The Gate column is "
+        "round-invariant: `gated` entries are in the driver's 50-row "
+        "correctness gate every round; `pool` entries cycle through six "
+        "rotating gate slots (`plans/rotation.py`) so each gets a driver "
+        "row within `ceil(len(POOL)/6)` rounds; `—` entries are "
+        "documented twins/subsets whose signal lives in pytest equality "
+        "with a gated sibling.",
         "",
-        f"{len(reg)} queries; {sum(1 for q in reg.values() if q.gated)} "
-        f"gated this round; "
+        f"{len(reg)} queries; {always_gated} always-gated + 6 rotating "
+        f"slots (pool of {len(POOL)}) fill the 50-row gate each round; "
         f"{sum(1 for q in reg.values() if q.oracle is not None)} with full "
-        "DuckDB oracles; rotation pool of "
-        f"{len(POOL)}.",
+        "DuckDB oracles.",
         "",
         "| Query | Gate | Oracle | Tags | What |",
         "|---|---|---|---|---|",
     ]
     for name in sorted(reg):
         q = reg[name]
-        if q.gated:
-            gate = "gated"
-        elif name in POOL:
+        if name in pool:
             gate = "pool"
+        elif q.gated:
+            gate = "gated"
         else:
             gate = "—"
         oracle = "full" if q.oracle is not None else "rows-only"
