@@ -159,12 +159,17 @@ def bench_streaming_dedup(spark, sf_dir: str) -> int:
         shutil.rmtree(work, ignore_errors=True)
 
 
-# The round-6 host's calibration median (BENCH_r06.json) — the pinned
+# The round-6 host's calibration probe (BENCH_r06.json) — the pinned
 # reference point for cross-round normalization: normalized_total
-# = total × (REF_CALIBRATION_MEDIAN / this run's median), so a round on
-# a 2×-slower VM reports the same normalized number for identical code
-# and cross-round comparison is mechanical instead of eyeballed.
+# = total × (REF_CALIBRATION_MIN / this run's min), so a round on a
+# 2×-slower VM reports the same normalized number for identical code and
+# cross-round comparison is mechanical instead of eyeballed. Min-to-min
+# (round-7 advice): r7 normalized median-to-MIN, which biased the metric
+# by the host's median/min ratio (~8% even on the quiet r6 host); both
+# reference constants are kept so either normalization can be recomputed
+# from any round's JSON (each records its full calibration runs).
 REF_CALIBRATION_MEDIAN = 0.278
+REF_CALIBRATION_MIN = 0.256
 
 
 def calibrate(spark, k: int = 5) -> dict:
@@ -210,13 +215,25 @@ def main() -> int:
     # in-memory variants (knn_lsh, knn_ivf) carry the rebuild-per-run
     # number for comparison.
     registry["trademark_stat"].builder(spark, sf_dir).count()
+    # Explicit build-vs-probe split (round-7 verdict #4): the first call
+    # of each persisted-index entry pays index construction + first probe
+    # (cold codegen included) — recorded under build_sec in the JSON, NOT
+    # in the headline total (r≤7 totals never included it, so totals stay
+    # comparable). The HEADLINE rows below then measure the steady-state
+    # probe only, so a probe regression is answerable from the JSON alone.
+    build_sec: dict[str, float] = {}
     for warm in (
         "knn_lsh_persisted",
         "knn_ivf_persisted",
         "knn_pq_persisted",
         "knn_ivf_pq_persisted",
     ):
+        t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()
+        build_sec[warm.replace("_persisted", "_build")] = round(
+            time.perf_counter() - t0, 3
+        )
+    print(f"# build (cold index + first probe): {build_sec}", file=sys.stderr)
 
     # Calibrate BEFORE the query loop: measured after 50+ heavy queries
     # the probe picks up GC/memory-pressure noise (observed: median 5.2 s
@@ -260,11 +277,12 @@ def main() -> int:
     )
 
     total = round(sum(times.values()), 3)
-    # Normalize on the noise-robust MIN of the probe runs (r6's pinned
-    # median 0.278 ≈ its min 0.256 — the quiet-host case where they
-    # agree; under load only min stays meaningful).
+    # Normalize min-to-min (round-7 advice: median/min mixing biased the
+    # metric by the host's median/min ratio). Min is the noise-robust
+    # host-speed floor — a GC pause right after 50 heavy queries inflates
+    # individual probe runs 5-10× (observed r7), median with them.
     normalized_total = round(
-        total * REF_CALIBRATION_MEDIAN / calibration["min_sec"], 3
+        total * REF_CALIBRATION_MIN / calibration["min_sec"], 3
     )
     print(
         json.dumps(
@@ -275,8 +293,16 @@ def main() -> int:
                 "queries": times,
                 "sf": sf,
                 "calibration": calibration,
-                # host-speed-normalized to the round-6 reference probe
+                # one-time index construction + first (cold) probe for the
+                # persisted ANN entries; their HEADLINE rows are the
+                # steady-state probe. Excluded from value/total (as in
+                # every prior round) so totals stay cross-round comparable.
+                "build_sec": build_sec,
+                # host-speed-normalized to the round-6 reference probe,
+                # min-to-min (r8+); r7 used median-to-min — recompute
+                # either way from the recorded calibration runs
                 "normalized_total": normalized_total,
+                "ref_calibration_min": REF_CALIBRATION_MIN,
                 "ref_calibration_median": REF_CALIBRATION_MEDIAN,
                 # BASELINE.md streaming envelope: docs/sec sustained
                 # through the incremental-dedup foreachBatch path

@@ -41,9 +41,14 @@ def write_training_shards(
     joined = docs.join(
         manifest.select(id_col, "shard", F.col(pos).alias("_pos")), id_col
     )
+    # id_col is the tie-breaker: when _pos is tok_offset, a zero-token
+    # doc shares its offset with the following doc (running sum adds 0),
+    # and without a total order the post-shuffle placement of tied rows
+    # would vary between retries — breaking the byte-identical-retry and
+    # read-back-order==write-order guarantees for corpora with empty docs.
     (
         joined.repartition("shard")
-        .sortWithinPartitions("shard", "_pos")
+        .sortWithinPartitions("shard", "_pos", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_dir)

@@ -313,3 +313,56 @@ def test_training_shards_land_in_manifest_order(spark, sf_dir, tmp_path):
     h1 = tree_hash(out)
     write_training_shards(d, manifest, "doc_id", out)
     assert tree_hash(out) == h1
+
+
+def test_training_shards_tie_break_on_zero_token_docs(spark, tmp_path):
+    """Round-7 advice regression: when the manifest position is
+    tok_offset, a zero-token doc shares its offset with the following doc
+    (the running sum adds 0), so (shard, _pos) alone is not a total order
+    and tied rows could land in either order after the repartition
+    shuffle. The writer must tie-break on the id column: read-back order
+    is deterministic (ties sorted by id) and a retry is byte-identical
+    even with many same-offset rows."""
+    import hashlib
+    import os as _os
+
+    from sparkstreaming_gmall_scala_spark.sinks import (
+        read_training_shard,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "" if i % 2 else f"text {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # hand-built tok_offset manifest with deliberate collisions: five
+    # docs per shard, every adjacent pair sharing an offset
+    manifest = spark.createDataFrame(
+        [(i, i // 5, (i // 2) * 7) for i in range(20)],
+        "doc_id long, shard int, tok_offset long",
+    )
+    out = str(tmp_path / "tied_shards")
+    write_training_shards(docs, manifest, "doc_id", out)
+
+    for shard in range(4):
+        got = [
+            r["doc_id"]
+            for r in read_training_shard(spark, out, shard).collect()
+        ]
+        want = sorted(
+            (r["tok_offset"], r["doc_id"])
+            for r in manifest.filter(f"shard = {shard}").collect()
+        )
+        assert got == [d for _, d in want], shard
+
+    def tree_hash(root):
+        h = hashlib.md5()
+        for dirpath, _dirs, files in sorted(_os.walk(root)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    h.update(open(_os.path.join(dirpath, f), "rb").read())
+        return h.hexdigest()
+
+    h1 = tree_hash(out)
+    write_training_shards(docs, manifest, "doc_id", out)
+    assert tree_hash(out) == h1
