@@ -391,6 +391,27 @@ def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customers_no_fulfilled_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+    tags=("parity", "join"),
+    # Honest-name alias of customers_no_orders (round-7 verdict #8): the
+    # old name stays as the driver-facing CORRECTNESS-history key; this
+    # is the name new consumers should reach for. Ungated twin — same
+    # plan, same oracle, checked in-suite by test_oracle_parity.
+    gated=False,
+)
+def customers_no_fulfilled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no fulfilled ('F') orders — the honest name for
+    ``customers_no_orders`` (see its NAMING CAVEAT); identical plan."""
+    return customers_no_orders(spark, sf_dir)
+
+
+@register(
     "customers_with_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c

@@ -56,6 +56,9 @@ STATIC_UNGATED = {
     "knn_ivf",  # in-memory twin of knn_ivf_persisted
     "embed_near_dup_vec",  # pair-set == embed_near_dup (gated)
     "customers_with_orders",  # J5 twin of customers_no_orders
+    # honest-name alias of customers_no_orders (r7 verdict #8); the old
+    # name stays gated because CORRECTNESS history is keyed on it
+    "customers_no_fulfilled_orders",
     "dau_first_visit",  # A2 twin of dau
     "multimodal_resize",  # same Arrow pipeline as multimodal_features
     "multimodal_frames",  # same Arrow pipeline as multimodal_features
