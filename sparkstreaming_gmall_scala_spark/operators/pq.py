@@ -55,6 +55,13 @@ def _normalize(x: np.ndarray) -> np.ndarray:
     return x / n
 
 
+def _residuals(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """x − nearest_centroid(x) per row (argmin ties → lowest index —
+    the same tie rule as every quantizer step in this module)."""
+    d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return x - cents[d.argmin(axis=1)]
+
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str,
@@ -63,6 +70,7 @@ def pq_train(
     sample_n: int = 2048,
     iters: int = 8,
     id_col: str | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train the m per-subspace codebooks (each ksub × dsub) on a
     deterministic sample. Returns plain nested lists (JSON-serializable —
@@ -74,7 +82,17 @@ def pq_train(
     scale) cannot reorder rows across the ``sample_n`` cutoff between
     runs/partitionings. Without it, ordering among tied hashes is
     engine-dependent and the identical-codebooks contract only holds
-    when the corpus is collision-free."""
+    when the corpus is collision-free.
+
+    Pass ``centroids`` (the IVF coarse quantizer) when the codebooks are
+    for an IVF-PQ index: training then runs on RESIDUALS (x − nearest
+    centroid) — the faiss IndexIVFPQ scheme. On clustered data raw-vector
+    codebooks spend their ksub centroids separating clusters the coarse
+    quantizer already separates, leaving no precision for within-cell
+    ranking (measured: recall@5 0.48 raw vs 0.90+ residual on the
+    clustered fixture, tools/gen_recall.py); residuals concentrate near
+    zero regardless of which cell a vector came from, so every codeword
+    resolves local structure."""
     order = ["_h"] if id_col is None else ["_h", id_col]
     sel = [F.col(vec_col).alias("v")] + (
         [] if id_col is None else [F.col(id_col).alias(id_col)]
@@ -87,6 +105,8 @@ def pq_train(
         .collect()
     )
     x = _normalize(np.array([r["v"] for r in rows], dtype=np.float64))
+    if centroids is not None:
+        x = _residuals(x, np.asarray(centroids, dtype=np.float64))
     dim = x.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -261,10 +281,13 @@ def ivf_pq_encode(
     codebooks: list[list[list[float]]],
 ) -> DataFrame:
     """One pass producing the IVF-PQ index rows (id, cell, codes): coarse
-    cell = argmin over the IVF centroids, codes = per-subspace PQ argmin —
-    both vectorized in the same Arrow batch, so building the composed
-    index costs exactly one corpus read. Ties resolve to the lowest index
-    on both quantizers (numpy argmin), matching the build's own probe."""
+    cell = argmin over the IVF centroids, codes = per-subspace PQ argmin
+    over the RESIDUAL (x − centroid[cell], the faiss IndexIVFPQ scheme —
+    see pq_train's residual rationale) — both vectorized in the same
+    Arrow batch, so building the composed index costs exactly one corpus
+    read. Ties resolve to the lowest index on both quantizers (numpy
+    argmin), matching the build's own probe. ``codebooks`` must be
+    residual-trained (pq_train with ``centroids=``)."""
     cents = np.asarray(centroids, dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)
     m, _ksub, dsub = cb.shape
@@ -274,10 +297,11 @@ def ivf_pq_encode(
             x = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
             d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             cell = d.argmin(axis=1).astype(np.int64)
+            r = x - cents[cell]
             codes = np.empty((x.shape[0], m), dtype=np.int64)
             for s in range(m):
-                xs = x[:, s * dsub : (s + 1) * dsub]
-                ds = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                rs = r[:, s * dsub : (s + 1) * dsub]
+                ds = ((rs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
                 codes[:, s] = ds.argmin(axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "cell": cell, "codes": list(codes)}
@@ -307,7 +331,16 @@ def ivf_pq_topk(
     codes via ADC tables, raw vectors untouched), and the optional
     refine stage exact-reranks the shortlist. ``index`` is
     ``ivf_pq_encode``'s output (or a parquet read of its persisted,
-    cell-partitioned form)."""
+    cell-partitioned form).
+
+    Codes are RESIDUAL-encoded (see ivf_pq_encode), so the ADC tables
+    are per (query, probed cell): for query q probing cell c the lookup
+    is ||(q − centroid_c)_s − cb[s, code]||², which approximates the
+    true ||q − x||² because x ≈ centroid_c + decoded residual. Table
+    memory is |queries| × nprobe × m × ksub doubles — bounded by the
+    same query-batch contract every ANN entry shares (faiss pays this
+    identically; its precomputed-tables trick trades it against a
+    ⟨centroid, codeword⟩ cache, worthwhile only at ksub ≫ ours)."""
     cents = np.asarray(centroids, dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = cb.shape
@@ -319,33 +352,38 @@ def ivf_pq_topk(
     q = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
     dq = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probed = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
-    # cell → local indices of the queries probing it
-    by_cell: dict[int, np.ndarray] = {}
+    # cell → (query indices probing it, their residual ADC tables)
+    by_cell_js: dict[int, list[int]] = {}
     for j in range(len(q_ids)):
         for c in probed[j]:
-            by_cell.setdefault(int(c), []).append(j)
-    by_cell = {c: np.array(js, dtype=np.int64) for c, js in by_cell.items()}
-    tables = np.empty((len(q), m, ksub), dtype=np.float64)
-    for s in range(m):
-        qs = q[:, s * dsub : (s + 1) * dsub]
-        tables[:, s, :] = ((qs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            by_cell_js.setdefault(int(c), []).append(j)
+    cell_tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for c, js_list in by_cell_js.items():
+        js = np.array(js_list, dtype=np.int64)
+        r = q[js] - cents[c][None, :]
+        t = np.empty((len(js), m, ksub), dtype=np.float64)
+        for s in range(m):
+            rs = r[:, s * dsub : (s + 1) * dsub]
+            t[:, s, :] = ((rs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        cell_tables[c] = (js, t)
 
     # partition-prunable read: only probed cells are scanned at all
-    cells = sorted(by_cell)
+    cells = sorted(cell_tables)
     pruned = index.filter(F.col("cell").isin(cells))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_q, out_n, out_d = [], [], []
             for c, grp in pdf.groupby("cell"):
-                js = by_cell.get(int(c))
-                if js is None:
+                entry = cell_tables.get(int(c))
+                if entry is None:
                     continue
+                js, t = entry
                 codes = np.array(grp["codes"].tolist(), dtype=np.int64)
                 ids = grp[id_col].to_numpy()
                 d2 = np.zeros((len(js), codes.shape[0]), dtype=np.float64)
                 for s in range(m):
-                    d2 += tables[js][:, s, codes[:, s]]
+                    d2 += t[:, s, codes[:, s]]
                 kk = min(n_short, codes.shape[0])
                 part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
                 for jj, j in enumerate(js):

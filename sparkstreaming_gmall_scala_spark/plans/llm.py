@@ -809,7 +809,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 by product quantization (operators/pq.py): m=8 subspace
-    codebooks of 16 centroids trained on a deterministic sample, corpus
+    codebooks of 256 centroids (8-bit codes, the faiss default width) trained on a deterministic sample, corpus
     encoded to 8 codes/vector (32× smaller than float32), queries scored
     by ADC lookup tables with per-partition local shortlists, then the
     standard refine stage — exact cosine over only the shortlisted raw
@@ -819,12 +819,12 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import pq_encode, pq_topk, pq_train
 
     e = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(e, "embedding", m=8, ksub=16, id_col="vec_id")
+    books = pq_train(e, "embedding", m=8, ksub=256, id_col="vec_id")
     codes = pq_encode(e, "vec_id", "embedding", books)
     queries = e.filter(F.col("vec_id") < 10)
     return pq_topk(
         codes, queries, "vec_id", "embedding", books, k=5,
-        rerank=e, shortlist=64,
+        rerank=e, shortlist=128,
     )
 
 
@@ -853,7 +853,7 @@ def knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_dir = _os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_pqcodes_{_os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{_params_key('pq-idtie', 8, 16, _data_fingerprint(sf_dir, 'embeddings'))}",
+        f"{_params_key('pq-idtie', 8, 256, _data_fingerprint(sf_dir, 'embeddings'))}",
     )
     books_path = _os.path.join(pq_dir, "codebooks.json")
     codes_dir = _os.path.join(pq_dir, "codes")
@@ -861,7 +861,7 @@ def knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.exists(books_path)
         and _os.path.exists(_os.path.join(codes_dir, "_SUCCESS"))
     ):
-        books = pq_train(e, "embedding", m=8, ksub=16, id_col="vec_id")
+        books = pq_train(e, "embedding", m=8, ksub=256, id_col="vec_id")
         pq_encode(e, "vec_id", "embedding", books).write.mode(
             "overwrite"
         ).parquet(codes_dir)
@@ -876,7 +876,7 @@ def knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 10)
     return pq_topk(
         codes, queries, "vec_id", "embedding", books, k=5,
-        rerank=e, shortlist=64,
+        rerank=e, shortlist=128,
     )
 
 
@@ -915,13 +915,16 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = spark.createDataFrame(sample_rows, e.select("vec_id", "embedding").schema)
     cents = kmeans_centroids(sample, "embedding", k=8, iters=2, id_col="vec_id")
     # pq_train's own sampling picks the SAME first-2048-by-hash rows, so
-    # feeding it the local sample is exact — and skips a second corpus sort
-    books = pq_train(sample, "embedding", m=8, ksub=16, id_col="vec_id")
+    # feeding it the local sample is exact — and skips a second corpus
+    # sort. centroids= trains the codebooks on RESIDUALS (faiss IVFPQ).
+    books = pq_train(
+        sample, "embedding", m=8, ksub=256, id_col="vec_id", centroids=cents
+    )
     index = ivf_pq_encode(e, "vec_id", "embedding", cents, books)
     queries = e.filter(F.col("vec_id") < 10)
     return ivf_pq_topk(
         index, queries, "vec_id", "embedding", cents, books,
-        k=5, nprobe=4, rerank=e, shortlist=64,
+        k=5, nprobe=4, rerank=e, shortlist=128,
     )
 
 
@@ -954,7 +957,7 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_dir = _os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_ivfpq_{_os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{_params_key('ivfpq-idtie', 8, 8, 16, _data_fingerprint(sf_dir, 'embeddings'))}",
+        f"{_params_key('ivfpq-res', 8, 8, 256, _data_fingerprint(sf_dir, 'embeddings'))}",
     )
     quant_path = _os.path.join(pq_dir, "quantizers.json")
     index_dir = _os.path.join(pq_dir, "index")
@@ -980,7 +983,10 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = kmeans_centroids(
             sample, "embedding", k=8, iters=2, id_col="vec_id"
         )
-        books = pq_train(sample, "embedding", m=8, ksub=16, id_col="vec_id")
+        books = pq_train(
+            sample, "embedding", m=8, ksub=256, id_col="vec_id",
+            centroids=cents,
+        )
         ivf_pq_encode(
             e, "vec_id", "embedding", cents, books
         ).write.partitionBy("cell").mode("overwrite").parquet(index_dir)
@@ -996,7 +1002,7 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         index, queries, "vec_id", "embedding",
         quant["centroids"], quant["codebooks"],
-        k=5, nprobe=4, rerank=e, shortlist=64,
+        k=5, nprobe=4, rerank=e, shortlist=128,
     )
 
 

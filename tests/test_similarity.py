@@ -416,7 +416,7 @@ def test_ivf_pq_recall_and_partition_pruning(spark, sf_dir, tmp_path):
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     cents = kmeans_centroids(e, "embedding", k=8, iters=2)
-    books = pq_train(e, "embedding", m=8, ksub=16)
+    books = pq_train(e, "embedding", m=8, ksub=256, centroids=cents)
     index = ivf_pq_encode(e, "vec_id", "embedding", cents, books)
 
     exact = {
@@ -425,11 +425,11 @@ def test_ivf_pq_recall_and_partition_pruning(spark, sf_dir, tmp_path):
     }
     mem_rows = ivf_pq_topk(
         index, queries, "vec_id", "embedding", cents, books,
-        k=5, nprobe=4, rerank=e, shortlist=64,
+        k=5, nprobe=4, rerank=e, shortlist=128,
     ).collect()
     mem = {(r["query_id"], r["neighbor_id"]) for r in mem_rows}
     recall = len(exact & mem) / len(exact)
-    assert recall >= 0.4, f"recall {recall:.2f}"
+    assert recall >= 0.5, f"recall {recall:.2f}"
 
     # persisted, cell-partitioned form: identical result + pruned scan
     idx_dir = str(tmp_path / "ivfpq")
@@ -437,7 +437,7 @@ def test_ivf_pq_recall_and_partition_pruning(spark, sf_dir, tmp_path):
     persisted = spark.read.parquet(idx_dir)
     per_df = ivf_pq_topk(
         persisted, queries, "vec_id", "embedding", cents, books,
-        k=5, nprobe=4, rerank=e, shortlist=64,
+        k=5, nprobe=4, rerank=e, shortlist=128,
     )
     per_rows = per_df.collect()
     assert sorted(map(tuple, per_rows)) == sorted(map(tuple, mem_rows))

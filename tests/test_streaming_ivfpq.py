@@ -32,7 +32,9 @@ def _embs(spark, sf_dir):
 def _quantizers(spark, sf_dir):
     e = _embs(spark, sf_dir)
     cents = kmeans_centroids(e, "embedding", k=4, iters=2, id_col="doc_id")
-    books = pq_train(e, "embedding", m=8, ksub=16, id_col="doc_id")
+    books = pq_train(
+        e, "embedding", m=8, ksub=16, id_col="doc_id", centroids=cents
+    )
     return cents, books
 
 

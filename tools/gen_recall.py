@@ -20,8 +20,8 @@ from sparkstreaming_gmall_scala_spark.session import get_spark  # noqa: E402
 VARIANTS = (
     ("knn_lsh_persisted", "8 hyperplanes, 4 bands, persisted buckets"),
     ("knn_ivf_persisted", "k-means k=4, nprobe=2, persisted cells"),
-    ("knn_pq_persisted", "PQ m=8 sub-quantizers, ADC + exact rerank"),
-    ("knn_ivf_pq", "IVF k=4 × PQ m=8, nprobe=4, built per run"),
+    ("knn_pq_persisted", "PQ m=8×8-bit, ADC + exact rerank"),
+    ("knn_ivf_pq", "IVF k=8 × residual-PQ m=8×8-bit, nprobe=4, built per run"),
     ("knn_ivf_pq_persisted", "same, cell-partitioned persisted index"),
 )
 
@@ -43,38 +43,52 @@ def recall_table(spark, sf_dir: str) -> list[tuple[str, str, float, int]]:
 
 
 def render(sf_dir: str) -> str:
+    from sparkstreaming_gmall_scala_spark.sources.synth import (
+        write_clustered_embeddings,
+    )
+
+    clustered_dir = write_clustered_embeddings(
+        os.path.join(os.path.sep, "tmp", "spark_graft_clustered_recall")
+    )
     spark = get_spark("recall", master="local[8]", shuffle_partitions=8)
     try:
         rows = recall_table(spark, sf_dir)
+        crows = recall_table(spark, clustered_dir)
     finally:
         spark.stop()
     sf = os.path.basename(sf_dir.rstrip("/"))
     lines = [
         "# ANN recall vs exact brute force",
         "",
-        f"recall@5 over the `knn_bruteforce` ground truth at `{sf}` "
-        "(10 queries × 5 neighbors). Deterministic end to end — "
-        "hash-seeded quantizers, closed-form planes, no RNG — so this "
-        "table reproduces exactly via `python tools/gen_recall.py`. "
-        "Recall < 1 is the scale trade each variant buys its pruning "
-        "with; the per-variant floors are enforced in "
-        "`tests/test_similarity.py`.",
+        "recall@5 over the `knn_bruteforce` ground truth "
+        "(10 queries × 5 neighbors), on TWO corpora: the driver's "
+        f"near-uniform synthetic embeddings at `{sf}`, and a "
+        "deterministic mixture-of-Gaussians fixture "
+        "(`sources/synth.py`: 4000 vectors, 8 unit-norm centers, "
+        "σ=0.15, seed 42) shaped like real embedding corpora. "
+        "Deterministic end to end — hash-seeded quantizers, closed-form "
+        "planes, seeded fixture, no RNG at query time — so both tables "
+        "reproduce exactly via `python tools/gen_recall.py`. The "
+        "per-variant floors on both corpora are enforced in "
+        "`tests/test_similarity.py` / `tests/test_recall_clustered.py`.",
         "",
-        "Reading the numbers: the synthetic embeddings are near-uniform "
-        "(no cluster structure), so a pruning index can't beat its "
-        "coverage — probing 2 of 4 IVF cells bounds recall near 0.5, and "
-        "that is what IVF scores. This is the data's property, not the "
-        "index's: on clustered real embeddings the same settings "
-        "concentrate true neighbors into the probed cells and recall "
-        "rises sharply, while the PQ rerank row (which re-scores "
-        "exact vectors over a wider shortlist) already shows the lift "
-        "wider candidate sets buy.",
+        "Reading the numbers: on the near-uniform corpus a pruning index "
+        "can't beat its coverage — probing 2 of 4 IVF cells bounds "
+        "recall near 0.5 — so the uniform column is a lower bound, not "
+        "the operating point. The clustered column is the informative "
+        "one: IVF concentrates true neighbors into the probed cells "
+        "(recall ≈ 1), and residual-encoded IVF-PQ (faiss IndexIVFPQ "
+        "scheme: codes quantize x − centroid, 8-bit codebooks) holds "
+        "≈0.9+ at a 32× byte reduction. Raw-vector PQ codes were the "
+        "round-7 weak spot on clustered data (0.48 — every codeword "
+        "wasted separating clusters the coarse quantizer already "
+        "separates); residual training is what recovered it.",
         "",
-        "| Variant | Configuration | recall@5 |",
-        "|---|---|---|",
+        "| Variant | Configuration | uniform | clustered |",
+        "|---|---|---|---|",
     ]
-    for name, desc, rec, _ in rows:
-        lines.append(f"| `{name}` | {desc} | {rec:.3f} |")
+    for (name, desc, rec, _), (_, _, crec, _) in zip(rows, crows):
+        lines.append(f"| `{name}` | {desc} | {rec:.3f} | {crec:.3f} |")
     lines.append("")
     return "\n".join(lines)
 
