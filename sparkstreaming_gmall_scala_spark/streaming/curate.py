@@ -118,13 +118,23 @@ def curate_ingest_batch(
     win_index_dir: str | None = None,
     wins_sink: IdempotentBatchWriter | None = None,
     window: int = 20,
+    keeps_hook=None,
 ):
     """Per-batch body (exposed so tests can replay (batch_df, batch_id)):
     curate the batch, emit keeps, band the keeps, emit near-dup candidate
     pairs against the band index, append both indexes. With
     ``win_index_dir`` + ``wins_sink``, also emit substring-dup candidate
     occurrence pairs (``win_probe``) against a third append-only index of
-    the keeps' rolling window hashes — same compaction cadence."""
+    the keeps' rolling window hashes — same compaction cadence.
+
+    ``keeps_hook`` (callable ``(keeps_df, batch_id) -> None``) runs once
+    per batch on the curated keeps (doc_id, masked_text), right after the
+    docs sink write — the composition point downstream per-batch stages
+    (DSIR selection, classifier scoring) attach to without re-reading the
+    corpus. A hook must be idempotent per batch id (write through an
+    IdempotentBatchWriter) so the crash-replay contract holds: a crash
+    inside the hook replays the whole batch and every sink rewrites its
+    own ``batch_id=N`` dir."""
     bander = bander or minhash_bander()
     fp_index = AppendOnlyIndex(fp_index_dir)
     band_index = AppendOnlyIndex(band_index_dir)
@@ -184,6 +194,8 @@ def curate_ingest_batch(
         # pattern): a crash between any two writes replays the batch and
         # rewrites only batch_id=N dirs.
         docs_sink(out, batch_id)
+        if keeps_hook is not None:
+            keeps_hook(out, batch_id)
         pairs_sink(pairs, batch_id)
         if win_index is not None:
             wins_sink(win_pairs, batch_id)

@@ -94,3 +94,100 @@ def dsir_select_pipeline(
         .outputMode("append")
         .start()
     )
+
+
+def curate_select_batch(
+    spark: SparkSession,
+    model_dir: str,
+    fp_index_dir: str,
+    band_index_dir: str,
+    docs_sink: IdempotentBatchWriter,
+    pairs_sink: IdempotentBatchWriter,
+    select_sink: IdempotentBatchWriter,
+    eval_docs: DataFrame | None = None,
+    compact_every: int | None = None,
+    b: int = 4096,
+    tau: float = DSIR_TAU,
+):
+    """Curate → DSIR selection in ONE foreachBatch body (round-7 verdict
+    #6): each batch runs the streaming-safe curation recipe (gopher,
+    decontamination, PII mask, exact dedup against the fingerprint
+    index), then scores the curated KEEPS against the frozen bucket
+    model and lands (doc_id, n_feats, avg_logw, keep) in
+    ``select_sink`` — a doc dropped by curation never pays featurization,
+    and the DSIR decision sees the post-mask text downstream stores.
+
+    Batch-twin equality (pinned in tests/test_streaming_select.py): the
+    union of select_sink batches equals ``dsir_score_with_model`` over
+    ``corpus_ingest_batch_recipe`` of the union — exact, because scoring
+    is a pure function of (doc set, frozen model) and curation's keep
+    set is arrival-order independent. Replay rewrites identical rows
+    (every stage writes through idempotent per-batch sinks)."""
+    from ..operators.dsir import dsir_score_with_model
+    from .curate import curate_ingest_batch
+
+    model = spark.read.parquet(model_dir)
+
+    def score_keeps(keeps: DataFrame, batch_id: int) -> None:
+        scored = dsir_score_with_model(
+            keeps.select("doc_id", F.col("masked_text").alias("text")),
+            model,
+            "doc_id",
+            "text",
+            b,
+        )
+        select_sink(
+            scored.withColumn("keep", F.col("avg_logw") >= F.lit(float(tau))),
+            batch_id,
+        )
+
+    return curate_ingest_batch(
+        spark,
+        fp_index_dir,
+        band_index_dir,
+        docs_sink,
+        pairs_sink,
+        eval_docs=eval_docs,
+        compact_every=compact_every,
+        keeps_hook=score_keeps,
+    )
+
+
+def curate_select_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    model_dir: str,
+    fp_index_dir: str,
+    band_index_dir: str,
+    docs_out_dir: str,
+    pairs_out_dir: str,
+    select_out_dir: str,
+    checkpoint: str,
+    eval_docs: DataFrame | None = None,
+    compact_every: int | None = None,
+    b: int = 4096,
+    tau: float = DSIR_TAU,
+):
+    """Document stream → curated corpus + near-dup candidates + DSIR keep
+    decisions, one checkpointed query."""
+    docs = file_stream(spark, src_dir, DOC_SCHEMA)
+    return (
+        docs.writeStream.foreachBatch(
+            curate_select_batch(
+                spark,
+                model_dir,
+                fp_index_dir,
+                band_index_dir,
+                IdempotentBatchWriter(docs_out_dir),
+                IdempotentBatchWriter(pairs_out_dir),
+                IdempotentBatchWriter(select_out_dir),
+                eval_docs=eval_docs,
+                compact_every=compact_every,
+                b=b,
+                tau=tau,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
