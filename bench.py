@@ -123,6 +123,9 @@ HEADLINE = (
     "media_dedup",
     # added r7: hardest-negative mining (label-filtered exact rerank)
     "hard_negatives",
+    # added r8: SQ8 scalar-quantized ANN — the only compressed-ANN path
+    # with zero Python workers and a full DuckDB oracle
+    "knn_sq8",
 )
 
 

@@ -796,6 +796,98 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_DECODE = """
+      list_transform(generate_series(1, 64), i ->
+        bb.mns[i] + (CAST(
+          CASE WHEN bb.mxs[i] > bb.mns[i] THEN
+            least(greatest(floor((CAST(e.embedding[i] AS DOUBLE) - bb.mns[i])
+                                 * 255.0 / (bb.mxs[i] - bb.mns[i]) + 0.5),
+                           0), 255)
+          ELSE 0 END AS DOUBLE) * (bb.mxs[i] - bb.mns[i])) / 255.0)
+"""
+
+_SQ8_DOT_DEC = """
+    list_reduce(
+      list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * c.dvec[i]),
+      (x, y) -> x + y)
+"""
+
+_SQ8_NORM_DEC = """
+    sqrt(list_reduce(
+      list_transform(generate_series(1, 64), i -> c.dvec[i] * c.dvec[i]),
+      (x, y) -> x + y))
+"""
+
+
+@register(
+    "knn_sq8",
+    oracle=f"""
+    WITH ex AS (
+      SELECT u.i AS pos, CAST(u.x AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i) u
+    ), bb AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      FROM (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos)
+    ), dec AS (
+      SELECT e.vec_id, {_SQ8_DECODE} AS dvec
+      FROM embeddings e, bb
+    ), approx AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(({_SQ8_DOT_DEC} / ({_NORM_Q} * {_SQ8_NORM_DEC}))
+                   * 1000000 + 0.5) / 1000000 AS approx
+      FROM embeddings q JOIN dec c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ), short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS rn
+        FROM approx) WHERE rn <= 128
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+             ) AS rank
+      FROM (
+        SELECT s.query_id, s.neighbor_id,
+               floor(({_DOT} / ({_NORM_Q} * {_NORM_C}))
+                     * 1000000 + 0.5) / 1000000 AS score
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+      )
+    ) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "sq8"),
+    # Full-oracle POOL entry: rotates into the driver gate (the first
+    # compressed-ANN entry with a hash-checked oracle — SQ8's bounds are
+    # exact aggregates and its arithmetic is fixed-order, unlike the
+    # trained-quantizer PQ/IVF families).
+    gated=False,
+)
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 by SQ8 scalar quantization (operators/sq.py — faiss
+    IndexScalarQuantizer): per-dimension uint8 codes against exact
+    [min, max] bounds (4× smaller than float32, no codebook training),
+    decoded and scored entirely JVM-side (zero Python workers — the
+    only compressed-ANN path with that property), 6-dp
+    approximate-cosine shortlist of 128, exact rerank over shortlisted
+    raw vectors. Deterministic end to end ⇒ full DuckDB oracle, unlike
+    the trained-quantizer PQ/IVF family."""
+    from ..operators.sq import sq8_bounds, sq8_encode, sq8_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bounds = sq8_bounds(e, "embedding")
+    codes = sq8_encode(e, "vec_id", "embedding", bounds)
+    queries = e.filter(F.col("vec_id") < 10)
+    return sq8_topk(
+        codes, queries, "vec_id", "embedding", bounds,
+        k=5, rerank=e, shortlist=128, dim=64,
+    )
+
+
 @register(
     "knn_pq",
     oracle=None,  # numpy-trained codebooks and argmin codes are not

@@ -71,6 +71,8 @@ POOL: tuple[str, ...] = (
     "shuffle_shards",
     "media_dedup",
     "hard_negatives",
+    # round-8 additions (first driver rows: r9/r10)
+    "knn_sq8",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

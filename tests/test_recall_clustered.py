@@ -52,6 +52,7 @@ def truth(spark, clustered_dir):
         ("knn_ivf", 0.9),
         ("knn_pq", 0.9),
         ("knn_ivf_pq", 0.9),
+        ("knn_sq8", 0.9),
     ],
 )
 def test_clustered_recall_floor(spark, clustered_dir, truth, name, floor):

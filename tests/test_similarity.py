@@ -528,3 +528,60 @@ def test_semantic_dedup_sound_complete_within_cells_deterministic(
     assert same_cell_drops <= dropped
     # non-vacuous: the test corpus has semantic dups inside cells
     assert dropped
+
+
+def test_sq8_codes_bounded_decode_error_and_recall(spark, sf_dir):
+    """SQ8: codes live in [0, 255]; per-dimension reconstruction error is
+    bounded by half a quantization step; top-5 recall vs brute force
+    clears a high floor (8 bits/dim is near-lossless next to the 6-dp
+    score rounding, and the rerank is exact over a 128-wide shortlist)."""
+    from sparkstreaming_gmall_scala_spark.operators.sq import (
+        sq8_bounds,
+        sq8_decode_col,
+        sq8_encode,
+        sq8_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bounds = sq8_bounds(e, "embedding")
+    assert len(bounds) == 64 and all(mn <= mx for mn, mx in bounds)
+    codes = sq8_encode(e, "vec_id", "embedding", bounds)
+    rows = codes.collect()
+    assert all(0 <= c <= 255 for r in rows for c in r["codes"])
+
+    # reconstruction: |decode(encode(x)) − x| ≤ step/2 per dimension
+    err = (
+        codes.join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    sq8_decode_col(F.col("codes"), bounds),
+                    F.col("embedding"),
+                    lambda d, x: F.abs(d - x.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, v),
+            ).alias("max_err")
+        )
+        .agg(F.max("max_err").alias("worst"))
+        .collect()[0]["worst"]
+    )
+    max_step = max((mx - mn) / 255.0 for mn, mx in bounds)
+    assert err <= max_step / 2 + 1e-12, err
+
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(
+            e, queries, "vec_id", "embedding", k=5, dim=64
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_topk(
+            codes, queries, "vec_id", "embedding", bounds,
+            k=5, rerank=e, shortlist=128, dim=64,
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"sq8 recall {recall:.2f}"

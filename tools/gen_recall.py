@@ -23,6 +23,7 @@ VARIANTS = (
     ("knn_pq_persisted", "PQ m=8×8-bit, ADC + exact rerank"),
     ("knn_ivf_pq", "IVF k=8 × residual-PQ m=8×8-bit, nprobe=4, built per run"),
     ("knn_ivf_pq_persisted", "same, cell-partitioned persisted index"),
+    ("knn_sq8", "SQ8 per-dim uint8, codegen decode + exact rerank"),
 )
 
 
