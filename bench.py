@@ -126,6 +126,9 @@ HEADLINE = (
     # added r8: SQ8 scalar-quantized ANN — the only compressed-ANN path
     # with zero Python workers and a full DuckDB oracle
     "knn_sq8",
+    # added r8: BPE merge-candidate table (tokenizer training's first
+    # iteration; the merge loop is bpe_learn, pytest-pinned)
+    "bpe_pairs",
 )
 
 

@@ -1,0 +1,166 @@
+"""BPE merge learning over the corpus — the tokenizer-training half of a
+training-data pipeline.
+
+Byte-pair encoding's training loop is: count adjacent token pairs across
+the corpus, merge the most frequent pair everywhere, repeat. The
+pair-count step is a pure relational aggregate (one explode + groupBy —
+fully SQL-expressible, so the catalog entry carries a DuckDB oracle);
+the merge loop is the engine's standard iterative-algorithm shape (the
+Lloyd's-iteration discipline from kmeans_centroids): a driver loop of
+O(n_merges) distributed passes, each pass one narrow agg + one
+element-wise rewrite, nothing corpus-sized ever collected — per
+iteration the driver sees exactly ONE (left, right, count) row.
+
+Determinism: ties in pair frequency break lexicographically on
+(left, right) — the same merge list on any engine/partitioning (real BPE
+trainers break ties by first-seen order, which is corpus-order-dependent
+and irreproducible under distribution; lexicographic is the
+deterministic analog).
+
+Scale notes: pair counting is O(corpus tokens) rows into a groupBy whose
+key space is the observed pair vocabulary (Zipf-bounded in practice —
+partial aggregation absorbs the head mass map-side). The merge rewrite
+is an O(tokens) fold per doc with an O(len²) worst case from array
+copies; at 100 TB you'd run the same loop over a tokens-array column
+materialized once (chunk docs first via chunk_tokens) and rewrite with a
+linear Arrow kernel — the loop structure, tie rule, and counts are what
+this module pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lower(text) — the corpus-wide tokenization
+    every text operator shares (llm._TOKENS mirrors it in SQL)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def adjacent_pairs(toks: Column) -> Column:
+    """array<struct<l,r>> of adjacent token pairs (empty for 0/1-token
+    docs) — zip of the array with its own 1-shift, no explode yet."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def pair_counts(tokenized: DataFrame, toks_col: str = "toks") -> DataFrame:
+    """(left_tok, right_tok, cnt) over every adjacent pair in the corpus —
+    one explode + one groupBy (map-side partial agg absorbs the Zipf
+    head)."""
+    return (
+        tokenized.select(
+            F.explode(adjacent_pairs(F.col(toks_col))).alias("p")
+        )
+        .select(F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok"))
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_candidates(
+    docs: DataFrame, id_col: str, text_col: str, top_n: int = 100
+) -> DataFrame:
+    """Top-``top_n`` BPE merge candidates (left_tok, right_tok, cnt,
+    rank), rank by (cnt desc, left, right) — the first-iteration merge
+    table, and the catalog's oracle-checked surface. orderBy+limit keeps
+    the global sort at top_n rows; the rank window then runs on that
+    limited set only."""
+    counts = pair_counts(
+        docs.select(tokens_col(F.col(text_col)).alias("toks"))
+    )
+    top = counts.orderBy(
+        F.col("cnt").desc(), "left_tok", "right_tok"
+    ).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), "left_tok", "right_tok")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "left_tok", "right_tok", "cnt"
+    )
+
+
+def _merge_pair(toks: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of every adjacent
+    (left, right) into the concatenated token — one aggregate fold, pure
+    Column. The greedy scan is the BPE-standard one: in 'a a a' merging
+    (a, a) yields ['aa', 'a'], and a token just produced by a merge never
+    re-merges within the same pass (the fold compares the ORIGINAL pair
+    literals, and the merged surface form differs from ``left`` unless
+    ``right`` is empty — impossible for whitespace tokens)."""
+    merged = left + right
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges over the corpus: each iteration
+    collects exactly ONE row (the argmax pair under the deterministic
+    (cnt desc, left, right) order) and rewrites the tokens column with
+    ``_merge_pair``. Returns [(left, right, count_at_merge_time), ...] in
+    merge order. Stops early if no adjacent pair remains (single-token
+    docs everywhere). The tokens frame is re-persisted per iteration so
+    pass k scans pass k−1's arrays, not the raw text k times."""
+    cur = docs.select(
+        F.col(id_col).alias(id_col), tokens_col(F.col(text_col)).alias("toks")
+    ).persist()
+    cur.count()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            best = (
+                pair_counts(cur)
+                .orderBy(F.col("cnt").desc(), "left_tok", "right_tok")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right, cnt = (
+                best[0]["left_tok"],
+                best[0]["right_tok"],
+                best[0]["cnt"],
+            )
+            merges.append((left, right, cnt))
+            nxt = cur.select(
+                id_col, _merge_pair(F.col("toks"), left, right).alias("toks")
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return merges
+
+
+def apply_merges(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize ``text_col`` and apply a learned merge list in order —
+    the encode step a tokenizer ships. Returns (id, toks)."""
+    toks = tokens_col(F.col(text_col))
+    for m in merges:
+        toks = _merge_pair(toks, m[0], m[1])
+    return docs.select(F.col(id_col).alias(id_col), toks.alias("toks"))

@@ -79,6 +79,42 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_TOKENS} AS toks FROM documents
+    ), p AS (
+      SELECT toks[i] AS left_tok, toks[i + 1] AS right_tok
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 1)) AS i
+      )
+    )
+    SELECT rank, left_tok, right_tok, cnt FROM (
+      SELECT left_tok, right_tok, count(*) AS cnt,
+             row_number() OVER (
+               ORDER BY count(*) DESC, left_tok, right_tok) AS rank
+      FROM p GROUP BY left_tok, right_tok
+    ) WHERE rank <= 100
+    """,
+    tags=("llm", "text", "tokenizer", "bpe"),
+    # Full-oracle POOL entry (appended; first driver row when the window
+    # reaches it).
+    gated=False,
+)
+def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 BPE merge candidates: corpus-wide adjacent-token-pair
+    counts ranked by (cnt desc, left, right) — the first iteration of
+    BPE tokenizer training (operators/bpe.py; the full merge LOOP is
+    ``bpe_learn``, an iterative driver algorithm pinned against a pure
+    local BPE in pytest). One explode + one groupBy; orderBy+limit
+    bounds the global sort to 100 rows."""
+    from ..operators.bpe import merge_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    return merge_candidates(d, "doc_id", "text", top_n=100)
+
+
+@register(
     "doc_quality",
     oracle=f"""
     WITH t AS (

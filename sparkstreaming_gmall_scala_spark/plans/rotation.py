@@ -73,6 +73,7 @@ POOL: tuple[str, ...] = (
     "hard_negatives",
     # round-8 additions (first driver rows: r9/r10)
     "knn_sq8",
+    "bpe_pairs",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -126,6 +126,7 @@ def test_gate_budget(registry):
         "media_dedup",
         "hard_negatives",
         "knn_sq8",
+        "bpe_pairs",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
