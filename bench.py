@@ -129,6 +129,8 @@ HEADLINE = (
     # added r8: BPE merge-candidate table (tokenizer training's first
     # iteration; the merge loop is bpe_learn, pytest-pinned)
     "bpe_pairs",
+    # added r8: character-class mix (script detection next to lang_id)
+    "script_mix",
 )
 
 

@@ -170,6 +170,57 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "script_mix",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')) AS n_space
+      FROM documents
+    )
+    SELECT doc_id, n AS n_chars,
+           floor((CAST(n_alpha AS DOUBLE) / greatest(n, 1)) * 1000000 + 0.5) / 1000000 AS alpha_frac,
+           floor((CAST(n_digit AS DOUBLE) / greatest(n, 1)) * 1000000 + 0.5) / 1000000 AS digit_frac,
+           floor((CAST(n_space AS DOUBLE) / greatest(n, 1)) * 1000000 + 0.5) / 1000000 AS space_frac,
+           floor((CAST(n - n_alpha - n_digit - n_space AS DOUBLE) / greatest(n, 1)) * 1000000 + 0.5) / 1000000 AS other_frac
+    FROM c
+    """,
+    tags=("llm", "text"),
+    # Full-oracle POOL entry (appended with knn_sq8/bpe_pairs).
+    gated=False,
+)
+def script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class mix (alpha / digit / whitespace /
+    other fractions, 6 dp) — the script-detection signal next to the
+    stopword lang_id: a CJK page, a base64 blob, and an ASCII-art table
+    separate on these fractions before any tokenizer runs. Zero shuffle,
+    scan-bound; each count is length(text) − length(class-stripped
+    text), identical arithmetic both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+
+    def frac(cnt):
+        return (
+            F.floor((cnt.cast("double") / F.greatest(n, F.lit(1))) * 1e6 + 0.5)
+            / 1e6
+        )
+
+    n_alpha = n - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    n_digit = n - F.length(F.regexp_replace("text", "[0-9]", ""))
+    n_space = n - F.length(F.regexp_replace("text", "[ \\t\\n\\r]", ""))
+    return d.select(
+        "doc_id",
+        n.alias("n_chars"),
+        frac(n_alpha).alias("alpha_frac"),
+        frac(n_digit).alias("digit_frac"),
+        frac(n_space).alias("space_frac"),
+        frac(n - n_alpha - n_digit - n_space).alias("other_frac"),
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents

@@ -74,6 +74,7 @@ POOL: tuple[str, ...] = (
     # round-8 additions (first driver rows: r9/r10)
     "knn_sq8",
     "bpe_pairs",
+    "script_mix",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]
