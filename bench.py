@@ -131,6 +131,9 @@ HEADLINE = (
     "bpe_pairs",
     # added r8: character-class mix (script detection next to lang_id)
     "script_mix",
+    # added r8: persisted SQ8 codes — steady-state probe next to
+    # knn_sq8's derive-per-run number
+    "knn_sq8_persisted",
 )
 
 
@@ -235,6 +238,7 @@ def main() -> int:
         "knn_ivf_persisted",
         "knn_pq_persisted",
         "knn_ivf_pq_persisted",
+        "knn_sq8_persisted",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

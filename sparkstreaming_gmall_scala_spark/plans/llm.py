@@ -976,6 +976,60 @@ def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_sq8_persisted",
+    oracle=None,  # identical result to knn_sq8 (pytest pins persisted ≡
+    # in-memory exactly), but the driver's oracle runner would re-derive
+    # bounds + codes per run anyway — the gated signal lives on knn_sq8;
+    # this entry's value is the steady-state probe number and the
+    # persisted-artifact contract.
+    tags=("llm", "similarity", "sq8", "persisted"),
+    gated=False,
+)
+def knn_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 over a PERSISTED SQ8 index: the codes table is encoded
+    once per corpus (cached under /tmp keyed by params + data
+    fingerprint, bounds as a JSON sidecar — the PQ/LSH/IVF persisted
+    convention) and probes pay only the codegen decode-scan + shortlist
+    rerank. knn_sq8 (in-memory twin) re-derives bounds and codes per run;
+    this entry's bench number is the steady-state query cost."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..operators.sq import sq8_bounds, sq8_encode, sq8_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sq8_{_os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('sq8', 255, _data_fingerprint(sf_dir, 'embeddings'))}",
+    )
+    bounds_path = _os.path.join(sq_dir, "bounds.json")
+    codes_dir = _os.path.join(sq_dir, "codes")
+    if not (
+        _os.path.exists(bounds_path)
+        and _os.path.exists(_os.path.join(codes_dir, "_SUCCESS"))
+    ):
+        bounds = sq8_bounds(e, "embedding")
+        sq8_encode(e, "vec_id", "embedding", bounds).write.mode(
+            "overwrite"
+        ).parquet(codes_dir)
+        _os.makedirs(sq_dir, exist_ok=True)
+        tmp = bounds_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(bounds, f)
+        _os.replace(tmp, bounds_path)  # atomic: readers never see partial
+    with open(bounds_path) as f:
+        bounds = [tuple(b) for b in _json.load(f)]
+    codes = spark.read.parquet(codes_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return sq8_topk(
+        codes, queries, "vec_id", "embedding", bounds,
+        k=5, rerank=e, shortlist=128, dim=64,
+    )
+
+
+@register(
     "knn_pq",
     oracle=None,  # numpy-trained codebooks and argmin codes are not
     # DuckDB-reproducible (the IVF family's constraint, squared); recall

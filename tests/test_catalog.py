@@ -27,6 +27,9 @@ def test_oracle_coverage(registry):
         # k-means seeds order by Spark's Murmur3 hash — not reproducible
         # in DuckDB SQL, so the IVF family stays rows-only + recall tests
         "knn_ivf",
+        # persisted twin of the full-oracle knn_sq8 — pytest pins exact
+        # equality; re-deriving the oracle per run adds no signal
+        "knn_sq8_persisted",
         "knn_ivf_persisted",
         # float64-matmul summation order differs from the fold in the
         # last ulp — pair-set equality is tested instead
@@ -78,6 +81,8 @@ STATIC_UNGATED = {
     "knn_ivf_pq_persisted",
     # rows-only; SemDeDup soundness/completeness pytest vs exact pairs
     "semantic_dedup",
+    # persisted twin of knn_sq8 (full-oracle, pool); exact-equality pytest
+    "knn_sq8_persisted",
 }
 
 

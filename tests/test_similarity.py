@@ -585,3 +585,25 @@ def test_sq8_codes_bounded_decode_error_and_recall(spark, sf_dir):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"sq8 recall {recall:.2f}"
+
+
+def test_sq8_persisted_identical_to_in_memory(spark, sf_dir):
+    """The persisted SQ8 path must return EXACTLY the in-memory knn_sq8
+    result — bounds are exact aggregates and codes are deterministic, so
+    persistence is a materialization, not an approximation."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    reg = load_all()
+    mem = sorted(
+        tuple(r) for r in reg["knn_sq8"].builder(spark, sf_dir).collect()
+    )
+    per1 = sorted(
+        tuple(r)
+        for r in reg["knn_sq8_persisted"].builder(spark, sf_dir).collect()
+    )
+    per2 = sorted(
+        tuple(r)
+        for r in reg["knn_sq8_persisted"].builder(spark, sf_dir).collect()
+    )
+    assert per1 == mem
+    assert per2 == mem
