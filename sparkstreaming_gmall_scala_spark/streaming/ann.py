@@ -267,3 +267,86 @@ def ivfpq_ingest_pipeline(
         .outputMode("append")
         .start()
     )
+
+
+def sq8_ingest_batch(
+    spark: SparkSession,
+    index_dir: str,
+    bounds: list[tuple[float, float]],
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """Streaming SQ8 ingest — the codebook-free sibling of the IVF/IVF-PQ
+    ingests: each micro-batch's new vectors encode to per-dimension uint8
+    codes against BOUNDS frozen at bootstrap (the frozen-quantizer
+    contract: rescaling bounds would re-mean every already-indexed code;
+    drift = offline re-bound + rebuild into a fresh dir) and append as a
+    batch directory of (id, codes) rows. Encoding is pure Column
+    arithmetic — the only streaming-ANN ingest with zero Python workers.
+    A vector outside the frozen bounds clamps to 0/255 (the SQ8-standard
+    saturation), so late out-of-range arrivals degrade gracefully instead
+    of erroring."""
+    from ..operators.sq import sq8_encode
+
+    index = AppendOnlyIndex(index_dir)
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.dropDuplicates([id_col])
+        index.append(sq8_encode(new, id_col, vec_col, bounds), batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact(spark, upto_batch_id=batch_id - 1)
+
+    return process
+
+
+def sq8_index_topk(
+    queries: DataFrame,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    bounds: list[tuple[float, float]],
+    k: int = 5,
+    rerank: DataFrame | None = None,
+    shortlist: int = 32,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k against the streamed codes index: identical semantics to
+    ``operators.sq.sq8_topk`` over an sq8_encode of the same rows (same
+    frozen bounds ⇒ same codes). The id-dedup absorbs post-crash
+    compaction duplicates per the AppendOnlyIndex reader contract."""
+    from ..operators.sq import sq8_topk
+
+    spark = queries.sparkSession
+    idx = AppendOnlyIndex(index_dir).read(spark).dropDuplicates([id_col])
+    return sq8_topk(
+        idx, queries, id_col, vec_col, bounds,
+        k=k, rerank=rerank, shortlist=shortlist, dim=dim,
+    )
+
+
+def sq8_ingest_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    bounds: list[tuple[float, float]],
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """Embedding file-drop stream → incrementally grown SQ8 codes
+    index."""
+    embs = file_stream(spark, src_dir, EMB_SCHEMA)
+    return (
+        embs.writeStream.foreachBatch(
+            sq8_ingest_batch(
+                spark, index_dir, bounds, id_col, vec_col, compact_every
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
