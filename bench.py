@@ -134,6 +134,9 @@ HEADLINE = (
     # added r8: persisted SQ8 codes — steady-state probe next to
     # knn_sq8's derive-per-run number
     "knn_sq8_persisted",
+    # added r8: winnowing fingerprints (MOSS) — the sparse guaranteed
+    # substring-dup index next to dup_spans' keep-everything one
+    "winnow_fingerprints",
 )
 
 

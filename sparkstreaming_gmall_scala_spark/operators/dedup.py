@@ -743,3 +743,51 @@ def keep_best_per_cluster(
         F.col(score_col),
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from every doc's rolling k-gram
+    hashes, select the minimum hash of each w-wide window (rightmost
+    position on hash ties), deduped — a sparse fingerprint set with the
+    winnowing GUARANTEE: any shared substring of ≥ k + w − 1 tokens
+    yields at least one shared fingerprint, at an expected density of
+    2/(w+1) of all k-grams. The selective sibling of ``dup_spans``'s
+    keep-every-window-hash index: same candidate power for long matches
+    at a w-fold smaller index.
+
+    Engine shape: one explode (k-gram hashes, the dup_spans scan) + two
+    window functions over per-doc partitions (doc length bounds the
+    partition; no corpus-wide shuffle beyond the doc-key exchange) + a
+    distinct bounded by the fingerprint density. The rightmost-tie
+    argmin is encoded into a single ordered string key
+    ``md5hash ∥ lpad(10⁸ − start)`` so one ``min`` over the frame
+    resolves both orderings — identical string comparison in the DuckDB
+    oracle (positions must stay < 10⁸; a 100 TB corpus chunks docs long
+    before that, operators/packing.py)."""
+    from pyspark.sql import Window as W
+
+    wins = _window_hashes(_tokenized(docs, id_col, text_col), id_col, k)
+    key = F.concat(
+        F.col("_h"),
+        F.lpad((F.lit(100_000_000) - F.col("start")).cast("string"), 9, "0"),
+    )
+    frame = W.partitionBy(id_col).orderBy("start").rowsBetween(0, w - 1)
+    sel = (
+        wins.withColumn("_cnt", F.count(F.lit(1)).over(frame))
+        .withColumn("_sel", F.min(key).over(frame))
+        .filter(F.col("_cnt") == w)
+    )
+    return sel.select(
+        F.col(id_col),
+        (F.lit(100_000_000) - F.substring("_sel", 33, 9).cast("long")).alias(
+            "start"
+        ),
+        F.substring("_sel", 1, 32).alias("fp"),
+    ).distinct()

@@ -1963,6 +1963,49 @@ _CURATE_SQL = f"""
 
 
 @register(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+    wins AS (
+      SELECT doc_id, i AS start,
+             md5(array_to_string(ts[i:i + 7], ' ')) AS h
+      FROM toks, unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS u(i)
+    ),
+    keyed AS (
+      SELECT doc_id, start,
+             h || lpad(CAST(100000000 - start AS VARCHAR), 9, '0') AS key
+      FROM wins
+    ),
+    sel AS (
+      SELECT doc_id,
+             count(*) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt,
+             min(key) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+      FROM keyed
+    )
+    SELECT DISTINCT doc_id,
+           CAST(100000000 - CAST(substring(selkey, 33, 9) AS BIGINT) AS BIGINT) AS start,
+           substring(selkey, 1, 32) AS fp
+    FROM sel WHERE cnt = 4
+    """,
+    tags=("llm", "text", "dedup", "fingerprint"),
+    # Full-oracle POOL entry (appended with the round-8 additions).
+    gated=False,
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, SIGMOD 2003) at k=8-token grams /
+    w=4 guarantee windows: the min hash of every 4-window (rightmost on
+    ties), deduped — any shared run of ≥ 11 tokens between two docs is
+    guaranteed a shared fingerprint at ~2/5 the index size of keeping
+    every window hash (operators/dedup.py:winnow_fingerprints)."""
+    from ..operators.dedup import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=8, w=4)
+
+
+@register(
     "dup_spans",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),

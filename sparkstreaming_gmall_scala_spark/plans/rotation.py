@@ -75,6 +75,7 @@ POOL: tuple[str, ...] = (
     "knn_sq8",
     "bpe_pairs",
     "script_mix",
+    "winnow_fingerprints",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -133,6 +133,7 @@ def test_gate_budget(registry):
         "knn_sq8",
         "bpe_pairs",
         "script_mix",
+        "winnow_fingerprints",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

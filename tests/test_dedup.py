@@ -308,3 +308,38 @@ def test_cut_splice_can_create_new_duplicates_known_case(spark):
     )
     again = dup_spans(docs2, "doc_id", "text", window=4, min_count=2)
     assert again.count() > 0  # the splice-created collision
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing contract (SIGMOD 2003): two docs sharing a run of
+    ≥ k + w − 1 tokens MUST share a fingerprint; unrelated docs with no
+    k-gram in common share none; density lands near 2/(w+1)."""
+    from sparkstreaming_gmall_scala_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"  # 11 tokens = k+w-1
+    rows = [
+        (1, "unique one two three four five six seven " + shared),
+        (2, shared + " tail words that differ from the first entirely"),
+        (3, "completely disjoint vocabulary nothing matches here at all "
+            "more filler so windows exist okay fine done truly"),
+    ]
+    fps = winnow_fingerprints(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text", k=8, w=4,
+    ).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+    # density on a longer doc: ~2/(w+1) of k-grams, generous margins
+    long = (1, " ".join(f"tok{i % 37}x{i % 11}" for i in range(400)))
+    sel = winnow_fingerprints(
+        spark.createDataFrame([long], "doc_id long, text string"),
+        "doc_id", "text", k=8, w=4,
+    ).count()
+    n_grams = 400 - 8 + 1
+    assert 0.2 * n_grams <= sel <= 0.6 * n_grams, sel / n_grams
