@@ -110,33 +110,71 @@ def sq8_topk(
     shortlist: int = 32,
     dim: int | None = None,
 ) -> DataFrame:
-    """ANN top-k over the SQ8 codes table: decode in codegen, 6-dp
-    approximate cosine against the broadcast query batch, per-query
-    shortlist by (approx desc, id), then — with ``rerank`` — exact cosine
-    over only the shortlisted raw vectors (the pq_topk refine shape,
-    minus the Python workers). Deterministic end to end, so the catalog
+    """ANN top-k over the SQ8 codes table: the approximate cosine folds
+    DIRECTLY over the codes — decode happens inside the one O(dim)
+    aggregate per pair, never as a reusable decoded-array column.
+    (A decoded `transform(...)` column looks cleaner, but Catalyst's
+    CollapseProject inlines the alias into every ``getItem(i)`` of an
+    unrolled dot chain, turning the scan O(dim²) per pair — measured 6 s
+    vs sub-2 s for the fold form on the sf0.1 bench.) Per-query
+    shortlist by (approx desc, id), then — with ``rerank`` — exact
+    cosine over only the shortlisted raw vectors (the pq_topk refine
+    shape, minus the Python workers). Deterministic end to end (same
+    element order and arithmetic as sq8_decode_col), so the catalog
     entry carries a full DuckDB oracle."""
-    q = _with_norm(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        ),
-        "qvec",
-        "_qnorm",
-        dim,
+    mn = _lit_arr([b[0] for b in bounds])
+    mx = _lit_arr([b[1] for b in bounds])
+
+    def dec(s: Column) -> Column:
+        # decoded element from a zipped struct: mn + (c·(mx − mn))/255
+        return s.getField("mn") + (
+            s.getField("c").cast("double")
+            * (s.getField("mx") - s.getField("mn"))
+        ) / 255.0
+
+    def zipped(codes_col: Column, *extra: tuple[str, Column]) -> Column:
+        cols = [codes_col.alias("c"), mn.alias("mn"), mx.alias("mx")]
+        cols += [c.alias(n) for n, c in extra]
+        return F.arrays_zip(*cols)
+
+    # ||decode(codes)||: one fold per corpus row
+    cnorm = F.sqrt(
+        F.aggregate(
+            zipped(F.col("codes")),
+            F.lit(0.0),
+            lambda acc, s: acc + dec(s) * dec(s),
+        )
     )
-    c = _with_norm(
-        codes.select(
-            F.col(id_col).alias("neighbor_id"),
-            sq8_decode_col(F.col("codes"), bounds).alias("cvec"),
-        ),
-        "cvec",
-        "_cnorm",
-        dim,
+    qsel = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    if dim is not None:
+        q = _with_norm(qsel, "qvec", "_qnorm", dim)
+    else:
+        from ..functions.vectors import norm as _vnorm
+
+        q = qsel.withColumn("_qnorm", _vnorm(F.col("qvec")))
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes"),
+        cnorm.alias("_cnorm"),
+    )
+    # dot(qvec, decode(codes)): one fold per pair, decode inside
+    pair_dot = F.aggregate(
+        zipped(F.col("codes"), ("q", F.col("qvec"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s.getField("q").cast("double") * dec(s),
     )
     approx = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("approx", _pair_score(dim))
+        .withColumn(
+            "approx",
+            F.floor(
+                (pair_dot / (F.col("_qnorm") * F.col("_cnorm"))) * 1e6 + 0.5
+            )
+            / 1e6,
+        )
     )
     n_short = max(shortlist, k + 1) if rerank is not None else k + 1
     w = Window.partitionBy("query_id").orderBy(
