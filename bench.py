@@ -137,6 +137,12 @@ HEADLINE = (
     # added r8: winnowing fingerprints (MOSS) — the sparse guaranteed
     # substring-dup index next to dup_spans' keep-everything one
     "winnow_fingerprints",
+    # added r8: tokenizer vocab table, ordered conversion funnel, and
+    # cohort retention (the product-analytics surface the reference's
+    # DAU/order apps imply)
+    "vocab_top_tokens",
+    "event_funnel",
+    "user_retention",
 )
 
 

@@ -14,7 +14,7 @@ shingle i = concat_ws(' ', tokens[i..i+2]) for i in 1..max(n-2, 1)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -112,6 +112,43 @@ def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return merge_candidates(d, "doc_id", "text", top_n=100)
+
+
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest({_TOKENS}) AS tok FROM documents
+    )
+    SELECT rank, tok, cnt FROM (
+      SELECT tok, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+      FROM t GROUP BY tok
+    ) WHERE rank <= 200
+    """,
+    tags=("llm", "text", "tokenizer"),
+    # Full-oracle POOL entry (appended with the round-8 additions).
+    gated=False,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus vocabulary by token frequency (rank ties break
+    lexicographically) — the word-level vocab table tokenizer training
+    starts from, next to bpe_pairs' merge candidates. One explode + one
+    groupBy with map-side partial agg; orderBy+limit bounds the global
+    sort to 200 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.bpe import tokens_col
+
+    counts = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "tok").limit(200)
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "tok", "cnt"
+    )
 
 
 @register(

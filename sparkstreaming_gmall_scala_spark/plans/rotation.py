@@ -76,6 +76,9 @@ POOL: tuple[str, ...] = (
     "bpe_pairs",
     "script_mix",
     "winnow_fingerprints",
+    "vocab_top_tokens",
+    "event_funnel",
+    "user_retention",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -136,3 +136,106 @@ def orders_next_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, ["o_orderkey", "o_custkey"], "left")
         .fillna(0, subset=["n_next_30d"])
     )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT 'view' AS stage, 1 AS stage_ord, (SELECT count(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 'click_after_view', 2, (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 'purchase_after_click', 3, (SELECT count(*) FROM p)
+    """,
+    tags=("temporal", "events", "funnel"),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered conversion funnel over the event stream: users with
+    a view, users whose first view is followed by a click, users whose
+    first such click is followed by a purchase — the per-stage user
+    counts every product-analytics stack reports (and the reference's
+    DAU/order apps imply). Three aggregations all keyed on user_id, so
+    AQE reuses one exchange; no event ever leaves its user partition."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .select("user_id")
+        .distinct()
+    )
+
+    def stage(name: str, ord_: int, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).alias("stage_ord"),
+            "n_users",
+        )
+
+    return (
+        stage("view", 1, v)
+        .unionByName(stage("click_after_view", 2, c))
+        .unionByName(stage("purchase_after_click", 3, p))
+    )
+
+
+@register(
+    "user_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohort AS (
+      SELECT user_id, min(day) AS c0 FROM act GROUP BY user_id
+    )
+    SELECT strftime(c.c0, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', c.c0, a.day) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "events", "retention"),
+)
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted on
+    each later activity-day offset — the classic D1/D7/D30 retention
+    table. Day boundaries are UTC on both engines (session timezone is
+    pinned UTC; the oracle's CAST(ts AS DATE) sees the same instants).
+    Two aggregations on user_id + one on (cohort, offset); the distinct
+    (user, day) projection bounds everything by active-user-days."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("c0"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "c0").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -134,6 +134,9 @@ def test_gate_budget(registry):
         "bpe_pairs",
         "script_mix",
         "winnow_fingerprints",
+        "vocab_top_tokens",
+        "event_funnel",
+        "user_retention",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
