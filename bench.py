@@ -143,6 +143,10 @@ HEADLINE = (
     "vocab_top_tokens",
     "event_funnel",
     "user_retention",
+    # added r8: TPC-H Q3/Q10 shapes — multi-join top-k revenue reports
+    # (broadcast dims, pushed filters, limit-capped global sorts)
+    "shipping_priority",
+    "returned_item_report",
 )
 
 

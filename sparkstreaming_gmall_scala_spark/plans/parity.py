@@ -578,3 +578,118 @@ def join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_details"))
     )
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT rank, l_orderkey, revenue, o_order_us, o_orderpriority FROM (
+      SELECT l.l_orderkey,
+             CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+             epoch_us(o.o_orderdate) AS o_order_us,
+             o.o_orderpriority,
+             row_number() OVER (
+               ORDER BY round(sum({_REV_SQL}), 2) DESC, l.l_orderkey
+             ) AS rank
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ) WHERE rank <= 10
+    """,
+    tags=("parity", "join", "agg", "topk"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment —
+    the three-way join every order dashboard runs. Plan: both filters
+    push to their scans, the segment-filtered customer side broadcasts
+    into orders, the grouped sum partial-aggregates map-side, and
+    orderBy+limit caps the global sort at 10 rows before the rank
+    window touches anything."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    from pyspark.sql import Window as W
+
+    grouped = (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
+    )
+    top = grouped.orderBy(F.col("revenue").desc(), "l_orderkey").limit(10)
+    w = W.orderBy(F.col("revenue").desc(), "l_orderkey")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "l_orderkey",
+        "revenue",
+        F.unix_micros("o_orderdate").alias("o_order_us"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "returned_item_report",
+    oracle=f"""
+    SELECT rank, c_custkey, c_name, revenue, n_name FROM (
+      SELECT c.c_custkey, c.c_name,
+             CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+             n.n_name,
+             row_number() OVER (
+               ORDER BY round(sum({_REV_SQL}), 2) DESC, c.c_custkey
+             ) AS rank
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    ) WHERE rank <= 20
+    """,
+    tags=("parity", "join", "agg", "topk"),
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter —
+    four-way join (nation broadcast, the classic small-dim case), R-flag
+    and date-range filters pushed to the scans, top-20 by returned
+    revenue with deterministic ties."""
+    cutlo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    cuthi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window as W
+
+    grouped = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
+    )
+    top = grouped.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+    w = W.orderBy(F.col("revenue").desc(), "c_custkey")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "c_custkey", "c_name", "revenue", "n_name"
+    )

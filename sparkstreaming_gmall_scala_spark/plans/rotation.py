@@ -79,6 +79,8 @@ POOL: tuple[str, ...] = (
     "vocab_top_tokens",
     "event_funnel",
     "user_retention",
+    "shipping_priority",
+    "returned_item_report",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

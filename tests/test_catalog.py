@@ -137,6 +137,8 @@ def test_gate_budget(registry):
         "vocab_top_tokens",
         "event_funnel",
         "user_retention",
+        "shipping_priority",
+        "returned_item_report",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
