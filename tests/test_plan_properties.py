@@ -264,3 +264,44 @@ def test_pq_codes_scan_shuffle_free_and_rerank_broadcasts(spark, sf_dir, registr
     assert any(
         n.nodeName() == "BroadcastHashJoin" for n in nodes
     ), [n.nodeName() for n in nodes][:40]
+
+
+def test_q3_q10_broadcast_dims_and_pushed_filters(spark, sf_dir, registry):
+    """The TPC-H Q3/Q10 shapes: dims broadcast (fact side never shuffles
+    for the joins) and every selective predicate reaches its scan."""
+    plan = _plan(spark, registry, "shipping_priority", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    scans = [l for l in plan.split("\n") if "Scan parquet" in l]
+    assert any("mktsegment" in l for l in scans), plan[:2000]
+    assert any("l_shipdate" in l and "PushedFilters" in l for l in scans)
+
+    plan = _plan(spark, registry, "returned_item_report", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    scans = [l for l in plan.split("\n") if "Scan parquet" in l]
+    assert any("l_returnflag" in l and "PushedFilters" in l for l in scans)
+    assert any("o_orderdate" in l for l in scans)
+
+
+def test_winnowing_shuffles_only_on_doc_key(spark, sf_dir, registry):
+    """winnow_fingerprints: the only exchanges are the per-doc window
+    partitioning and the final distinct — no corpus-wide key beyond
+    doc_id before the fingerprint-density-bounded distinct."""
+    plan = _plan(spark, registry, "winnow_fingerprints", sf_dir)
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected <=2 shuffles, got {n}\n{plan[:2000]}"
+
+
+def test_vocab_and_bpe_sorts_are_limit_capped(spark, sf_dir, registry):
+    """The tokenizer tables' global sorts must be TakeOrderedAndProject
+    (top-N before any global sort materializes), not a full Sort."""
+    for name in ("vocab_top_tokens", "bpe_pairs"):
+        plan = _plan(spark, registry, name, sf_dir)
+        assert "TakeOrderedAndProject" in plan, f"{name}\n{plan[:2000]}"
+
+
+def test_sq8_probe_is_single_scan_per_side_no_python(spark, sf_dir, registry):
+    """knn_sq8: zero Python workers anywhere in the plan (the SQ8 claim),
+    and the codes side is scanned without a pre-join shuffle."""
+    plan = _plan(spark, registry, "knn_sq8", sf_dir)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
