@@ -1,0 +1,115 @@
+"""Streaming conversion funnel: exact at any arrival order.
+
+The tempting incremental design — per-user (first_view, first_click,
+first_purchase) accumulators updated per batch — is WRONG under late
+data: a late early view can retroactively qualify a click the
+accumulator already discarded, and no bounded per-user scalar state can
+recover it. Funnel stages are order-dependent joins, not monotone mins.
+
+The exact design stores the minimal sufficient state instead: an
+append-only index of just the funnel-relevant event projection
+((user_id, event_type, ts, event_id), view/click/purchase only — the
+projection funnel analytics systems persist). Ingest is O(batch) and
+trivially replay-idempotent (identity rows, the AppendOnlyIndex crash
+contract applies unchanged, inline compaction included); the report
+runs the SAME three-stage aggregation as the batch ``event_funnel``
+catalog query over the index, so streamed results are exactly the
+batch results over the union of batches — pinned in tests including an
+out-of-order late-arrival batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.batch import AppendOnlyIndex
+from .sources import file_stream
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_ingest_batch(
+    spark: SparkSession,
+    index_dir: str,
+    compact_every: int | None = None,
+):
+    """Per-batch body: project the funnel-relevant events and append.
+    The event_id key makes rows identity-semantic (duplicate deliveries
+    and compaction-crash duplicates collapse in the report's dedup)."""
+    index = AppendOnlyIndex(index_dir)
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ev = batch_df.filter(
+            F.col("event_type").isin(*FUNNEL_STAGES)
+        ).select("event_id", "user_id", "event_type", "ts")
+        index.append(ev.dropDuplicates(["event_id"]), batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact(spark, upto_batch_id=batch_id - 1)
+
+    return process
+
+
+def funnel_report(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(stage, stage_ord, n_users) over everything ingested — the same
+    strict ordered semantics as the ``event_funnel`` catalog query:
+    first view, first click after it, any purchase after that click."""
+    ev = (
+        AppendOnlyIndex(index_dir)
+        .read(spark)
+        .dropDuplicates(["event_id"])
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .select("user_id")
+        .distinct()
+    )
+
+    def stage(name: str, ord_: int, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).alias("stage_ord"),
+            "n_users",
+        )
+
+    return (
+        stage("view", 1, v)
+        .unionByName(stage("click_after_view", 2, c))
+        .unionByName(stage("purchase_after_click", 3, p))
+    )
+
+
+def funnel_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    schema,
+    compact_every: int | None = None,
+):
+    """Event file-drop stream → incrementally grown funnel event index."""
+    ev = file_stream(spark, src_dir, schema)
+    return (
+        ev.writeStream.foreachBatch(
+            funnel_ingest_batch(spark, index_dir, compact_every)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
