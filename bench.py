@@ -147,6 +147,8 @@ HEADLINE = (
     # (broadcast dims, pushed filters, limit-capped global sorts)
     "shipping_priority",
     "returned_item_report",
+    # added r8: hourly OHLC bars (min_by/max_by first/last aggregation)
+    "event_ohlc",
 )
 
 

@@ -81,6 +81,7 @@ POOL: tuple[str, ...] = (
     "user_retention",
     "shipping_priority",
     "returned_item_report",
+    "event_ohlc",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -239,3 +239,57 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "event_ohlc",
+    oracle="""
+    WITH k AS (
+      SELECT date_trunc('hour', ts) AS hour, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT epoch_us(hour) AS hour_us,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           count(*) AS n_events
+    FROM k GROUP BY hour
+    """,
+    tags=("temporal", "events", "agg"),
+    gated=False,
+)
+def event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over purchase values — the first/last-by-event-
+    time aggregation shape (min_by/max_by with a total order: ts then
+    event_id, encoded as one zero-padded sortable string so both engines
+    break ties identically). One partial-aggregated groupBy; no window,
+    no sort — first/last fold map-side like any other agg."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ordk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+            ordk.alias("ord"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.expr("min_by(value, ord)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, ord)").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_micros("hour").alias("hour_us"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )

@@ -139,6 +139,7 @@ def test_gate_budget(registry):
         "user_retention",
         "shipping_priority",
         "returned_item_report",
+        "event_ohlc",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
