@@ -1301,6 +1301,35 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_pagerank",
+    oracle=None,  # iterative (DuckDB recursive CTEs forbid aggregates in
+    # the recursive term); exact-equality pin against a pure local
+    # integer-arithmetic reference in tests/test_pagerank.py instead.
+    tags=("llm", "dedup", "graph"),
+    gated=False,
+)
+def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph (each undirected
+    pair fed in both directions): which documents are the hub centers of
+    duplicate mass — the canonical-pick / crawl-quality signal on top of
+    dup_clusters' membership. Integer nano-unit arithmetic end to end
+    (operators/pagerank.py), so ranks are exactly reproducible under any
+    partitioning — unusual for distributed PageRank and pinned in
+    pytest."""
+    from ..operators.pagerank import pagerank
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, dim=64
+    ).select("id_a", "id_b")
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    return pagerank(edges, iters=6)
+
+
+@register(
     "embed_near_dup",
     oracle=f"""
     WITH scored AS (

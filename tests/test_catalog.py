@@ -47,6 +47,9 @@ def test_oracle_coverage(registry):
         # k-means cells again (SemDeDup); soundness/within-cell
         # completeness pinned against the exact pair set in pytest
         "semantic_dedup",
+        # iterative PageRank: DuckDB recursive CTEs forbid aggregates in
+        # the recursive term; exact integer-arithmetic pin in pytest
+        "dup_pagerank",
     }, no_oracle
 
 
@@ -83,6 +86,8 @@ STATIC_UNGATED = {
     "semantic_dedup",
     # persisted twin of knn_sq8 (full-oracle, pool); exact-equality pytest
     "knn_sq8_persisted",
+    # rows-only iterative PageRank; exact local-reference pin in pytest
+    "dup_pagerank",
 }
 
 
