@@ -113,3 +113,49 @@ def funnel_pipeline(
         .outputMode("append")
         .start()
     )
+
+
+def events_ingest_batch(
+    spark: SparkSession,
+    index_dir: str,
+    compact_every: int | None = None,
+):
+    """Unfiltered sibling of ``funnel_ingest_batch``: append every
+    event's (event_id, user_id, event_type, ts) projection — the shared
+    analytics index ``retention_report`` (all event types count as
+    activity) and ``funnel_report``-style readers draw from."""
+    index = AppendOnlyIndex(index_dir)
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ev = batch_df.select("event_id", "user_id", "event_type", "ts")
+        index.append(ev.dropDuplicates(["event_id"]), batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact(spark, upto_batch_id=batch_id - 1)
+
+    return process
+
+
+def retention_report(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(cohort_day, day_offset, n_users) over everything ingested — the
+    exact ``user_retention`` catalog semantics (first-activity-day
+    cohorts × activity-day offsets), correct under late data for the
+    same reason as the funnel: a late early event moves a user's cohort
+    day retroactively, which bounded per-user state cannot undo but a
+    recompute over the sufficient projection does for free."""
+    ev = (
+        AppendOnlyIndex(index_dir)
+        .read(spark)
+        .dropDuplicates(["event_id"])
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("c0"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "c0").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -65,3 +65,29 @@ def test_streamed_funnel_exact_under_late_data(spark, tmp_path):
     # after: first view is t1=:01, click@3 qualifies, purchase@4 follows
     after = {r["stage"]: r["n_users"] for r in funnel_report(spark, idx).collect()}
     assert after == {"view": 1, "click_after_view": 1, "purchase_after_click": 1}
+
+
+def test_streamed_retention_equals_batch_on_union(spark, sf_dir, tmp_path):
+    """Streamed retention over the shared analytics index == the
+    user_retention catalog query on the union, through compaction and a
+    replay — including the late-cohort-shift case a per-user scalar
+    cohort state would get wrong."""
+    from sparkstreaming_gmall_scala_spark.streaming.funnel import (
+        events_ingest_batch,
+        retention_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    idx = str(tmp_path / "eidx")
+    run = events_ingest_batch(spark, idx, compact_every=2)
+    # order batches NEWEST-first so every user's cohort day shifts
+    # earlier as later batches land (the retroactive case)
+    run(ev.filter(F.col("event_id") % 3 == 2), 0)
+    run(ev.filter(F.col("event_id") % 3 == 1), 1)
+    run(ev.filter(F.col("event_id") % 3 == 0), 2)  # triggers compaction
+
+    want = _rows(load_all()["user_retention"].builder(spark, sf_dir))
+    assert _rows(retention_report(spark, idx)) == want
+
+    run(ev.filter(F.col("event_id") % 3 == 2), 0)  # replay
+    assert _rows(retention_report(spark, idx)) == want
