@@ -1,0 +1,64 @@
+"""Streaming OHLC (streaming/ohlc.py): merged partial bars must equal
+the batch event_ohlc on the union — the commutative-monoid argument —
+through replay and compaction, under adversarial batch splits that
+scatter each hour's first/last events across batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+from sparkstreaming_gmall_scala_spark.sources import load_table
+from sparkstreaming_gmall_scala_spark.streaming.ohlc import (
+    ohlc_ingest_batch,
+    ohlc_report,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streamed_ohlc_equals_batch_on_union(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    idx = str(tmp_path / "oidx")
+    run = ohlc_ingest_batch(spark, idx, compact_every=2)
+    # split by event_id mod 3: every hour's open/close/high/low events
+    # land in arbitrary different batches — the merge must reassemble
+    # them exactly
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    run(b0, 0)
+    run(ev.filter(F.col("event_id") % 3 == 1), 1)
+    run(ev.filter(F.col("event_id") % 3 == 2), 2)  # triggers compaction
+
+    want = _rows(load_all()["event_ohlc"].builder(spark, sf_dir))
+    assert _rows(ohlc_report(spark, idx)) == want
+
+    # replay a compacted-away batch: (hour, src_batch) dedup absorbs the
+    # duplicate partials, bars unchanged
+    run(b0, 0)
+    assert _rows(ohlc_report(spark, idx)) == want
+
+
+def test_single_event_hours_and_batch_boundary_opens(spark, tmp_path):
+    """Hand case: an hour whose open and close arrive in different
+    batches, in the WRONG order (close first) — the ord key, not arrival
+    order, must pick open/close."""
+    import datetime as dt
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(e, 1, "purchase", dt.datetime.fromisoformat(t), v)
+         for e, t, v in rows],
+        schema,
+    )
+    idx = str(tmp_path / "oidx")
+    run = ohlc_ingest_batch(spark, idx)
+    run(mk([(2, "2024-01-01 10:50:00", 99.0)]), 0)   # close arrives first
+    run(mk([(1, "2024-01-01 10:05:00", 11.0)]), 1)   # open arrives later
+    bars = ohlc_report(spark, idx).collect()
+    assert len(bars) == 1
+    b = bars[0]
+    assert (b["open"], b["close"], b["high"], b["low"], b["n_events"]) == (
+        11.0, 99.0, 99.0, 11.0, 2,
+    )
