@@ -159,3 +159,61 @@ def retention_report(spark: SparkSession, index_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+def analytics_mart_batch(
+    spark: SparkSession,
+    events_index_dir: str,
+    ohlc_index_dir: str,
+    ohlc_event_type: str = "purchase",
+    compact_every: int | None = None,
+):
+    """One event stream → every analytics mart (the reference's
+    ODS→DWD→DWS fan-out as a single foreachBatch body): the batch lands
+    ONCE into (a) the sufficient-projection event index that serves
+    ``funnel_report`` and ``retention_report``, and (b) the algebraic
+    OHLC partial-bar index — each batch is read once, each mart pays
+    only its own O(batch) projection/aggregate, and every sink keeps its
+    own replay/compaction contract. Reports stay on-demand reads; no
+    mart ever re-scans the stream."""
+    from .ohlc import ohlc_ingest_batch
+
+    ev_body = events_ingest_batch(spark, events_index_dir, compact_every)
+    ohlc_body = ohlc_ingest_batch(
+        spark, ohlc_index_dir, ohlc_event_type, compact_every
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            ev_body(b, batch_id)
+            ohlc_body(b, batch_id)
+        finally:
+            b.unpersist()
+
+    return process
+
+
+def analytics_mart_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    events_index_dir: str,
+    ohlc_index_dir: str,
+    checkpoint: str,
+    schema,
+    compact_every: int | None = None,
+):
+    """Event file-drop stream → all analytics marts, one checkpointed
+    query."""
+    ev = file_stream(spark, src_dir, schema)
+    return (
+        ev.writeStream.foreachBatch(
+            analytics_mart_batch(
+                spark, events_index_dir, ohlc_index_dir,
+                compact_every=compact_every,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -62,3 +62,91 @@ def test_single_event_hours_and_batch_boundary_opens(spark, tmp_path):
     assert (b["open"], b["close"], b["high"], b["low"], b["n_events"]) == (
         11.0, 99.0, 99.0, 11.0, 2,
     )
+
+
+def test_analytics_mart_composition(spark, sf_dir, tmp_path):
+    """One stream, every mart: after driving the composed body over
+    three batches, funnel, retention, AND OHLC reports all equal their
+    batch catalog queries on the union — one ingest, three marts."""
+    from sparkstreaming_gmall_scala_spark.streaming.funnel import (
+        analytics_mart_batch,
+        funnel_report,
+        retention_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    eidx, oidx = str(tmp_path / "eidx"), str(tmp_path / "oidx")
+    run = analytics_mart_batch(spark, eidx, oidx, compact_every=2)
+    for i in range(3):
+        run(ev.filter(F.col("event_id") % 3 == i), i)
+
+    reg = load_all()
+    assert _rows(funnel_report(spark, eidx)) == _rows(
+        reg["event_funnel"].builder(spark, sf_dir)
+    )
+    assert _rows(retention_report(spark, eidx)) == _rows(
+        reg["user_retention"].builder(spark, sf_dir)
+    )
+    assert _rows(ohlc_report(spark, oidx)) == _rows(
+        reg["event_ohlc"].builder(spark, sf_dir)
+    )
+
+
+def test_analytics_mart_live_pipeline(spark, tmp_path):
+    """The checkpointed wrapper wires the composed body over a real
+    file-drop micro-batch."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sparkstreaming_gmall_scala_spark.streaming.funnel import (
+        analytics_mart_pipeline,
+        funnel_report,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (1, 1, "view", dt.datetime(2024, 1, 1, 10, 0), 1.0),
+        (2, 1, "click", dt.datetime(2024, 1, 1, 10, 5), 1.0),
+        (3, 1, "purchase", dt.datetime(2024, 1, 1, 10, 9), 42.0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    src = tmp_path / "src"
+    src.mkdir()
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(os.path.join(tmp, "w"))
+        part = glob.glob(os.path.join(tmp, "w", "part-*.parquet"))[0]
+        shutil.copy(part, src / "drop0.parquet")
+    q = analytics_mart_pipeline(
+        spark,
+        str(src),
+        str(tmp_path / "eidx"),
+        str(tmp_path / "oidx"),
+        str(tmp_path / "ckpt"),
+        schema,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    funnel = {
+        r["stage"]: r["n_users"]
+        for r in funnel_report(spark, str(tmp_path / "eidx")).collect()
+    }
+    assert funnel == {
+        "view": 1, "click_after_view": 1, "purchase_after_click": 1,
+    }
+    bars = ohlc_report(spark, str(tmp_path / "oidx")).collect()
+    assert len(bars) == 1 and bars[0]["n_events"] == 1
