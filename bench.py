@@ -149,6 +149,11 @@ HEADLINE = (
     "returned_item_report",
     # added r8: hourly OHLC bars (min_by/max_by first/last aggregation)
     "event_ohlc",
+    # added r8: TPC-H Q5 shape (six-way join with a cross-table nation
+    # predicate riding the join condition) and the count-min-sketch
+    # heavy-hitters report (bounded sketch, broadcast probe)
+    "local_supplier_volume",
+    "heavy_hitters_cms",
 )
 
 

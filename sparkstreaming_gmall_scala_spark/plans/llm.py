@@ -2931,3 +2931,71 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", "label",
         k=5, dim=64,
     )
+
+
+def _cms_oracle(depth: int, width: int, topk: int) -> str:
+    """SQL mirror of operators/cms.py: identical md5-salted buckets
+    (('0x'||hex)::BIGINT is DuckDB's conv(hex,16,10)), identical
+    cell-wise sketch, identical min-over-rows estimate — the sketch is
+    approximate but DETERMINISTIC, so the full value-hash gate applies."""
+    return f"""
+    WITH ks AS (
+      SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT e.user_id, t.i,
+             CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)
+                                       || '|' || CAST(t.i AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % {width} AS bucket
+      FROM events e CROSS JOIN range({depth}) t(i)
+    ), sketch AS (
+      SELECT i, bucket, count(*) AS cnt FROM cells GROUP BY i, bucket
+    ), probes AS (
+      SELECT DISTINCT user_id, i, bucket FROM cells
+    ), est AS (
+      SELECT p.user_id, min(s.cnt) AS est_cnt
+      FROM probes p JOIN sketch s ON s.i = p.i AND s.bucket = p.bucket
+      GROUP BY p.user_id
+    )
+    SELECT rank, user_id, est_cnt, true_cnt FROM (
+      SELECT k.user_id, e.est_cnt, k.true_cnt,
+             row_number() OVER (ORDER BY e.est_cnt DESC, k.user_id) AS rank
+      FROM ks k JOIN est e ON k.user_id = e.user_id
+    ) WHERE rank <= {topk}
+    """
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=_cms_oracle(depth=4, width=256, topk=20),
+    tags=("llm", "sketch", "events"),
+    gated=False,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest event emitters ranked by COUNT-MIN ESTIMATE
+    (d=4, w=256), with the exact count alongside to exhibit the
+    one-sided bound (est >= true, always). The sketch is a <=1024-row
+    DataFrame built in one map-side-combined shuffle regardless of
+    input size — the structure that replaces exact per-key counting
+    when the key space (billions of users) no longer fits a shuffle;
+    the probe joins against the BROADCAST sketch, so estimation costs
+    no exchange beyond the per-key distinct. Ranking by the estimate
+    (not truth) is the honest production semantics: ties and collision
+    inflation land in the output order, and both engines compute the
+    identical deterministic sketch."""
+    from ..operators.cms import cms_estimate, cms_sketch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sk = cms_sketch(ev, "user_id", depth=4, width=256)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(
+        sk, truth.select("user_id"), "user_id", depth=4, width=256
+    )
+    ranked = (
+        truth.join(est, "user_id")
+        .orderBy(F.col("est_cnt").desc(), "user_id")
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("est_cnt").desc(), "user_id")
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "user_id", "est_cnt", "true_cnt"
+    )

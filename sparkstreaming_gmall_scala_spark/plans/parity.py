@@ -693,3 +693,74 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "c_custkey", "c_name", "revenue", "n_name"
     )
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("parity", "join", "agg"),
+    gated=False,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    line's supplier sit in the SAME nation of one region, over one order
+    year — the six-way join with a cross-table predicate (c_nationkey =
+    s_nationkey) that join ordering actually matters for. Plan: region→
+    nation→supplier collapse into one broadcast (dims are tiny at any
+    scale), lineitem picks up s_nationkey from that broadcast without a
+    shuffle, and the only real exchanges are the orderkey join against
+    the date-filtered orders and the custkey join against customer —
+    where the nation-equality predicate rides the join condition so
+    mismatched rows die inside the join, not in a post-filter. Decimal
+    revenue keeps the sum order-independent (exact), so the final
+    5-row-per-region agg hash-matches the oracle."""
+    cutlo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    cuthi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    # dims collapse driver-free: supplier rows outside the region vanish
+    # inside the broadcast build side
+    sdim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    return (
+        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == sdim.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -82,6 +82,8 @@ POOL: tuple[str, ...] = (
     "shipping_priority",
     "returned_item_report",
     "event_ohlc",
+    "local_supplier_volume",
+    "heavy_hitters_cms",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

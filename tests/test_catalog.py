@@ -145,6 +145,8 @@ def test_gate_budget(registry):
         "shipping_priority",
         "returned_item_report",
         "event_ohlc",
+        "local_supplier_volume",
+        "heavy_hitters_cms",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
