@@ -154,6 +154,10 @@ HEADLINE = (
     # heavy-hitters report (bounded sketch, broadcast probe)
     "local_supplier_volume",
     "heavy_hitters_cms",
+    # added r8: SCD2 dimension history (gaps-and-islands in one key
+    # partitioning) — the dim-with-history the reference's latest-row
+    # Phoenix upserts can't answer
+    "customer_status_history",
 )
 
 

@@ -764,3 +764,62 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "customer_status_history",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN row_number() OVER w = 1
+                       OR lag(o_orderstatus) OVER w
+                          IS DISTINCT FROM o_orderstatus
+                  THEN 1 ELSE 0 END AS mark
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), g AS (
+      SELECT *, sum(mark) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM s
+    ), seg AS (
+      SELECT o_custkey, o_orderstatus, grp, min(o_orderdate) AS eff_from,
+             count(*) AS n_observations
+      FROM g GROUP BY o_custkey, o_orderstatus, grp
+    )
+    SELECT o_custkey, o_orderstatus,
+           epoch_us(eff_from) AS eff_from_us,
+           epoch_us(lead(eff_from) OVER w2) AS eff_to_us,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           lead(eff_from) OVER w2 IS NULL AS is_current,
+           n_observations
+    FROM seg
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY grp)
+    """,
+    tags=("parity", "scd2", "window"),
+    gated=False,
+)
+def customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of each customer's order status: consecutive
+    same-status orders collapse into one validity interval
+    [eff_from, eff_to) with a version number and is_current flag — the
+    dim-with-history the reference's latest-row-only Phoenix upserts
+    (SURVEY.md §2.1 S8) cannot answer. The whole timeline (change
+    marks, run numbering, collapse, interval close) runs inside ONE
+    o_custkey partitioning — operators/scd2.py. Timestamps exported as
+    epoch-micros; eff_to_us is null on each key's current row."""
+    from ..operators.scd2 import scd2_timeline
+
+    o = load_table(spark, sf_dir, "orders")
+    t = scd2_timeline(
+        o, "o_custkey", "o_orderdate", ["o_orderstatus"], "o_orderkey"
+    )
+    return t.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.unix_micros("eff_from").alias("eff_from_us"),
+        F.unix_micros("eff_to").alias("eff_to_us"),
+        "version",
+        "is_current",
+        "n_observations",
+    )

@@ -84,6 +84,7 @@ POOL: tuple[str, ...] = (
     "event_ohlc",
     "local_supplier_volume",
     "heavy_hitters_cms",
+    "customer_status_history",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]
