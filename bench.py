@@ -158,6 +158,9 @@ HEADLINE = (
     # partitioning) — the dim-with-history the reference's latest-row
     # Phoenix upserts can't answer
     "customer_status_history",
+    # added r8: Morton layout key (codegen'd bit interleave, zero
+    # shuffle) — the multi-dimensional file-pruning story
+    "zorder_keys",
 )
 
 

@@ -85,6 +85,7 @@ POOL: tuple[str, ...] = (
     "local_supplier_volume",
     "heavy_hitters_cms",
     "customer_status_history",
+    "zorder_keys",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -254,3 +254,35 @@ def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_price"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+from ..operators.zorder import z_expr_sql as _z_expr_sql
+
+_ZEXPR = _z_expr_sql(("l_partkey", "l_suppkey"), bits=16)
+
+
+@register(
+    "zorder_keys",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_ZEXPR} AS BIGINT) AS zval
+    FROM lineitem
+    """,
+    tags=("scale", "layout"),
+    gated=False,
+)
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) code of every lineitem over (l_partkey,
+    l_suppkey) — the layout key behind multi-dimensional file pruning
+    (operators/zorder.py; Delta/Iceberg OPTIMIZE ZORDER BY). Pure
+    integer bit arithmetic in one whole-stage-codegen expression, zero
+    shuffle, zero UDF; the IDENTICAL expression string runs in the
+    DuckDB oracle, so the bit interleave is value-hash-verified. The
+    layout job itself (global z-sort into bucket envelopes) is
+    exercised and measured in tests/test_zorder.py."""
+    from ..operators.zorder import with_zvalue
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return with_zvalue(li, ("l_partkey", "l_suppkey"), bits=16)

@@ -148,6 +148,7 @@ def test_gate_budget(registry):
         "local_supplier_volume",
         "heavy_hitters_cms",
         "customer_status_history",
+        "zorder_keys",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
