@@ -161,6 +161,9 @@ HEADLINE = (
     # added r8: Morton layout key (codegen'd bit interleave, zero
     # shuffle) — the multi-dimensional file-pruning story
     "zorder_keys",
+    # added r8: mergeable fixed-bin distribution sketch (bounds
+    # broadcast into the scan; 32-row output at any input size)
+    "value_histogram",
 )
 
 

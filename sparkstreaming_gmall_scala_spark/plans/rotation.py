@@ -86,6 +86,7 @@ POOL: tuple[str, ...] = (
     "heavy_hitters_cms",
     "customer_status_history",
     "zorder_keys",
+    "value_histogram",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -286,3 +286,26 @@ def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     return with_zvalue(li, ("l_partkey", "l_suppkey"), bits=16)
+
+
+from ..operators.histogram import histogram_oracle_sql as _hist_oracle  # noqa: E402
+
+
+@register(
+    "value_histogram",
+    oracle=_hist_oracle("events", "value", 32),
+    tags=("scale", "sketch", "agg"),
+    gated=False,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bin fixed histogram of event values with in-query bounds —
+    the persistable, additively-mergeable distribution sketch
+    (operators/histogram.py) behind streaming percentile dashboards.
+    One scalar-bounds agg broadcast into the scan + one map-side-
+    combined groupBy; output bounded by 32 rows at any input size. The
+    binning expression tree is shared verbatim with the oracle, so the
+    float arithmetic hash-matches."""
+    from ..operators.histogram import fixed_histogram
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    return fixed_histogram(ev, "value", n_bins=32)

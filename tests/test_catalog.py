@@ -149,6 +149,7 @@ def test_gate_budget(registry):
         "heavy_hitters_cms",
         "customer_status_history",
         "zorder_keys",
+        "value_histogram",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -1,0 +1,105 @@
+"""Histogram family (operators/histogram.py, streaming/histogram.py):
+conservation, quantile error bound vs exact percentiles, merge monoid,
+streaming equality with replay + compaction, degenerate inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_scala_spark.operators.histogram import (
+    fixed_histogram,
+    histogram_merge,
+    histogram_quantile,
+)
+from sparkstreaming_gmall_scala_spark.sources import load_table
+from sparkstreaming_gmall_scala_spark.streaming.histogram import (
+    histogram_ingest_batch,
+    histogram_report,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_counts_conserve_and_edges_tile(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("value")
+    h = fixed_histogram(ev, "value", n_bins=32).cache()
+    try:
+        assert h.agg(F.sum("cnt")).collect()[0][0] == ev.count()
+        assert h.count() <= 32
+        rows = sorted(
+            (r["bin"], r["lo_edge"], r["hi_edge"]) for r in h.collect()
+        )
+        # edges are consistent: hi_edge of bin b == lo_edge of bin b+1
+        # whenever both bins are present (shared expression tree)
+        by_bin = {b: (lo, hi) for b, lo, hi in rows}
+        for b, (lo, hi) in by_bin.items():
+            if b + 1 in by_bin:
+                assert hi == by_bin[b + 1][0], (b, hi, by_bin[b + 1][0])
+            assert hi > lo
+    finally:
+        h.unpersist()
+
+
+def test_quantile_estimates_within_one_bin_width(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("value")
+    nb = 64
+    h = fixed_histogram(ev, "value", n_bins=nb)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = {r["q"]: r["estimate"] for r in histogram_quantile(h, qs).collect()}
+    bounds = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    width = (bounds[1] - bounds[0]) / nb
+    exact = ev.agg(
+        *[F.expr(f"percentile(value, {q})").alias(str(q)) for q in qs]
+    ).collect()[0]
+    for q in qs:
+        assert abs(est[q] - exact[str(q)]) <= width + 1e-9, (
+            q, est[q], exact[str(q)], width,
+        )
+
+
+def test_merge_equals_histogram_of_union(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    b = ev.agg(
+        F.min("value").cast("double"), F.max("value").cast("double")
+    ).collect()[0]
+    lo, hi = b[0], b[1]
+    parts = [
+        fixed_histogram(
+            ev.filter(F.col("event_id") % 3 == i).select("value"),
+            "value", 32, lo=lo, hi=hi,
+        )
+        for i in range(3)
+    ]
+    want = fixed_histogram(ev.select("value"), "value", 32, lo=lo, hi=hi)
+    assert _rows(histogram_merge(*parts)) == _rows(want)
+
+
+def test_streamed_histogram_equals_batch_with_replay(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("value").cast("double"), F.max("value").cast("double")
+    ).collect()[0]
+    lo, hi = b[0], b[1]
+    idx = str(tmp_path / "hidx")
+    run = histogram_ingest_batch(spark, idx, lo=lo, hi=hi, compact_every=2)
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    run(b0, 0)
+    run(ev.filter(F.col("event_id") % 3 == 1), 1)
+    run(ev.filter(F.col("event_id") % 3 == 2), 2)
+    want = _rows(
+        fixed_histogram(ev.select("value"), "value", 32, lo=lo, hi=hi)
+    )
+    assert _rows(histogram_report(spark, idx)) == want
+    run(b0, 0)  # replay a compacted-away batch
+    assert _rows(histogram_report(spark, idx)) == want
+
+
+def test_degenerate_single_value(spark):
+    df = spark.createDataFrame([(7.5,)] * 10, "value double")
+    h = fixed_histogram(df, "value", n_bins=8).collect()
+    assert len(h) == 1
+    assert h[0]["bin"] == 0 and h[0]["cnt"] == 10
+    # pinned span guard: edges stay finite and ordered
+    assert h[0]["hi_edge"] > h[0]["lo_edge"]
