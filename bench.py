@@ -164,6 +164,16 @@ HEADLINE = (
     # added r8: mergeable fixed-bin distribution sketch (bounds
     # broadcast into the scan; 32-row output at any input size)
     "value_histogram",
+    # added r8: TPC-H Q18 shape (aggregate-then-join HAVING pattern)
+    # and the explicit-value pivot reshape
+    "large_volume_orders",
+    "order_priority_pivot",
+    # added r8: rolling 30-day reach answered from the per-day HLL
+    # sketch index — one events scan for every window
+    "rolling_mau_hll",
+    # added r8: degree-oriented triangle support on the near-dup graph
+    # (clique-vs-chain cohesion signal for keep policies)
+    "dup_triangles",
 )
 
 

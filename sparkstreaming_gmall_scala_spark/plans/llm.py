@@ -2999,3 +2999,43 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn("rank", F.row_number().over(w)).select(
         "rank", "user_id", "est_cnt", "true_cnt"
     )
+
+
+@register(
+    "dup_triangles",
+    oracle=f"""
+    WITH {_PAIR_CTES},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), nodes AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node AS doc_id, count(*) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+    tags=("llm", "dedup", "graph"),
+    gated=False,
+)
+def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle support in the >=0.5-Jaccard near-dup graph —
+    the cohesion signal distinguishing dup CLIQUES (safe to collapse to
+    one canonical doc) from similarity CHAINS (template drift: A~B~C
+    but A!~C), which is what a keep-policy should consult before
+    collapsing a cluster. Spark side is the degree-oriented one-count-
+    per-triangle formulation (operators/graph.py — wedge work bounded
+    O(E^1.5)); the oracle enumerates with the simple id orientation,
+    equal because triangle sets are orientation-independent."""
+    from ..operators.graph import triangle_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_rows(d, "doc_id", "text", n=3), "doc_id", max_df=20,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    return triangle_counts(pairs).withColumnRenamed("node", "doc_id")

@@ -823,3 +823,87 @@ def customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         "n_observations",
     )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS o_order_us,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("parity", "join", "agg", "having"),
+    gated=False,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, reported with their customer — the aggregate-then-
+    semi-join pattern. The HAVING side reduces lineitem to a tiny
+    qualifying set BEFORE any join (partial-aggregated groupBy on the
+    join key itself, so the agg and the orders join share one
+    orderkey exchange); quantities sum as doubles of integral values
+    (exact well under 2^53), money stays decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("o_order_us"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "order_priority_pivot",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY year(o_orderdate)
+    """,
+    tags=("parity", "pivot", "agg"),
+    gated=False,
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status counts pivoted to columns per order year — the reshape
+    every BI layer runs. Uses Spark's native pivot WITH an explicit
+    value list: an unlisted pivot triggers a separate distinct-values
+    job (a full extra scan) and makes the output schema data-dependent
+    — both wrong at 100 TB. Explicit values keep it one scan, one
+    partial-aggregated exchange, fixed schema."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "order_year",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )

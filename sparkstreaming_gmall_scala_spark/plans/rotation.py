@@ -87,6 +87,9 @@ POOL: tuple[str, ...] = (
     "customer_status_history",
     "zorder_keys",
     "value_histogram",
+    "large_volume_orders",
+    "order_priority_pivot",
+    "dup_triangles",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

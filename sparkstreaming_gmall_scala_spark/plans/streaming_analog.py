@@ -266,3 +266,25 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # code path, not a parallel reimplementation.
     ev = load_table(spark, sf_dir, "events")
     return windowed_rollup(ev, window="1 hour", delay="10 minutes")
+
+
+@register(
+    "rolling_mau_hll",
+    oracle=None,  # Datasketches HLL has no DuckDB twin; pytest pins the
+    # ≤5% error vs exact rolling distinct and the lossless merge
+    tags=("streaming-analog", "sketch", "events"),
+    gated=False,
+)
+def rolling_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day distinct users per day, answered ENTIRELY from
+    the per-day HLL sketch index (operators/hll.py): build days×2^12-
+    byte sketches once, union sketch bytes per trailing window — the
+    events table is scanned exactly once however many windows are
+    asked. dau_approx estimates ONE window per scan; this is the
+    persisted-sketch upgrade (register-wise max union is lossless for
+    fixed lgK), the same structure the streaming ingest maintains
+    incrementally (streaming/hll.py)."""
+    from ..operators.hll import daily_sketches, rolling_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_distinct(daily_sketches(ev), window_days=30)

@@ -36,6 +36,9 @@ def test_oracle_coverage(registry):
         "embed_near_dup_vec",
         # HLL estimates are engine-specific; pytest bounds the error
         "dau_approx",
+        # Datasketches HLL sketch bytes have no DuckDB twin; pytest pins
+        # the error bound AND the lossless sub-sketch merge
+        "rolling_mau_hll",
         # GK-sketch percentiles are engine-specific; pytest bounds the
         # rank error against the exact (gated, hash-checked) twin
         "price_quantiles_approx",
@@ -76,6 +79,7 @@ STATIC_UNGATED = {
     "join_dedup",  # J2 dedup subsumed by gated windowed_order_join
     "skew_salted_agg",  # salting gated via skew_salted_join
     "dau_approx",  # rows-only row; 5% error bound lives in pytest
+    "rolling_mau_hll",  # rows-only: sketch-index reach, pytest-bounded
     "knn_ivf_persisted",  # rows-only row; recall+path-equality pytest
     "knn_pq",  # rows-only; recall floor + determinism in pytest
     "knn_pq_persisted",  # rows-only; persisted≡in-memory pytest
@@ -150,6 +154,9 @@ def test_gate_budget(registry):
         "customer_status_history",
         "zorder_keys",
         "value_histogram",
+        "large_volume_orders",
+        "order_priority_pivot",
+        "dup_triangles",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
