@@ -174,6 +174,8 @@ HEADLINE = (
     # added r8: degree-oriented triangle support on the near-dup graph
     # (clique-vs-chain cohesion signal for keep policies)
     "dup_triangles",
+    # added r8: fact-to-versioned-dim as-of join over the SCD2 history
+    "orders_with_status_asof",
 )
 
 

@@ -15,6 +15,7 @@ from .cdc import (
 )
 from .bloom import bloom_build, bloom_contaminated
 from .cleaning import line_dedup, pii_mask
+from .cms import cms_estimate, cms_merge, cms_sketch
 from .curation import corpus_features, curate_filter
 from .dedup import (
     connected_components,
@@ -37,6 +38,18 @@ from .dsir import (
     hashed_ngram_buckets,
 )
 from .enrich import enrich_left
+from .graph import triangle_counts
+from .histogram import (
+    fixed_histogram,
+    histogram_merge,
+    histogram_quantile,
+)
+from .hll import (
+    daily_sketches,
+    estimate_daily,
+    merge_sketch_tables,
+    rolling_distinct,
+)
 from .flags import first_event_flag, members_only
 from .multimodal import (
     extract_features,
@@ -46,6 +59,7 @@ from .multimodal import (
 )
 from .packing import chunk_tokens, pack_sequences, shuffle_shards
 from .pq import ivf_pq_encode, ivf_pq_topk, pq_encode, pq_topk, pq_train
+from .scd2 import asof_dim_lookup, scd2_merge, scd2_timeline
 from .scoring import model_score
 from .sampling import (
     domain_mix,
@@ -71,6 +85,13 @@ from .similarity import (
 )
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join_bucketed
+from .zorder import (
+    bucket_envelopes,
+    with_zvalue,
+    z_expr_sql,
+    zorder_buckets,
+    zorder_write,
+)
 from .textstats import (
     boilerplate_stats,
     gopher_quality,

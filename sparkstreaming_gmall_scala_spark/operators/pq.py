@@ -130,14 +130,24 @@ def pq_train(
             seeds.extend([seeds[i % len(seeds)] for i in range(ksub - len(seeds))])
         cb = np.array(seeds)
         for _ in range(iters):
-            # (n, ksub) squared distances; argmin ties → lowest index
-            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # (n, ksub) squared distances; argmin ties → lowest index.
+            # Materializing (n, ksub, dsub) diffs was the 8-bit-codebook
+            # bottleneck (ksub=256 made pq_train ~10 s of driver numpy);
+            # the expansion ||x||² − 2x·c + ||c||² is a (n, dsub)@(dsub,
+            # ksub) matmul — same argmin, ~50× less work. ||x||² is
+            # dropped: constant per row, argmin-invariant.
+            d = (cb * cb).sum(axis=1)[None, :] - 2.0 * (xs @ cb.T)
             assign = d.argmin(axis=1)
-            for c in range(ksub):
-                mask = assign == c
-                if mask.any():
-                    cb[c] = xs[mask].mean(axis=0)
-                # empty cluster keeps its previous centroid (deterministic)
+            # cluster means without the per-centroid Python loop:
+            # bincount counts + index-accumulated sums (np.add.at adds in
+            # increasing row order — the same sequential order the masked
+            # per-cluster mean used)
+            counts = np.bincount(assign, minlength=ksub)
+            sums = np.zeros((ksub, dsub), dtype=np.float64)
+            np.add.at(sums, assign, xs)
+            nonempty = counts > 0
+            cb[nonempty] = sums[nonempty] / counts[nonempty, None]
+            # empty clusters keep their previous centroid (deterministic)
         books[s] = cb
     return books.tolist()
 

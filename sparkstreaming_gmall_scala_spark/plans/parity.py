@@ -766,10 +766,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "customer_status_history",
-    oracle="""
-    WITH s AS (
+# Shared SCD2 CTE chain (gaps-and-islands over orders) — used by
+# customer_status_history and the as-of composition below.
+_SCD2_SEG_CTES = """s AS (
       SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
              CASE WHEN row_number() OVER w = 1
                        OR lag(o_orderstatus) OVER w
@@ -786,7 +785,13 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderstatus, grp, min(o_orderdate) AS eff_from,
              count(*) AS n_observations
       FROM g GROUP BY o_custkey, o_orderstatus, grp
-    )
+    )"""
+
+
+@register(
+    "customer_status_history",
+    oracle=f"""
+    WITH {_SCD2_SEG_CTES}
     SELECT o_custkey, o_orderstatus,
            epoch_us(eff_from) AS eff_from_us,
            epoch_us(lead(eff_from) OVER w2) AS eff_to_us,
@@ -906,4 +911,57 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("O").alias("n_o"),
             F.col("P").alias("n_p"),
         )
+    )
+
+
+@register(
+    "orders_with_status_asof",
+    oracle=f"""
+    WITH {_SCD2_SEG_CTES}, dim AS (
+      SELECT o_custkey, o_orderstatus AS dim_status, eff_from,
+             lead(eff_from) OVER w2 AS eff_to,
+             CAST(row_number() OVER w2 AS BIGINT) AS version
+      FROM seg
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY grp)
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           epoch_us(o.o_orderdate) AS order_us,
+           d.dim_status, d.version
+    FROM orders o
+    LEFT JOIN dim d
+      ON d.o_custkey = o.o_custkey
+     AND d.eff_from <= o.o_orderdate
+     AND (d.eff_to IS NULL OR o.o_orderdate < d.eff_to)
+    """,
+    tags=("parity", "scd2", "asof", "join"),
+    gated=False,
+)
+def orders_with_status_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every order joined to the SCD2 status version VALID AT its own
+    date (operators/scd2.py asof_dim_lookup over the
+    customer_status_history dim) — the fact-to-versioned-dim temporal
+    join a latest-row dim gets silently wrong for backfills. Key
+    equality rides the join (hash join, never a nested loop); the
+    interval predicate filters inside it; non-overlapping versions make
+    the left join 1:1."""
+    from ..operators.scd2 import asof_dim_lookup, scd2_timeline
+
+    o = load_table(spark, sf_dir, "orders")
+    dim = scd2_timeline(
+        o, "o_custkey", "o_orderdate", ["o_orderstatus"], "o_orderkey"
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("dim_status"),
+        "eff_from",
+        "eff_to",
+        "version",
+    )
+    facts = o.select("o_orderkey", "o_custkey", F.col("o_orderdate").alias("fts"))
+    hit = asof_dim_lookup(facts, dim, "o_custkey", "fts")
+    return hit.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros("fts").alias("order_us"),
+        "dim_status",
+        "version",
     )

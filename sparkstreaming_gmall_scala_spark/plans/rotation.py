@@ -90,6 +90,7 @@ POOL: tuple[str, ...] = (
     "large_volume_orders",
     "order_priority_pivot",
     "dup_triangles",
+    "orders_with_status_asof",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

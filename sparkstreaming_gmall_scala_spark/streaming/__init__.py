@@ -28,4 +28,13 @@ Modules:
                         one checkpointed pipeline
   select.py           - streaming DSIR selection against a frozen,
                         persisted bucket model
+  cms.py              - count-min partials (additive cell monoid)
+  histogram.py        - frozen-bounds histogram partials
+  hll.py              - per-day HLL sketch partials (register-max merge)
+  sketchmart.py       - one stream → all three sketch indexes
+  scd2.py             - SCD2 dim maintenance: observation log +
+                        touched-key rebuild + crash-atomic upsert
+  ohlc.py             - algebraic OHLC partial bars
+  funnel.py           - exact-under-late-data funnel/retention marts
+  vocab.py            - additive token/pair count partials
 """

@@ -157,6 +157,7 @@ def test_gate_budget(registry):
         "large_volume_orders",
         "order_priority_pivot",
         "dup_triangles",
+        "orders_with_status_asof",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
