@@ -176,6 +176,10 @@ HEADLINE = (
     "dup_triangles",
     # added r8: fact-to-versioned-dim as-of join over the SCD2 history
     "orders_with_status_asof",
+    # added r8: ANALYZE-style one-scan column profile and the sliding
+    # ROWS-frame moving aggregates
+    "table_profile",
+    "user_value_ma",
 )
 
 

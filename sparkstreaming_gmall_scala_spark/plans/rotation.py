@@ -91,6 +91,8 @@ POOL: tuple[str, ...] = (
     "order_priority_pivot",
     "dup_triangles",
     "orders_with_status_asof",
+    "table_profile",
+    "user_value_ma",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -309,3 +309,72 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("value")
     return fixed_histogram(ev, "value", n_bins=32)
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS col, count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(min(o_orderstatus) AS VARCHAR) AS min_s,
+           CAST(max(o_orderstatus) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("scale", "profile", "agg"),
+    gated=False,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of orders (row count, null count,
+    exact distinct, min/max rendered to strings): the statistics pass a
+    lakehouse runs before planning. ONE scan computes every column's
+    profile — the per-column aggregates all fold in the same
+    partial-aggregation pass (count_distinct rewrites to expand +
+    two-phase agg under the hood), instead of the naive one-scan-per-
+    column loop the oracle spells out. At 100 TB swap the exact
+    distincts for approx_count_distinct; exact keeps the oracle
+    hash-checkable here."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, render=None) -> DataFrame:
+        mn, mx = F.min(col), F.max(col)
+        if render is not None:
+            mn, mx = render(mn), render(mx)
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            mn.cast("string").alias("min_s"),
+            mx.cast("string").alias("max_s"),
+        )
+
+    money = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    out = prof("o_orderstatus")
+    for p in (
+        prof("o_custkey"),
+        prof("o_totalprice", render=money),
+        prof("o_orderpriority"),
+    ):
+        out = out.unionByName(p)
+    return out

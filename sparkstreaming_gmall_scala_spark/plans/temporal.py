@@ -293,3 +293,53 @@ def event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open", "high", "low", "close", "n_events",
         )
     )
+
+
+@register(
+    "user_value_ma",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           floor(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) * 1000000 + 0.5) / 1000000 AS ma7,
+           floor(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) * 1000000 + 0.5) / 1000000 AS sum7,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n7
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("temporal", "window", "frame"),
+    gated=False,
+)
+def user_value_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 7-event moving average/sum/count of purchase
+    values — the sliding ROWS frame surface (order_gaps covers lag/
+    lead/ntile; this covers bounded frames). All three aggregates share
+    ONE (user_id) partitioning and sort; 6-dp floors make the double
+    averages hash-stable cross-engine (the left-to-right frame sum is
+    the same association order in both engines, but division results
+    still get pinned). Total order = (ts, event_id)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        r6(F.avg("value").over(w)).alias("ma7"),
+        r6(F.sum("value").over(w)).alias("sum7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n7"),
+    )

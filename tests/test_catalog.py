@@ -158,6 +158,8 @@ def test_gate_budget(registry):
         "order_priority_pivot",
         "dup_triangles",
         "orders_with_status_asof",
+        "table_profile",
+        "user_value_ma",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
