@@ -355,26 +355,29 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     distincts for approx_count_distinct; exact keeps the oracle
     hash-checkable here."""
     o = load_table(spark, sf_dir, "orders")
-
-    def prof(col: str, render=None) -> DataFrame:
-        mn, mx = F.min(col), F.max(col)
-        if render is not None:
-            mn, mx = render(mn), render(mx)
-        return o.agg(
-            F.lit(col).alias("col"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
-            F.count_distinct(F.col(col)).alias("n_distinct"),
-            mn.cast("string").alias("min_s"),
-            mx.cast("string").alias("max_s"),
+    cols = ["o_orderstatus", "o_custkey", "o_totalprice", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        mn, mx = F.min(c), F.max(c)
+        if c == "o_totalprice":
+            mn, mx = mn.cast("decimal(18,2)"), mx.cast("decimal(18,2)")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            mn.cast("string").alias(f"{c}__min"),
+            mx.cast("string").alias(f"{c}__max"),
+        ]
+    one_row = o.agg(*aggs)
+    # unpivot the single metrics row into one row per column: stack is a
+    # pure projection, so the whole profile stays ONE scan + one
+    # (Expand-based multi-distinct) aggregation
+    stack_args = ", ".join(
+        f"'{c}', n_rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one_row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_rows, n_nulls, n_distinct, min_s, max_s)"
         )
-
-    money = lambda c: c.cast("decimal(18,2)")  # noqa: E731
-    out = prof("o_orderstatus")
-    for p in (
-        prof("o_custkey"),
-        prof("o_totalprice", render=money),
-        prof("o_orderpriority"),
-    ):
-        out = out.unionByName(p)
-    return out
+    )
