@@ -64,3 +64,35 @@ def sketch_mart_batch(
             b.unpersist()
 
     return process
+
+
+def sketch_mart_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    cms_dir: str,
+    hist_dir: str,
+    hll_dir: str,
+    checkpoint: str,
+    schema,
+    hist_lo: float,
+    hist_hi: float,
+    compact_every: int | None = None,
+):
+    """Event file-drop stream → all three sketch indexes, one
+    checkpointed query (restart resumes from the checkpoint; replayed
+    batches are absorbed by each index's src_batch dedup)."""
+    from .sources import file_stream
+
+    ev = file_stream(spark, src_dir, schema)
+    return (
+        ev.writeStream.foreachBatch(
+            sketch_mart_batch(
+                spark, cms_dir, hist_dir, hll_dir,
+                hist_lo=hist_lo, hist_hi=hist_hi,
+                compact_every=compact_every,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
