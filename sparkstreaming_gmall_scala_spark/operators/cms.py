@@ -59,8 +59,18 @@ def cms_cells(df: DataFrame, key_col: str, depth: int, width: int) -> DataFrame:
             for i in range(depth)
         ]
     )
-    return df.select(F.col(key_col), F.explode(cells).alias("_c")).select(
-        key_col, F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket")
+    # null keys are dropped, not hashed: Spark's concat_ws would skip the
+    # null and hash just the salt (a phantom shared bucket for every null)
+    # while the SQL '||' in the oracle propagates NULL — filtering is the
+    # one semantics both engines can state explicitly
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col), F.explode(cells).alias("_c"))
+        .select(
+            key_col,
+            F.col("_c.row").alias("row"),
+            F.col("_c.bucket").alias("bucket"),
+        )
     )
 
 

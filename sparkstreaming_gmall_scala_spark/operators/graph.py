@@ -26,15 +26,21 @@ from pyspark.sql import DataFrame, functions as F
 def triangle_counts(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """(node, n_triangles) for every node in at least one triangle.
 
-    ``pairs`` are undirected edges (one row per pair, endpoints in any
-    order, no self-loops)."""
+    ``pairs`` are undirected edges; endpoints in any order. Input is
+    canonicalized (least/greatest) and deduped, so duplicate rows,
+    both-orders delivery, and self-loops are all absorbed instead of
+    multiplying counts (pinned in tests)."""
     # the edge list is consumed by four downstream frames (degrees, both
     # wedge sides, the closing lookup) — persist it once or an expensive
     # upstream pair computation (the LSH/Jaccard self-join) re-runs per
     # consumer; the pair graph is tiny next to the corpus
     e = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
+        .distinct()
         .persist()
     )
     e.count()  # materialize NOW: the four consumers below otherwise race
@@ -71,10 +77,18 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") ->
         closing, (F.col("x") == F.col("x2")) & (F.col("z") == F.col("z2"))
     ).select("x", "y", "z")
 
-    return (
+    out = (
         tri.select(
             F.explode(F.array("x", "y", "z")).alias("node")
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .persist()
     )
+    # materialize the (small) result, then release the edge cache — the
+    # pagerank discipline: persist the final frame, unpersist the
+    # intermediates, so repeated invocations don't accumulate edge-list
+    # caches for the session lifetime
+    out.count()
+    e.unpersist()
+    return out

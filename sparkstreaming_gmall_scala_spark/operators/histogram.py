@@ -47,6 +47,11 @@ def fixed_histogram(
     """(bin, lo_edge, hi_edge, cnt) — one scalar-bounds agg (skipped
     when the caller pins bounds, the streaming case) + one
     map-side-combined groupBy; output bounded by n_bins rows."""
+    # null values are excluded, matching the min/max bounds' own
+    # null-skipping — without the filter Spark's null-skipping greatest()
+    # would silently count null rows into bin 0 (and DuckDB's
+    # null-propagating greatest() into a NULL bin: an engine divergence)
+    df = df.filter(F.col(col).isNotNull())
     if lo is None or hi is None:
         bounds = df.agg(
             F.min(col).cast("double").alias("lo"),
@@ -144,6 +149,7 @@ def histogram_oracle_sql(
                     AS BIGINT))) AS bin,
              b.lo, b.hi
       FROM {table} e CROSS JOIN b
+      WHERE e.{col} IS NOT NULL
     )
     SELECT bin,
            lo + CAST(bin AS DOUBLE)

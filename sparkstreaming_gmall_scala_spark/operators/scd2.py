@@ -56,11 +56,20 @@ def _timeline_weighted(
         same = same & F.lag(a).over(obs).eqNullSafe(F.col(a))
     mark = ((F.row_number().over(obs) == 1) | ~same).cast("long")
     grouped = (
-        changes.withColumn("_grp", F.sum(mark).over(run))
+        changes.withColumn("_mark", mark)
+        .withColumn("_grp", F.sum("_mark").over(run))
         .groupBy(key, "_grp", *attrs)
         .agg(
             F.min(ts).alias("eff_from"),
             F.sum("_w").alias("n_observations"),
+            # the run's FIRST observation's tiebreak (exactly one row per
+            # run has _mark=1) — carried so scd2_merge can re-expand a
+            # collapsed run at its ORIGINAL total-order position instead
+            # of inventing one (two prior runs sharing eff_from would
+            # otherwise have shuffle-order-dependent relative order)
+            F.max(F.when(F.col("_mark") == 1, F.col(tiebreak))).alias(
+                "first_tb"
+            ),
         )
     )
     # segments order by _grp, not eff_from: two adjacent runs can share
@@ -75,6 +84,7 @@ def _timeline_weighted(
         F.row_number().over(seg).cast("long").alias("version"),
         F.lead("eff_from").over(seg).isNull().alias("is_current"),
         "n_observations",
+        "first_tb",
     )
 
 
@@ -91,8 +101,11 @@ def scd2_timeline(
     ``key``: the attrs, ``eff_from`` (first observation ts of the run),
     ``eff_to`` (start of the next run, null while current), ``version``
     (1-based per key, in time order), ``is_current``, and
-    ``n_observations`` (rows collapsed into the run). ``tiebreak`` must
-    make (ts, tiebreak) a total order per key."""
+    ``n_observations`` (rows collapsed into the run), and ``first_tb``
+    (the tiebreak of the run's first observation — the run's original
+    total-order position, which scd2_merge uses to re-expand collapsed
+    runs exactly). ``tiebreak`` must make (ts, tiebreak) a total order
+    per key."""
     obs = changes.select(key, ts, tiebreak, *attrs).withColumn(
         "_w", F.lit(1).cast("long")
     )
@@ -130,25 +143,24 @@ def scd2_merge(
     attrs = list(attrs)
     batch_keys = batch.select(key).distinct()
     untouched = dim.join(batch_keys, key, "left_anti")
-    # _tb is a STRING total-order tiebreak shared by both sides: prior
-    # runs sort first at a shared instant (""), batch rows sort by their
-    # zero-padded numeric tiebreak — a deterministic order even when a
-    # batch observation lands exactly on a recovered run boundary
+    # a prior run re-expands at (eff_from, first_tb): its first
+    # observation's ORIGINAL total-order position, same column type as
+    # the batch tiebreak — so the rebuilt window order is identical to
+    # the full rebuild's even when runs share an instant or a batch
+    # observation lands exactly on a run boundary (a synthetic tiebreak
+    # here was shuffle-order-nondeterministic for same-instant runs)
     prior_obs = dim.join(batch_keys, key, "semi").select(
         key,
         F.col("eff_from").alias(ts),
-        F.lit("").alias("_tb"),
+        F.col("first_tb").alias(tiebreak),
         *attrs,
         F.col("n_observations").alias("_w"),
     )
     new_obs = batch.select(
-        key, ts,
-        F.lpad(F.col(tiebreak).cast("string"), 20, "0").alias("_tb"),
-        *attrs,
-        F.lit(1).cast("long").alias("_w"),
+        key, ts, tiebreak, *attrs, F.lit(1).cast("long").alias("_w")
     )
     merged = _timeline_weighted(
-        prior_obs.unionByName(new_obs), key, ts, attrs, "_tb"
+        prior_obs.unionByName(new_obs), key, ts, attrs, tiebreak
     )
     return untouched.unionByName(merged)
 

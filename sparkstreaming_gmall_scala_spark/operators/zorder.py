@@ -90,19 +90,27 @@ def zorder_buckets(
     cols: Sequence[str],
     n_buckets: int,
     bits: int = 16,
-    tiebreak: str | None = None,
+    tiebreak: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Assign each row a deterministic z-order bucket (1..n_buckets):
     ntile over the global z-order of the min-max-NORMALIZED columns
     (see _normalized_cols — equal bit weight per dimension). The ntile
     is one global sort — the same cost class as any total-order layout
     job (it IS the rewrite pass; at 100 TB this runs
-    per-partition-batch, not per query). ``tiebreak`` makes the order
-    total so the assignment is stable run-to-run."""
+    per-partition-batch, not per query). ``tiebreak`` (a column or
+    column list) must make (zval, tiebreak) UNIQUE per row — without a
+    total order, rows straddling an ntile boundary land in
+    shuffle-order-dependent buckets and the layout stops being
+    reproducible run-to-run."""
     scaled, names = _normalized_cols(df, cols, bits)
     z = with_zvalue(scaled, names, bits)
-    order = [F.col("zval")] + ([F.col(tiebreak)] if tiebreak else [])
-    w = W.orderBy(*order)
+    if tiebreak is None:
+        tb_cols = []
+    elif isinstance(tiebreak, str):
+        tb_cols = [F.col(tiebreak)]
+    else:
+        tb_cols = [F.col(c) for c in tiebreak]
+    w = W.orderBy(F.col("zval"), *tb_cols)
     return (
         z.withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
         .drop(*names)
@@ -115,7 +123,7 @@ def zorder_write(
     path: str,
     n_buckets: int = 64,
     bits: int = 16,
-    tiebreak: str | None = None,
+    tiebreak: str | Sequence[str] | None = None,
 ) -> None:
     """Materialize the z-ordered layout: one directory partition per
     bucket, rows sorted by zval within each file so row-group stats nest

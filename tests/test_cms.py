@@ -109,3 +109,18 @@ def test_streamed_sketch_equals_batch_with_replay_and_compaction(
         truth.select("user_id"), "user_id", D, W,
     )
     assert _rows(est_stream) == _rows(est_batch)
+
+
+def test_null_keys_are_dropped_not_hashed(spark):
+    """Regression: a null key must not hash into a phantom bucket
+    (Spark's concat_ws skips nulls; the oracle's || propagates them —
+    dropping is the one semantics both engines share)."""
+    df = spark.createDataFrame([(1,), (None,), (1,), (None,)], "k long")
+    sk = cms_sketch(df, "k", D, W)
+    # only key 1's cells exist: depth rows, total count 2 each
+    rows = sk.collect()
+    assert len(rows) == D and all(r["cnt"] == 2 for r in rows)
+    est = cms_estimate(
+        sk, df.filter(F.col("k").isNotNull()).distinct(), "k", D, W
+    ).collect()
+    assert [(r["k"], r["est_cnt"]) for r in est] == [(1, 2)]

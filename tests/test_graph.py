@@ -39,3 +39,11 @@ def test_hub_without_closure_has_no_triangles(spark):
 def test_self_loops_ignored(spark):
     got = _counts(spark, [(1, 1), (1, 2), (2, 3), (1, 3)])
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_duplicate_and_both_order_edges_absorbed(spark):
+    """Regression: the same undirected edge delivered duplicated and in
+    both orders must count each triangle once, not multiplicatively."""
+    noisy = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2), (1, 3)]
+    got = _counts(spark, noisy)
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -103,3 +103,14 @@ def test_degenerate_single_value(spark):
     assert h[0]["bin"] == 0 and h[0]["cnt"] == 10
     # pinned span guard: edges stay finite and ordered
     assert h[0]["hi_edge"] > h[0]["lo_edge"]
+
+
+def test_null_values_are_excluded(spark):
+    """Regression: null values must not be counted into bin 0 (Spark's
+    null-skipping greatest) nor a NULL bin (DuckDB's null-propagating
+    greatest) — they are excluded, matching the bounds' null-skipping."""
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (3.0,)], "value double"
+    )
+    h = fixed_histogram(df, "value", n_bins=4)
+    assert h.agg(F.sum("cnt")).collect()[0][0] == 3

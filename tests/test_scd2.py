@@ -161,3 +161,29 @@ def test_single_observation_and_null_state(spark):
         (1, 2): ("X", 1),
         (2, 1): ("Y", 1),
     }
+
+
+def test_merge_exact_at_same_instant_prior_runs(spark):
+    """Regression (review repro): a dim holding a same-instant flip
+    (two runs sharing eff_from, the earlier one zero-length) must merge
+    a later batch into EXACTLY the full rebuild — the collapsed runs
+    re-expand at their ORIGINAL tiebreaks (first_tb), so their relative
+    order is data, not shuffle luck."""
+    rows0 = [
+        (1, dt.datetime(2024, 1, 1), "A", 10),
+        (1, dt.datetime(2024, 1, 1), "B", 20),  # same instant
+    ]
+    later = [(1, dt.datetime(2024, 2, 1), "B", 30)]
+    schema = "o_custkey long, o_orderdate timestamp, o_orderstatus string, o_orderkey long"
+    b0 = spark.createDataFrame(rows0, schema)
+    b1 = spark.createDataFrame(later, schema)
+    # build the dim under an adversarial physical order (B row first)
+    dim = scd2_merge(None, b0.orderBy(F.col("o_orderkey").desc()), *KEY)
+    merged = scd2_merge(dim, b1, *KEY)
+    want = scd2_timeline(b0.unionByName(b1), *KEY)
+    assert _rows(merged) == _rows(want)
+    got = sorted(
+        (r["o_orderstatus"], r["version"], r["n_observations"])
+        for r in merged.collect()
+    )
+    assert got == [("A", 1, 1), ("B", 2, 2)]

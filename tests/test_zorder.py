@@ -49,7 +49,7 @@ def test_zorder_prunes_on_both_dimensions(spark, sf_dir):
         "l_orderkey", "l_linenumber", *COLS
     )
     nb = 16
-    zb = zorder_buckets(li, COLS, nb, tiebreak="l_orderkey")
+    zb = zorder_buckets(li, COLS, nb, tiebreak=("l_orderkey", "l_linenumber"))
     zenv = bucket_envelopes(zb, COLS).collect()
 
     one_dim = li.withColumn(
@@ -80,7 +80,7 @@ def test_envelope_pruned_read_is_lossless(spark, sf_dir, tmp_path):
         "l_orderkey", "l_linenumber", *COLS
     )
     path = str(tmp_path / "zlay")
-    zorder_write(li, COLS, path, n_buckets=8, tiebreak="l_orderkey")
+    zorder_write(li, COLS, path, n_buckets=8, tiebreak=("l_orderkey", "l_linenumber"))
 
     back = spark.read.parquet(path)
     env = bucket_envelopes(back, COLS).collect()
@@ -114,8 +114,8 @@ def test_bucket_assignment_is_deterministic(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", *COLS
     )
-    a = zorder_buckets(li, COLS, 8, tiebreak="l_orderkey")
-    b = zorder_buckets(li, COLS, 8, tiebreak="l_orderkey")
+    a = zorder_buckets(li, COLS, 8, tiebreak=("l_orderkey", "l_linenumber"))
+    b = zorder_buckets(li, COLS, 8, tiebreak=("l_orderkey", "l_linenumber"))
     key = ["l_orderkey", "l_linenumber"]
     assert (
         a.select(*key, "bucket")
