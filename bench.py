@@ -278,6 +278,26 @@ def main() -> int:
     # in the headline total (r≤7 totals never included it, so totals stay
     # comparable). The HEADLINE rows below then measure the steady-state
     # probe only, so a probe regression is answerable from the JSON alone.
+    # The persisted-index builders cache under /tmp keyed by params +
+    # data fingerprint and SURVIVE across bench invocations — without
+    # clearing them, every run after the first would record a cache-hit
+    # probe under the "build" label and cross-round build comparisons
+    # would silently compare cold builds against warm hits. Builds are
+    # outside the headline total, so paying the true cold cost here
+    # keeps the published numbers honest at ~20 s once per run.
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    for prefix in ("lshbuckets", "ivfcells", "sq8", "pqcodes", "ivfpq"):
+        for d in _glob.glob(
+            os.path.join(
+                _tempfile.gettempdir(),
+                f"spark_graft_{prefix}_{os.path.basename(sf_dir.rstrip('/'))}_*",
+            )
+        ):
+            _shutil.rmtree(d, ignore_errors=True)
+
     build_sec: dict[str, float] = {}
     for warm in (
         "knn_lsh_persisted",

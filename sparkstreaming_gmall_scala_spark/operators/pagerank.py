@@ -117,11 +117,17 @@ def pagerank(
         nxt.count()
         ranks.unpersist()
         ranks = nxt
+    # materialize the result frame itself, then release every
+    # intermediate — the ONLY retained cache is the returned DataFrame,
+    # which the caller can free with .unpersist() (previously the final
+    # ranks cache had no releasable handle and leaked per call)
     out = ranks.select(
         "node",
         "rank_nano",
         (F.col("rank_nano").cast("double") / NANO).alias("rank"),
-    )
+    ).persist()
+    out.count()
+    ranks.unpersist()
     e.unpersist()
     nodes.unpersist()
     return out

@@ -623,9 +623,14 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # only the segment-filtered CUSTOMER side is broadcast (a dim); the
+    # orders∘customer intermediate scales with the fact table, so its
+    # join to lineitem shuffles on the order key (AQE may still choose
+    # broadcast at test scale, where it fits — a hint here would pin a
+    # driver-OOM plan at sf100)
     grouped = (
         li.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
             li.l_orderkey == o.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

@@ -167,40 +167,13 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first such click is followed by a purchase — the per-stage user
     counts every product-analytics stack reports (and the reference's
     DAU/order apps imply). Three aggregations all keyed on user_id, so
-    AQE reuses one exchange; no event ever leaves its user partition."""
-    ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .select("user_id")
-        .distinct()
-    )
+    AQE reuses one exchange; no event ever leaves its user partition.
+    The aggregation body is SHARED with the streaming mart report
+    (operators/analytics.py:funnel_frame) — the streamed==batch pin
+    compares two call sites of one function, not two copies."""
+    from ..operators.analytics import funnel_frame
 
-    def stage(name: str, ord_: int, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(name).alias("stage"),
-            F.lit(ord_).alias("stage_ord"),
-            "n_users",
-        )
-
-    return (
-        stage("view", 1, v)
-        .unionByName(stage("click_after_view", 2, c))
-        .unionByName(stage("purchase_after_click", 3, p))
-    )
+    return funnel_frame(load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -225,20 +198,11 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Day boundaries are UTC on both engines (session timezone is
     pinned UTC; the oracle's CAST(ts AS DATE) sees the same instants).
     Two aggregations on user_id + one on (cohort, offset); the distinct
-    (user, day) projection bounds everything by active-user-days."""
-    ev = load_table(spark, sf_dir, "events")
-    act = ev.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct()
-    cohort = act.groupBy("user_id").agg(F.min("day").alias("c0"))
-    return (
-        act.join(cohort, "user_id")
-        .groupBy(
-            F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
-            F.datediff("day", "c0").alias("day_offset"),
-        )
-        .agg(F.count_distinct("user_id").alias("n_users"))
-    )
+    (user, day) projection bounds everything by active-user-days. Body
+    shared with the streaming mart (operators/analytics.py)."""
+    from ..operators.analytics import retention_frame
+
+    return retention_frame(load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -266,33 +230,12 @@ def event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     time aggregation shape (min_by/max_by with a total order: ts then
     event_id, encoded as one zero-padded sortable string so both engines
     break ties identically). One partial-aggregated groupBy; no window,
-    no sort — first/last fold map-side like any other agg."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    ordk = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 10, "0"),
-    )
-    return (
-        ev.select(
-            F.date_trunc("hour", "ts").alias("hour"),
-            "value",
-            ordk.alias("ord"),
-        )
-        .groupBy("hour")
-        .agg(
-            F.expr("min_by(value, ord)").alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.expr("max_by(value, ord)").alias("close"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .select(
-            F.unix_micros("hour").alias("hour_us"),
-            "open", "high", "low", "close", "n_events",
-        )
-    )
+    no sort — first/last fold map-side like any other agg. Body and
+    order key shared with the streaming partial bars
+    (operators/analytics.py:ohlc_frame / ohlc_ord_key)."""
+    from ..operators.analytics import ohlc_frame
+
+    return ohlc_frame(load_table(spark, sf_dir, "events"))
 
 
 @register(

@@ -58,12 +58,19 @@ def write_clustered_embeddings(
     """Write `{out_dir}/embeddings.parquet` shaped exactly like the
     testdata table, so every catalog ANN builder runs on it unchanged
     (they take an sf_dir and read only the embeddings table). Returns
-    ``out_dir``. Idempotent: skips the write if the file exists (the
-    content is a pure function of the parameters)."""
+    ``out_dir``. Idempotent: skips the write only when a params sidecar
+    proves the existing file was generated with THESE parameters — a
+    bare existence check would silently reuse a stale fixture after any
+    default change (the same staleness the persisted ANN indexes guard
+    with _params_key + data fingerprints)."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.exists(path):
-        return out_dir
+    params = f"n={n},dim={dim},k={k_clusters},sigma={sigma},seed={seed}"
+    sidecar = os.path.join(out_dir, "_PARAMS")
+    if os.path.exists(path) and os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            if fh.read() == params:
+                return out_dir
     vecs, labels = clustered_embeddings_arrays(n, dim, k_clusters, sigma, seed)
     table = pa.table(
         {
@@ -75,4 +82,6 @@ def write_clustered_embeddings(
         }
     )
     pq.write_table(table, path)
+    with open(sidecar, "w") as fh:
+        fh.write(params)
     return out_dir

@@ -197,6 +197,7 @@ def ivfpq_ingest_batch(
     index = AppendOnlyIndex(index_dir, partition_by=("cell",))
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
+    _stamp_code_scheme(index_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.dropDuplicates([id_col])
@@ -208,6 +209,44 @@ def ivfpq_ingest_batch(
             index.compact(spark, upto_batch_id=batch_id - 1)
 
     return process
+
+
+# The on-disk code layout contract. Bumped when the encode scheme
+# changes meaning (raw-subvector codes → residual codes, the faiss
+# IndexIVFPQ switch): codes from one scheme probed with the other's ADC
+# tables return silently-garbage scores, so the probe REFUSES an index
+# whose stamp doesn't match instead. Pre-stamp dirs (built before the
+# residual switch) fail the check too — rebuild them.
+IVFPQ_CODE_SCHEME = "ivfpq-residual-v1"
+
+
+def _stamp_code_scheme(index_dir: str) -> None:
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    marker = os.path.join(index_dir, "_CODE_SCHEME")
+    if os.path.exists(marker):
+        _check_code_scheme(index_dir)
+        return
+    with open(marker, "w") as fh:
+        fh.write(IVFPQ_CODE_SCHEME)
+
+
+def _check_code_scheme(index_dir: str) -> None:
+    import os
+
+    marker = os.path.join(index_dir, "_CODE_SCHEME")
+    found = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            found = fh.read().strip()
+    if found != IVFPQ_CODE_SCHEME:
+        raise ValueError(
+            f"IVF-PQ index at {index_dir} carries code scheme {found!r}; "
+            f"this build probes {IVFPQ_CODE_SCHEME!r}. Codes from a "
+            "different scheme produce silently wrong ADC scores — "
+            "rebuild the index with the current ivfpq_ingest pipeline."
+        )
 
 
 def ivfpq_index_topk(
@@ -230,6 +269,7 @@ def ivfpq_index_topk(
     the raw vectors it replaces), and only transiently non-trivial."""
     from ..operators.pq import ivf_pq_topk
 
+    _check_code_scheme(index_dir)
     spark = queries.sparkSession
     idx = (
         AppendOnlyIndex(index_dir, partition_by=("cell",))

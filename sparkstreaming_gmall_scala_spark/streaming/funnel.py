@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.analytics import funnel_frame, retention_frame
 from ..sinks.batch import AppendOnlyIndex
 from .sources import file_stream
 
@@ -53,46 +54,15 @@ def funnel_ingest_batch(
 
 
 def funnel_report(spark: SparkSession, index_dir: str) -> DataFrame:
-    """(stage, stage_ord, n_users) over everything ingested — the same
-    strict ordered semantics as the ``event_funnel`` catalog query:
-    first view, first click after it, any purchase after that click."""
+    """(stage, stage_ord, n_users) over everything ingested — LITERALLY
+    the ``event_funnel`` catalog aggregation (one shared body,
+    operators/analytics.py) over the deduped index."""
     ev = (
         AppendOnlyIndex(index_dir)
         .read(spark)
         .dropDuplicates(["event_id"])
     )
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .select("user_id")
-        .distinct()
-    )
-
-    def stage(name: str, ord_: int, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(name).alias("stage"),
-            F.lit(ord_).alias("stage_ord"),
-            "n_users",
-        )
-
-    return (
-        stage("view", 1, v)
-        .unionByName(stage("click_after_view", 2, c))
-        .unionByName(stage("purchase_after_click", 3, p))
-    )
+    return funnel_frame(ev)
 
 
 def funnel_pipeline(
@@ -149,16 +119,7 @@ def retention_report(spark: SparkSession, index_dir: str) -> DataFrame:
         .read(spark)
         .dropDuplicates(["event_id"])
     )
-    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    cohort = act.groupBy("user_id").agg(F.min("day").alias("c0"))
-    return (
-        act.join(cohort, "user_id")
-        .groupBy(
-            F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
-            F.datediff("day", "c0").alias("day_offset"),
-        )
-        .agg(F.count_distinct("user_id").alias("n_users"))
-    )
+    return retention_frame(ev)
 
 
 def analytics_mart_batch(
@@ -179,8 +140,12 @@ def analytics_mart_batch(
     from .ohlc import ohlc_ingest_batch
 
     ev_body = events_ingest_batch(spark, events_index_dir, compact_every)
+    # the mart's OHLC runs with the id ledger so all three marts agree
+    # under cross-batch duplicate delivery (the raw-projection indexes
+    # dedup at report time; pre-aggregated bars need the ledger)
     ohlc_body = ohlc_ingest_batch(
-        spark, ohlc_index_dir, ohlc_event_type, compact_every
+        spark, ohlc_index_dir, ohlc_event_type, compact_every,
+        ledger_dir=ohlc_index_dir.rstrip("/") + "_ids",
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

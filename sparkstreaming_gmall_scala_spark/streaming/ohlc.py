@@ -25,11 +25,7 @@ from pyspark.sql import functions as F
 from ..sinks.batch import AppendOnlyIndex
 
 
-def _ord_key():
-    return F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 10, "0"),
-    )
+from ..operators.analytics import ohlc_ord_key as _ord_key
 
 
 def ohlc_ingest_batch(
@@ -37,17 +33,58 @@ def ohlc_ingest_batch(
     index_dir: str,
     event_type: str = "purchase",
     compact_every: int | None = None,
+    ledger_dir: str | None = None,
 ):
     """Per-batch body: one partial bar per (hour, batch) — O(batch) work,
-    the index never read at ingest."""
+    the index never read at ingest.
+
+    ``ledger_dir`` (optional) enables CROSS-batch duplicate absorption:
+    unlike the funnel/retention marts, whose raw-projection indexes
+    dedup event_id at report time, partial bars pre-aggregate — a
+    duplicate redelivered in a LATER batch would double-count with no
+    way to detect it afterwards. The ledger is an append-only
+    (event_id, src_batch) index; each batch anti-joins ids seen in
+    EARLIER batches (src_batch < this one, so a same-id replay
+    reproduces its original kept set exactly) and appends its own.
+    Cost: one O(index) scan per batch with the batch side broadcast —
+    the exact-dedup ledger shape streaming/corpus.py already pays."""
     index = AppendOnlyIndex(index_dir)
+    ledger = AppendOnlyIndex(ledger_dir) if ledger_dir else None
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.filter(
+            F.col("event_type") == event_type
+        ).dropDuplicates(["event_id"])
+        if ledger is not None:
+            if ledger.has_data():
+                seen = (
+                    ledger.read(spark)
+                    .filter(F.col("src_batch") < batch_id)
+                    .select("event_id")
+                )
+                rows = rows.join(seen, "event_id", "left_anti")
+            # materialize the kept set BEFORE appending: on a same-id
+            # replay the append overwrites the very batch dir the lazy
+            # anti-join plan still scans (read-under-overwrite →
+            # FILE_NOT_EXIST mid-job)
+            rows = rows.persist()
+            rows.count()
+            ledger.append(
+                rows.select("event_id").withColumn(
+                    "src_batch", F.lit(batch_id)
+                ),
+                batch_id,
+            )
+            if (
+                compact_every
+                and batch_id > 0
+                and batch_id % compact_every == 0
+            ):
+                ledger.compact(spark, upto_batch_id=batch_id - 1)
         partial = (
-            batch_df.filter(F.col("event_type") == event_type)
-            .dropDuplicates(["event_id"])
+            rows
             .select(
                 F.date_trunc("hour", "ts").alias("hour"),
                 "value",
@@ -66,6 +103,8 @@ def ohlc_ingest_batch(
             .withColumn("src_batch", F.lit(batch_id))
         )
         index.append(partial, batch_id)
+        if ledger is not None:
+            rows.unpersist()
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             index.compact(spark, upto_batch_id=batch_id - 1)
 

@@ -150,3 +150,22 @@ def test_analytics_mart_live_pipeline(spark, tmp_path):
     }
     bars = ohlc_report(spark, str(tmp_path / "oidx")).collect()
     assert len(bars) == 1 and bars[0]["n_events"] == 1
+
+
+def test_cross_batch_duplicate_events_with_ledger(spark, sf_dir, tmp_path):
+    """Regression: a duplicate event redelivered in a LATER batch must
+    not double-count. With the id ledger the bars equal the batch query
+    (which sees each event once); the funnel/retention marts already
+    dedup at report time, so all three marts agree on the dirty
+    stream."""
+    ev = load_table(spark, sf_dir, "events")
+    idx, ledger = str(tmp_path / "oidx"), str(tmp_path / "oids")
+    run = ohlc_ingest_batch(spark, idx, compact_every=2, ledger_dir=ledger)
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    b1 = ev.filter(F.col("event_id") % 3 == 1)
+    run(b0, 0)
+    run(b1.unionByName(b0), 1)          # redelivers ALL of batch 0
+    run(ev.filter(F.col("event_id") % 3 == 2), 2)
+    run(b0, 0)                           # plus a same-id replay
+    want = _rows(load_all()["event_ohlc"].builder(spark, sf_dir))
+    assert _rows(ohlc_report(spark, idx)) == want
