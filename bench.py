@@ -180,6 +180,20 @@ HEADLINE = (
     # ROWS-frame moving aggregates
     "table_profile",
     "user_value_ma",
+    # added r8: the remaining TPC-H plan shapes (plans/tpch.py) — semi/
+    # anti joins with non-equi residuals, conditional-sum ratios,
+    # outer-join histogram, scalar-subquery rewrites, disjunctive
+    # predicates, the Q21 double-correlation-as-one-agg
+    "late_order_priority",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "sales_opportunity",
 )
 
 

@@ -66,7 +66,7 @@ def load_all() -> dict[str, Query]:
     for POOL names are overridden here each load)."""
     import dataclasses
 
-    from . import llm, parity, scale, streaming_analog, temporal  # noqa: F401
+    from . import llm, parity, scale, streaming_analog, temporal, tpch  # noqa: F401
     from .rotation import POOL, active_rotation
 
     active = set(active_rotation())

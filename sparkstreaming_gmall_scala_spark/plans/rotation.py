@@ -93,6 +93,17 @@ POOL: tuple[str, ...] = (
     "orders_with_status_asof",
     "table_profile",
     "user_value_ma",
+    # round-8 TPC-H completion (plans/tpch.py; first driver rows: r9/r10)
+    "late_order_priority",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "sales_opportunity",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

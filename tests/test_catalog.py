@@ -160,6 +160,16 @@ def test_gate_budget(registry):
         "orders_with_status_asof",
         "table_profile",
         "user_value_ma",
+        "late_order_priority",
+        "volume_shipping",
+        "market_share",
+        "customer_distribution",
+        "promo_revenue",
+        "top_supplier",
+        "small_qty_revenue",
+        "disjunctive_revenue",
+        "waiting_suppliers",
+        "sales_opportunity",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -305,3 +305,84 @@ def test_sq8_probe_is_single_scan_per_side_no_python(spark, sf_dir, registry):
     plan = _plan(spark, registry, "knn_sq8", sf_dir)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_tpch_semi_anti_shapes_stay_joins_not_scans(spark, sf_dir, registry):
+    """Q4's EXISTS must be a LEFT SEMI join (one emission per order, the
+    date residual inside the join) and Q22's NOT EXISTS a LEFT ANTI —
+    with both selective date predicates pushed to their scans."""
+    plan = _plan(spark, registry, "late_order_priority", sf_dir)
+    assert "LeftSemi" in plan, plan[:2000]
+    scans = [l for l in plan.split("\n") if "Scan parquet" in l]
+    assert any("o_orderdate" in l and "PushedFilters" in l for l in scans)
+
+    plan = _plan(spark, registry, "sales_opportunity", sf_dir)
+    assert "LeftAnti" in plan, plan[:2000]
+    # the anti-probe side reads only the pruned (custkey, date) columns
+    order_scans = [l for l in plan.split("\n") if "Scan parquet" in l and "orders" in l]
+    assert order_scans and all("o_totalprice" not in l for l in order_scans)
+
+
+def test_tpch_ratio_aggs_are_one_pass(spark, sf_dir, registry):
+    """Q8/Q14: the conditional numerator and the total share ONE
+    aggregation over one fact scan — a ratio computed as two aggregates
+    joined back would double the 100 TB read."""
+    for name in ("market_share", "promo_revenue"):
+        plan = _plan(spark, registry, name, sf_dir)
+        li_scans = [
+            l for l in plan.split("\n")
+            if "Scan parquet" in l and "lineitem" in l
+        ]
+        assert len(li_scans) == 1, f"{name}: {len(li_scans)} lineitem scans"
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_tpch_correlated_rewrites_are_single_fact_scan(spark, sf_dir, registry):
+    """Q17's correlated avg runs as a window over the part-filtered join
+    and Q21's double correlation as one per-order aggregation — each one
+    lineitem scan where the textbook plans take two and three."""
+    plan = _plan(spark, registry, "small_qty_revenue", sf_dir)
+    li_scans = [
+        l for l in plan.split("\n") if "Scan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1, f"small_qty_revenue: {len(li_scans)}"
+    assert "Window" in plan
+
+    plan = _plan(spark, registry, "waiting_suppliers", sf_dir)
+    li_scans = [
+        l for l in plan.split("\n") if "Scan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1, f"waiting_suppliers: {len(li_scans)}"
+    # orders' status filter prunes the fact join's build side at the scan
+    scans = [l for l in plan.split("\n") if "Scan parquet" in l]
+    assert any("o_orderstatus" in l and "PushedFilters" in l for l in scans)
+
+
+def test_tpch_top_supplier_caches_the_aggregate_no_window(spark, sf_dir, registry):
+    """Q15: the per-supplier aggregate must come from the persisted
+    frame (InMemoryTableScan) for both the scalar max and the equality
+    probe — never an unpartitioned Window, never a recomputed fact
+    lineage per consumer."""
+    plan = _plan(spark, registry, "top_supplier", sf_dir)
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    assert "Window" not in plan
+
+
+def test_tpch_disjunctive_predicate_stays_single_pass(spark, sf_dir, registry):
+    """Q19: the OR-of-conjunctions evaluates inside ONE broadcast join
+    over one lineitem scan — not the three-unioned-scans hand-rewrite."""
+    plan = _plan(spark, registry, "disjunctive_revenue", sf_dir)
+    li_scans = [
+        l for l in plan.split("\n") if "Scan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1
+    assert "Union" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q13_outer_join_survives(spark, sf_dir, registry):
+    """Q13: the priority filter rides the JOIN CONDITION — the plan must
+    keep LeftOuter (a WHERE would quietly make it inner and drop the
+    0-order customers the report exists to count)."""
+    plan = _plan(spark, registry, "customer_distribution", sf_dir)
+    assert "LeftOuter" in plan, plan[:2000]
