@@ -194,6 +194,10 @@ HEADLINE = (
     "disjunctive_revenue",
     "waiting_suppliers",
     "sales_opportunity",
+    # added r8: the pre-ingest data-quality gate — one-scan declarative
+    # expectations and the star schema's referential-integrity audit
+    "expectations_check",
+    "fk_orphans",
 )
 
 

@@ -104,6 +104,9 @@ POOL: tuple[str, ...] = (
     "disjunctive_revenue",
     "waiting_suppliers",
     "sales_opportunity",
+    # round-8 data-quality audit family (plans/scale.py)
+    "expectations_check",
+    "fk_orphans",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -381,3 +381,177 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col, n_rows, n_nulls, n_distinct, min_s, max_s)"
         )
     )
+
+
+@register(
+    "expectations_check",
+    oracle="""
+    SELECT 'orderkey_unique' AS rule, count(*) AS n_rows,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_nonneg', count(*),
+           CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain', count(*),
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range', count(*),
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                           OR o_orderdate >= TIMESTAMP '2005-01-01 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'priority_format', count(*),
+           CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    """,
+    tags=("scale", "quality", "agg"),
+    gated=False,
+)
+def expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-expectations audit (the Great-Expectations /
+    Deequ-style gate a pipeline runs before letting a batch into the
+    lakehouse): five rules — key uniqueness, non-negative money, status
+    domain, date sanity range, priority format — evaluated over orders
+    in ONE scan. Every rule is a conditional sum folded into the same
+    partial aggregation (uniqueness rides the multi-distinct Expand
+    pass), then a stack unpivot emits one row per rule; the oracle
+    spells out the naive scan-per-rule UNION the single pass replaces.
+    At 100 TB the violation counts stay exact while touching each row
+    once — the difference between an audit that runs nightly and one
+    that gets skipped. The rule set and the fold live in
+    operators/quality.py — the same definitions drive the streaming
+    gate's per-batch partials and the quarantine router."""
+    from ..operators.quality import expectation_counts, orders_rules
+
+    o = load_table(spark, sf_dir, "orders")
+    return expectation_counts(
+        o,
+        orders_rules(),
+        table_rules=[
+            (
+                "orderkey_unique",
+                F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")),
+            )
+        ],
+    )
+
+
+@register(
+    "fk_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS edge, count(*) AS n_child,
+           CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+                                          WHERE o.o_orderkey = l.l_orderkey)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM lineitem l
+    UNION ALL
+    SELECT 'lineitem->part', count(*),
+           CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM part p
+                                          WHERE p.p_partkey = l.l_partkey)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*),
+           CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier s
+                                          WHERE s.s_suppkey = l.l_suppkey)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+                                          WHERE c.c_custkey = o.o_custkey)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o
+    UNION ALL
+    SELECT 'orders_without_lineitem', count(*),
+           CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem l
+                                          WHERE l.l_orderkey = o.o_orderkey)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o
+    """,
+    tags=("scale", "quality", "join", "agg"),
+    gated=False,
+)
+def fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the star schema: orphan counts for
+    every foreign-key edge (child keys missing their parent) plus the
+    reverse childless check (orders that never got a line — the dangling
+    fact a join-based report silently drops). The three lineitem edges
+    share ONE fact scan: parent key sets attach as left joins (part and
+    supplier broadcast; orders shuffles on the natural key) and a single
+    aggregation counts the null-parent rows per edge — not the
+    NOT-EXISTS-per-edge rescans the oracle spells out. The orders-side
+    edges ride one more scan each. Match flags are computed from the
+    join-key columns themselves, so the parent sides project to ONE
+    column before shuffling/broadcasting."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    o_keys = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("_ok"))
+        .distinct()
+    )
+    p_keys = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("_pk"))
+        .distinct()
+    )
+    s_keys = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("_sk"))
+        .distinct()
+    )
+    li_audit = (
+        li.join(o_keys, li.l_orderkey == F.col("_ok"), "left")
+        .join(F.broadcast(p_keys), li.l_partkey == F.col("_pk"), "left")
+        .join(F.broadcast(s_keys), li.l_suppkey == F.col("_sk"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("_ok").isNull().cast("long")).alias("no_order"),
+            F.sum(F.col("_pk").isNull().cast("long")).alias("no_part"),
+            F.sum(F.col("_sk").isNull().cast("long")).alias("no_supp"),
+        )
+        .select(
+            F.expr(
+                "stack(3, 'lineitem->orders', n_child, no_order, "
+                "'lineitem->part', n_child, no_part, "
+                "'lineitem->supplier', n_child, no_supp) AS "
+                "(edge, n_child, n_orphans)"
+            )
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c_keys = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("_ck"))
+        .distinct()
+    )
+    o_cust = (
+        o.join(c_keys, o.o_custkey == F.col("_ck"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("_ck").isNull().cast("long")).alias("n_orphans"),
+        )
+        .select(F.lit("orders->customer").alias("edge"), "n_child", "n_orphans")
+    )
+    li_keys = li.select(F.col("l_orderkey").alias("_lk")).distinct()
+    o_childless = (
+        o.join(li_keys, o.o_orderkey == F.col("_lk"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("_lk").isNull().cast("long")).alias("n_orphans"),
+        )
+        .select(
+            F.lit("orders_without_lineitem").alias("edge"),
+            "n_child",
+            "n_orphans",
+        )
+    )
+    return li_audit.unionAll(o_cust).unionAll(o_childless)

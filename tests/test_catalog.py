@@ -170,6 +170,8 @@ def test_gate_budget(registry):
         "disjunctive_revenue",
         "waiting_suppliers",
         "sales_opportunity",
+        "expectations_check",
+        "fk_orphans",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -386,3 +386,25 @@ def test_tpch_q13_outer_join_survives(spark, sf_dir, registry):
     0-order customers the report exists to count)."""
     plan = _plan(spark, registry, "customer_distribution", sf_dir)
     assert "LeftOuter" in plan, plan[:2000]
+
+
+def test_expectations_check_is_one_scan(spark, sf_dir, registry):
+    """Five audit rules must fold into one orders scan + one aggregation
+    — the naive scan-per-rule UNION would read the fact five times."""
+    plan = _plan(spark, registry, "expectations_check", sf_dir)
+    scans = [l for l in plan.split("\n") if "Scan parquet" in l]
+    assert len(scans) == 1, f"{len(scans)} scans\n{plan[:2000]}"
+
+
+def test_fk_orphans_shares_the_fact_scan(spark, sf_dir, registry):
+    """The three lineitem FK edges attach as joins to ONE fact scan (the
+    NOT-EXISTS-per-edge formulation would rescan it three times); the
+    dim key sets broadcast."""
+    plan = _plan(spark, registry, "fk_orphans", sf_dir)
+    li_scans = [
+        l for l in plan.split("\n")
+        if "Scan parquet" in l and "lineitem" in l
+    ]
+    # one audit scan + one scan feeding the childless check's key set
+    assert len(li_scans) == 2, f"{len(li_scans)} lineitem scans"
+    assert "BroadcastHashJoin" in plan
