@@ -198,6 +198,10 @@ HEADLINE = (
     # expectations and the star schema's referential-integrity audit
     "expectations_check",
     "fk_orphans",
+    # added r8: time-RANGE window frame and relative-rank windows — the
+    # last two window surfaces the catalog lacked
+    "user_spend_range_7d",
+    "order_value_percentiles",
 )
 
 

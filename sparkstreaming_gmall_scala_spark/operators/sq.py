@@ -99,6 +99,39 @@ def sq8_decode_col(
     )
 
 
+def sq8_cnorm_col(
+    codes: Column, bounds: list[tuple[float, float]]
+) -> Column:
+    """||decode(codes)|| as one HOF fold per corpus ROW (never per pair)
+    — same decode tree as sq8_decode_col, summed acc + x·x from 0.0 (the
+    oracle's list_reduce order). Stays a fold on purpose: an unrolled
+    64-term decode chain blows janino's method limit and drops the whole
+    scan out of codegen (measured ~40% SLOWER than the fold — the
+    knn_lsh lesson again). Persisted indexes precompute this column at
+    build time (``sq8_with_norm``) so probes skip it entirely."""
+    mn = _lit_arr([b[0] for b in bounds])
+    diff = _lit_arr([float(b[1]) - float(b[0]) for b in bounds])
+    dec_arr = F.zip_with(
+        codes,
+        F.arrays_zip(mn.alias("mn"), diff.alias("df")),
+        lambda c, b: b.getField("mn")
+        + (c.cast("double") * b.getField("df")) / 255.0,
+    )
+    return F.sqrt(
+        F.aggregate(dec_arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def sq8_with_norm(
+    encoded: DataFrame, bounds: list[tuple[float, float]]
+) -> DataFrame:
+    """Attach the precomputed ``_cnorm`` column to an encoded codes
+    table — the build-time step for persisted/streamed SQ8 indexes."""
+    return encoded.withColumn(
+        "_cnorm", sq8_cnorm_col(F.col("codes"), bounds)
+    )
+
+
 def sq8_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -110,41 +143,37 @@ def sq8_topk(
     shortlist: int = 32,
     dim: int | None = None,
 ) -> DataFrame:
-    """ANN top-k over the SQ8 codes table: the approximate cosine folds
-    DIRECTLY over the codes — decode happens inside the one O(dim)
-    aggregate per pair, never as a reusable decoded-array column.
-    (A decoded `transform(...)` column looks cleaner, but Catalyst's
-    CollapseProject inlines the alias into every ``getItem(i)`` of an
-    unrolled dot chain, turning the scan O(dim²) per pair — measured 6 s
-    vs sub-2 s for the fold form on the sf0.1 bench.) Per-query
-    shortlist by (approx desc, id), then — with ``rerank`` — exact
-    cosine over only the shortlisted raw vectors (the pq_topk refine
-    shape, minus the Python workers). Deterministic end to end (same
-    element order and arithmetic as sq8_decode_col), so the catalog
-    entry carries a full DuckDB oracle."""
+    """ANN top-k over the SQ8 codes table. The approximate cosine's dot
+    is ALGEBRAICALLY SPLIT so the per-pair work is one multiply-add per
+    dimension over a 2-field zip:
+
+        dot(q, decode(c)) = Σ q_i·mn_i  +  Σ c_i · t_i,
+        t_i = (q_i·(mx_i − mn_i)) / 255
+
+    — the first sum (``_qmn``) and the adjusted query ``t`` depend only
+    on the QUERY, so both precompute on the tiny broadcast side, and the
+    codes-side scan never touches mn/mx at all. Every sum here is an
+    UNROLLED getItem chain (functions/vectors.py:dot_fixed discipline),
+    not an ``F.aggregate`` fold: higher-order-function lambdas are
+    interpreted PER ELEMENT, and on the pairwise path that
+    interpretation overhead — not the arithmetic — was the probe's
+    bottleneck (measured: fold forms ~5 s, unrolled ~sub-2 s at sf0.1);
+    per-dimension bounds enter as scalar literals, so the chains stay
+    inside whole-stage codegen with zero array allocation per pair.
+    The split is a REASSOCIATION of the naive Σ q_i·decode_i — a
+    different IEEE-double result — so the expression tree here and in
+    the DuckDB oracle (plans/llm.py knn_sq8) are the contract and must
+    change together. (Chain start a[0]·b[0] ≡ the fold's 0.0 + a[0]·b[0]
+    exactly, and lit(mx−mn) precomputed in Python is the identical IEEE
+    subtraction DuckDB evaluates — both checked by the oracle hash.)
+    Per-query shortlist by (approx desc, id), then — with ``rerank`` —
+    exact cosine over only the shortlisted raw vectors (the pq_topk
+    refine shape, minus the Python workers). Deterministic end to end,
+    so the catalog entry carries a full DuckDB oracle."""
+    d = dim if dim is not None else len(bounds)
     mn = _lit_arr([b[0] for b in bounds])
-    mx = _lit_arr([b[1] for b in bounds])
+    diff = _lit_arr([float(b[1]) - float(b[0]) for b in bounds])
 
-    def dec(s: Column) -> Column:
-        # decoded element from a zipped struct: mn + (c·(mx − mn))/255
-        return s.getField("mn") + (
-            s.getField("c").cast("double")
-            * (s.getField("mx") - s.getField("mn"))
-        ) / 255.0
-
-    def zipped(codes_col: Column, *extra: tuple[str, Column]) -> Column:
-        cols = [codes_col.alias("c"), mn.alias("mn"), mx.alias("mx")]
-        cols += [c.alias(n) for n, c in extra]
-        return F.arrays_zip(*cols)
-
-    # ||decode(codes)||: one fold per corpus row
-    cnorm = F.sqrt(
-        F.aggregate(
-            zipped(F.col("codes")),
-            F.lit(0.0),
-            lambda acc, s: acc + dec(s) * dec(s),
-        )
-    )
     qsel = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -154,17 +183,44 @@ def sq8_topk(
         from ..functions.vectors import norm as _vnorm
 
         q = qsel.withColumn("_qnorm", _vnorm(F.col("qvec")))
-    c = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("codes"),
-        cnorm.alias("_cnorm"),
+    # query-only precomputes (broadcast side, |queries| rows — HOF folds,
+    # off the hot path): _qmn = Σ q_i·mn_i ; t_i = (q_i·(mx_i − mn_i))/255
+    q = q.withColumn(
+        "_qmn",
+        F.aggregate(
+            F.zip_with(
+                F.col("qvec"), mn, lambda x, m: x.cast("double") * m
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    ).withColumn(
+        "_t",
+        F.zip_with(
+            F.col("qvec"), diff, lambda x, s: (x.cast("double") * s) / 255.0
+        ),
     )
-    # dot(qvec, decode(codes)): one fold per pair, decode inside
-    pair_dot = F.aggregate(
-        zipped(F.col("codes"), ("q", F.col("qvec"))),
-        F.lit(0.0),
-        lambda acc, s: acc + s.getField("q").cast("double") * dec(s),
-    )
+    if "_cnorm" in codes.columns:
+        # persisted index carries the precomputed norms (sq8_with_norm at
+        # build time — norms are per-row derived data that belong IN the
+        # index, the faiss convention); probes skip the decode fold and
+        # the plan loses its largest expression
+        c = codes.select(
+            F.col(id_col).alias("neighbor_id"), F.col("codes"), "_cnorm"
+        )
+    else:
+        c = codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("codes"),
+            sq8_cnorm_col(F.col("codes"), bounds).alias("_cnorm"),
+        )
+    # per-pair: _qmn + Σ c_i·t_i — one codegen'd multiply-add chain over
+    # two plain (join-materialized) array columns; _t crosses the
+    # broadcast exchange as data, so CollapseProject cannot inline its
+    # defining expressions into this chain (the O(dim²) trap)
+    from ..functions.vectors import dot_fixed
+
+    pair_dot = F.col("_qmn") + dot_fixed(F.col("codes"), F.col("_t"), d)
     approx = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -930,11 +930,25 @@ _SQ8_DECODE = """
           ELSE 0 END AS DOUBLE) * (bb.mxs[i] - bb.mns[i])) / 255.0)
 """
 
-_SQ8_DOT_DEC = """
-    list_reduce(
+# Integer SQ8 codes (same clamp/floor tree as operators/sq.py:sq8_encode)
+_SQ8_CODES = """
+      list_transform(generate_series(1, 64), i -> CAST(
+        CASE WHEN bb.mxs[i] > bb.mns[i] THEN
+          least(greatest(floor((CAST(e.embedding[i] AS DOUBLE) - bb.mns[i])
+                               * 255.0 / (bb.mxs[i] - bb.mns[i]) + 0.5),
+                         0), 255)
+        ELSE 0 END AS DOUBLE))
+"""
+
+# The SPLIT approximate dot (the sq8_topk contract): qmn + Σ c_i·t_i,
+# with qmn = Σ q_i·mn_i and t_i = (q_i·(mx_i − mn_i))/255 precomputed per
+# query — a reassociation of Σ q_i·decode_i, so this tree and
+# operators/sq.py:sq8_topk must change together.
+_SQ8_DOT_SPLIT = """
+    (qa.qmn + list_reduce(
       list_transform(generate_series(1, 64),
-                     i -> CAST(q.embedding[i] AS DOUBLE) * c.dvec[i]),
-      (x, y) -> x + y)
+                     i -> cc.cvec[i] * qa.t[i]),
+      (x, y) -> x + y))
 """
 
 _SQ8_NORM_DEC = """
@@ -958,12 +972,27 @@ _SQ8_NORM_DEC = """
     ), dec AS (
       SELECT e.vec_id, {_SQ8_DECODE} AS dvec
       FROM embeddings e, bb
+    ), cod AS (
+      SELECT e.vec_id, {_SQ8_CODES} AS cvec
+      FROM embeddings e, bb
+    ), qadj AS (
+      SELECT q.vec_id,
+             list_reduce(
+               list_transform(generate_series(1, 64),
+                              i -> CAST(q.embedding[i] AS DOUBLE) * bb.mns[i]),
+               (x, y) -> x + y) AS qmn,
+             list_transform(generate_series(1, 64),
+                            i -> (CAST(q.embedding[i] AS DOUBLE)
+                                  * (bb.mxs[i] - bb.mns[i])) / 255.0) AS t
+      FROM embeddings q, bb WHERE q.vec_id < 10
     ), approx AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             floor(({_SQ8_DOT_DEC} / ({_NORM_Q} * {_SQ8_NORM_DEC}))
+      SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(({_SQ8_DOT_SPLIT} / ({_NORM_Q} * {_SQ8_NORM_DEC}))
                    * 1000000 + 0.5) / 1000000 AS approx
-      FROM embeddings q JOIN dec c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id < 10
+      FROM qadj qa
+      JOIN embeddings q ON q.vec_id = qa.vec_id
+      JOIN dec c ON c.vec_id <> qa.vec_id
+      JOIN cod cc ON cc.vec_id = c.vec_id
     ), short AS (
       SELECT query_id, neighbor_id FROM (
         SELECT *, row_number() OVER (
@@ -1047,10 +1076,12 @@ def knn_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.exists(bounds_path)
         and _os.path.exists(_os.path.join(codes_dir, "_SUCCESS"))
     ):
+        from ..operators.sq import sq8_with_norm
+
         bounds = sq8_bounds(e, "embedding")
-        sq8_encode(e, "vec_id", "embedding", bounds).write.mode(
-            "overwrite"
-        ).parquet(codes_dir)
+        sq8_with_norm(
+            sq8_encode(e, "vec_id", "embedding", bounds), bounds
+        ).write.mode("overwrite").parquet(codes_dir)
         _os.makedirs(sq_dir, exist_ok=True)
         tmp = bounds_path + ".tmp"
         with open(tmp, "w") as f:

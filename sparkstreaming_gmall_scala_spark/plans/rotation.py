@@ -107,6 +107,9 @@ POOL: tuple[str, ...] = (
     # round-8 data-quality audit family (plans/scale.py)
     "expectations_check",
     "fk_orphans",
+    # round-8 window-surface completion (plans/temporal.py)
+    "user_spend_range_7d",
+    "order_value_percentiles",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -286,3 +286,96 @@ def user_value_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.sum("value").over(w)).alias("sum7"),
         F.count(F.lit(1)).over(w).cast("long").alias("n7"),
     )
+
+
+@register(
+    "user_spend_range_7d",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_7d,
+           count(*) OVER w AS n_7d,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                  / count(*) OVER w) * 1000000 + 0.5) / 1000000 AS avg_7d
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("temporal", "window", "range-frame"),
+    gated=False,
+)
+def user_spend_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase, the user's trailing 7 CALENDAR-DAY spend — the
+    time-RANGE frame surface (user_value_ma covers ROWS frames; a RANGE
+    frame bounds by VALUE distance, so a burst of 50 events in an hour
+    is all in-frame where ROWS -6 would see 7). Spark's rangeBetween
+    needs a numeric sort key, so both engines order by the SAME
+    epoch-micro integer and bound at 7 days of micros — tie rows (equal
+    timestamps) enter the frame together by RANGE semantics, identical
+    in both engines, no tiebreak column wanted. The frame sum runs over
+    exact decimals: sliding-window implementations may add/subtract in
+    different orders, which double arithmetic would turn into hash
+    drift. One partitioning, one sort, all three aggregates."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    seven_days_us = 7 * 24 * 3600 * 1_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-seven_days_us, W.currentRow)
+    )
+    spend = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        spend.alias("spend_7d"),
+        n.cast("long").alias("n_7d"),
+        (F.floor((spend / n) * 1e6 + 0.5) / 1e6).alias("avg_7d"),
+    )
+
+
+@register(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+    )
+    """,
+    tags=("temporal", "window", "rank"),
+    gated=False,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does each order's value sit within its priority class —
+    percent_rank + cume_dist, the relative-rank window surface
+    (topk/row_number cover absolute ranks). The order key includes the
+    unique o_orderkey tiebreak so both engines rank the IDENTICAL total
+    order (percent_rank over a tied prefix would otherwise be stable but
+    cume_dist's tie-group boundaries move); both relative ranks share
+    one partitioning and sort. 6-dp floors pin the (n−1)-denominator
+    divisions cross-engine."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias(
+            "totalprice"
+        ),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+    )

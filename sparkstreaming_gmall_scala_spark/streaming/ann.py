@@ -326,8 +326,10 @@ def sq8_ingest_batch(
     arithmetic — the only streaming-ANN ingest with zero Python workers.
     A vector outside the frozen bounds clamps to 0/255 (the SQ8-standard
     saturation), so late out-of-range arrivals degrade gracefully instead
-    of erroring."""
-    from ..operators.sq import sq8_encode
+    of erroring. Each row lands WITH its precomputed decode-norm
+    (sq8_with_norm — the persisted-index convention), so probes pay no
+    per-row decode fold."""
+    from ..operators.sq import sq8_encode, sq8_with_norm
 
     index = AppendOnlyIndex(index_dir)
     if compact_every is not None and compact_every < 1:
@@ -335,7 +337,10 @@ def sq8_ingest_batch(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.dropDuplicates([id_col])
-        index.append(sq8_encode(new, id_col, vec_col, bounds), batch_id)
+        index.append(
+            sq8_with_norm(sq8_encode(new, id_col, vec_col, bounds), bounds),
+            batch_id,
+        )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             index.compact(spark, upto_batch_id=batch_id - 1)
 

@@ -172,6 +172,8 @@ def test_gate_budget(registry):
         "sales_opportunity",
         "expectations_check",
         "fk_orphans",
+        "user_spend_range_7d",
+        "order_value_percentiles",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
