@@ -202,6 +202,9 @@ HEADLINE = (
     # last two window surfaces the catalog lacked
     "user_spend_range_7d",
     "order_value_percentiles",
+    # added r8: dense-series regularization (sequence-exploded hourly
+    # grid + LOCF carry-forward — the resample step feature stores run)
+    "hourly_gap_fill",
 )
 
 

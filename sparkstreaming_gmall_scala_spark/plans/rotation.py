@@ -110,6 +110,7 @@ POOL: tuple[str, ...] = (
     # round-8 window-surface completion (plans/temporal.py)
     "user_spend_range_7d",
     "order_value_percentiles",
+    "hourly_gap_fill",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

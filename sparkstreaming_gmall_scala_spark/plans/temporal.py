@@ -379,3 +379,82 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.percent_rank().over(w)).alias("pct_rank"),
         r6(F.cume_dist().over(w)).alias("cume"),
     )
+
+
+@register(
+    "hourly_gap_fill",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS spend
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM p GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM span
+    )
+    SELECT g.user_id, epoch_us(g.hr) AS hr_us,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(p.spend, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+             AS spend,
+           CAST(last_value(p.spend IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hr
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS spend_locf
+    FROM grid g LEFT JOIN p ON p.user_id = g.user_id AND p.hr = g.hr
+    """,
+    tags=("temporal", "gap-fill", "window"),
+    gated=False,
+)
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: each user's purchase history as a
+    DENSE hourly series between their first and last active hour —
+    missing hours materialize with zero counts and the last observed
+    hourly spend carried forward (LOCF via last(ignorenulls) over an
+    unbounded-preceding frame). The dashboard/feature-store resample
+    step sparse event logs always need. Plan: the grid generates from
+    per-user (min, max) spans with sequence+explode — rows are created
+    EXECUTOR-side in proportion to each user's span, never a driver
+    loop or a calendar cross join (a users × all-hours cartesian would
+    be mostly-dead rows at 100 TB); the hourly rollup, the span agg,
+    the grid join, and the LOCF window all share the user_id hash
+    partitioning, so AQE collapses them onto one exchange family.
+    Decimal hourly sums keep the doubles hash-stable; LOCF is never
+    null because each span starts at an observed hour."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("spend"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return j.select(
+        "user_id",
+        F.unix_micros("hr").alias("hr_us"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("spend"), zero).cast("double").alias("spend"),
+        F.last("spend", ignorenulls=True).over(w).cast("double").alias(
+            "spend_locf"
+        ),
+    )
