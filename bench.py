@@ -205,6 +205,9 @@ HEADLINE = (
     # added r8: dense-series regularization (sequence-exploded hourly
     # grid + LOCF carry-forward — the resample step feature stores run)
     "hourly_gap_fill",
+    # added r8: ratio-to-report windows (ABC classification over the
+    # dimension-sized aggregated frame)
+    "revenue_pareto",
 )
 
 

@@ -14,6 +14,14 @@ gate (streaming/quality.py) reuses them per micro-batch and merges
 bounded partials — except table-level rules (key uniqueness), which are
 not additive across batches; the streaming gate ENFORCES uniqueness via
 its dedupe-by-id step rather than measuring it.
+
+NULL semantics (SQL three-valued logic, identical in both engines and
+pinned in tests/test_quality.py): a rule predicate that evaluates to
+NULL on a row — e.g. ``o_totalprice < 0`` on a NULL price — is NOT a
+violation: the audit's conditional sum skips it and the router sends the
+row to the CLEAN side. A rule that must reject NULLs says so explicitly
+(``col.isNull() | (col < 0)``); silently promoting NULL→violation here
+would make the one-scan audit disagree with its spelled-out SQL oracle.
 """
 
 from __future__ import annotations

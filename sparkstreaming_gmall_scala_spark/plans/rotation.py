@@ -111,6 +111,7 @@ POOL: tuple[str, ...] = (
     "user_spend_range_7d",
     "order_value_percentiles",
     "hourly_gap_fill",
+    "revenue_pareto",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -555,3 +555,85 @@ def fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return li_audit.unionAll(o_cust).unionAll(o_childless)
+
+
+@register(
+    "revenue_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT brand,
+           CAST(round(rev_dec, 2) AS DOUBLE) AS revenue,
+           floor((CAST(sum(rev_dec) OVER w AS DOUBLE)
+                  / CAST(sum(rev_dec) OVER () AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 AS cum_share,
+           CASE WHEN floor((CAST(sum(rev_dec) OVER w AS DOUBLE)
+                            / CAST(sum(rev_dec) OVER () AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000 <= 0.8 THEN 'A'
+                WHEN floor((CAST(sum(rev_dec) OVER w AS DOUBLE)
+                            / CAST(sum(rev_dec) OVER () AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000 <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM rev
+    WINDOW w AS (ORDER BY rev_dec DESC, brand
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("scale", "window", "ratio-to-report", "agg"),
+    gated=False,
+)
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of brands by revenue: cumulative share
+    of total, classes A (top 80%), B (to 95%), C (tail) — the
+    ratio-to-report window surface (share-of-total + running share over
+    the SAME frame). Both windows run over the AGGREGATED frame — one
+    row per brand, bounded by brand cardinality, so the unpartitioned
+    cumsum is a one-task sort of a dimension-sized frame, never of the
+    fact (contrast top_supplier, where the scalar-max broadcast avoids
+    exactly this because suppliers can be fact-scale). The cumulative
+    and total sums stay DECIMAL (exact at any accumulation order);
+    only the final share divides as double, 6-dp-floored, and the class
+    thresholds compare against the floored share so a last-ulp wiggle
+    can't flip a brand's class differently across engines."""
+    from pyspark.sql import Window as W
+
+    from ..plans.parity import _revenue_dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(_revenue_dec()).alias("rev_dec"))
+    )
+    w = W.orderBy(F.col("rev_dec").desc(), "brand").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    share = (
+        F.floor(
+            (
+                F.sum("rev_dec").over(w).cast("double")
+                / F.sum("rev_dec").over(wall).cast("double")
+            )
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    return rev.select(
+        "brand",
+        F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -175,6 +175,7 @@ def test_gate_budget(registry):
         "user_spend_range_7d",
         "order_value_percentiles",
         "hourly_gap_fill",
+        "revenue_pareto",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -160,3 +160,32 @@ def test_streamed_audit_dedups_by_id_within_batch(spark, sf_dir, tmp_path):
         clean_sink.read(spark).count() + quar_sink.read(spark).count()
         == d.count()
     )
+
+
+def test_null_rows_are_not_violations_and_audit_matches_router(
+    spark, sf_dir
+):
+    """Three-valued logic pin: a NULL in a rule's column makes the
+    predicate NULL, which counts as NOT violated — audit and router must
+    agree on that (the documented operators/quality.py contract)."""
+    o = load_table(spark, sf_dir, "orders")
+    nulled = o.limit(3).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+    )
+    d = o.unionByName(nulled)
+    rules = orders_rules()
+    clean, bad = quarantine_split(d, rules)
+    # the all-NULL seeds route clean (no rule fires on NULL)
+    assert clean.filter(F.col("o_orderkey") >= 20_000_000).count() == 3
+    assert bad.filter(F.col("o_orderkey") >= 20_000_000).count() == 0
+    audit = {
+        r["rule"]: r["n_violations"]
+        for r in expectation_counts(d, rules).collect()
+    }
+    for name, _ in rules:
+        assert audit[name] == 0, name
