@@ -26,12 +26,22 @@ def windowed_equi_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     horizon: str = "20 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on an equi-key within ±horizon event time.
+    """Join two streams on an equi-key within ±horizon event time.
 
-    Batch frames join with the same range predicate (the oracle form,
-    `windowed_order_join` in plans/parity.py, is its batch analog).
+    ``how="inner"`` is the reference's J1 semantics. ``how="left_outer"``
+    adds the half the reference CANNOT express (its per-batch join just
+    drops unmatched headers): a left row with no partner emits ONCE,
+    null-padded, as soon as the watermark passes its join horizon —
+    i.e. when the engine can PROVE no matching right row can still
+    arrive. State stays bounded either way (rows age out of the join
+    buffers at the same watermark). Batch frames join with the same
+    range predicate (the oracle form, `windowed_order_join` in
+    plans/parity.py, is the inner batch analog).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     l = left.alias("l")
     r = right.alias("r")
     if left.isStreaming:
@@ -45,4 +55,4 @@ def windowed_equi_join(
         F.col(f"r.{right_ts}")
         <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {horizon}")
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

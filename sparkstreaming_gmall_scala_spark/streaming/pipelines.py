@@ -89,11 +89,15 @@ def order_wide_pipeline(
     detail_dir: str,
     out_dir: str,
     checkpoint: str,
+    how: str = "inner",
 ):
     """OrderWideApp join stage (dws/OrderWideApp.scala:91-131): watermarked
     stream-stream equi-join on order_id within ±20 s event time; SS emits
     each pair exactly once, so the reference's Redis join-dedup layer (J2)
-    does not exist here."""
+    does not exist here. ``how="left_outer"`` keeps detail-less order
+    headers: they emit null-padded once the watermark proves no detail
+    can still arrive — the report the reference's per-batch inner join
+    silently under-counts."""
     orders = file_stream(spark, order_dir, ORDER_SCHEMA)
     details = file_stream(spark, detail_dir, DETAIL_SCHEMA)
     wide = windowed_equi_join(
@@ -104,6 +108,7 @@ def order_wide_pipeline(
         left_ts="ts",
         right_ts="ts",
         horizon="20 seconds",
+        how=how,
     ).select(
         F.col("l.order_id").alias("order_id"),
         F.col("r.detail_id").alias("detail_id"),

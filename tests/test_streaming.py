@@ -1781,3 +1781,38 @@ def test_streaming_curate_substring_candidates_union_equals_batch(
         (r["id_a"], r["start_a"], r["id_b"], r["start_b"])
         for r in wins_sink.read(spark).collect()
     } == want
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(
+    spark, tmp_path
+):
+    """The outer half the reference cannot express: an order header with
+    no detail emits exactly once, null-padded, only after the watermark
+    passes its join horizon (so SS has PROVEN no detail can still
+    arrive); matched pairs behave exactly as the inner join."""
+    odir, ddir, out, ckpt = _dirs(tmp_path, "orders", "details", "out", "ckpt")
+    # order 100 has a detail; order 200 never gets one
+    _drop(spark, ORDER_SCHEMA, [(100, TS.format(0), 50.0),
+                                (200, TS.format(1), 75.0)], odir)
+    _drop(spark, DETAIL_SCHEMA, [(1, 100, TS.format(5), 20.0)], ddir)
+    q = order_wide_pipeline(spark, odir, ddir, out, ckpt, how="left_outer")
+    try:
+        q.processAllAvailable()
+        mid = IdempotentBatchWriter(out).read(spark).collect()
+        # order 200's fate is still undecidable — no null row yet
+        assert all(r["order_id"] != 200 for r in mid), mid
+        # advance BOTH watermarks far past 200's horizon (t=120 s, 121 s)
+        from datetime import datetime as _dt
+
+        late_o, late_d = _dt(2024, 1, 1, 10, 2, 0), _dt(2024, 1, 1, 10, 2, 1)
+        _drop(spark, ORDER_SCHEMA, [(300, late_o, 10.0)], odir)
+        _drop(spark, DETAIL_SCHEMA, [(9, 300, late_d, 5.0)], ddir)
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = IdempotentBatchWriter(out).read(spark).collect()
+    rows = sorted((r["order_id"], r["detail_id"]) for r in got)
+    assert (100, 1) in rows and (300, 9) in rows, rows
+    assert (200, None) in rows, rows  # null-padded, emitted exactly once
+    assert sum(1 for o, _ in rows if o == 200) == 1, rows
