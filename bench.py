@@ -208,6 +208,10 @@ HEADLINE = (
     # added r8: ratio-to-report windows (ABC classification over the
     # dimension-sized aggregated frame)
     "revenue_pareto",
+    # added r8: exactly-k-per-stratum sampling (WindowGroupLimit top-k)
+    # and exact-decimal-moment 3-sigma outliers
+    "events_sample_k",
+    "value_outliers",
 )
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -152,3 +152,28 @@ def token_budget_mix(
             F.lit(format(t, "04x") if t >= 0 else ""),
         ).otherwise(thr)
     return df.filter(sample_bucket(F.col(key_col)) <= thr)
+
+
+def group_sample_k(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACTLY-k deterministic sample per stratum (hash_stratified_sample
+    fixes the RATE; this fixes the COUNT — the eval-set / debug-slice
+    contract "give me 100 docs per language" where a rate either over- or
+    under-shoots small strata). Rows rank by md5(key) within their
+    stratum — a uniform, engine-portable, retry-stable order (rand()
+    would break replay) — and the top k survive, all rows for strata
+    smaller than k. One shuffle on the stratum key; rank ≤ k runs as
+    WindowGroupLimit (partial top-k before the exchange), so a hot
+    stratum never sorts fully."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -112,6 +112,9 @@ POOL: tuple[str, ...] = (
     "order_value_percentiles",
     "hourly_gap_fill",
     "revenue_pareto",
+    # round-8 sampling/stats additions (plans/scale.py)
+    "events_sample_k",
+    "value_outliers",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -637,3 +637,101 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "events_sample_k",
+    oracle="""
+    SELECT event_id, event_type, user_id FROM (
+      SELECT event_id, event_type, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rk
+      FROM events
+    ) WHERE rk <= 50
+    """,
+    tags=("scale", "sampling", "window"),
+    gated=False,
+)
+def events_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY 50 events per event_type, deterministically
+    (operators/sampling.py:group_sample_k): where stratified_sample fixes
+    the keep RATE, this fixes the COUNT — the "100 docs per language"
+    eval-slice contract that a rate over- or under-shoots on small
+    strata. Rank by md5(key) = a uniform retry-stable order; rank ≤ k
+    runs as WindowGroupLimit so each partition forwards at most k rows
+    per stratum before the exchange — a hot stratum never fully sorts."""
+    from ..operators.sampling import group_sample_k
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    return group_sample_k(e, key_col="event_id", strata_col="event_type", k=50)
+
+
+@register(
+    "value_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s1,
+             sum(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2))) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+           floor(((CAST(e.value AS DOUBLE)
+                   - CAST(m.s1 AS DOUBLE) / m.n)
+                  / sqrt((CAST(m.s2 AS DOUBLE)
+                          - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n)
+                         / (m.n - 1))) * 1000000 + 0.5) / 1000000 AS zscore
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE m.n > 1
+      AND CAST(m.s2 AS DOUBLE)
+          - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n > 0
+      AND abs((CAST(e.value AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
+              / sqrt((CAST(m.s2 AS DOUBLE)
+                      - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n)
+                     / (m.n - 1))) > 3.0
+    """,
+    tags=("scale", "stats", "agg", "quality"),
+    gated=False,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outlier events — the statistical quality filter
+    (anomalous amounts, sensor glitches) next to the rule-based
+    expectations gate. stddev_samp's float accumulation is partition-
+    order-dependent, so the moments are EXACT DECIMAL sums (n, Σx, Σx²)
+    and the sample variance derives as (Σx² − (Σx)²/n)/(n−1) in one
+    fixed double tree — identical both engines, z-scores 6-dp-floored.
+    One aggregation builds the per-type moments (a handful of rows,
+    broadcast back), one more scan applies the threshold; degenerate
+    strata (n ≤ 1 or zero variance) emit nothing rather than NaN."""
+    e = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var = (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+    numer = F.col("value").cast("double") - s1d / F.col("n")
+    z = numer / F.sqrt(var)
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .filter(
+            (F.col("n") > 1)
+            & (s2d - s1d * s1d / F.col("n") > 0)
+            & (F.abs(z) > 3.0)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            vdec.cast("double").alias("value"),
+            (F.floor(z * 1e6 + 0.5) / 1e6).alias("zscore"),
+        )
+    )

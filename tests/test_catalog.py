@@ -176,6 +176,8 @@ def test_gate_budget(registry):
         "order_value_percentiles",
         "hourly_gap_fill",
         "revenue_pareto",
+        "events_sample_k",
+        "value_outliers",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

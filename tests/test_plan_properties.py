@@ -408,3 +408,24 @@ def test_fk_orphans_shares_the_fact_scan(spark, sf_dir, registry):
     # one audit scan + one scan feeding the childless check's key set
     assert len(li_scans) == 2, f"{len(li_scans)} lineitem scans"
     assert "BroadcastHashJoin" in plan
+
+
+def test_sample_k_gets_window_group_limit(spark, sf_dir, registry):
+    """events_sample_k: rank ≤ k must run as WindowGroupLimit (partial
+    top-k per partition before the stratum exchange) — a hot stratum
+    never fully sorts."""
+    plan = _plan(spark, registry, "events_sample_k", sf_dir)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_value_outliers_two_scans_broadcast_moments(spark, sf_dir, registry):
+    """value_outliers: one scan builds the per-type decimal moments
+    (handful of rows, broadcast back), one scan applies the threshold —
+    never a per-row correlated recompute, never a shuffle of the fact
+    for the join."""
+    plan = _plan(spark, registry, "value_outliers", sf_dir)
+    ev_scans = [
+        l for l in plan.split("\n") if "Scan parquet" in l and "events" in l
+    ]
+    assert len(ev_scans) == 2, f"{len(ev_scans)} events scans"
+    assert "BroadcastHashJoin" in plan
