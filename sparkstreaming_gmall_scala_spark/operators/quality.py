@@ -97,3 +97,60 @@ def quarantine_split(
     clean = tagged.filter(F.col("failed_rules") == "").drop("failed_rules")
     bad = tagged.filter(F.col("failed_rules") != "")
     return clean, bad
+
+
+def collect_moments(
+    df: DataFrame, type_col: str, value_col: str
+) -> dict[str, tuple[float, float]]:
+    """Per-type (mean, sample_sd) from EXACT decimal moments — the
+    bootstrap step for the streaming z-score rule. One aggregation, one
+    bounded collect (a row per TYPE — dozens, the domain_mix precedent).
+    Mean/variance derive in the identical IEEE order the batch
+    `value_outliers` query uses in-engine (decimal→double cast, then
+    s1/n and (s2 − s1²/n)/(n−1)), so frozen-moment scoring reproduces
+    its outlier set exactly. Degenerate types (n ≤ 1 or zero variance)
+    are omitted — no row of theirs can be an outlier."""
+    vdec = F.col(value_col).cast("decimal(18,2)")
+    rows = (
+        df.groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vdec).alias("s1"),
+            F.sum(vdec * vdec).alias("s2"),
+        )
+        .collect()
+    )
+    out: dict[str, tuple[float, float]] = {}
+    for r in rows:
+        n, s1, s2 = r["n"], float(r["s1"]), float(r["s2"])
+        if n <= 1:
+            continue
+        var_num = s2 - s1 * s1 / n
+        if not var_num > 0:
+            continue
+        out[r[type_col]] = (s1 / n, (var_num / (n - 1)) ** 0.5)
+    return out
+
+
+def zscore_rule(
+    moments: dict[str, tuple[float, float]],
+    type_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+    name: str = "zscore_outlier",
+) -> Rule:
+    """A quality Rule flagging per-type n-sigma outliers against FROZEN
+    moments (the frozen-quantizer discipline: per-batch moments would
+    make a row's verdict depend on what it arrived with). The violation
+    predicate is a literal CASE chain over the bounded type set —
+    scan-side, zero state, composable with the row-local rules in
+    `quality_gate_batch`. Types absent from ``moments`` never flag
+    (unknown or degenerate strata pass through, matching
+    `value_outliers`' n>1/var>0 guards)."""
+    z: Column = F.lit(None).cast("double")
+    for t, (mean, sd) in moments.items():
+        z = F.when(
+            F.col(type_col) == t,
+            (F.col(value_col).cast("double") - F.lit(mean)) / F.lit(sd),
+        ).otherwise(z)
+    return (name, F.abs(z) > threshold)

@@ -189,3 +189,45 @@ def test_null_rows_are_not_violations_and_audit_matches_router(
     }
     for name, _ in rules:
         assert audit[name] == 0, name
+
+
+def test_streaming_zscore_rule_matches_batch_outliers(
+    spark, sf_dir, tmp_path
+):
+    """Frozen-moments anomaly detection composes with the quality gate:
+    moments bootstrap once over the corpus (exact decimal sums), the
+    z-score Rule scores each arriving batch against them, and the union
+    of quarantined rows equals the batch value_outliers set exactly —
+    same IEEE tree on both paths."""
+    from sparkstreaming_gmall_scala_spark.operators.quality import (
+        collect_moments,
+        zscore_rule,
+    )
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    moments = collect_moments(ev, "event_type", "value")
+    assert moments, "expected non-degenerate strata"
+    rule = zscore_rule(moments, "event_type", "value")
+
+    idx = str(tmp_path / "zidx")
+    clean_sink = IdempotentBatchWriter(str(tmp_path / "zclean"))
+    quar_sink = IdempotentBatchWriter(str(tmp_path / "zquar"))
+    run = quality_gate_batch(
+        spark, idx, clean_sink, quar_sink, [rule], id_col="event_id"
+    )
+    run(ev.filter(F.col("event_id") % 2 == 0), 0)
+    run(ev.filter(F.col("event_id") % 2 == 1), 1)
+
+    streamed = sorted(
+        r["event_id"] for r in quar_sink.read(spark).collect()
+    )
+    batch = sorted(
+        r["event_id"]
+        for r in load_all()["value_outliers"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert streamed == batch, (len(streamed), len(batch))
