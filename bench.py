@@ -1,9 +1,16 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (kept under ~2 KB — round-8 verdict #1: the driver's
+tail capture is ~2-3 KB, and a 100+-entry per-query dict outgrew it, so
+BENCH_r08 recorded ``parsed: null``):
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {<top-10 slowest only>}, "sf": 0.1, "full": <path>, ...}
+
+The FULL per-query map (same schema the pre-r9 "queries" dict had) is
+written to ``BENCH_FULL_r{N}.json`` in the repo root so cross-round
+per-query history stays analyzable; the printed line's totals equal the
+full file's.
 
 Each query is built and then fully materialized via a count-style action
 (no driver collect of the payload — the action drains the plan the way a
@@ -394,13 +401,56 @@ def main() -> int:
     normalized_total = round(
         total * REF_CALIBRATION_MIN / calibration["min_sec"], 3
     )
+
+    # Round number for the full-record filename: the driver writes
+    # BENCH_r{N}.json and CORRECTNESS_r{N}.json in some order relative to
+    # running this script, so take the max of both counters — correct
+    # whether this run happens before or after the current round's
+    # correctness file lands.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    n_round = max(
+        len(_glob.glob(os.path.join(repo_root, "BENCH_r*.json"))) + 1,
+        len(_glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))),
+    )
+    full_name = f"BENCH_FULL_r{n_round:02d}.json"
+    full_record = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "calibration": calibration,
+        "build_sec": build_sec,
+        "normalized_total": normalized_total,
+        "ref_calibration_min": REF_CALIBRATION_MIN,
+        "ref_calibration_median": REF_CALIBRATION_MEDIAN,
+        "streaming_rows_per_sec": streaming_rows_per_sec,
+        # cross-round triage notes (round-8 verdict #5): deltas with a
+        # known, accepted cause, so tooling doesn't re-flag them
+        "notes": {
+            "knn_pq": "r8 step-up vs r7 is the deliberate 4->8-bit "
+            "codebook upgrade (recall@5 0.48->0.94 clustered; RECALL.md)",
+        },
+    }
+    with open(os.path.join(repo_root, full_name), "w") as f:
+        json.dump(full_record, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"# full per-query record -> {full_name}", file=sys.stderr)
+
+    # The printed line stays under ~2 KB: totals + calibration +
+    # build_sec + the 10 slowest queries only.
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                # top-10 slowest only — full map in BENCH_FULL_r{N}.json
+                "queries": slowest,
+                "n_queries": len(times),
                 "sf": sf,
                 "calibration": calibration,
                 # one-time index construction + first (cold) probe for the
@@ -417,6 +467,7 @@ def main() -> int:
                 # BASELINE.md streaming envelope: docs/sec sustained
                 # through the incremental-dedup foreachBatch path
                 "streaming_rows_per_sec": streaming_rows_per_sec,
+                "full": full_name,
             }
         )
     )
