@@ -59,11 +59,12 @@ def register(
 
 def load_all() -> dict[str, Query]:
     """Import every plans module so decorators populate REGISTRY, then
-    overlay the round-robin gate rotation: six slots cycle through
-    ``rotation.POOL`` so every distinct oracle-bearing behavior gets a
-    driver CORRECTNESS row at least once per pool cycle (the static
-    ``gated`` flags carry the non-rotating majority; registration flags
-    for POOL names are overridden here each load)."""
+    overlay the round-robin gate rotation: the rotating slots cycle
+    through ``rotation.POOL`` so every distinct oracle-bearing behavior
+    gets a driver CORRECTNESS row at least once per pool cycle (the
+    static ``gated`` flags carry the always-gated CORE and the ungated
+    twins; registration flags for POOL names are overridden here each
+    load)."""
     import dataclasses
 
     from . import llm, parity, scale, streaming_analog, temporal, tpch  # noqa: F401

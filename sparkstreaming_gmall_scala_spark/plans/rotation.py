@@ -1,13 +1,27 @@
 """Round-robin gate rotation: the driver's correctness gate budgets 50
 rows, but the catalog holds more oracle-bearing distinct behaviors than
-that. Six gate slots cycle mechanically through a pinned POOL of
+that. A small pinned CORE (the §2 parity spine) is gated every round;
+the remaining gate slots cycle mechanically through a pinned POOL of
 oracle-bearing names so every distinct behavior gets an independent
-driver CORRECTNESS row at least once every ``ceil(len(POOL)/6)`` rounds,
-with no hand-editing of gate flags between rounds (rounds 5 and 6
-hand-rotated, per verdict; round 6 mechanized the A/B half-sets; round 7
-generalized to this cyclic window so NEW full-oracle entries join the
-cycle by appending to POOL instead of growing a hand-balanced pair of
-sets).
+driver CORRECTNESS row at least once per cycle, with no hand-editing of
+gate flags between rounds.
+
+History of the arithmetic (append-only discipline — each change anchors
+a new regime at a fixed round without disturbing how earlier rounds'
+windows are reproduced):
+
+* rounds 5-6 hand-rotated A/B half-sets; round 7 generalized to a
+  6-slot cyclic window: round N gates ``POOL[((N-6)*6) % len(POOL):][:6]``
+  (round 6 → POOL[0:6], round 7 → POOL[6:12], round 8 → POOL[12:18]).
+* round 9 (round-8 verdict #2): 44 names were statically gated every
+  round, re-proving queries green since round 3, while 45 POOL names
+  had never had a driver row. The static set shrank to the 14-name
+  ``CORE``; the other 30 former-static names were APPENDED to POOL
+  (they already have 6+ rounds of driver history, so they sit behind
+  the never-checked backlog in cycle order), and the window widened to
+  ``_SLOTS_V2 = 50 - len(CORE) = 36`` starting exactly where round 8's
+  window ended (POOL index 18). Round 9 therefore gates POOL[18:54] —
+  36 first-ever driver rows — and the pre-r9 backlog clears at r10.
 
 The round number is inferred from the repo itself: the driver writes
 ``CORRECTNESS_r{N}.json`` into the repo root after each round's verify,
@@ -20,22 +34,39 @@ acceptable by design: every POOL name is all-green against its oracle
 whichever names are ungated this round), so a shifted window can only
 change WHICH green rows the driver records, never introduce a failure.
 
-Window arithmetic is anchored so rounds 6 and 7 reproduce the historical
-half-sets exactly (round 6 gated POOL[0:6], round 7 gated POOL[6:12] —
-the former SET_A/SET_B): the window for round N starts at
-``((N − 6) * 6) mod len(POOL)`` and wraps cyclically.
-
-Everything not in POOL keeps its static ``gated`` flag from
-registration: sole-representative behaviors stay gated every round;
-documented twins/subsets stay ungated (their signal lives in pytest
-equality with a gated sibling); rows-only entries stay ungated (a
-hash-green slot carries more driver signal than a rows-only one).
+Everything not in CORE or POOL keeps its static ``gated=False`` from
+registration: documented twins/subsets stay ungated (their signal lives
+in pytest equality with a gated sibling); rows-only entries stay ungated
+(a hash-green slot carries more driver signal than a rows-only one).
 """
 
 from __future__ import annotations
 
 import glob
 import os
+
+# Always-gated spine (round-8 verdict #2's suggested core): one name per
+# §2 parity family — flagship agg chain, allocation, broadcast enrich,
+# first-per-group window, CDC routing, stream join, streaming distinct,
+# sessionization, exact + MinHash dedup, exact ANN, text quality, as-of
+# join, and the TPC-H Q1 shape. These keep an unbroken driver-row
+# history; everything else earns its rows through the rotation.
+CORE: tuple[str, ...] = (
+    "trademark_stat",
+    "pricing_summary",
+    "order_enrich",
+    "first_order_flag",
+    "payment_allocation",
+    "cdc_route",
+    "windowed_order_join",
+    "dau",
+    "session_stats",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "knn_bruteforce",
+    "doc_quality",
+    "asof_last_click",
+)
 
 # The rotation pool, in cycle order. APPEND new full-oracle entries at
 # the end — prepending or reordering would shift which historical rounds
@@ -115,12 +146,51 @@ POOL: tuple[str, ...] = (
     # round-8 sampling/stats additions (plans/scale.py)
     "events_sample_k",
     "value_outliers",
+    # round-9 gate restructure: the 30 pre-r9 statically-gated names that
+    # are not in CORE, appended alphabetically. Every one already has 6+
+    # rounds of driver CORRECTNESS history, so placing them AFTER the
+    # never-driver-checked round-8 block means the backlog drains first.
+    "boilerplate_ngrams",
+    "corpus_clean_near",
+    "customer_buckets",
+    "customers_no_orders",
+    "date_derive",
+    "decontaminate",
+    "doc_fingerprint",
+    "doc_repetition",
+    "doc_token_stats",
+    "domain_mix",
+    "dup_clusters",
+    "embed_centroids",
+    "embed_near_dup",
+    "json_extract",
+    "knn_lsh_persisted",
+    "lang_id",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "order_gaps",
+    "order_status_cube",
+    "orders_next_30d",
+    "price_quantiles",
+    "revenue_rollup",
+    "running_user_spend",
+    "set_ops",
+    "simhash",
+    "skew_salted_join",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "topk_parts_per_brand",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]
 SET_B: tuple[str, ...] = POOL[6:12]
 
-_SLOTS = 6
+_SLOTS_V1 = 6  # rounds 6-8
+_SLOTS_V2 = 36  # rounds 9+: the 50-row gate minus len(CORE)
+# Round 8's 6-slot window ended at POOL index 18; the 36-slot regime
+# starts there so no name's pending first-row slot is skipped.
+_V2_ANCHOR_ROUND = 9
+_V2_ANCHOR_START = 18
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -136,8 +206,20 @@ def current_round(repo_root: str | None = None) -> int:
 
 
 def active_rotation(repo_root: str | None = None) -> tuple[str, ...]:
-    """The six POOL names that are GATED this round: a cyclic window of
-    ``_SLOTS`` names starting at ``((round − 6) * _SLOTS) mod len(POOL)``
-    (anchored so round 6 → POOL[0:6], round 7 → POOL[6:12])."""
-    start = ((current_round(repo_root) - 6) * _SLOTS) % len(POOL)
-    return tuple(POOL[(start + i) % len(POOL)] for i in range(_SLOTS))
+    """The POOL names that are GATED this round.
+
+    Rounds ≤ 8 (historical, reproduced for the record): a 6-name cyclic
+    window starting at ``((round − 6) * 6) mod len(POOL)``. Rounds ≥ 9:
+    a 36-name cyclic window starting at
+    ``(18 + (round − 9) * 36) mod len(POOL)`` (anchored where round 8's
+    window ended, so round 9 → POOL[18:54])."""
+    n = current_round(repo_root)
+    if n <= 8:
+        start = ((n - 6) * _SLOTS_V1) % len(POOL)
+        width = _SLOTS_V1
+    else:
+        start = (
+            _V2_ANCHOR_START + (n - _V2_ANCHOR_ROUND) * _SLOTS_V2
+        ) % len(POOL)
+        width = _SLOTS_V2
+    return tuple(POOL[(start + i) % len(POOL)] for i in range(width))

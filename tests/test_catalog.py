@@ -105,10 +105,34 @@ def test_gate_budget(registry):
     import os as _os
 
     from sparkstreaming_gmall_scala_spark.plans.rotation import (
+        CORE,
         POOL,
         SET_A,
         SET_B,
         active_rotation,
+    )
+
+    # the always-gated spine (round-9 gate restructure): pinned contents;
+    # each name is statically gated at registration and NOT in POOL
+    assert CORE == (
+        "trademark_stat",
+        "pricing_summary",
+        "order_enrich",
+        "first_order_flag",
+        "payment_allocation",
+        "cdc_route",
+        "windowed_order_join",
+        "dau",
+        "session_stats",
+        "dedup_exact",
+        "minhash_lsh_pairs",
+        "knn_bruteforce",
+        "doc_quality",
+        "asof_last_click",
+    )
+    assert not set(CORE) & set(POOL)
+    assert {n for n, q in registry.items() if q.gated and n not in set(POOL)} == set(
+        CORE
     )
 
     # the pool: pinned contents + cycle ORDER (the window arithmetic is
@@ -178,6 +202,38 @@ def test_gate_budget(registry):
         "revenue_pareto",
         "events_sample_k",
         "value_outliers",
+        # round-9 restructure: former statically-gated names, appended
+        # alphabetically BEHIND the never-driver-checked backlog
+        "boilerplate_ngrams",
+        "corpus_clean_near",
+        "customer_buckets",
+        "customers_no_orders",
+        "date_derive",
+        "decontaminate",
+        "doc_fingerprint",
+        "doc_repetition",
+        "doc_token_stats",
+        "domain_mix",
+        "dup_clusters",
+        "embed_centroids",
+        "embed_near_dup",
+        "json_extract",
+        "knn_lsh_persisted",
+        "lang_id",
+        "multimodal_features",
+        "ngram_jaccard_pairs",
+        "order_gaps",
+        "order_status_cube",
+        "orders_next_30d",
+        "price_quantiles",
+        "revenue_rollup",
+        "running_user_spend",
+        "set_ops",
+        "simhash",
+        "skew_salted_join",
+        "stratified_sample",
+        "tfidf_top_terms",
+        "topk_parts_per_brand",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
@@ -185,19 +241,32 @@ def test_gate_budget(registry):
         assert registry[n].oracle is not None, n
 
     # independent recomputation of the window: round N ⇔ N−1 CORRECTNESS
-    # files in the repo root; window starts at ((N−6)*6) mod |POOL|
+    # files in the repo root. Rounds ≤8 (historical): 6-name window from
+    # ((N−6)*6); rounds ≥9: 36-name window from (18 + (N−9)*36), anchored
+    # where round 8's window ended.
+    def window(n_round):
+        if n_round <= 8:
+            s, w = ((n_round - 6) * 6) % len(POOL), 6
+        else:
+            s, w = (18 + (n_round - 9) * 36) % len(POOL), 36
+        return {POOL[(s + i) % len(POOL)] for i in range(w)}
+
     repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     n_files = len(_glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")))
-    start = ((n_files + 1 - 6) * 6) % len(POOL)
-    expect_active = {POOL[(start + i) % len(POOL)] for i in range(6)}
+    expect_active = window(n_files + 1)
     assert set(active_rotation()) == expect_active
 
-    # every pool name gets a driver row at least once per ceil(|POOL|/6)
-    # consecutive rounds (the rotation's whole point)
+    # the round-9 window is exactly POOL[18:54] — 36 first-ever driver
+    # rows (the round-8 verdict's ≥30-new-rows criterion), and the
+    # pre-r9 never-driver-checked backlog (POOL[18:63]) clears by r10
+    assert window(9) == set(POOL[18:54])
+    assert set(POOL[18:63]) <= window(9) | window(10)
+
+    # every pool name gets a driver row at least once per cycle
+    # (the rotation's whole point)
     windows = set()
-    for r in range(7, 7 + (len(POOL) + 5) // 6):
-        s = ((r - 6) * 6) % len(POOL)
-        windows |= {POOL[(s + i) % len(POOL)] for i in range(6)}
+    for r in range(9, 9 + (len(POOL) + 35) // 36 + 1):
+        windows |= window(r)
     assert windows == set(POOL)
 
     gated = {n for n, q in registry.items() if q.gated}

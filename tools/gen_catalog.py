@@ -15,7 +15,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sparkstreaming_gmall_scala_spark.plans.catalog import load_all  # noqa: E402
-from sparkstreaming_gmall_scala_spark.plans.rotation import POOL  # noqa: E402
+from sparkstreaming_gmall_scala_spark.plans.rotation import (  # noqa: E402
+    _SLOTS_V2,
+    POOL,
+)
 
 
 def first_sentence(doc: str) -> str:
@@ -42,17 +45,17 @@ def render() -> str:
         "",
         "Auto-generated from the live registry by `tools/gen_catalog.py` "
         "(pinned current by `tests/test_catalog.py`). The Gate column is "
-        "round-invariant: `gated` entries are in the driver's 50-row "
-        "correctness gate every round; `pool` entries cycle through six "
-        "rotating gate slots (`plans/rotation.py`) so each gets a driver "
-        "row within `ceil(len(POOL)/6)` rounds; `—` entries are "
-        "documented twins/subsets whose signal lives in pytest equality "
-        "with a gated sibling.",
+        "round-invariant: `gated` entries (the CORE parity spine) are in "
+        "the driver's 50-row correctness gate every round; `pool` entries "
+        "cycle through the rotating gate slots (`plans/rotation.py`) so "
+        "each gets a driver row within `ceil(len(POOL)/slots)` rounds; "
+        "`—` entries are documented twins/subsets whose signal lives in "
+        "pytest equality with a gated sibling.",
         "",
-        f"{len(reg)} queries; {always_gated} always-gated + 6 rotating "
-        f"slots (pool of {len(POOL)}) fill the 50-row gate each round; "
-        f"{sum(1 for q in reg.values() if q.oracle is not None)} with full "
-        "DuckDB oracles.",
+        f"{len(reg)} queries; {always_gated} always-gated + {_SLOTS_V2} "
+        f"rotating slots (pool of {len(POOL)}) fill the 50-row gate each "
+        f"round; {sum(1 for q in reg.values() if q.oracle is not None)} "
+        "with full DuckDB oracles.",
         "",
         "| Query | Gate | Oracle | Tags | What |",
         "|---|---|---|---|---|",
