@@ -141,6 +141,9 @@ HEADLINE = (
     # added r8: persisted SQ8 codes — steady-state probe next to
     # knn_sq8's derive-per-run number
     "knn_sq8_persisted",
+    # added r9: IVF-SQ8 — cell-partition-pruned probe over residual SQ8
+    # codes (the round-8 verdict's answer to the flat knn_sq8 scan)
+    "knn_ivf_sq8",
     # added r8: winnowing fingerprints (MOSS) — the sparse guaranteed
     # substring-dup index next to dup_spans' keep-everything one
     "winnow_fingerprints",
@@ -328,7 +331,7 @@ def main() -> int:
     import shutil as _shutil
     import tempfile as _tempfile
 
-    for prefix in ("lshbuckets", "ivfcells", "sq8", "pqcodes", "ivfpq"):
+    for prefix in ("lshbuckets", "ivfcells", "sq8", "pqcodes", "ivfpq", "ivfsq8"):
         for d in _glob.glob(
             os.path.join(
                 _tempfile.gettempdir(),
@@ -344,10 +347,11 @@ def main() -> int:
         "knn_pq_persisted",
         "knn_ivf_pq_persisted",
         "knn_sq8_persisted",
+        "knn_ivf_sq8",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()
-        build_sec[warm.replace("_persisted", "_build")] = round(
+        build_sec[warm.replace("_persisted", "") + "_build"] = round(
             time.perf_counter() - t0, 3
         )
     print(f"# build (cold index + first probe): {build_sec}", file=sys.stderr)

@@ -28,28 +28,53 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+def _sql_ref(name: str) -> str:
+    """Backtick-quote a column name for the F.expr fast path."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Dot product for a KNOWN dimension as an explicit left-to-right
     addition chain of ``a[i]*b[i]``.
 
     Numerically identical to the ``F.aggregate`` fold (same IEEE-double
-    operation order, so DuckDB ``list_reduce`` oracles still hash-match),
-    but ~an order of magnitude faster: higher-order functions with
-    lambdas are interpreted per element, while getItem/multiply/add chains
-    go through whole-stage codegen. Use on hot pairwise paths (O(n²)
-    similarity); the HOF forms stay for unknown-dim columns."""
+    operation order — ``+`` parses left-associative, so the tree is
+    ``((a0·b0) + a1·b1) + …`` exactly like the fold from ``0.0 + a0·b0``
+    — so DuckDB ``list_reduce`` oracles still hash-match), but ~an order
+    of magnitude faster at execution: higher-order functions with
+    lambdas are interpreted per element, while getItem/multiply/add
+    chains go through whole-stage codegen.
+
+    Pass column NAMES (strings) on hot paths: building the chain
+    Column-by-Column costs ~4 py4j round trips per term (~1.4 s of
+    driver time per 64-dim chain, measured round 9 — it made the SQ8
+    probe's DataFrame CONSTRUCTION cost 4+ s, dwarfing its execution),
+    while the string form assembles one SQL text in Python and parses
+    it in a single F.expr call (~ms). Both forms produce the identical
+    analyzed tree. Column arguments remain supported for composed
+    expressions."""
+    if isinstance(a, str) and isinstance(b, str):
+        qa, qb = _sql_ref(a), _sql_ref(b)
+        return F.expr(
+            " + ".join(
+                f"CAST({qa}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE)"
+                for i in range(dim)
+            )
+        )
+    assert not isinstance(a, str) and not isinstance(b, str)
     expr = a.getItem(0).cast("double") * b.getItem(0).cast("double")
     for i in range(1, dim):
         expr = expr + a.getItem(i).cast("double") * b.getItem(i).cast("double")
     return expr
 
 
-def norm_fixed(a: Column, dim: int) -> Column:
-    """sqrt(dot_fixed(a, a)) — same fold order as ``norm``."""
+def norm_fixed(a: Column | str, dim: int) -> Column:
+    """sqrt(dot_fixed(a, a)) — same fold order as ``norm``. String
+    arguments take the single-parse F.expr fast path (see dot_fixed)."""
     return F.sqrt(dot_fixed(a, a, dim))
 
 
-def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+def cosine_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Codegen-friendly cosine for a known dimension; arithmetic-order
     identical to ``cosine`` (and the DuckDB oracle's list_reduce)."""
     return dot_fixed(a, b, dim) / (norm_fixed(a, dim) * norm_fixed(b, dim))

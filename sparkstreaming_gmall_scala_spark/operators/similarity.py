@@ -27,7 +27,7 @@ def _with_norm(df: DataFrame, vec: str, out: str, dim: int | None) -> DataFrame:
     # Guard: dot_fixed on a wrong dim would silently score a truncated
     # vector (getItem past the end is null → dropped terms, no error).
     checked = F.when(
-        F.size(F.col(vec)) == dim, norm_fixed(F.col(vec), dim)
+        F.size(F.col(vec)) == dim, norm_fixed(vec, dim)
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -45,7 +45,7 @@ def _pair_score(dim: int | None):
     if dim is None:
         raw = cosine(F.col("qvec"), F.col("cvec"))
     else:
-        raw = dot_fixed(F.col("qvec"), F.col("cvec"), dim) / (
+        raw = dot_fixed("qvec", "cvec", dim) / (
             F.col("_qnorm") * F.col("_cnorm")
         )
     return F.floor(raw * 1e6 + 0.5) / 1e6

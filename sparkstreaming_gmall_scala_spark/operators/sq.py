@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import dot_fixed
 from .similarity import _pair_score, _rank_topk, _with_norm
 
 
@@ -155,11 +156,14 @@ def sq8_topk(
     codes-side scan never touches mn/mx at all. Every sum here is an
     UNROLLED getItem chain (functions/vectors.py:dot_fixed discipline),
     not an ``F.aggregate`` fold: higher-order-function lambdas are
-    interpreted PER ELEMENT, and on the pairwise path that
-    interpretation overhead — not the arithmetic — was the probe's
-    bottleneck (measured: fold forms ~5 s, unrolled ~sub-2 s at sf0.1);
-    per-dimension bounds enter as scalar literals, so the chains stay
+    interpreted PER ELEMENT on the pairwise path, while the chains stay
     inside whole-stage codegen with zero array allocation per pair.
+    The chains are built via dot_fixed's STRING fast path (one F.expr
+    parse): round 9 measured the probe at 5.4 s with Column-by-Column
+    chain construction — ~4 py4j round trips per term put >4 s of the
+    total in DataFrame construction/analysis on the driver, dwarfing
+    the ~1.4 s of actual execution — vs ~1.5 s total with the
+    single-parse form (identical analyzed tree either way).
     The split is a REASSOCIATION of the naive Σ q_i·decode_i — a
     different IEEE-double result — so the expression tree here and in
     the DuckDB oracle (plans/llm.py knn_sq8) are the contract and must
@@ -220,7 +224,7 @@ def sq8_topk(
     # defining expressions into this chain (the O(dim²) trap)
     from ..functions.vectors import dot_fixed
 
-    pair_dot = F.col("_qmn") + dot_fixed(F.col("codes"), F.col("_t"), d)
+    pair_dot = F.col("_qmn") + dot_fixed("codes", "_t", d)
     approx = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -246,6 +250,21 @@ def sq8_topk(
             "query_id", "neighbor_id", F.col("approx").alias("score")
         )
         return _rank_topk(scored, k)
+    return _exact_rerank(short, queries, rerank, id_col, vec_col, dim, k)
+
+
+def _exact_rerank(
+    short: DataFrame,
+    queries: DataFrame,
+    rerank: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+    k: int,
+) -> DataFrame:
+    """The refine stage shared by the SQ8 probes: exact 6-dp cosine over
+    ONLY the shortlisted raw vectors (broadcast point lookups, never a
+    corpus scan), ranked with the family-wide (score desc, id) tiebreak."""
     qdf = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -261,3 +280,218 @@ def sq8_topk(
         .select("query_id", "neighbor_id", "score")
     )
     return _rank_topk(scored, k)
+
+
+def _unit_centroids(centroids: list[list[float]]) -> list[list[float]]:
+    """Centroid DIRECTIONS ĉ = c/||c|| (zero centroids stay zero) —
+    computed driver-side over the k×dim matrix, plain Python floats so
+    the assignment expression embeds them as stable literals."""
+    out = []
+    for c in centroids:
+        n = sum(float(x) * float(x) for x in c) ** 0.5
+        out.append([float(x) / n for x in c] if n > 0.0 else [0.0] * len(c))
+    return out
+
+
+def _directional_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax_j dot(vec, ĉ_j) over the UNIT-normalized centroids, ties →
+    lowest index. The metric here is cosine, so cells must partition by
+    DIRECTION: raw-space L2 argmin (the plain-IVF rule) splits uniform
+    data by magnitude as much as angle, and a query's cosine neighbors
+    scatter across cells — measured round 9: recall@5 0.76 at nprobe=4/8
+    with L2 assignment vs 1.00 probing all cells; directional assignment
+    restores IVF-PQ-level coverage (its normalized-space L2 is the same
+    ranking, since ||x̂−ĉ||² = 2−2·dot(x̂,ĉ) is monotone in the dot).
+    dot(vec, ĉ_j) itself is magnitude-invariant for the ARGMAX, so the
+    row vector never needs normalizing — no per-row norm column to leak
+    into a HOF lambda (the CollapseProject O(dim²) trap)."""
+    from .similarity import _plane_dot
+
+    d_arr = F.array(
+        *[_plane_dot(vec, c) for c in _unit_centroids(centroids)]
+    )
+    return (F.array_position(d_arr, F.array_max(d_arr)) - 1).cast("int")
+
+
+def _ivf_residual_frame(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """(id, cell, res): directional coarse-cell assignment (see
+    _directional_cell) plus the residual x − centroid[cell] against the
+    RAW centroid (the reconstruction target — x̂ = centroid + decoded
+    residual must approximate x itself), all pure Column expressions.
+    Cell assignment sits in its OWN projection (the kmeans_centroids
+    discipline) so the k-dot array is built once per row, not re-derived
+    inside the residual zip."""
+    cents2d = F.array(*[_lit_arr(c) for c in centroids])
+    assigned = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias("_v"),
+        _directional_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    return assigned.select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(cents2d, F.col("cell") + 1),
+            lambda x, c: x.cast("double") - c,
+        ).alias("res"),
+    )
+
+
+def ivf_sq8_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    bounds: list[tuple[float, float]],
+) -> DataFrame:
+    """The IVF-SQ8 index rows (id, cell, codes, _cnorm) — faiss
+    "IVF,SQ8" with residual encoding: coarse cells bound the CANDIDATES
+    (write the output ``partitionBy("cell")`` and probes prune unprobed
+    cell directories), SQ8 codes bound the BYTES at 1 byte/dimension,
+    and because codes quantize the RESIDUAL x − centroid[cell] (which
+    concentrates near zero) the per-step quantization error is far
+    smaller than flat SQ8's for the same 8 bits — the IndexIVFPQ
+    residual argument (operators/pq.py:pq_train), applied to the scalar
+    quantizer. ``bounds`` are per-dimension [min, max] over the
+    residuals (sq8_bounds on _ivf_residual_frame's ``res``).
+
+    ``_cnorm`` stores the RECONSTRUCTION norm ||centroid[cell] +
+    decode(codes)|| at build time, so probes score approximate cosine
+    without touching raw vectors. Everything here is pure Column
+    expressions — the whole build is one corpus scan plus the bounds
+    aggregation, zero Python workers (the SQ8 family property; the
+    coarse centroids come from kmeans_centroids' distributed passes)."""
+    mn = _lit_arr([b[0] for b in bounds])
+    mx = _lit_arr([b[1] for b in bounds])
+    cents2d = F.array(*[_lit_arr(c) for c in centroids])
+
+    def code(x: Column, i: Column) -> Column:
+        lo = F.element_at(mn, i + 1)
+        hi = F.element_at(mx, i + 1)
+        q = F.floor((x.cast("double") - lo) * 255.0 / (hi - lo) + 0.5)
+        clamped = F.least(F.greatest(q, F.lit(0)), F.lit(255))
+        return F.when(hi > lo, clamped).otherwise(F.lit(0)).cast("int")
+
+    res = _ivf_residual_frame(corpus, id_col, vec_col, centroids)
+    coded = res.select(
+        id_col, "cell", F.transform(F.col("res"), code).alias("codes")
+    )
+    # reconstruction x̂ = centroid[cell] + decode(codes); _cnorm = ||x̂||.
+    # Its own projection so the codes transform above isn't inlined into
+    # the decode tree (the CollapseProject-across-two-consumers trap).
+    recon = F.zip_with(
+        sq8_decode_col(F.col("codes"), bounds),
+        F.element_at(cents2d, F.col("cell") + 1),
+        lambda d, c: d + c,
+    )
+    return coded.withColumn(
+        "_cnorm",
+        F.sqrt(F.aggregate(recon, F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+
+
+def ivf_sq8_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    bounds: list[tuple[float, float]],
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: DataFrame | None = None,
+    shortlist: int = 32,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k over an IVF-SQ8 index: each query probes only its
+    ``nprobe`` nearest coarse cells (``cell IN (...)`` becomes partition
+    pruning on a cell-partitioned parquet index — unprobed cell
+    DIRECTORIES are never opened), scores the pruned codes with the
+    split approximate dot, shortlists, and exact-reranks.
+
+    The split-dot extends sq8_topk's with the centroid term:
+
+        dot(q, x̂) = dot(q, centroid_c) + Σ q_i·mn_i + Σ c_i·t_i
+
+    where the first two terms and t_i = (q_i·(mx_i − mn_i))/255 depend
+    only on the (query, probed cell) pair — both precompute DRIVER-side
+    over the bounded collected query batch (the pq_topk contract; the
+    probe table is |queries| × nprobe rows, broadcast), so the
+    codes-side scan is one codegen'd multiply-add chain per pair, zero
+    Python workers. At 100 TB the scan cost is nprobe/k_cells of the
+    codes table read as 1-byte/dim rows; raw-vector IO is
+    shortlist-sized point lookups in the refine stage."""
+    import numpy as np
+
+    d = dim if dim is not None else len(bounds)
+    cents = np.asarray(centroids, dtype=np.float64)
+    ucents = np.asarray(_unit_centroids(centroids), dtype=np.float64)
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("ivf_sq8_topk needs a non-empty query batch")
+    q_ids = [int(r[id_col]) for r in q_rows]
+    q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    # probe cells by DIRECTION — the same dot(q, ĉ) ranking the index's
+    # _directional_cell assignment uses (negated: argsort ascending,
+    # stable ties → lowest cell index, matching array_position)
+    probed = np.argsort(-(q @ ucents.T), axis=1, kind="stable")[:, :nprobe]
+    mn_v = np.array([b[0] for b in bounds], dtype=np.float64)
+    diff_v = np.array(
+        [float(b[1]) - float(b[0]) for b in bounds], dtype=np.float64
+    )
+    qmn = q @ mn_v
+    qnorm = np.sqrt((q * q).sum(axis=1))
+    t = q * diff_v / 255.0
+    rows = [
+        (
+            q_ids[j],
+            int(c),
+            float(qmn[j] + q[j] @ cents[c]),
+            [float(v) for v in t[j]],
+            float(qnorm[j]),
+        )
+        for j in range(len(q_ids))
+        for c in probed[j]
+    ]
+    probe = index.sparkSession.createDataFrame(
+        rows,
+        "query_id long, cell long, _qmn2 double, _t array<double>, "
+        "_qnorm double",
+    )
+    cells = sorted({int(c) for j in range(len(q_ids)) for c in probed[j]})
+    pruned = index.filter(F.col("cell").isin(cells)).select(
+        F.col(id_col).alias("neighbor_id"), "cell", "codes", "_cnorm"
+    )
+    pair_dot = F.col("_qmn2") + dot_fixed("codes", "_t", d)
+    approx = (
+        pruned.join(F.broadcast(probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "approx",
+            F.floor(
+                (pair_dot / (F.col("_qnorm") * F.col("_cnorm"))) * 1e6 + 0.5
+            )
+            / 1e6,
+        )
+    )
+    n_short = max(shortlist, k + 1) if rerank is not None else k + 1
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    short = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_short)
+        .select("query_id", "neighbor_id", "approx")
+    )
+    if rerank is None:
+        scored = short.select(
+            "query_id", "neighbor_id", F.col("approx").alias("score")
+        )
+        return _rank_topk(scored, k)
+    return _exact_rerank(short, queries, rerank, id_col, vec_col, dim, k)

@@ -1098,6 +1098,92 @@ def knn_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf_sq8",
+    oracle=None,  # the coarse quantizer is trained k-means (the IVF
+    # constraint), so the entry is rows-only; recall floors on both
+    # RECALL.md fixtures + the partition-pruned probe plan are pinned in
+    # tests/test_sq.py.
+    tags=("llm", "similarity", "ivf", "sq8", "persisted"),
+    gated=False,
+)
+def knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 over a PERSISTED IVF-SQ8 index (faiss "IVF,SQ8",
+    residual-encoded): coarse k-means cells bound the CANDIDATES — the
+    index is parquet PARTITIONED BY cell, so each probe's ``cell IN
+    (nprobe nearest)`` filter is partition pruning and unprobed cell
+    directories are never opened — while SQ8 codes bound the BYTES at
+    1 B/dimension, quantizing the residual x − centroid[cell] against
+    exact per-dimension bounds (residuals concentrate near zero, so the
+    8-bit step is far finer than flat SQ8's — the IndexIVFPQ residual
+    argument applied to the scalar quantizer). Unlike PQ's ADC scan the
+    probe stays entirely JVM-side: split-dot scoring over the pruned
+    codes (driver-precomputed per-(query, cell) terms broadcast as a
+    |q|×nprobe-row table), shortlist window, exact rerank over
+    shortlist-sized raw-vector point lookups. Round-9 answer to the
+    flat-scan knn_sq8_persisted probe (round-8 verdict #3): same
+    compression, nprobe/k_cells of the scan."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..operators.similarity import kmeans_centroids
+    from ..operators.sq import ivf_sq8_encode, ivf_sq8_topk, sq8_bounds
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ix_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfsq8_{_os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('ivfsq8-res', 8, 255, _data_fingerprint(sf_dir, 'embeddings'))}",
+    )
+    quant_path = _os.path.join(ix_dir, "quantizers.json")
+    index_dir = _os.path.join(ix_dir, "index")
+    if not (
+        _os.path.exists(quant_path)
+        and _os.path.exists(_os.path.join(index_dir, "_SUCCESS"))
+    ):
+        from ..operators.sq import _ivf_residual_frame
+
+        # the ivf_pq_persisted discipline: one collected hash-ordered
+        # sample trains the coarse quantizer
+        sample_rows = (
+            e.select("vec_id", "embedding")
+            .withColumn(
+                "_h", F.hash(F.col("embedding").cast("array<string>"))
+            )
+            .orderBy("_h", "vec_id")
+            .limit(2048)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        sample = spark.createDataFrame(
+            sample_rows, e.select("vec_id", "embedding").schema
+        )
+        cents = kmeans_centroids(
+            sample, "embedding", k=8, iters=2, id_col="vec_id"
+        )
+        bounds = sq8_bounds(
+            _ivf_residual_frame(e, "vec_id", "embedding", cents), "res"
+        )
+        ivf_sq8_encode(
+            e, "vec_id", "embedding", cents, bounds
+        ).write.partitionBy("cell").mode("overwrite").parquet(index_dir)
+        _os.makedirs(ix_dir, exist_ok=True)
+        tmp = quant_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"centroids": cents, "bounds": bounds}, f)
+        _os.replace(tmp, quant_path)  # atomic: readers never see partial
+    with open(quant_path) as f:
+        quant = _json.load(f)
+    index = spark.read.parquet(index_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivf_sq8_topk(
+        index, queries, "vec_id", "embedding",
+        quant["centroids"], [tuple(b) for b in quant["bounds"]],
+        k=5, nprobe=4, rerank=e, shortlist=128, dim=64,
+    )
+
+
+@register(
     "knn_pq",
     oracle=None,  # numpy-trained codebooks and argmin codes are not
     # DuckDB-reproducible (the IVF family's constraint, squared); recall

@@ -47,6 +47,9 @@ def test_oracle_coverage(registry):
         "knn_pq_persisted",
         "knn_ivf_pq",
         "knn_ivf_pq_persisted",
+        # trained coarse k-means cells (the IVF constraint) over SQ8
+        # codes; recall floors + pruning plan guard in tests/test_sq.py
+        "knn_ivf_sq8",
         # k-means cells again (SemDeDup); soundness/within-cell
         # completeness pinned against the exact pair set in pytest
         "semantic_dedup",
@@ -90,6 +93,9 @@ STATIC_UNGATED = {
     "semantic_dedup",
     # persisted twin of knn_sq8 (full-oracle, pool); exact-equality pytest
     "knn_sq8_persisted",
+    # rows-only IVF-SQ8 (trained coarse cells); recall floors + pruning
+    # plan guard in tests/test_sq.py
+    "knn_ivf_sq8",
     # rows-only iterative PageRank; exact local-reference pin in pytest
     "dup_pagerank",
 }

@@ -53,6 +53,9 @@ def truth(spark, clustered_dir):
         ("knn_pq", 0.9),
         ("knn_ivf_pq", 0.9),
         ("knn_sq8", 0.9),
+        # round-9 IVF-SQ8 (directional cells × residual SQ8): measured
+        # 1.00 on this fixture and 0.76 uniform (vs ivf_pq's 0.62)
+        ("knn_ivf_sq8", 0.9),
     ],
 )
 def test_clustered_recall_floor(spark, clustered_dir, truth, name, floor):

@@ -442,12 +442,18 @@ def test_ivf_pq_recall_and_partition_pruning(spark, sf_dir, tmp_path):
     per_rows = per_df.collect()
     assert sorted(map(tuple, per_rows)) == sorted(map(tuple, mem_rows))
     plan = per_df._jdf.queryExecution().executedPlan().toString()
+    # identify the index scan by its column set, not the tmp_path — Spark
+    # truncates the Location string to ~100 chars, and once the pytest
+    # run counter grew the path one char too long the directory name fell
+    # off the line (observed round 9: pytest-102 broke what pytest-99
+    # passed)
     scan_lines = [
         l for l in plan.split("\n")
-        if "ivfpq" in l and ("Scan parquet" in l or "PartitionFilters" in l)
+        if "Scan parquet" in l and "codes#" in l and "cell#" in l
     ]
     assert any(
-        "cell" in l and "PartitionFilters: [" in l and "cell#" in l.split("PartitionFilters:")[1][:200]
+        "PartitionFilters: [" in l
+        and "cell#" in l.split("PartitionFilters:")[1][:200]
         for l in scan_lines
     ), plan[:3000]
 

@@ -24,6 +24,11 @@ VARIANTS = (
     ("knn_ivf_pq", "IVF k=8 × residual-PQ m=8×8-bit, nprobe=4, built per run"),
     ("knn_ivf_pq_persisted", "same, cell-partitioned persisted index"),
     ("knn_sq8", "SQ8 per-dim uint8, codegen decode + exact rerank"),
+    (
+        "knn_ivf_sq8",
+        "IVF k=8 (directional cells) × residual-SQ8, nprobe=4, "
+        "cell-partitioned persisted index",
+    ),
 )
 
 
