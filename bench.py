@@ -222,6 +222,17 @@ HEADLINE = (
     # and exact-decimal-moment 3-sigma outliers
     "events_sample_k",
     "value_outliers",
+    # added r9: the last seven TPC-H shapes (plans/tpch.py) — correlated
+    # scalar-min via window, pure filter-agg pushdown, multi-fact profit
+    # join, HAVING-vs-scalar, delay-class conditional pivot, NOT IN +
+    # count distinct, nested semi-joins over the derived ps relation
+    "min_cost_supplier",
+    "promo_share_simple",
+    "product_profit",
+    "important_stock",
+    "shipmode_priority",
+    "supplier_part_count",
+    "excess_inventory",
 )
 
 

@@ -180,6 +180,15 @@ POOL: tuple[str, ...] = (
     "stratified_sample",
     "tfidf_top_terms",
     "topk_parts_per_brand",
+    # round-9 TPC-H completion (Q2/Q6/Q9/Q11/Q12/Q16/Q20 shapes;
+    # first driver rows: r11 per the 36-slot window arithmetic)
+    "min_cost_supplier",
+    "promo_share_simple",
+    "product_profit",
+    "important_stock",
+    "shipmode_priority",
+    "supplier_part_count",
+    "excess_inventory",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -667,3 +667,472 @@ def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum(money("c_acctbal")), 2).cast("double").alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: the last seven shapes (Q2/Q6/Q9/Q11/Q12/Q16/Q20). The driver
+# schema has no partsupp table, so the part-supplier relation is DERIVED:
+# ps := lineitem grouped by (l_partkey, l_suppkey), with min(decimal
+# extendedprice) as the supply-cost analog and exact integer quantity
+# sums as the availability analog — deterministic aggregates, so every
+# query below still carries a full hash-checked oracle.
+# ---------------------------------------------------------------------------
+
+
+def _ps_cost(li: DataFrame) -> DataFrame:
+    """The partsupp analog: one row per (part, supplier) that ever traded,
+    supply cost = min decimal extendedprice (exact order-independent
+    aggregate). At 100 TB this is a once-materialized derived table
+    bucketed by partkey, not a per-query recompute."""
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(money("l_extendedprice")).alias("ps_cost")
+    )
+
+
+_PS_COST_SQL = """
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier: correlated scalar-min over a 4-way dim join
+# ---------------------------------------------------------------------------
+@register(
+    "min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_COST_SQL}),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    j AS (
+      SELECT eu.s_suppkey, eu.s_name, eu.s_acctbal, eu.n_name,
+             p.p_partkey, p.p_type, ps.ps_cost
+      FROM ps
+      JOIN part p ON ps.l_partkey = p.p_partkey
+      JOIN eu ON ps.l_suppkey = eu.s_suppkey
+      WHERE p.p_size IN (5, 10, 15, 20) AND p.p_type = 'STANDARD'
+    )
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, p_type, s_suppkey,
+           CAST(ps_cost AS DOUBLE) AS supply_cost
+    FROM j
+    WHERE ps_cost = (
+      SELECT min(j2.ps_cost) FROM j j2 WHERE j2.p_partkey = j.p_partkey
+    )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "window", "correlated"),
+    gated=False,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the European supplier(s)
+    offering the minimum supply cost. The correlated scalar-min subquery
+    becomes a WINDOW MIN over the part key on the already-joined frame —
+    one pass, no second join back (the classic Spark rewrite; Catalyst
+    plans the correlated form the same way). Dims chain as broadcasts
+    (region→nation→supplier, part with size/type filters pushed to its
+    scan); the only shuffles are the ps derivation and the window's
+    part-key exchange. Ties on min cost keep ALL suppliers (both
+    engines), and the top-100 cut rides a unique total order."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _ps_cost(li)
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 10, 15, 20) & (F.col("p_type") == "STANDARD")
+    )
+    j = ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey).join(
+        F.broadcast(
+            s.select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        ),
+        ps.l_suppkey == F.col("s_suppkey"),
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("_min_cost", F.min("ps_cost").over(w))
+        .filter(F.col("ps_cost") == F.col("_min_cost"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "s_suppkey",
+            F.col("ps_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue change: the pure filter-aggregate pushdown showcase
+# ---------------------------------------------------------------------------
+@register(
+    "promo_share_simple",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(18,2))
+            BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "agg", "pushdown"),
+    gated=False,
+)
+def promo_share_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would vanish if mid-band discounts
+    were eliminated — one table, three pushable predicates, one global
+    aggregate. The whole point is the plan: every filter reaches the
+    parquet scan as a PushedFilter, the scan reads three columns, and
+    the aggregate partial-folds map-side to a single row — zero joins,
+    one exchange (the final single-partition gather). The discount band
+    compares in DECIMAL (0.05..0.07 are exact 2-dp values) so both
+    engines select the identical rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (money("l_discount") >= F.lit(0.05).cast("decimal(18,2)"))
+            & (money("l_discount") <= F.lit(0.07).cast("decimal(18,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(money("l_extendedprice") * money("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-line profit by nation and year: the multi-fact join
+# ---------------------------------------------------------------------------
+@register(
+    "product_profit",
+    oracle=f"""
+    WITH ps AS ({_PS_COST_SQL})
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum({_REV_SQL} - ps.ps_cost), 2) AS DOUBLE) AS profit,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    JOIN ps       ON ps.l_partkey = l.l_partkey AND ps.l_suppkey = l.l_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("tpch", "join", "agg"),
+    gated=False,
+)
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus supply cost) on one product
+    line, per supplier nation per year. Two FACT-sized inputs meet: the
+    filtered lineitem and the derived ps cost table — their join keys
+    share the partkey, so at scale both sides bucket by partkey and the
+    join is co-partitioned, not a second full shuffle; orders joins on
+    its natural orderkey shuffle; part (name-filtered, broadcast) prunes
+    lineitem EARLY so the ps join and the orders shuffle see only the
+    product line's rows; supplier⋈nation broadcast. Profit subtracts
+    exact decimals before the single 2-dp rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt")
+    )
+    ps = _ps_cost(li)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(ps, ["l_partkey", "l_suppkey"])
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(F.sum(_revenue_dec() - F.col("ps_cost")), 2)
+            .cast("double")
+            .alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: group-by HAVING against a scalar subquery
+# ---------------------------------------------------------------------------
+@register(
+    "important_stock",
+    oracle=f"""
+    WITH nsup AS (
+      SELECT s.s_suppkey FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    v AS (
+      SELECT l.l_partkey, sum({_REV_SQL}) AS val
+      FROM lineitem l JOIN nsup ON l.l_suppkey = nsup.s_suppkey
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS stock_value
+    FROM v
+    WHERE val * 1000 > (SELECT sum(val) FROM v)
+    """,
+    tags=("tpch", "agg", "scalar-subquery"),
+    gated=False,
+)
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through one nation's
+    suppliers exceeds a fraction of the nation's total — a grouped
+    aggregate filtered against a SCALAR aggregate of itself. The grouped
+    frame materializes ONCE (persist + count: the scalar-total consumer
+    and the filter consumer would otherwise both recompute the
+    lineitem join — the top_supplier lesson); the total then broadcasts
+    into the filter via a 1-row cross join. The threshold comparison is
+    ``val * 1000 > total`` — an exact DECIMAL·INT product on both
+    engines, no division, no epsilon."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nsup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(nsup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue_dec()).alias("val"))
+        .persist()
+    )
+    v.count()  # materialize BEFORE the two consumers fan out
+    total = v.agg(F.sum("val").alias("total"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("val") * 1000 > F.col("total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val"), 2).cast("double").alias("stock_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping delay vs priority: the conditional-aggregation pivot
+# ---------------------------------------------------------------------------
+@register(
+    "shipmode_priority",
+    oracle="""
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 'DELAYED' ELSE 'LATE' END AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+    gated=False,
+)
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by urgency class per shipping class.
+    The driver schema has no l_shipmode, so the mode becomes a DERIVED
+    class of the ship delay (LATE 30-60 days, DELAYED >60 — the join's
+    non-equi residual semantics from Q4, reused as a classifier); the
+    priority pivot is the classic conditional-sum pair folded in ONE
+    pass over the orderkey join. The date-range filter pushes to the
+    lineitem scan; the delay comparison can only bind post-join so it
+    rides the join condition, never a cartesian."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.withColumn(
+            "ship_class",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("DELAYED"),
+            ).otherwise(F.lit("LATE")),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier-part relationship count: NOT IN + count distinct
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_part_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("tpch", "anti-join", "distinct-agg"),
+    gated=False,
+)
+def supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    (brand, type, size) bucket, excluding one brand, one type family,
+    and blacklisted suppliers. The NOT IN subquery becomes a LEFT ANTI
+    join against the (tiny, broadcast) negative-balance supplier list —
+    the exact NOT-IN semantics because s_suppkey is non-null; the
+    distinct (part, supplier) pairs collapse BEFORE the dim join (one
+    exchange on the pair), and count(DISTINCT suppkey) reuses that
+    dedup. Part filters push to the part scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.count_distinct(F.col("l_suppkey"))
+            .cast("bigint")
+            .alias("supplier_cnt")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess shipping: nested semi-joins over the derived ps relation
+# ---------------------------------------------------------------------------
+@register(
+    "excess_inventory",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS qty_1997
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT ps.l_suppkey FROM ps
+      WHERE ps.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%rod%'
+        )
+        AND 2 * ps.qty_1997 > ps.total_qty
+    )
+    """,
+    tags=("tpch", "semi-join", "nested"),
+    gated=False,
+)
+def excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved more than half their
+    all-time volume of some 'rod' part in 1997 alone — two NESTED
+    IN-subqueries, each becoming a LEFT SEMI join: parts filter the
+    derived ps relation (broadcast semi on partkey), the qualifying ps
+    rows filter suppliers (semi on suppkey — dedup for free, no
+    distinct), nation broadcast-decorates last. Both quantity sums are
+    exact BIGINTs folded in the ONE ps aggregation pass (the
+    conditional 1997 sum rides the same groupBy), and the comparison
+    ``2·qty_1997 > total_qty`` is integer arithmetic — no 0.5 double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    in_1997 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
+        F.sum(
+            F.when(in_1997, F.col("l_quantity").cast("bigint")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("qty_1997"),
+    )
+    rods = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("rod"))
+        .select("p_partkey")
+    )
+    hot = ps.join(
+        F.broadcast(rods), ps.l_partkey == F.col("p_partkey"), "left_semi"
+    ).filter(2 * F.col("qty_1997") > F.col("total_qty"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(hot, s.s_suppkey == hot.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )

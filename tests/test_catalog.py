@@ -240,6 +240,14 @@ def test_gate_budget(registry):
         "stratified_sample",
         "tfidf_top_terms",
         "topk_parts_per_brand",
+        # round-9 TPC-H completion
+        "min_cost_supplier",
+        "promo_share_simple",
+        "product_profit",
+        "important_stock",
+        "shipmode_priority",
+        "supplier_part_count",
+        "excess_inventory",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
