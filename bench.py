@@ -233,6 +233,9 @@ HEADLINE = (
     "shipmode_priority",
     "supplier_part_count",
     "excess_inventory",
+    # added r9: p50/p95/p99 from the mergeable histogram sketch (one
+    # cumulative walk for all quantiles; full oracle)
+    "value_quantiles_stream",
 )
 
 

@@ -100,36 +100,48 @@ def histogram_merge(*hists: DataFrame) -> DataFrame:
 
 
 def histogram_quantile(hist: DataFrame, qs: list[float]) -> DataFrame:
-    """(q, estimate) per requested quantile: walk the cumulative counts
-    (a window over <= n_bins rows — the whole histogram fits one task)
-    and interpolate linearly inside the covering bin. |estimate - true|
-    <= one bin width by construction (pinned against exact percentiles
-    in tests)."""
+    """(q, estimate) per requested quantile: cumulative counts over the
+    <= n_bins rows, then ONE non-equi join against the (tiny, broadcast)
+    quantile list picks each q's covering bin and interpolates linearly
+    inside it. |estimate - true| <= one bin width by construction
+    (pinned against exact percentiles in tests); the estimate is 6-dp
+    floored so the value is engine-portable (the oracle-determinism
+    recipe). Single-pass on purpose: the previous per-q limit(1) union
+    re-executed the histogram lineage — and therefore the SOURCE scan —
+    once per quantile; the join form evaluates the histogram once
+    however many quantiles are asked (round 9)."""
     from pyspark.sql import Window as W
 
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "total", F.sum("cnt").over(W.partitionBy())
     )
-    out = None
-    for q in qs:
-        target = F.lit(float(q)) * F.col("total")
-        covering = (
-            cum.filter(F.col("cum") >= target)
-            .orderBy("bin")
-            .limit(1)
-            .select(
-                F.lit(float(q)).alias("q"),
-                (
-                    F.col("lo_edge")
-                    + (F.col("hi_edge") - F.col("lo_edge"))
-                    * (target - (F.col("cum") - F.col("cnt")))
-                    / F.col("cnt")
-                ).alias("estimate"),
-            )
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    target = F.col("q") * F.col("total")
+    wq = W.partitionBy("q").orderBy("bin")
+    return (
+        cum.join(F.broadcast(qdf), F.col("cum") >= F.col("q") * F.col("total"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "q",
+            (
+                F.floor(
+                    (
+                        F.col("lo_edge")
+                        + (F.col("hi_edge") - F.col("lo_edge"))
+                        * (target - (F.col("cum") - F.col("cnt")))
+                        / F.col("cnt")
+                    )
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("estimate"),
         )
-        out = covering if out is None else out.unionByName(covering)
-    return out
+    )
 
 
 def histogram_oracle_sql(

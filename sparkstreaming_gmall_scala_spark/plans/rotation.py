@@ -189,6 +189,9 @@ POOL: tuple[str, ...] = (
     "shipmode_priority",
     "supplier_part_count",
     "excess_inventory",
+    # round-9 streaming-quantile sketch report (full oracle — fixed
+    # double arithmetic over exact integer bin counts)
+    "value_quantiles_stream",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -288,3 +288,69 @@ def rolling_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_distinct(daily_sketches(ev), window_days=30)
+
+
+@register(
+    "value_quantiles_stream",
+    oracle="""
+    WITH binned AS (
+      SELECT least(31, greatest(0,
+               CAST(floor((value - 0.0) * 32.0 / (500.0 - 0.0)) AS BIGINT)
+             )) AS bin
+      FROM events WHERE value IS NOT NULL
+    ), h AS (
+      SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
+    ), c AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER () AS total
+      FROM h
+    ), qs AS (
+      SELECT unnest([0.5, 0.95, 0.99]) AS q
+    ), cov AS (
+      SELECT qs.q, c.bin, c.cnt, c.cum, c.total,
+             row_number() OVER (PARTITION BY qs.q ORDER BY c.bin) AS rn
+      FROM qs JOIN c ON c.cum >= qs.q * c.total
+    )
+    SELECT q,
+           floor(((0.0 + CAST(bin AS DOUBLE) * (500.0 - 0.0) / 32.0)
+                  + ((0.0 + CAST(bin + 1 AS DOUBLE) * (500.0 - 0.0) / 32.0)
+                     - (0.0 + CAST(bin AS DOUBLE) * (500.0 - 0.0) / 32.0))
+                    * (q * total - (cum - cnt)) / cnt) * 1000000 + 0.5)
+             / 1000000 AS estimate
+    FROM cov WHERE rn = 1
+    """,
+    tags=("streaming-analog", "sketch", "quantile"),
+    gated=False,
+)
+def value_quantiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of event values answered from the MERGEABLE fixed-bin
+    histogram sketch — the latency-dashboard twin of the exact
+    order_value_percentiles: estimates are within one bin width (500/32
+    here), but the sketch is O(n_bins) state the stream maintains
+    incrementally (streaming/quantile.py reads the same report off the
+    persisted index; the disk lifecycle pin lives in
+    tests/test_histogram.py). The builder composes the streaming path's
+    own pieces on a two-batch parity split: per-batch partials under
+    FROZEN bounds [0, 500] (the frozen-quantizer discipline — per-batch
+    bounds would move bin edges and break additivity; out-of-range
+    values clamp to the edge bins deterministically), additive merge,
+    one cumulative walk for all three quantiles. Every step is fixed
+    double arithmetic over exact integer counts, so unlike
+    percentile_approx sketches this estimate carries a full
+    hash-checked DuckDB oracle."""
+    from ..operators.histogram import (
+        fixed_histogram,
+        histogram_merge,
+        histogram_quantile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    parts = [
+        fixed_histogram(
+            ev.filter(F.col("event_id") % 2 == i).select("value"),
+            "value", n_bins=32, lo=0.0, hi=500.0,
+        )
+        for i in range(2)
+    ]
+    return histogram_quantile(histogram_merge(*parts), [0.5, 0.95, 0.99])

@@ -32,6 +32,7 @@ Modules:
   histogram.py        - frozen-bounds histogram partials
   hll.py              - per-day HLL sketch partials (register-max merge)
   sketchmart.py       - one stream → all three sketch indexes
+  quantile.py         - p50/p95/p99 report off the histogram index
   scd2.py             - SCD2 dim maintenance: observation log +
                         touched-key rebuild + crash-atomic upsert
   ohlc.py             - algebraic OHLC partial bars

@@ -114,3 +114,52 @@ def test_null_values_are_excluded(spark):
     )
     h = fixed_histogram(df, "value", n_bins=4)
     assert h.agg(F.sum("cnt")).collect()[0][0] == 3
+
+
+def test_streamed_quantile_report_equals_batch_twin(spark, sf_dir, tmp_path):
+    """Round-9 streaming-quantiles pin: p50/p95/p99 read off the
+    streamed histogram index (streaming/quantile.py) EQUAL the
+    value_quantiles_stream catalog builder exactly (deterministic double
+    walk over exact integer counts — estimate equality, not tolerance),
+    and each estimate is within one bin width of the exact percentile
+    computed under the same clamped-to-bounds values."""
+    import math
+
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+    from sparkstreaming_gmall_scala_spark.streaming.quantile import (
+        quantile_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    idx = str(tmp_path / "qidx")
+    run = histogram_ingest_batch(spark, idx, lo=0.0, hi=500.0)
+    run(ev.filter(F.col("event_id") % 2 == 0), 0)
+    run(ev.filter(F.col("event_id") % 2 == 1), 1)
+    streamed = {
+        r["q"]: r["estimate"]
+        for r in quantile_report(spark, idx, (0.5, 0.95, 0.99)).collect()
+    }
+    batch = {
+        r["q"]: r["estimate"]
+        for r in load_all()["value_quantiles_stream"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch
+    width = 500.0 / 32
+    clamped = ev.select(
+        F.least(F.lit(500.0), F.greatest(F.lit(0.0), F.col("value"))).alias(
+            "v"
+        )
+    )
+    exact = clamped.agg(
+        *[
+            F.expr(f"percentile(v, {q})").alias(str(q))
+            for q in (0.5, 0.95, 0.99)
+        ]
+    ).collect()[0]
+    for q in (0.5, 0.95, 0.99):
+        assert math.isfinite(streamed[q])
+        assert abs(streamed[q] - exact[str(q)]) <= width + 1e-9, (
+            q, streamed[q], exact[str(q)],
+        )
