@@ -236,6 +236,7 @@ HEADLINE = (
     # added r9: p50/p95/p99 from the mergeable histogram sketch (one
     # cumulative walk for all quantiles; full oracle)
     "value_quantiles_stream",
+    "type_value_quantiles",
 )
 
 
@@ -448,6 +449,12 @@ def main() -> int:
         "notes": {
             "knn_pq": "r8 step-up vs r7 is the deliberate 4->8-bit "
             "codebook upgrade (recall@5 0.48->0.94 clustered; RECALL.md)",
+            "hard_negatives": "r8 driver 5.46s was GC/ordering noise "
+            "(r8 verdict watch-list): r9 isolated+suite runs are back "
+            "to 1.6-4s with zero code change to similarity.py",
+            "knn_sq8_persisted": "r9: 5.4s -> ~1.9s (single-parse "
+            "expression chains, 943d546); cell-pruned knn_ivf_sq8 is "
+            "the scale path",
         },
     }
     with open(os.path.join(repo_root, full_name), "w") as f:
