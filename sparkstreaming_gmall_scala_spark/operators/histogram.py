@@ -43,10 +43,17 @@ def fixed_histogram(
     n_bins: int = 32,
     lo: float | None = None,
     hi: float | None = None,
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(bin, lo_edge, hi_edge, cnt) — one scalar-bounds agg (skipped
-    when the caller pins bounds, the streaming case) + one
-    map-side-combined groupBy; output bounded by n_bins rows."""
+    """(keys..., bin, lo_edge, hi_edge, cnt) — one scalar-bounds agg
+    (skipped when the caller pins bounds, the streaming case) + one
+    map-side-combined groupBy; output bounded by n_keys * n_bins rows.
+
+    ``keys`` adds grouping columns (per-type latency dashboards): every
+    key shares the SAME bounds — global in-query bounds or pinned ones —
+    so per-key histograms stay cross-key comparable and cell-wise
+    mergeable with the identical edge doubles (per-key bounds would put
+    every key on its own grid and break histogram_merge additivity)."""
     # null values are excluded, matching the min/max bounds' own
     # null-skipping — without the filter Spark's null-skipping greatest()
     # would silently count null rows into bin 0 (and DuckDB's
@@ -67,13 +74,14 @@ def fixed_histogram(
     )
     return (
         src.withColumn("bin", _bin_expr(col, n_bins))
-        .groupBy("bin")
+        .groupBy(*keys, "bin")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.first("lo").alias("lo"),
             F.first("hi").alias("hi"),
         )
         .select(
+            *keys,
             "bin",
             (
                 F.col("lo")
@@ -88,44 +96,54 @@ def fixed_histogram(
     )
 
 
-def histogram_merge(*hists: DataFrame) -> DataFrame:
-    """Cell-wise sum of histograms built with the same bins/bounds."""
+def histogram_merge(*hists: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Cell-wise sum of histograms built with the same bins/bounds
+    (and, when keyed, the same key columns)."""
     it = iter(hists)
     acc = next(it)
     for h in it:
         acc = acc.unionByName(h)
-    return acc.groupBy("bin", "lo_edge", "hi_edge").agg(
+    return acc.groupBy(*keys, "bin", "lo_edge", "hi_edge").agg(
         F.sum("cnt").alias("cnt")
     )
 
 
-def histogram_quantile(hist: DataFrame, qs: list[float]) -> DataFrame:
-    """(q, estimate) per requested quantile: cumulative counts over the
-    <= n_bins rows, then ONE non-equi join against the (tiny, broadcast)
-    quantile list picks each q's covering bin and interpolates linearly
-    inside it. |estimate - true| <= one bin width by construction
-    (pinned against exact percentiles in tests); the estimate is 6-dp
-    floored so the value is engine-portable (the oracle-determinism
-    recipe). Single-pass on purpose: the previous per-q limit(1) union
-    re-executed the histogram lineage — and therefore the SOURCE scan —
-    once per quantile; the join form evaluates the histogram once
-    however many quantiles are asked (round 9)."""
+def histogram_quantile(
+    hist: DataFrame, qs: list[float], keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """(keys..., q, estimate) per requested quantile: cumulative counts
+    over the <= n_keys * n_bins rows, then ONE non-equi join against the
+    (tiny, broadcast) quantile list picks each (key, q)'s covering bin
+    and interpolates linearly inside it. |estimate - true| <= one bin
+    width by construction (pinned against exact percentiles in tests);
+    the estimate is 6-dp floored so the value is engine-portable (the
+    oracle-determinism recipe). Single-pass on purpose: the previous
+    per-q limit(1) union re-executed the histogram lineage — and
+    therefore the SOURCE scan — once per quantile; the join form
+    evaluates the histogram once however many quantiles are asked
+    (round 9). Keyed, the windows partition by the keys, so every key
+    answers every quantile off the same one-pass cumulative walk."""
     from pyspark.sql import Window as W
 
-    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "total", F.sum("cnt").over(W.partitionBy())
+        "total", F.sum("cnt").over(W.partitionBy(*keys))
     )
     qdf = hist.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"
     )
     target = F.col("q") * F.col("total")
-    wq = W.partitionBy("q").orderBy("bin")
+    wq = W.partitionBy(*keys, "q").orderBy("bin")
     return (
         cum.join(F.broadcast(qdf), F.col("cum") >= F.col("q") * F.col("total"))
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") == 1)
         .select(
+            *keys,
             "q",
             (
                 F.floor(

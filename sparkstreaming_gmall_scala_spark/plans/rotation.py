@@ -192,6 +192,9 @@ POOL: tuple[str, ...] = (
     # round-9 streaming-quantile sketch report (full oracle — fixed
     # double arithmetic over exact integer bin counts)
     "value_quantiles_stream",
+    # round-9 keyed twin: per-event-type quantiles off the keyed
+    # histogram (same frozen bounds across keys -> still mergeable)
+    "type_value_quantiles",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -306,7 +306,7 @@ def rolling_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(cnt) OVER () AS total
       FROM h
     ), qs AS (
-      SELECT unnest([0.5, 0.95, 0.99]) AS q
+      SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q
     ), cov AS (
       SELECT qs.q, c.bin, c.cnt, c.cum, c.total,
              row_number() OVER (PARTITION BY qs.q ORDER BY c.bin) AS rn
@@ -354,3 +354,61 @@ def value_quantiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(2)
     ]
     return histogram_quantile(histogram_merge(*parts), [0.5, 0.95, 0.99])
+
+
+@register(
+    "type_value_quantiles",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, least(31, greatest(0,
+               CAST(floor((value - 0.0) * 32.0 / (500.0 - 0.0)) AS BIGINT)
+             )) AS bin
+      FROM events WHERE value IS NOT NULL
+    ), h AS (
+      SELECT event_type, bin, count(*) AS cnt FROM binned
+      GROUP BY event_type, bin
+    ), c AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM h
+    ), qs AS (
+      SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q
+    ), cov AS (
+      SELECT c.event_type, qs.q, c.bin, c.cnt, c.cum, c.total,
+             row_number() OVER (PARTITION BY c.event_type, qs.q
+                                ORDER BY c.bin) AS rn
+      FROM qs JOIN c ON c.cum >= qs.q * c.total
+    )
+    SELECT event_type, q,
+           floor(((0.0 + CAST(bin AS DOUBLE) * (500.0 - 0.0) / 32.0)
+                  + ((0.0 + CAST(bin + 1 AS DOUBLE) * (500.0 - 0.0) / 32.0)
+                     - (0.0 + CAST(bin AS DOUBLE) * (500.0 - 0.0) / 32.0))
+                    * (q * total - (cum - cnt)) / cnt) * 1000000 + 0.5)
+             / 1000000 AS estimate
+    FROM cov WHERE rn = 1
+    """,
+    tags=("streaming-analog", "sketch", "quantile", "keyed"),
+    gated=False,
+)
+def type_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95/p99 from the KEYED mergeable histogram —
+    the per-key latency dashboard (`GROUP BY endpoint` percentiles over
+    billions of rows with O(n_keys * n_bins) state). All keys share the
+    frozen [0, 500] bounds, so the keyed partials the streaming ingest
+    writes (streaming/histogram.py keys=...) merge additively and the
+    cumulative walk answers every (key, q) pair in ONE pass — no per-key
+    sort, no percentile_approx re-scan. Estimate error <= one bin width
+    per key against the LOWER (type-1) quantile — the rank-ceil(q*n)
+    order statistic the covering-bin walk targets; interpolated
+    percentile() sits a rank earlier, unbounded across a sparse tail's
+    empty bins (pinned in tests/test_histogram.py). Deterministic double
+    arithmetic over exact integer counts carries the full DuckDB
+    oracle."""
+    from ..operators.histogram import fixed_histogram, histogram_quantile
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    hist = fixed_histogram(
+        ev, "value", n_bins=32, lo=0.0, hi=500.0, keys=("event_type",)
+    )
+    return histogram_quantile(hist, [0.5, 0.95, 0.99], keys=("event_type",))

@@ -28,8 +28,12 @@ def histogram_ingest_batch(
     id_col: str | None = "event_id",
     n_bins: int = 32,
     compact_every: int | None = None,
+    keys: tuple[str, ...] = (),
 ):
-    """Per-batch body: O(batch) bin counts under the pinned bounds."""
+    """Per-batch body: O(batch) bin counts under the pinned bounds.
+    ``keys`` makes the partials per-key (<= n_keys * n_bins rows per
+    batch) — same frozen bounds for every key, so the keyed report
+    stays additively mergeable."""
     index = AppendOnlyIndex(index_dir)
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
@@ -39,7 +43,7 @@ def histogram_ingest_batch(
             batch_df.dropDuplicates([id_col]) if id_col is not None else batch_df
         )
         partial = fixed_histogram(
-            rows, value_col, n_bins=n_bins, lo=lo, hi=hi
+            rows, value_col, n_bins=n_bins, lo=lo, hi=hi, keys=keys
         ).withColumn("src_batch", F.lit(batch_id))
         index.append(partial, batch_id)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
@@ -48,13 +52,15 @@ def histogram_ingest_batch(
     return process
 
 
-def histogram_report(spark: SparkSession, index_dir: str) -> DataFrame:
-    """The merged histogram (bin, lo_edge, hi_edge, cnt): cell-wise sum
-    over <= n_bins * generations rows; (bin, src_batch) dedup absorbs
-    crash-replayed partials."""
+def histogram_report(
+    spark: SparkSession, index_dir: str, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """The merged histogram (keys..., bin, lo_edge, hi_edge, cnt):
+    cell-wise sum over <= n_keys * n_bins * generations rows;
+    (keys, bin, src_batch) dedup absorbs crash-replayed partials."""
     raw = AppendOnlyIndex(index_dir).read(spark)
     return (
-        raw.dropDuplicates(["bin", "src_batch"])
-        .groupBy("bin", "lo_edge", "hi_edge")
+        raw.dropDuplicates([*keys, "bin", "src_batch"])
+        .groupBy(*keys, "bin", "lo_edge", "hi_edge")
         .agg(F.sum("cnt").alias("cnt"))
     )

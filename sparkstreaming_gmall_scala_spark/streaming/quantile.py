@@ -32,10 +32,12 @@ def quantile_report(
     spark: SparkSession,
     hist_index_dir: str,
     qs: Sequence[float] = (0.5, 0.95, 0.99),
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(q, estimate) from the streaming histogram index: fold the
-    partials (replay-deduped), cumulative-walk once, interpolate each
-    requested quantile inside its covering bin."""
+    """(keys..., q, estimate) from the streaming histogram index: fold
+    the partials (replay-deduped), cumulative-walk once per key,
+    interpolate each requested quantile inside its covering bin. Pass
+    ``keys`` when the index was built keyed (per-type dashboards)."""
     return histogram_quantile(
-        histogram_report(spark, hist_index_dir), list(qs)
+        histogram_report(spark, hist_index_dir, keys=keys), list(qs), keys=keys
     )

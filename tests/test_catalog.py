@@ -249,6 +249,7 @@ def test_gate_budget(registry):
         "supplier_part_count",
         "excess_inventory",
         "value_quantiles_stream",
+        "type_value_quantiles",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -163,3 +163,90 @@ def test_streamed_quantile_report_equals_batch_twin(spark, sf_dir, tmp_path):
         assert abs(streamed[q] - exact[str(q)]) <= width + 1e-9, (
             q, streamed[q], exact[str(q)],
         )
+
+
+def test_keyed_histogram_partitions_the_global_one(spark, sf_dir):
+    """Keyed histograms under shared bounds are an exact partition of
+    the unkeyed histogram: summing the keyed counts over keys
+    reproduces every global (bin, cnt) cell, and each key's rows stay
+    within n_bins."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    keyed = fixed_histogram(
+        ev, "value", n_bins=16, lo=0.0, hi=500.0, keys=("event_type",)
+    ).cache()
+    try:
+        folded = keyed.groupBy("bin", "lo_edge", "hi_edge").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        want = fixed_histogram(
+            ev.select("value"), "value", n_bins=16, lo=0.0, hi=500.0
+        )
+        assert _rows(folded) == _rows(want)
+        per_key = keyed.groupBy("event_type").count().collect()
+        assert all(r["count"] <= 16 for r in per_key)
+    finally:
+        keyed.unpersist()
+
+
+def test_keyed_quantiles_match_per_key_exact_within_bin_width(
+    spark, sf_dir, tmp_path
+):
+    """Per-key quantile walk: every (event_type, q) estimate is within
+    one bin width of the exact per-type percentile (values clamped to
+    the frozen bounds), and the KEYED streamed index report equals the
+    keyed batch twin exactly."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+    from sparkstreaming_gmall_scala_spark.streaming.quantile import (
+        quantile_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    idx = str(tmp_path / "kidx")
+    run = histogram_ingest_batch(
+        spark, idx, lo=0.0, hi=500.0, keys=("event_type",)
+    )
+    run(ev.filter(F.col("event_id") % 2 == 0), 0)
+    run(ev.filter(F.col("event_id") % 2 == 1), 1)
+    streamed = {
+        (r["event_type"], r["q"]): r["estimate"]
+        for r in quantile_report(
+            spark, idx, (0.5, 0.95, 0.99), keys=("event_type",)
+        ).collect()
+    }
+    batch = {
+        (r["event_type"], r["q"]): r["estimate"]
+        for r in load_all()["type_value_quantiles"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch
+    # The sketch's covering-bin walk estimates the LOWER (type-1)
+    # quantile: the value at rank ceil(q*n). Both that order statistic
+    # and the estimate lie inside the covering bin, so |est - true| <=
+    # one bin width holds for ANY distribution — Spark's interpolated
+    # percentile() can sit a rank earlier, which in a sparse per-key
+    # tail (empty bins between occupied ones) is an unbounded value gap.
+    width = 500.0 / 32
+    from pyspark.sql import Window as W
+
+    clamped = ev.select(
+        "event_type",
+        F.least(F.lit(500.0), F.greatest(F.lit(0.0), F.col("value"))).alias(
+            "v"
+        ),
+    )
+    ranked = clamped.withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("v"))
+    ).withColumn("n", F.count(F.lit(1)).over(W.partitionBy("event_type")))
+    exact = {}
+    for q in (0.5, 0.95, 0.99):
+        rows = (
+            ranked.filter(F.col("rn") == F.ceil(F.lit(q) * F.col("n")))
+            .select("event_type", "v")
+            .collect()
+        )
+        for r in rows:
+            exact[(r["event_type"], q)] = r["v"]
+    assert set(streamed) == set(exact)
+    for k, est in streamed.items():
+        assert abs(est - exact[k]) <= width + 1e-9, (k, est, exact[k])
