@@ -237,6 +237,7 @@ HEADLINE = (
     # cumulative walk for all quantiles; full oracle)
     "value_quantiles_stream",
     "type_value_quantiles",
+    "weighted_doc_sample",
 )
 
 

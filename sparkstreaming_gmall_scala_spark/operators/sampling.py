@@ -177,3 +177,54 @@ def group_sample_k(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_priority(key: Column, weight: Column) -> Column:
+    """The Efraimidis-Spirakis A-ES priority ln(u)/w for a row, with u a
+    deterministic 32-bit hash-uniform in (0,1): u = (v + 0.5)/2^32, v =
+    the first 8 hex chars of md5(key). Taking the k LARGEST priorities
+    samples k rows without replacement with probability proportional to
+    weight (ln(u)/w is monotone in the classic u^(1/w) key). Hash-based
+    u keeps the sample retry-stable and engine-portable (same md5 hex in
+    Spark and DuckDB; the hex->int, +0.5, /2^32, ln, /w expression tree
+    is written identically on both sides — all exact-integer inputs into
+    the same IEEE double ops)."""
+    v = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    return F.ln(u) / F.greatest(F.lit(1), weight).cast("double")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """EXACTLY-k weighted sample without replacement per stratum (or
+    globally): group_sample_k draws uniformly; this draws with
+    probability proportional to ``weight_col`` — the "sample documents
+    by token count" contract that makes a doc sample token-representative
+    instead of over-representing short docs. A-ES (Efraimidis-Spirakis
+    2006): rank by the deterministic priority :func:`weighted_priority`
+    DESC and keep the top k. Weights clamp to >= 1 so zero/negative
+    weights degrade to uniform instead of dividing by zero.
+
+    Scale shape: one shuffle on the stratum key (none of the weight
+    math shuffles — it's scan-side codegen); rank <= k runs as
+    WindowGroupLimit, so each map partition forwards at most k rows per
+    stratum before the exchange — the full corpus never sorts."""
+    parts = [strata_col] if strata_col is not None else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.desc("_pri"), F.col(key_col)
+    )
+    return (
+        df.withColumn(
+            "_pri", weighted_priority(F.col(key_col), F.col(weight_col))
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", "_pri")
+    )

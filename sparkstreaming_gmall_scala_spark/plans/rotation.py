@@ -195,6 +195,9 @@ POOL: tuple[str, ...] = (
     # round-9 keyed twin: per-event-type quantiles off the keyed
     # histogram (same frozen bounds across keys -> still mergeable)
     "type_value_quantiles",
+    # round-9 A-ES weighted sampling (full oracle — identical
+    # hash->uniform->ln priority tree both engines)
+    "weighted_doc_sample",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

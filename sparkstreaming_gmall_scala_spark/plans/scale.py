@@ -735,3 +735,43 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(z * 1e6 + 0.5) / 1e6).alias("zscore"),
         )
     )
+
+
+@register(
+    "weighted_doc_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY
+                 ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) + 0.5) / 4294967296.0)
+                 / CAST(greatest(1, n_chars) AS DOUBLE) DESC,
+                 doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 50
+    """,
+    tags=("scale", "sampling", "weighted", "window"),
+    gated=False,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY 50 docs per language sampled with probability proportional
+    to LENGTH (operators/sampling.py:weighted_sample_k, Efraimidis-
+    Spirakis A-ES): group_sample_k's uniform draw over-represents short
+    docs by token share; weighting by n_chars makes the eval slice
+    token-representative — the standard corpus-inspection sample. The
+    A-ES priority ln(u)/w uses a hash-uniform u (first 8 md5 hex chars),
+    so the sample is retry-stable and the DuckDB oracle runs the
+    IDENTICAL expression tree; rank <= k executes as WindowGroupLimit
+    (partial per-partition top-k before the one stratum exchange — the
+    corpus never fully sorts)."""
+    from ..operators.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return weighted_sample_k(
+        docs, key_col="doc_id", weight_col="n_chars", k=50, strata_col="lang"
+    )

@@ -423,3 +423,85 @@ def test_cut_spans_roundtrip_no_residual_dups(spark, sf_dir):
     # sanity: the corpus genuinely had duplicated substrings to cut
     assert cleaned.filter(F.col("text") == "").count() >= 0
     assert dup_spans(cleaned, "doc_id", "text", window=20).count() == 0
+
+
+def test_weighted_sample_k_matches_local_aes_reference(spark):
+    """weighted_sample_k selects EXACTLY the rows a pure-local A-ES
+    implementation selects (same md5-hash uniform, same ln(u)/w
+    priority) — the full selection set, not just counts."""
+    import math
+
+    from sparkstreaming_gmall_scala_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+
+    def pri(key: int, w: int) -> float:
+        v = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+        u = (v + 0.5) / 4294967296.0
+        return math.log(u) / max(1, w)
+
+    want = set(
+        sorted(rows, key=lambda r: (-pri(r[0], r[1]), r[0]))[:40]
+    )
+    got = {
+        (r["k"], r["w"])
+        for r in weighted_sample_k(df, "k", "w", 40).collect()
+    }
+    assert got == {(k, w) for k, w in want}
+
+
+def test_weighted_sample_k_per_stratum_counts_and_determinism(spark, sf_dir):
+    from sparkstreaming_gmall_scala_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    s1 = weighted_sample_k(docs, "doc_id", "n_chars", 50, strata_col="lang")
+    per = {r["lang"]: r["n"] for r in
+           s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {lang: min(50, n) for lang, n in avail.items()}
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    s2 = weighted_sample_k(docs, "doc_id", "n_chars", 50, strata_col="lang")
+    assert sorted(r["doc_id"] for r in s2.collect()) == ids1
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A row with overwhelming weight has priority ln(u)/w ~ 0 — above
+    every unit-weight row for any hash draw — so it must be selected;
+    and zero/negative weights clamp to 1 instead of dividing by zero."""
+    from sparkstreaming_gmall_scala_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, 1) for i in range(200)] + [(999, 10**12), (998, 0)]
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+    got = {r["k"] for r in weighted_sample_k(df, "k", "w", 5).collect()}
+    assert 999 in got
+    assert len(got) == 5
+
+
+def test_weighted_sample_k_runs_as_window_group_limit(spark, sf_dir):
+    """Plan guard: rank <= k pushes a partial per-partition top-k
+    (WindowGroupLimit) below the stratum exchange — the 100 TB corpus
+    never fully sorts."""
+    from sparkstreaming_gmall_scala_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    plan = (
+        weighted_sample_k(docs, "doc_id", "n_chars", 50, strata_col="lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
