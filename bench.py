@@ -238,6 +238,7 @@ HEADLINE = (
     "value_quantiles_stream",
     "type_value_quantiles",
     "weighted_doc_sample",
+    "corpus_split",
 )
 
 

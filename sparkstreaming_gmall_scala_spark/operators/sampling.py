@@ -228,3 +228,60 @@ def weighted_sample_k(
         .filter(F.col("_rk") <= k)
         .drop("_rk", "_pri")
     )
+
+
+def split_thresholds(splits: list[tuple[str, float]]) -> list[tuple[str, int]]:
+    """(label, exclusive-upper-bound int) per split on the 16-bit bucket
+    space: threshold_i = round(cumfrac_i * 65536). The last split's
+    bound is forced to 0x10000 (every bucket below it) so rounding
+    never strands a bucket. Bounds are INTS, not hex strings, because
+    0x10000 formats to 5 hex chars and lexicographic compare against a
+    4-char bucket inverts ('ffff' > '10000') — callers render bounds
+    <= 0xffff as 4-char hex and treat >= 0x10000 as always-true."""
+    if not splits:
+        raise ValueError("need at least one split")
+    if any(f < 0 for _, f in splits):
+        raise ValueError("negative split fraction")
+    total = sum(f for _, f in splits)
+    if total <= 0:
+        raise ValueError("split fractions sum to zero")
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for i, (label, frac) in enumerate(splits):
+        cum += frac / total
+        bound = 0x10000 if i == len(splits) - 1 else int(cum * 65536 + 0.5)
+        out.append((label, bound))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]],
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a split
+    label from its key's 16-bit md5 bucket vs cumulative-fraction
+    thresholds — the reproducible-experiment contract (same row, same
+    split, every run/engine/retry; new rows join a split without
+    reshuffling old ones, unlike randomSplit whose assignment depends on
+    partitioning and seed plumbing). Scan-side CASE in whole-stage
+    codegen — zero shuffle, zero state; the oracle runs the identical
+    lexicographic hex compares.
+
+    Splits are (label, fraction) IN ORDER — order is part of the
+    contract since it fixes which bucket range each label owns."""
+    b = sample_bucket(F.col(key_col))
+    expr = None
+    for label, bound in split_thresholds(splits):
+        cond = (
+            F.lit(True)
+            if bound >= 0x10000
+            else b < F.lit(format(bound, "04x"))
+        )
+        expr = (
+            F.when(cond, F.lit(label))
+            if expr is None
+            else expr.when(cond, F.lit(label))
+        )
+    return df.withColumn(out_col, expr)

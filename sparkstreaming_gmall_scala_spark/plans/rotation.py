@@ -198,6 +198,8 @@ POOL: tuple[str, ...] = (
     # round-9 A-ES weighted sampling (full oracle — identical
     # hash->uniform->ln priority tree both engines)
     "weighted_doc_sample",
+    # round-9 deterministic train/val/test hash split audit
+    "corpus_split",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -775,3 +775,53 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k(
         docs, key_col="doc_id", weight_col="n_chars", k=50, strata_col="lang"
     )
+
+
+from ..operators.sampling import split_thresholds as _split_thresholds  # noqa: E402
+
+_SPLITS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+_T = _split_thresholds(_SPLITS)  # [('train', 0xe666), ('val', 0xf333), ('test', 0x10000)]
+
+
+@register(
+    "corpus_split",
+    oracle=f"""
+    SELECT CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '{format(_T[0][1], "04x")}' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '{format(_T[1][1], "04x")}' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("scale", "sampling", "split"),
+    gated=False,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment audit, per language
+    (operators/sampling.py:hash_split): every doc's split comes from its
+    key's 16-bit md5 bucket vs exact cumulative-fraction thresholds —
+    reproducible across runs/engines/retries, and stable under corpus
+    growth (new docs join a split without reshuffling old ones — the
+    property randomSplit lacks, its assignment moving with partitioning
+    and seed plumbing). The label is one scan-side CASE inside
+    whole-stage codegen: zero shuffle to assign, one groupBy to audit
+    the realized mixture."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return (
+        hash_split(docs, "doc_id", _SPLITS)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )

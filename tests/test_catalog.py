@@ -251,6 +251,7 @@ def test_gate_budget(registry):
         "value_quantiles_stream",
         "type_value_quantiles",
         "weighted_doc_sample",
+        "corpus_split",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -505,3 +505,69 @@ def test_weighted_sample_k_runs_as_window_group_limit(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_hash_split_partitions_every_row_and_hits_fractions(spark, sf_dir):
+    """hash_split: labels partition the table exactly (no null/missing),
+    realized fractions are within a few points of the targets on the
+    16-bit bucket space, re-assignment is stable, and growing the corpus
+    never moves an existing row's split (the anti-randomSplit
+    property)."""
+    from sparkstreaming_gmall_scala_spark.operators.sampling import hash_split
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    s = hash_split(docs, "doc_id", splits)
+    n = docs.count()
+    got = {r["split"]: r["n"] for r in
+           s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(got.values()) == n
+    assert set(got) == {"train", "val", "test"}
+    for label, frac in splits:
+        assert abs(got[label] / n - frac) < 0.05, (label, got[label], n)
+    # growth stability: assignment on a half-corpus equals the full
+    # corpus's assignment restricted to those rows
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    a = {r["doc_id"]: r["split"]
+         for r in hash_split(half, "doc_id", splits).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs, "doc_id", splits).collect()
+         if r["doc_id"] % 2 == 0}
+    assert a == b
+
+
+def test_split_thresholds_math_and_degenerate_cases():
+    import pytest
+
+    from sparkstreaming_gmall_scala_spark.operators.sampling import (
+        split_thresholds,
+    )
+
+    t = split_thresholds([("train", 0.9), ("val", 0.05), ("test", 0.05)])
+    assert t == [("train", 58982), ("val", 62259), ("test", 0x10000)]
+    # fractions normalize: 9/0.5/0.5 is the same contract
+    assert split_thresholds([("a", 9.0), ("b", 0.5), ("c", 0.5)]) == [
+        ("a", 58982), ("b", 62259), ("c", 0x10000)
+    ]
+    # single split takes everything via the always-true bound
+    assert split_thresholds([("all", 1.0)]) == [("all", 0x10000)]
+    with pytest.raises(ValueError):
+        split_thresholds([])
+    with pytest.raises(ValueError):
+        split_thresholds([("a", -0.1), ("b", 1.1)])
+    with pytest.raises(ValueError):
+        split_thresholds([("a", 0.0)])
+
+
+def test_hash_split_zero_fraction_label_gets_no_rows(spark):
+    from sparkstreaming_gmall_scala_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k bigint")
+    got = {
+        r["split"]
+        for r in hash_split(
+            df, "k", [("a", 0.5), ("empty", 0.0), ("b", 0.5)]
+        ).collect()
+    }
+    assert "empty" not in got and got == {"a", "b"}
