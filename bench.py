@@ -239,6 +239,10 @@ HEADLINE = (
     "type_value_quantiles",
     "weighted_doc_sample",
     "corpus_split",
+    # added r9: interval analytics — the distributed-prefix-sum sweep
+    # and the bucketed interval-overlap join
+    "session_concurrency",
+    "sessions_in_outage",
 )
 
 

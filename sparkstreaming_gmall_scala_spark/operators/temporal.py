@@ -125,3 +125,151 @@ def range_join_bucketed(
         .filter((rt > lt + lo_u) & (rt <= lt + hi_u))
         .drop("_b")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_sec: int,
+) -> DataFrame:
+    """Inner join of interval PAIRS that overlap — half-open semantics:
+    ``l_start < r_end AND r_start < l_end`` (touching endpoints do not
+    overlap). The missing join shape next to asof_join (point->last
+    event) and range_join_bucketed (point-in-shifted-window, shared equi
+    key): here BOTH sides are intervals and there is NO shared key, so
+    a naive formulation is a cartesian with a residual predicate.
+
+    Scale shape: each side explodes into the fixed-width time buckets
+    its interval touches (``sequence`` over floor(start/w) ..
+    floor((end-1us)/w)), the join is a plain equi-join on the bucket id,
+    and the exact predicate re-checks overlap. A pair sharing several
+    buckets would meet several times, so the MEET-ONCE guard keeps a
+    pair only in the first bucket both touch (the later of the two
+    interval start-buckets) — candidates are emitted exactly once and no
+    post-join distinct shuffle is needed. Pick ``bucket_sec`` near the
+    typical interval length: explosion factor is ~len/bucket_sec + 1 per
+    row, while too-wide buckets put unrelated intervals in one bucket
+    (candidate bloat). Empty/negative intervals (end <= start) join
+    nothing, matching the half-open semantics.
+    """
+    if bucket_sec <= 0:
+        raise ValueError("bucket_sec must be > 0")
+    w = bucket_sec * 1_000_000
+
+    def us(col: str) -> F.Column:
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    # micros + first-bucket materialize per side BEFORE the join so the
+    # residual predicate references unambiguous columns even when both
+    # inputs share column names
+    # empty/negative intervals drop BEFORE the explode: [a, a) overlaps
+    # nothing, but the pairwise predicate below can't see that (10:00 <
+    # a AND a < 11:00 holds for a point inside the other interval) — and
+    # pre-filtering is the cheaper plan anyway (nothing junk explodes)
+    l = (
+        left.withColumn("_ls", us(left_start))
+        .withColumn("_le", us(left_end))
+        .filter(F.col("_ls") < F.col("_le"))
+        .withColumn("_lb0", F.floor(F.col("_ls") / w))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(F.col("_lb0"), F.floor((F.col("_le") - 1) / w))
+            ),
+        )
+    )
+    r = (
+        right.withColumn("_rs", us(right_start))
+        .withColumn("_re", us(right_end))
+        .filter(F.col("_rs") < F.col("_re"))
+        .withColumn("_rb0", F.floor(F.col("_rs") / w))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(F.col("_rb0"), F.floor((F.col("_re") - 1) / w))
+            ),
+        )
+    )
+    return (
+        l.join(r, "_b")
+        .filter(
+            (F.col("_ls") < F.col("_re"))
+            & (F.col("_rs") < F.col("_le"))
+            & (F.col("_b") == F.greatest(F.col("_lb0"), F.col("_rb0")))
+        )
+        .drop("_b", "_lb0", "_rb0", "_ls", "_le", "_rs", "_re")
+    )
+
+
+def concurrency_sweep(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """(bucket_start, max_active) per time bucket: the interval-stabbing
+    sweep — +1 at each interval start, -1 at its (exclusive) end, and
+    the running sum IS the number of concurrently-active intervals. The
+    global ordered prefix sum is computed the distributed way (a single
+    global window would move everything to one task): (1) deltas sum per
+    exact timestamp (kills intra-timestamp order ambiguity), (2) prefix
+    sums WITHIN each time bucket under a bucket-partitioned window,
+    (3) per-bucket totals — one tiny row per bucket — prefix-summed and
+    broadcast back as each bucket's carry-in offset. Exact concurrency
+    at every instant, no single-partition stage, intervals spanning
+    bucket borders carried correctly by the offset.
+
+    Half-open [start, end): a session ending exactly when another starts
+    does not overlap it. ``grain`` is any truncation unit date_trunc
+    accepts ('hour', 'day', 'week').
+
+    The input is scanned ONCE: each interval explodes into its two
+    boundary deltas in a single pass (a union of two selects would scan
+    — and at 100 TB re-sessionize — the source twice), and the reduced
+    boundary index (one row per distinct timestamp, tiny next to the
+    input) is persisted+counted before the three-consumer fan-out
+    (local prefix / per-bucket totals / final join) so the upstream
+    lineage never recomputes per consumer."""
+    s = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e = F.unix_micros(F.col(end_col).cast("timestamp"))
+    deltas = (
+        df.filter(e > s)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("t"), F.lit(1).alias("d")),
+                    F.struct(e.alias("t"), F.lit(-1).alias("d")),
+                )
+            ).alias("x")
+        )
+        .select("x.t", "x.d")
+        .groupBy("t")
+        .agg(F.sum("d").alias("d"))
+        .persist()
+    )
+    deltas.count()  # materialize BEFORE the fan-out (graph.py discipline)
+    bucket = F.date_trunc(grain, F.timestamp_micros(F.col("t")))
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = deltas.withColumn("b", bucket).withColumn(
+        "run", F.sum("d").over(wb)
+    )
+    totals = local.groupBy("b").agg(F.sum("d").alias("tot"))
+    wo = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # tiny: one row per bucket — the only global window, bounded
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("tot").over(wo), F.lit(0))
+    ).select("b", "off")
+    return (
+        local.join(F.broadcast(offsets), "b")
+        .groupBy(F.col("b").alias("bucket_start"))
+        .agg(F.max(F.col("run") + F.col("off")).alias("max_active"))
+    )

@@ -200,6 +200,9 @@ POOL: tuple[str, ...] = (
     "weighted_doc_sample",
     # round-9 deterministic train/val/test hash split audit
     "corpus_split",
+    # round-9 interval analytics: concurrency sweep + overlap join
+    "session_concurrency",
+    "sessions_in_outage",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -458,3 +458,166 @@ def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spend_locf"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval analytics (round 9): the sweep and the interval-overlap join —
+# the two interval shapes next to asof (point->last) and range-bucket
+# (point-in-window): operators/temporal.py:concurrency_sweep,
+# interval_overlap_join.
+# ---------------------------------------------------------------------------
+_SESS_SQL = """
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM numbered GROUP BY user_id, session_id
+    )
+"""
+
+
+@register(
+    "session_concurrency",
+    oracle=f"""
+    WITH {_SESS_SQL},
+    deltas AS (
+      SELECT epoch_us(session_start) AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT epoch_us(session_end) + 1 AS t, -1 AS d FROM sess
+    ),
+    byt AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY t),
+    run AS (
+      SELECT t, sum(d) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+      FROM byt
+    )
+    SELECT date_trunc('day', make_timestamp(t)) AS bucket_start,
+           CAST(max(active) AS BIGINT) AS max_active
+    FROM run GROUP BY 1
+    """,
+    tags=("temporal", "interval", "sweep"),
+    gated=False,
+)
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per day — the interval-STABBING
+    aggregate (how many intervals cover an instant) the overlap-join
+    family can't answer without a blowup. +1/-1 deltas at session
+    start/end, running sum = live concurrency; the global prefix sum
+    runs DISTRIBUTED (operators/temporal.py:concurrency_sweep): per-day
+    partial prefix sums + a one-row-per-day carry-in offset window —
+    never a single-partition sort of the firehose (the oracle's global
+    OVER (ORDER BY t) is exactly what the operator avoids). Sessions
+    are the 30-min-gap sessionize intervals, closed at max(ts) (the
+    half-open sweep end is max + 1us). Days with no session boundary
+    carry no row (concurrency only changes at boundaries)."""
+    from ..operators.temporal import concurrency_sweep
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    numbered = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.timestamp_micros(
+            F.unix_micros(F.max("ts").cast("timestamp")) + 1
+        ).alias("session_end_x"),
+    )
+    return concurrency_sweep(sess, "session_start", "session_end_x", "day")
+
+
+@register(
+    "sessions_in_outage",
+    oracle=f"""
+    WITH {_SESS_SQL},
+    outages AS (
+      SELECT date_trunc('hour', ts) AS outage_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS outage_end,
+             count(*) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT o.outage_start, CAST(o.n_errors AS BIGINT) AS n_errors,
+           count(*) AS n_sessions
+    FROM outages o JOIN sess s
+      ON s.session_start < o.outage_end
+     AND o.outage_start < s.session_end + INTERVAL 1 MICROSECOND
+    GROUP BY o.outage_start, o.n_errors
+    """,
+    tags=("temporal", "interval", "join"),
+    gated=False,
+)
+def sessions_in_outage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions touching each outage hour (hours with >= 2 error
+    events) — the interval-OVERLAP join: both sides are intervals with
+    NO shared equi key, the shape asof/range joins can't express and a
+    naive plan runs as a cartesian. operators/temporal.py:
+    interval_overlap_join buckets both sides into hour-wide buckets,
+    equi-joins on the bucket id, re-checks exact overlap, and keeps
+    each pair only in the first shared bucket (meet-once — no dedup
+    shuffle). The oracle runs the naive non-equi join the operator
+    refuses to. Session intervals are closed at max(ts) (half-open end
+    = max + 1us), so a single-event session inside the hour still
+    counts."""
+    from ..operators.temporal import interval_overlap_join
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    numbered = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.timestamp_micros(
+            F.unix_micros(F.max("ts").cast("timestamp")) + 1
+        ).alias("session_end_x"),
+    )
+    outages = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("outage_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= 2)
+        .withColumn(
+            "outage_end",
+            F.col("outage_start") + F.expr("INTERVAL 1 HOUR"),
+        )
+    )
+    joined = interval_overlap_join(
+        sess,
+        outages,
+        "session_start",
+        "session_end_x",
+        "outage_start",
+        "outage_end",
+        bucket_sec=3600,
+    )
+    return joined.groupBy("outage_start", "n_errors").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )

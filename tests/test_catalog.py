@@ -252,6 +252,9 @@ def test_gate_budget(registry):
         "type_value_quantiles",
         "weighted_doc_sample",
         "corpus_split",
+        # round-9 interval analytics
+        "session_concurrency",
+        "sessions_in_outage",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
