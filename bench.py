@@ -243,6 +243,11 @@ HEADLINE = (
     # and the bucketed interval-overlap join
     "session_concurrency",
     "sessions_in_outage",
+    # added r9: BM25 lexical retrieval + dictionary-first fuzzy matching
+    "bm25_search",
+    "part_name_matches",
+    # added r9: time-weighted average (LOCF segments, decimal sums)
+    "twap_daily",
 )
 
 

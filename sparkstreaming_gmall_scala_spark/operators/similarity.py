@@ -766,3 +766,50 @@ def hard_negatives(
         c.select("neighbor_id", F.col("_nlabel").alias("neighbor_label")),
         "neighbor_id",
     ).select("query_id", "neighbor_id", "neighbor_label", "score", "rank")
+
+
+def fuzzy_name_matches(
+    df: DataFrame,
+    name_col: str,
+    block_fn,
+    max_dist: int,
+) -> DataFrame:
+    """Entity-resolution name matching: pairs of DISTINCT names within a
+    blocking key at Levenshtein distance <= max_dist, each with the
+    count of entities carrying it.
+
+    The at-scale shape is dictionary-first: the entity table collapses
+    to its distinct-name dictionary (one groupBy — names are orders of
+    magnitude fewer than entities), the fuzzy self-join runs on the
+    dictionary alone (broadcast: the dict fits one executor by
+    construction), and entity counts ride along from the collapse — the
+    edit-distance UDF-free predicate is the JVM built-in `levenshtein`,
+    evaluated only on block collisions, never all-pairs across blocks.
+    A production blocker at 100 TB would add a q-gram/prefix second key
+    for high-cardinality dictionaries; the operator takes the blocking
+    function (Column -> Column, applied to the collapsed name) as an
+    argument so that swap is a call-site change.
+
+    Output: (name_a, name_b, dist, n_a, n_b) with name_a < name_b.
+    """
+    names = (
+        df.groupBy(F.col(name_col).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_blk", block_fn(F.col("name")))
+    )
+    a = names.select(
+        F.col("name").alias("name_a"), F.col("n").alias("n_a"), "_blk"
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.col("n").alias("n_b"), "_blk"
+    )
+    return (
+        a.join(F.broadcast(b), "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

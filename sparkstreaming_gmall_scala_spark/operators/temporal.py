@@ -273,3 +273,74 @@ def concurrency_sweep(
         .groupBy(F.col("b").alias("bucket_start"))
         .agg(F.max(F.col("run") + F.col("off")).alias("max_active"))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """(key, bucket_start, twap6, dur_us): time-weighted average of a
+    last-observation-carried-forward level per key per fixed bucket —
+    the TWAP/sensor-rollup aggregate a plain avg() gets wrong (it
+    weights by OBSERVATION COUNT; a level that held for six hours
+    counts the same as one that held a second).
+
+    Each observation's level holds from its timestamp until the key's
+    next observation (one lead() over the key partition, tiebroken for
+    determinism); the final open-ended observation carries no known
+    duration and is dropped (documented, matches the oracle). Segments
+    explode into the buckets they touch (same bucket arithmetic as
+    interval_overlap_join) and clip at bucket edges, so a level held
+    across midnight weights each day exactly.
+
+    Determinism: levels fix to 1e-6 integers; the weighted sum
+    Σ level6·dur_us runs in DECIMAL(38,0) (exact, order-free — a double
+    Σ would be partition-order dependent), and only the final division
+    twap6 = round(Σ/Σdur) happens in doubles with one fixed tree."""
+    w = bucket_sec * 1_000_000
+    kwin = Window.partitionBy(key_col).orderBy("_s", tiebreak_col)
+    seg = (
+        df.select(
+            F.col(key_col),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_s"),
+            F.floor(F.col(value_col) * 1e6 + 0.5).cast("long").alias("_v6"),
+            F.col(tiebreak_col),
+        )
+        .withColumn("_e", F.lead("_s").over(kwin))
+        .filter(F.col("_e") > F.col("_s"))
+    )
+    clipped = (
+        seg.withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_s") / w), F.floor((F.col("_e") - 1) / w)
+                )
+            ),
+        )
+        .withColumn(
+            "_dur",
+            F.least(F.col("_e"), (F.col("_b") + 1) * w)
+            - F.greatest(F.col("_s"), F.col("_b") * w),
+        )
+    )
+    agg = clipped.groupBy(key_col, "_b").agg(
+        F.sum(
+            F.col("_v6").cast("decimal(20,0)") * F.col("_dur").cast("decimal(18,0)")
+        ).alias("_wsum"),
+        F.sum("_dur").alias("dur_us"),
+    )
+    return agg.select(
+        F.col(key_col),
+        F.timestamp_micros(F.col("_b") * w).alias("bucket_start"),
+        F.floor(
+            F.col("_wsum").cast("double") / F.col("dur_us").cast("double") + 0.5
+        )
+        .cast("long")
+        .alias("twap6"),
+        "dur_us",
+    )

@@ -93,6 +93,84 @@ def tfidf_top_terms(
     )
 
 
+def bm25_rank(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    top_n: int = 10,
+) -> DataFrame:
+    """Top-n documents for a fixed query under BM25 (Robertson k1=1.2,
+    b=0.75; Lucene idf = ln(1 + (N-df+0.5)/(df+0.5))).
+
+    One token scan, one shuffle: per-doc length AND the per-query-term
+    tfs come out of a single groupBy(doc) with one conditional sum per
+    term (the query is a handful of terms — never a (doc, term) matrix).
+    Corpus stats (N, Σdl, per-term df) fold from that aggregate into ONE
+    collected row; the scoring pass reads the cached per-doc frame with
+    the stats as literals. Top-n is orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition heaps + driver merge), never a
+    global row_number sort of the corpus.
+
+    Determinism: scores are IEEE doubles built with the same expression
+    tree the DuckDB oracle writes (exact-integer tf/dl/N/df; one
+    division for avgdl; per-term sums added left-to-right), floored at
+    1e-6 into integer score6 — ranking ties break on the doc id."""
+    from pyspark.sql import Window
+
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    text = F.col(text_col)
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).persist()
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).collect()[0]  # one bounded row; also materializes the cache
+    n = stats["n"]
+    avgdl = stats["sum_dl"] / n  # exact ints -> one double division
+    score = None
+    for i in range(len(query_terms)):
+        dfi = stats[f"_df{i}"]
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(F.lit(1.0) + F.lit(float(n - dfi) + 0.5) / F.lit(dfi + 0.5))
+        term_score = idf * (
+            (tf * F.lit(2.2))
+            / (
+                tf
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl))
+                )
+            )
+        )
+        score = term_score if score is None else score + term_score
+    scored = per_doc.select(
+        F.col(id_col),
+        "dl",
+        F.floor(score * 1e6 + 0.5).cast("long").alias("score6"),
+    ).filter(F.col("score6") > 0)
+    top = scored.orderBy(F.col("score6").desc(), F.col(id_col)).limit(top_n)
+    w = Window.orderBy(F.col("score6").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Cheap quality features + a blended score in [0,1]:
     - n_chars, n_tokens

@@ -365,6 +365,69 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+_BM25_QUERY = ("dup", "spark", "stream")
+_BM25_TFS = ",\n      ".join(
+    f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+    for i, t in enumerate(_BM25_QUERY)
+)
+_BM25_DFS = ",\n      ".join(
+    f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(_BM25_QUERY))
+)
+# one addend per query term — SAME nesting and left-to-right addition as
+# the Spark expression tree in operators/textstats.py:bm25_rank
+_BM25_SCORE = " + ".join(
+    f"""ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))
+        * ((CAST(tf{i} AS DOUBLE) * 2.2)
+           / (CAST(tf{i} AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"""
+    for i in range(len(_BM25_QUERY))
+)
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS dl,
+      {_BM25_TFS}
+      FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+      {_BM25_DFS}
+      FROM per_doc
+    ), scored AS (
+      SELECT doc_id, dl,
+             CAST(floor(({_BM25_SCORE}) * 1000000 + 0.5) AS BIGINT) AS score6
+      FROM per_doc CROSS JOIN stats
+    )
+    SELECT doc_id, dl, score6, rank FROM (
+      SELECT doc_id, dl, score6,
+             row_number() OVER (ORDER BY score6 DESC, doc_id) AS rank
+      FROM scored WHERE score6 > 0
+    ) WHERE rank <= 10
+    """,
+    tags=("llm", "text", "search"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the fixed query ``dup spark stream`` (one rare
+    discriminative term + two common ones) — the lexical-retrieval
+    surface next to the ANN family. One token scan; per-doc length and
+    per-term tfs from a single groupBy; corpus stats collapse to ONE
+    collected row; top-10 via orderBy+limit (TakeOrderedAndProject —
+    no global sort). Scores floored at 1e-6 into integers; ties break
+    on doc_id. The oracle writes the identical double expression
+    tree."""
+    from ..operators.textstats import bm25_rank
+
+    return bm25_rank(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        _BM25_QUERY, top_n=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -3156,3 +3219,42 @@ def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
     ).select("id_a", "id_b")
     return triangle_counts(pairs).withColumnRenamed("node", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (round 9): dictionary-first blocked fuzzy matching
+# ---------------------------------------------------------------------------
+@register(
+    "part_name_matches",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS name, count(*) AS n,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+    tags=("llm", "dedup", "fuzzy"),
+)
+def part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: near-identical part names (Levenshtein
+    <= 3) found dictionary-first — the entity table collapses to its
+    distinct-name dictionary before any pairwise work, the fuzzy
+    self-join is blocked on the name's noun (last token) so the
+    edit-distance predicate only sees block collisions, and each match
+    carries how many parts use each spelling. The 100 TB discipline is
+    the collapse: fuzzy-match the dictionary (tiny, broadcastable),
+    never the entity table (operators/similarity.py:fuzzy_name_matches).
+    """
+    from ..operators.similarity import fuzzy_name_matches
+
+    return fuzzy_name_matches(
+        load_table(spark, sf_dir, "part"),
+        "p_name",
+        lambda name: F.element_at(F.split(name, " "), -1),
+        max_dist=3,
+    )

@@ -203,6 +203,11 @@ POOL: tuple[str, ...] = (
     # round-9 interval analytics: concurrency sweep + overlap join
     "session_concurrency",
     "sessions_in_outage",
+    # round-9 lexical retrieval (BM25) + dictionary-first fuzzy matching
+    "bm25_search",
+    "part_name_matches",
+    # round-9 time-weighted average (LOCF segments clipped per day)
+    "twap_daily",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -621,3 +621,51 @@ def sessions_in_outage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("outage_start", "n_errors").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+@register(
+    "twap_daily",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS e
+      FROM events
+    ), nz AS (
+      SELECT * FROM seg WHERE e > s
+    ), clipped AS (
+      SELECT user_id, v6, b,
+             least(e, (b + 1) * 86400000000)
+               - greatest(s, b * 86400000000) AS dur
+      FROM nz, UNNEST(generate_series(
+                 CAST(floor(s / 86400000000) AS BIGINT),
+                 CAST(floor((e - 1) / 86400000000) AS BIGINT))) AS t(b)
+    )
+    SELECT user_id, make_timestamp(b * 86400000000) AS bucket_start,
+           CAST(floor(
+             CAST(sum(CAST(v6 AS DECIMAL(20,0)) * CAST(dur AS DECIMAL(18,0)))
+                  AS DOUBLE)
+             / CAST(sum(dur) AS DOUBLE) + 0.5) AS BIGINT) AS twap6,
+           CAST(sum(dur) AS BIGINT) AS dur_us
+    FROM clipped GROUP BY user_id, b
+    """,
+    tags=("temporal", "interval", "twap"),
+    gated=False,
+)
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DAILY time-weighted average of the event value level —
+    the TWAP/sensor rollup a count-weighted avg() gets wrong: each
+    observation's level holds until the user's next event (LOCF), the
+    segment clips at midnight so a level held across days weights each
+    day exactly, and the weighted sum runs in DECIMAL(38,0) so the
+    result is partition-order free (operators/temporal.py:
+    time_weighted_avg). The user's final open-ended observation carries
+    no known duration and is dropped — identical in the oracle's lead()
+    (NULL next ⇒ filtered)."""
+    from ..operators.temporal import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, "user_id", "ts", "value", "event_id", bucket_sec=86400
+    )

@@ -255,6 +255,11 @@ def test_gate_budget(registry):
         # round-9 interval analytics
         "session_concurrency",
         "sessions_in_outage",
+        # round-9 retrieval + entity resolution
+        "bm25_search",
+        "part_name_matches",
+        # round-9 time-weighted average
+        "twap_daily",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

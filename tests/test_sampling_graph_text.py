@@ -571,3 +571,80 @@ def test_hash_split_zero_fraction_label_gets_no_rows(spark):
         ).collect()
     }
     assert "empty" not in got and got == {"a", "b"}
+
+
+# ---------------------------------------------------------------------------
+# bm25_rank (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_pure_python(spark):
+    import math
+
+    from sparkstreaming_gmall_scala_spark.operators.textstats import bm25_rank
+
+    corpus = [
+        (1, "spark stream spark join"),
+        (2, "dup spark table"),
+        (3, "sort merge window agg key"),
+        (4, "stream stream stream stream stream stream"),
+        (5, "dup dup stream spark"),
+    ]
+    q = ("dup", "spark", "stream")
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dl"], r["score6"], r["rank"])
+        for r in bm25_rank(docs, "doc_id", "text", q, top_n=3).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {t: sum(1 for ts in toks.values() if t in ts) for t in q}
+
+    def score(ts):
+        s = 0.0
+        for t in q:
+            tf = float(ts.count(t))
+            idf = math.log(1.0 + (float(n - dfs[t]) + 0.5) / (dfs[t] + 0.5))
+            s += idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(ts) / avgdl))))
+        return s
+
+    exp = sorted(
+        (
+            (d, len(ts), math.floor(score(ts) * 1e6 + 0.5))
+            for d, ts in toks.items()
+            if score(ts) > 0
+        ),
+        key=lambda x: (-x[2], x[0]),
+    )[:3]
+    assert got == {d: (dl, s6, i + 1) for i, (d, dl, s6) in enumerate(exp)}
+    # doc 5 (both rare-term hits) must beat the spammy doc 4
+    assert got[5][2] == 1
+
+
+def test_bm25_rejects_duplicate_terms_and_skips_zero_scores(spark):
+    import pytest
+
+    from sparkstreaming_gmall_scala_spark.operators.textstats import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(1, "spark join"), (2, "sort merge")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_rank(docs, "doc_id", "text", ("a", "a"))
+    out = bm25_rank(docs, "doc_id", "text", ("spark",), top_n=5).collect()
+    # doc 2 contains no query term: never emitted
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_bm25_plan_is_top_k_not_global_sort(spark):
+    from sparkstreaming_gmall_scala_spark.operators.textstats import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(i, "spark stream " * (i % 3 + 1)) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    df = bm25_rank(docs, "doc_id", "text", ("spark",), top_n=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -613,3 +613,59 @@ def test_sq8_persisted_identical_to_in_memory(spark, sf_dir):
     )
     assert per1 == mem
     assert per2 == mem
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_name_matches (round 9 entity resolution)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_name_matches_blocks_counts_and_distance(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        fuzzy_name_matches,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "cold widget"),
+            (2, "cold widget"),   # duplicate spelling -> n=2, no self-pair
+            (3, "bold widget"),   # dist 1 from "cold widget"
+            (4, "cold gadget"),   # other block: never compared
+            (5, "tiny widget"),   # dist 4 from "cold widget" -> filtered
+        ],
+        ["pid", "name"],
+    )
+    got = {
+        (r["name_a"], r["name_b"]): (r["dist"], r["n_a"], r["n_b"])
+        for r in fuzzy_name_matches(
+            df, "name",
+            lambda n: F.element_at(F.split(n, " "), -1), max_dist=3,
+        ).collect()
+    }
+    # exact-duplicate spellings collapse to ONE dictionary row (no pair);
+    # cross-block pairs never form even at distance <= 3
+    assert got == {("bold widget", "cold widget"): (1, 1, 2)}
+
+
+def test_fuzzy_name_matches_is_broadcast_not_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        fuzzy_name_matches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name{i % 7} blk{i % 3}") for i in range(60)], ["pid", "name"]
+    )
+    plan = (
+        fuzzy_name_matches(
+            df, "name", lambda n: F.element_at(F.split(n, " "), -1), 2
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -395,3 +395,57 @@ def test_concurrency_sweep_half_open_and_cross_bucket_carry(spark):
     # day 1): peak 2 = carried session 1 + session 2; never 3 (half-open)
     assert got[_ts("2024-01-01 00:00:00")] == 1
     assert got[_ts("2024-01-02 00:00:00")] == 2
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_twap_clips_at_midnight_and_time_weights(spark):
+    from sparkstreaming_gmall_scala_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    # user 1: level 10.0 holds 18:00..23:00 (5h), level 50.0 holds
+    # 23:00..01:00 (1h on day1, 1h on day2); final event at 01:00 is
+    # open-ended -> dropped
+    df = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 18:00:00"), 10.0),
+            (2, 1, _ts("2024-01-01 23:00:00"), 50.0),
+            (3, 1, _ts("2024-01-02 01:00:00"), 99.0),
+        ],
+        ["eid", "uid", "t", "v"],
+    )
+    got = {
+        r["bucket_start"]: (r["twap6"], r["dur_us"])
+        for r in time_weighted_avg(df, "uid", "t", "v", "eid").collect()
+    }
+    # day1: (10*5h + 50*1h)/6h = 100/6 — NOT the count-weighted avg 30
+    day1 = got[_ts("2024-01-01 00:00:00")]
+    assert day1 == (round(100 / 6 * 1e6), 6 * 3600 * 1_000_000)
+    # day2: only the 50-level's 1h spill-over
+    assert got[_ts("2024-01-02 00:00:00")] == (50_000_000, 3600 * 1_000_000)
+
+
+def test_twap_duplicate_timestamps_tiebreak_deterministic(spark):
+    from sparkstreaming_gmall_scala_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    # two observations at the SAME instant: eid order decides the carry
+    # (eid=5's level is replaced instantly, zero-duration -> dropped)
+    df = spark.createDataFrame(
+        [
+            (5, 1, _ts("2024-03-01 00:00:00"), 100.0),
+            (6, 1, _ts("2024-03-01 00:00:00"), 20.0),
+            (7, 1, _ts("2024-03-01 06:00:00"), 0.0),
+        ],
+        ["eid", "uid", "t", "v"],
+    )
+    got = {
+        r["bucket_start"]: r["twap6"]
+        for r in time_weighted_avg(df, "uid", "t", "v", "eid").collect()
+    }
+    assert got == {_ts("2024-03-01 00:00:00"): 20_000_000}
