@@ -248,6 +248,12 @@ HEADLINE = (
     "part_name_matches",
     # added r9: time-weighted average (LOCF segments, decimal sums)
     "twap_daily",
+    # added r9: exact-split attribution, bigram LM counts, MAD outliers,
+    # hopping windows
+    "revenue_attribution",
+    "bigram_lm",
+    "mad_outliers",
+    "hopping_event_stats",
 )
 
 

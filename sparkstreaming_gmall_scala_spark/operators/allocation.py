@@ -80,3 +80,32 @@ def allocate(
         with_share.withColumn(out_col, final_cents.cast("double") / 100.0)
         .drop("_rn_last", "_share_cents")
     )
+
+
+def equal_split_exact(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    amount_col: str,
+    out_col: str = "split_amount",
+) -> DataFrame:
+    """Split an integer ``amount_col`` (repeated on every row of a group)
+    EQUALLY across the group's rows, exactly: each row gets
+    ``amount div n`` and the ``amount mod n`` remainder units go one
+    each to the first rows in ``order_cols`` order — so the per-group
+    sum reproduces the amount to the unit, under any partitioning
+    (``order_cols`` must totally order the group).
+
+    The equal-weight sibling of :func:`allocate` (proportional with
+    last-row residual); one shuffle on ``group_col`` serves both the
+    count and the row_number."""
+    w = Window.partitionBy(group_col)
+    wo = w.orderBy(*order_cols)
+    n = F.count(F.lit(1)).over(w)
+    rn = F.row_number().over(wo)
+    amt = F.col(amount_col)
+    return df.withColumn(
+        out_col,
+        (amt - amt % n) / n
+        + F.when(rn <= amt % n, F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(out_col, F.col(out_col).cast("long"))

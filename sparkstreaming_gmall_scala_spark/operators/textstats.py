@@ -669,3 +669,56 @@ def perplexity_buckets(
         tile.alias("tile"),
         label.alias("ppl_bucket"),
     )
+
+
+def bigram_stats(
+    docs: DataFrame, id_col: str, text_col: str, top_n: int = 50
+) -> DataFrame:
+    """Top-n corpus bigrams with conditional and continuation
+    probabilities — the n-gram LM counting pass (the expensive half of
+    Kneser-Ney training; smoothing is driver-side arithmetic over these
+    counts at any scale).
+
+    Per bigram (w1, w2): c12 = corpus count, p6 = P(w2|w1) and
+    pcont6 = KN continuation P_cont(w2) = |{w: c(w,w2)>0}| / |distinct
+    bigrams| — both held as EXACT integers ((x * 1e6) // y; no doubles
+    anywhere, so cross-engine equality is arithmetic, not luck).
+
+    One token scan: bigrams form executor-side by zipping the token
+    array against its own tail (no self-join), one groupBy(w1, w2), and
+    the two marginals (w1 totals, w2 continuation counts) roll up from
+    that SAME aggregate — vocabulary-sized, broadcast back. Top-n via
+    orderBy+limit (TakeOrderedAndProject)."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    c12.count()  # materialize before the three-consumer fan-out
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left"))
+    n_bigram_types = c12.count()
+    scored = (
+        c12.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            # `div` = integral floor division on longs — matches the
+            # oracle's `//` exactly (a double `/` + cast could round the
+            # other way within one ulp of an integer)
+            F.expr("c12 * 1000000L div c1").alias("p6"),
+            F.expr(f"n_left * 1000000L div {n_bigram_types}L").alias("pcont6"),
+        )
+    )
+    return scored.orderBy(F.col("c12").desc(), "w1", "w2").limit(top_n)

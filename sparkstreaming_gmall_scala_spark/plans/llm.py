@@ -3258,3 +3258,43 @@ def part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda name: F.element_at(F.split(name, " "), -1),
         max_dist=3,
     )
+
+
+@register(
+    "bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TOKENS} AS ts FROM documents
+    ), bg AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+    ), cont AS (
+      SELECT w2, count(*) AS n_left FROM c12 GROUP BY 1
+    ), d AS (
+      SELECT count(*) AS nbt FROM c12
+    )
+    SELECT w1, w2, c12,
+           c12 * 1000000 // c1 AS p6,
+           n_left * 1000000 // nbt AS pcont6
+    FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN d
+    ORDER BY c12 DESC, w1, w2 LIMIT 50
+    """,
+    tags=("llm", "text", "ngram"),
+)
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams with conditional P(w2|w1) and Kneser-Ney
+    continuation P_cont(w2) — the n-gram LM counting pass. Bigrams zip
+    executor-side from each token array against its own tail (no
+    self-join); both marginals roll up from the single (w1, w2)
+    aggregate; probabilities are exact integers ((x*1e6) div y) so
+    cross-engine equality is arithmetic (operators/textstats.py:
+    bigram_stats)."""
+    from ..operators.textstats import bigram_stats
+
+    return bigram_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", top_n=50
+    )

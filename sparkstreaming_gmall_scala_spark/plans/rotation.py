@@ -208,6 +208,12 @@ POOL: tuple[str, ...] = (
     "part_name_matches",
     # round-9 time-weighted average (LOCF segments clipped per day)
     "twap_daily",
+    # round-9: exact-split attribution, n-gram LM counts, robust
+    # median/MAD outliers, hopping windows
+    "revenue_attribution",
+    "bigram_lm",
+    "mad_outliers",
+    "hopping_event_stats",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

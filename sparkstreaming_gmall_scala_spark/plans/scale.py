@@ -825,3 +825,61 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_chars"),
         )
     )
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+      FROM events
+    ), med AS (
+      SELECT event_type, CAST(2 * median(v6) AS BIGINT) AS med2x
+      FROM v GROUP BY 1
+    ), dev AS (
+      SELECT v.event_id, v.event_type, v.v6, med.med2x,
+             abs(2 * v.v6 - med.med2x) AS dev2x
+      FROM v JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, CAST(2 * median(dev2x) AS BIGINT) AS mad4x
+      FROM dev GROUP BY 1
+    )
+    SELECT event_id, event_type, v6, med2x, dev2x, mad4x
+    FROM dev JOIN mad USING (event_type)
+    WHERE 2 * dev2x > 3 * mad4x
+    """,
+    tags=("scale", "stats", "quality"),
+    gated=False,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers per event_type — the heavy-tail-safe
+    twin of value_outliers (a single extreme value inflates the mean AND
+    the stddev, hiding its neighbours; the median and the median
+    absolute deviation don't move). All arithmetic is INTEGER: the
+    median of ints doubles to the exact int med2x = a+b, deviations use
+    dev2x = |2·v6 − med2x|, MAD quadruples to mad4x, and the 3-MAD flag
+    is 2·dev2x > 3·mad4x — no float ever forms, so cross-engine
+    equality is arithmetic. Two aggregation passes (median, then MAD of
+    deviations) with dimension-sized broadcasts back; at 100 TB the
+    exact per-group median agg swaps for approx_percentile — the flag
+    inequality is unchanged."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("v6"),
+    )
+    med = e.groupBy("event_type").agg(
+        (F.lit(2) * F.median("v6")).cast("long").alias("med2x")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev2x", F.abs(F.lit(2) * F.col("v6") - F.col("med2x"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (F.lit(2) * F.median("dev2x")).cast("long").alias("mad4x")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.lit(2) * F.col("dev2x") > F.lit(3) * F.col("mad4x"))
+        .select("event_id", "event_type", "v6", "med2x", "dev2x", "mad4x")
+    )

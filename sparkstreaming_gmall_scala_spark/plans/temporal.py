@@ -669,3 +669,132 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(
         ev, "user_id", "ts", "value", "event_id", bucket_sec=86400
     )
+
+
+@register(
+    "revenue_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS tid, user_id, epoch_us(ts) AS tus,
+             event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+      SELECT p.pid, p.v6, t.channel,
+             count(*) OVER (PARTITION BY p.pid) AS n,
+             row_number() OVER (
+               PARTITION BY p.pid ORDER BY t.tus, t.tid) AS rn
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.tus > p.pus - 86400000000 AND t.tus <= p.pus
+    ), alloc AS (
+      SELECT channel,
+             v6 // n + CASE WHEN rn <= v6 % n THEN 1 ELSE 0 END AS a6
+      FROM j
+      UNION ALL
+      SELECT 'unattributed' AS channel, v6 AS a6
+      FROM p WHERE pid NOT IN (SELECT pid FROM j)
+    )
+    SELECT channel, CAST(sum(a6) AS BIGINT) AS attributed6,
+           count(*) AS n_rows
+    FROM alloc GROUP BY channel
+    """,
+    tags=("temporal", "attribution", "join"),
+    gated=False,
+)
+def revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value splits
+    EQUALLY — and exactly, to the 1e-6 unit — across the user's
+    click/view touches in the prior 24 h; purchases with no touch in
+    the window report as 'unattributed'. The candidate join is the
+    bucketed range equi-join (operators/temporal.py:range_join_bucketed
+    — never a per-user cross of purchases × touches), the split is the
+    div/mod remainder-to-earliest-touch discipline
+    (operators/allocation.py:equal_split_exact), so
+    Σ attributed6 over all channels == Σ v6 over all purchases under
+    any partitioning. The oracle runs the naive non-equi join + the
+    same integer split."""
+    from ..operators.allocation import equal_split_exact
+    from ..operators.temporal import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("pid"),
+        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("v6"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros(F.col("ts")).alias("tus"),
+    )
+    joined = range_join_bucketed(
+        purchases, touches, on="user_id",
+        left_time="p_ts", right_time="t_ts",
+        lo_sec=-86400, hi_sec=0,
+    )
+    alloc = equal_split_exact(
+        joined, "pid", ["tus", "tid"], "v6", out_col="a6"
+    ).select("channel", "a6")
+    unattributed = (
+        purchases.join(
+            joined.select("pid").distinct(), "pid", "left_anti"
+        ).select(F.lit("unattributed").alias("channel"), F.col("v6").alias("a6"))
+    )
+    return (
+        alloc.unionByName(unattributed)
+        .groupBy("channel")
+        .agg(
+            F.sum("a6").cast("long").alias("attributed6"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "hopping_event_stats",
+    oracle="""
+    WITH v AS (
+      SELECT epoch_us(ts) AS u,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+      FROM events
+    ), x AS (
+      SELECT make_timestamp(s * 3600000000) AS window_start, v6
+      FROM v, UNNEST(generate_series(
+                CAST(floor(u / 3600000000) AS BIGINT) - 5,
+                CAST(floor(u / 3600000000) AS BIGINT))) AS g(s)
+    )
+    SELECT window_start, count(*) AS n_events,
+           CAST(sum(v6) AS BIGINT) AS sum_v6
+    FROM x GROUP BY 1
+    """,
+    tags=("temporal", "window", "hopping"),
+    gated=False,
+)
+def hopping_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping-window aggregate: 6-hour windows advancing every
+    hour (each event lands in exactly 6 overlapping windows) — the
+    moving-dashboard shape BETWEEN tumbling rollups (hourly_event_rollup)
+    and unbounded-preceding running windows. Spark's built-in
+    F.window(slideDuration=...) does the 6-way assignment executor-side
+    (an explode, no self-join, no calendar cross join); counts and the
+    1e-6-integer value sums are exact under any partitioning. The
+    oracle expands the same hop arithmetic with generate_series."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.window(F.col("ts"), "6 hours", "1 hour").alias("w"),
+            F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("v6"),
+        )
+        .groupBy(F.col("w.start").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v6").alias("sum_v6"),
+        )
+    )

@@ -108,3 +108,60 @@ def test_property_random_orders_invariant(spark):
     for r in out.collect():
         v = r["final_detail_amount"] * 100
         assert abs(v - round(v)) < 1e-6, r
+
+
+# ---------------------------------------------------------------------------
+# equal_split_exact (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_equal_split_exact_remainder_goes_to_earliest(spark):
+    from sparkstreaming_gmall_scala_spark.operators.allocation import (
+        equal_split_exact,
+    )
+
+    # 100 units across 3 rows: 34, 33, 33 — the extra unit to the lowest
+    # order key; group g2 divides evenly
+    df = spark.createDataFrame(
+        [("g1", 1, 100), ("g1", 2, 100), ("g1", 3, 100),
+         ("g2", 1, 10), ("g2", 2, 10)],
+        ["g", "ord", "amt"],
+    )
+    got = {
+        (r["g"], r["ord"]): r["split_amount"]
+        for r in equal_split_exact(df, "g", ["ord"], "amt").collect()
+    }
+    assert got == {("g1", 1): 34, ("g1", 2): 33, ("g1", 3): 33,
+                   ("g2", 1): 5, ("g2", 2): 5}
+
+
+def test_equal_split_exact_conserves_any_group_size(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_gmall_scala_spark.operators.allocation import (
+        equal_split_exact,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    for g in range(40):
+        amt = rng.randint(1, 10**9)
+        for i in range(rng.randint(1, 9)):
+            rows.append((g, i, amt))
+    df = spark.createDataFrame(rows, ["g", "ord", "amt"])
+    out = equal_split_exact(df, "g", ["ord"], "amt")
+    # per-group sums reproduce the amount to the unit
+    bad = (
+        out.groupBy("g", "amt")
+        .agg(F.sum("split_amount").alias("s"))
+        .filter(F.col("s") != F.col("amt"))
+        .count()
+    )
+    assert bad == 0
+    # every row within 1 unit of the mean
+    spread = out.groupBy("g").agg(
+        (F.max("split_amount") - F.min("split_amount")).alias("d")
+    )
+    assert spread.filter(F.col("d") > 1).count() == 0

@@ -260,6 +260,11 @@ def test_gate_budget(registry):
         "part_name_matches",
         # round-9 time-weighted average
         "twap_daily",
+        # round-9 attribution / n-gram LM / robust outliers / hopping
+        "revenue_attribution",
+        "bigram_lm",
+        "mad_outliers",
+        "hopping_event_stats",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

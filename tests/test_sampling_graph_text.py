@@ -648,3 +648,28 @@ def test_bm25_plan_is_top_k_not_global_sort(spark):
     df = bm25_rank(docs, "doc_id", "text", ("spark",), top_n=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_stats_counts_and_integer_probs(spark):
+    from sparkstreaming_gmall_scala_spark.operators.textstats import bigram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # bigrams: ab, ba, ab, bc
+            (2, "b c"),         # bc
+            (3, "solo"),        # 1 token -> no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["c12"], r["p6"], r["pcont6"])
+        for r in bigram_stats(docs, "doc_id", "text", top_n=10).collect()
+    }
+    # types: ab(2), ba(1), bc(2) -> 3 bigram types
+    # c1: a->2, b->3 (ba? no: w1 'b' covers ba? b starts 'bc'x2? recount:
+    #   pairs: (a,b),(b,a),(a,b),(b,c),(b,c) -> c1[a]=2, c1[b]=3
+    # cont (distinct left contexts): b<-{a}, a<-{b}, c<-{b}
+    assert got[("a", "b")] == (2, 1_000_000, 333_333)        # P(b|a)=2/2
+    assert got[("b", "a")] == (1, 333_333, 333_333)          # P(a|b)=1/3
+    assert got[("b", "c")] == (2, 666_666, 333_333)          # P(c|b)=2/3
+    assert len(got) == 3  # the solo doc contributes nothing
