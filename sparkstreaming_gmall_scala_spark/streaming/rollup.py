@@ -28,11 +28,27 @@ from .pipelines import EVENT_SCHEMA
 from .sources import file_stream
 
 
-def windowed_rollup(events, window: str = "1 hour", delay: str = "10 minutes"):
-    """The transformation alone (works on a batch OR streaming frame)."""
+def windowed_rollup(
+    events,
+    window: str = "1 hour",
+    delay: str = "10 minutes",
+    slide: str | None = None,
+):
+    """The transformation alone (works on a batch OR streaming frame).
+
+    ``slide`` < ``window`` makes it a HOPPING rollup: each event lands
+    in window/slide overlapping windows (assigned executor-side by
+    F.window — an explode, no self-join), each of which still emits
+    exactly once when the watermark passes its end. Open-state grows by
+    the same window/slide factor — bounded by delay/slide, independent
+    of stream length. Batch twin: plans/temporal.py:hopping_event_stats.
+    """
     return (
         events.withWatermark("ts", delay)
-        .groupBy(F.window(F.col("ts"), window).alias("w"), "event_type")
+        .groupBy(
+            F.window(F.col("ts"), window, slide or window).alias("w"),
+            "event_type",
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(
@@ -64,6 +80,30 @@ def hourly_rollup_pipeline(
     sink = IdempotentBatchWriter(out_dir)
     return (
         windowed_rollup(events, window, delay)
+        .writeStream.foreachBatch(lambda df, bid: sink(df, bid))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def hopping_rollup_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    window: str = "6 hours",
+    slide: str = "1 hour",
+    delay: str = "10 minutes",
+):
+    """Event stream → append-mode HOPPING rollup (window > slide; each
+    of the window/slide overlapping windows emits exactly once when it
+    closes) → per-batch idempotent sink. The live form of
+    plans/temporal.py:hopping_event_stats."""
+    events = file_stream(spark, src_dir, EVENT_SCHEMA)
+    sink = IdempotentBatchWriter(out_dir)
+    return (
+        windowed_rollup(events, window, delay, slide=slide)
         .writeStream.foreachBatch(lambda df, bid: sink(df, bid))
         .option("checkpointLocation", checkpoint)
         .outputMode("append")

@@ -1816,3 +1816,61 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(
     assert (100, 1) in rows and (300, 9) in rows, rows
     assert (200, None) in rows, rows  # null-padded, emitted exactly once
     assert sum(1 for o, _ in rows if o == 200) == 1, rows
+
+
+def test_hopping_rollup_overlap_emit_once_and_late_drop(spark, tmp_path):
+    """Hopping W3: an event lands in window/slide OVERLAPPING windows
+    (2h/1h here -> 2), each of which emits exactly once when the
+    watermark passes ITS end; late rows drop; still-open windows stay
+    unemitted."""
+    from sparkstreaming_gmall_scala_spark.streaming.rollup import (
+        hopping_rollup_pipeline,
+    )
+
+    def ev(eid, h, m, typ, val):
+        from datetime import datetime
+
+        return (eid, datetime(2024, 1, 1, h, m, 0), 1, typ, val, "{}")
+
+    src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+    # two click events inside 10:00-11:00 -> both live in windows
+    # [09:00,11:00) and [10:00,12:00); the 13:30 view pushes the
+    # watermark to 13:20, closing both click windows
+    _drop(
+        spark,
+        EVENT_SCHEMA,
+        [
+            ev(1, 10, 5, "click", 1.0),
+            ev(2, 10, 40, "click", 2.5),
+            ev(3, 13, 30, "view", 9.0),
+        ],
+        src,
+    )
+    q = hopping_rollup_pipeline(
+        spark, src, out, ckpt, window="2 hours", slide="1 hour"
+    )
+    try:
+        q.processAllAvailable()
+        # late 10:30 click (watermark 13:20) must drop; 16:30 closes the
+        # view's windows [12,14) and [13,15)
+        _drop(
+            spark,
+            EVENT_SCHEMA,
+            [ev(4, 10, 30, "click", 100.0), ev(5, 16, 30, "view", 3.0)],
+            src,
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {
+        ("2024-01-01 09:00:00", "click"): (2, 350),
+        ("2024-01-01 10:00:00", "click"): (2, 350),
+        ("2024-01-01 12:00:00", "view"): (1, 900),
+        ("2024-01-01 13:00:00", "view"): (1, 900),
+    }
