@@ -254,6 +254,11 @@ HEADLINE = (
     "bigram_lm",
     "mad_outliers",
     "hopping_event_stats",
+    # added r9: chi-squared contingency + daily two-series correlation
+    "type_hour_chi2",
+    "daily_value_corr",
+    # added r9: Markov transition matrix
+    "event_transitions",
 )
 
 

@@ -214,6 +214,12 @@ POOL: tuple[str, ...] = (
     "bigram_lm",
     "mad_outliers",
     "hopping_event_stats",
+    # round-9 cross-series stats: chi-squared contingency cells and
+    # per-day Pearson correlation of two hourly series
+    "type_hour_chi2",
+    "daily_value_corr",
+    # round-9 Markov transition matrix over per-user event sequences
+    "event_transitions",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

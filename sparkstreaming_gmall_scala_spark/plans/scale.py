@@ -883,3 +883,68 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(2) * F.col("dev2x") > F.lit(3) * F.col("mad4x"))
         .select("event_id", "event_type", "v6", "med2x", "dev2x", "mad4x")
     )
+
+
+@register(
+    "type_hour_chi2",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1
+    ), ct AS (
+      SELECT hr, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1
+    ), n AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM o
+    ), e AS (
+      SELECT event_type, hr, o, rt * ct * 1000000 // n AS e6
+      FROM o JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN n
+    )
+    SELECT event_type, hr, o, e6,
+           CAST(floor(
+             ((CAST(o AS DOUBLE) - CAST(e6 AS DOUBLE) / 1000000.0)
+              * (CAST(o AS DOUBLE) - CAST(e6 AS DOUBLE) / 1000000.0)
+              / (CAST(e6 AS DOUBLE) / 1000000.0)) * 1000000 + 0.5)
+           AS BIGINT) AS chi2_6
+    FROM e WHERE e6 > 0
+    """,
+    tags=("scale", "stats", "agg"),
+    gated=False,
+)
+def type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence cells for the event_type × hour-of-day
+    contingency table — the seasonality/independence diagnostic every
+    behavioural pipeline runs. ONE (type, hr) aggregate feeds everything:
+    both marginals and the grand total roll up from it (dimension-sized,
+    broadcast back — the fact is scanned once). Expected counts are
+    EXACT integers at 1e-6 scale (rt·ct·1e6 div N — integral division,
+    matching the oracle's // to the unit); only the final
+    (o−e)²/e cell statistic is a double, built with one fixed tree and
+    6-dp-floored. rt·ct·1e6 fits a long through ~10^6-row tables; at
+    100 TB the product moves to DECIMAL(38,0) with the same div."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    )
+    o = e.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("o")).persist()
+    o.count()  # materialize before the three-rollup fan-out
+    rt = o.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = o.groupBy("hr").agg(F.sum("o").alias("ct"))
+    n = o.agg(F.sum("o")).collect()[0][0]
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .withColumn("e6", F.expr(f"rt * ct * 1000000L div {n}L"))
+        .filter(F.col("e6") > 0)
+    )
+    od = F.col("o").cast("double")
+    ed = F.col("e6").cast("double") / F.lit(1000000.0)
+    return cells.select(
+        "event_type",
+        "hr",
+        "o",
+        "e6",
+        F.floor(((od - ed) * (od - ed) / ed) * 1000000 + 0.5)
+        .cast("long")
+        .alias("chi2_6"),
+    )

@@ -798,3 +798,163 @@ def hopping_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v6").alias("sum_v6"),
         )
     )
+
+
+@register(
+    "daily_value_corr",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('day', ts) AS d, CAST(hour(ts) AS BIGINT) AS hr,
+             event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), x AS (
+      SELECT d, hr, CAST(sum(cents) AS BIGINT) AS x
+      FROM base WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), y AS (
+      SELECT d, hr, count(*) AS y
+      FROM base WHERE event_type = 'click' GROUP BY 1, 2
+    ), grid AS (
+      SELECT d, g.hr FROM (SELECT DISTINCT d FROM base),
+           UNNEST(generate_series(CAST(0 AS BIGINT),
+                                  CAST(23 AS BIGINT))) AS g(hr)
+    ), j AS (
+      SELECT grid.d, grid.hr,
+             coalesce(x.x, 0) AS x, coalesce(y.y, 0) AS y
+      FROM grid LEFT JOIN x USING (d, hr) LEFT JOIN y USING (d, hr)
+    ), mom AS (
+      SELECT d, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM j GROUP BY d
+    )
+    SELECT d, n,
+           CAST(floor(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS corr6
+    FROM mom
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    tags=("temporal", "stats", "corr"),
+    gated=False,
+)
+def daily_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Pearson correlation between two hourly series — purchase
+    revenue (cents) vs click count over the day's 24 hours (absent
+    hours are honest zeros: the 24-row grid generates executor-side
+    from the distinct-day list, the hourly_gap_fill discipline — never
+    a calendar cross join). The cross-series diagnostic next to the
+    single-series windows. Every moment (Σx, Σy, Σxy, Σx², Σy²) is an
+    exact integer sum of cents-scaled longs (all < 2^53, so the double
+    casts are exact too); the one double tree is num/(√denx·√deny) —
+    sqrt is IEEE correctly-rounded in both engines, unlike ln — then
+    6-dp floored. Zero-variance days emit nothing rather than NaN."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.hour("ts").cast("long").alias("hr"),
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    x = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("d", "hr")
+        .agg(F.sum("cents").alias("x"))
+    )
+    y = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("d", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = base.select("d").distinct().withColumn(
+        "hr", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(23).cast("long")))
+    )
+    j = (
+        grid.join(x, ["d", "hr"], "left")
+        .join(y, ["d", "hr"], "left")
+        .select(
+            "d",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    mom = j.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        mom.filter((denx > 0) & (deny > 0))
+        .select(
+            "d",
+            "n",
+            F.floor(
+                num
+                / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("corr6"),
+        )
+    )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, count(*) AS c
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, CAST(sum(c) AS BIGINT) AS c_from FROM c GROUP BY 1
+    )
+    SELECT from_type, to_type, c, c_from,
+           c * 1000000 // c_from AS p6
+    FROM c JOIN tot USING (from_type)
+    """,
+    tags=("temporal", "sequence", "markov"),
+    gated=False,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next type | type), the sankey/behavioural-flow query.
+    One lead() per user partition (the sequence never self-joins), one
+    (from, to) aggregate, the from-marginal rolled up from that SAME
+    aggregate and broadcast back; probabilities are exact integers
+    (c·1e6 div c_from). Each user's final event has no successor and
+    contributes nothing — identical in the oracle's lead()."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = c.groupBy("from_type").agg(F.sum("c").alias("c_from"))
+    return (
+        c.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "c",
+            "c_from",
+            F.expr("c * 1000000L div c_from").alias("p6"),
+        )
+    )

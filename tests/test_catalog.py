@@ -265,6 +265,11 @@ def test_gate_budget(registry):
         "bigram_lm",
         "mad_outliers",
         "hopping_event_stats",
+        # round-9 cross-series stats
+        "type_hour_chi2",
+        "daily_value_corr",
+        # round-9 Markov transitions
+        "event_transitions",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -429,3 +429,38 @@ def test_value_outliers_two_scans_broadcast_moments(spark, sf_dir, registry):
     ]
     assert len(ev_scans) == 2, f"{len(ev_scans)} events scans"
     assert "BroadcastHashJoin" in plan
+
+
+def test_chi2_marginals_broadcast_back(spark, sf_dir, registry):
+    # the (type, hr) aggregate's two marginal rollups are dimension-sized
+    # and must come back as broadcast joins, never a shuffled join of the
+    # cell table against itself
+    plan = _plan(spark, registry, "type_hour_chi2", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_event_transitions_single_user_shuffle_plus_broadcast(
+    spark, sf_dir, registry
+):
+    # one user-partition exchange feeds the lead(); the from-marginal
+    # returns as a broadcast — no second fact-sized shuffle beyond the
+    # (from,to) aggregation
+    plan = _plan(spark, registry, "event_transitions", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_daily_corr_grid_is_generated_not_cartesian(spark, sf_dir, registry):
+    # the 24-hour grid explodes from the distinct-day list executor-side;
+    # a days × hours cartesian (BroadcastNestedLoopJoin) would also pass
+    # correctness — guard the plan
+    plan = _plan(spark, registry, "daily_value_corr", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan, plan[:2000]
+
+
+def test_bm25_top_n_is_take_ordered(spark, sf_dir, registry):
+    plan = _plan(spark, registry, "bm25_search", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
