@@ -946,7 +946,10 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("c"))
+    c = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    c.count()  # |types|^2 rows; materialize before the two-consumer fan-out
     tot = c.groupBy("from_type").agg(F.sum("c").alias("c_from"))
     return (
         c.join(F.broadcast(tot), "from_type")

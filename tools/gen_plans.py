@@ -41,6 +41,16 @@ ITERATIVE = {
     "re-prints its lineitem lineage for the scalar-max and equality "
     "consumers; real shape is 1 fact scan + 1 suppkey exchange + 2 "
     "broadcast joins — guarded in tests/test_plan_properties.py",
+    "type_hour_chi2": "flat counts are cache-reprints: the (type, hr) "
+    "cell aggregate (materialized ONCE — persist+count in plans/scale.py)"
+    " re-prints its events lineage for the row-marginal, column-marginal "
+    "and final-join consumers; real shape is 1 events scan + 1 (type,hr) "
+    "exchange + 2 dimension-sized marginals broadcast back",
+    "event_transitions": "flat counts are cache-reprints: the (from, to) "
+    "transition aggregate (materialized ONCE — persist+count in plans/"
+    "temporal.py) re-prints its lead-window lineage for the marginal and "
+    "final-join consumers; real shape is 1 events scan + 1 user exchange "
+    "+ 1 (from,to) exchange + the from-marginal broadcast",
     "bigram_lm": "flat counts are cache-reprints: the (w1, w2) count "
     "aggregate (materialized ONCE — persist+count in operators/"
     "textstats.py:bigram_stats) re-prints its token-explode lineage for "
