@@ -63,3 +63,57 @@ def sample_report(
     raw = AppendOnlyIndex(index_dir).read(spark)
     cand = raw.dropDuplicates([key_col]).drop("src_batch")
     return group_sample_k(cand, key_col, strata_col, k)
+
+
+def weighted_sample_ingest_batch(
+    spark: SparkSession,
+    index_dir: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+    compact_every: int | None = None,
+):
+    """Weighted twin of :func:`sample_ingest_batch`: the A-ES priority
+    (operators/sampling.py:weighted_priority) is a deterministic
+    function of (key, weight), so per-stratum weighted top-k is the SAME
+    mergeable monoid — each batch's own top-k is a superset of its
+    contribution to the global winners; append ≤ k×|strata| candidates
+    and re-trim at read."""
+    from ..operators.sampling import weighted_sample_k
+
+    index = AppendOnlyIndex(index_dir)
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cand = weighted_sample_k(
+            batch_df.dropDuplicates([key_col]),
+            key_col,
+            weight_col,
+            k,
+            strata_col=strata_col,
+        ).withColumn("src_batch", F.lit(batch_id))
+        index.append(cand, batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact(spark, upto_batch_id=batch_id - 1)
+
+    return process
+
+
+def weighted_sample_report(
+    spark: SparkSession,
+    index_dir: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """The current weighted sample: re-trim the accumulated candidates.
+    Sample after any prefix of batches == the batch weighted sampler
+    over those rows (pinned)."""
+    from ..operators.sampling import weighted_sample_k
+
+    raw = AppendOnlyIndex(index_dir).read(spark)
+    cand = raw.dropDuplicates([key_col]).drop("src_batch")
+    return weighted_sample_k(cand, key_col, weight_col, k, strata_col=strata_col)

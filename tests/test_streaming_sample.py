@@ -79,3 +79,50 @@ def test_streamed_sample_compaction_transparent(spark, sf_dir, tmp_path):
     got = _ids(sample_report(spark, idx, "event_id", "event_type", K))
     want = _ids(group_sample_k(ev, "event_id", "event_type", K))
     assert got == want
+
+
+def test_streamed_weighted_sample_equals_batch_and_replays(spark, sf_dir, tmp_path):
+    """Weighted (A-ES) twin: streamed report == batch weighted_sample_k
+    over the union at every prefix; a replayed batch changes nothing."""
+    from sparkstreaming_gmall_scala_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+    from sparkstreaming_gmall_scala_spark.streaming.sample import (
+        weighted_sample_ingest_batch,
+        weighted_sample_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    idx = str(tmp_path / "widx")
+    run = weighted_sample_ingest_batch(
+        spark, idx, "doc_id", "n_chars", K, strata_col="lang"
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    run(b0, 0)
+    got0 = sorted(
+        r["doc_id"]
+        for r in weighted_sample_report(
+            spark, idx, "doc_id", "n_chars", K, strata_col="lang"
+        ).collect()
+    )
+    want0 = sorted(
+        r["doc_id"]
+        for r in weighted_sample_k(b0, "doc_id", "n_chars", K, "lang").collect()
+    )
+    assert got0 == want0
+    run(b1, 1)
+    run(b1, 1)  # replay of the last batch: identical candidates re-append
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample_report(
+            spark, idx, "doc_id", "n_chars", K, strata_col="lang"
+        ).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in weighted_sample_k(docs, "doc_id", "n_chars", K, "lang").collect()
+    )
+    assert got == want
