@@ -259,6 +259,9 @@ HEADLINE = (
     "daily_value_corr",
     # added r9: Markov transition matrix
     "event_transitions",
+    # added r9: join-key skew diagnostic + inverted-index build
+    "key_skew_profile",
+    "term_postings",
 )
 
 

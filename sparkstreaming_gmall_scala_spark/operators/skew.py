@@ -24,7 +24,7 @@ the DuckDB oracle can verify results exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -90,3 +90,55 @@ def salted_join(
         how,
     )
     return out.drop("_salt")
+
+
+def key_size_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """ONE-row skew diagnostic for a join/aggregation key: exact group
+    sizes at p50/p90/p99 (discrete order statistics — the value at
+    1-based rank ceil(q·n_keys) ascending, ties broken by key, so both
+    engines pick the identical element; no interpolation, no floats),
+    the max, and two integral ratios: top1_share6 (largest group's
+    share of all rows) and p99_over_p50_6 (the skew ratio that decides
+    whether salted_join/salted_agg is worth its extra exchange). All
+    outputs are exact integers.
+
+    The ranking window runs over the SIZES table — key-cardinality
+    rows, dimension-scale, never the fact; at a fact-sized key space
+    you'd profile a hash-sample of keys with the same arithmetic."""
+    import math
+
+    sizes = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    w = Window.orderBy("s", "k")
+    ranked = sizes.withColumn("rn", F.row_number().over(w)).persist()
+    n_keys = ranked.count()  # also materializes before the two reads
+    n_rows = ranked.agg(F.sum("s")).collect()[0][0]
+
+    def at(q: float) -> int:
+        return math.ceil(q * n_keys)
+
+    wanted = {at(0.5), at(0.9), at(0.99), n_keys}
+    by_rank = {
+        r["rn"]: r["s"]
+        for r in ranked.filter(F.col("rn").isin(*wanted)).collect()
+    }
+    ranked.unpersist()
+    p50, p90 = by_rank[at(0.5)], by_rank[at(0.9)]
+    p99, mx = by_rank[at(0.99)], by_rank[n_keys]
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                n_keys,
+                n_rows,
+                p50,
+                p90,
+                p99,
+                mx,
+                mx * 1_000_000 // n_rows,
+                p99 * 1_000_000 // p50,
+            )
+        ],
+        "n_keys long, n_rows long, p50 long, p90 long, p99 long, "
+        "max_sz long, top1_share6 long, p99_over_p50_6 long",
+    )

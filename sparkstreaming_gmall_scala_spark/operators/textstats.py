@@ -722,3 +722,43 @@ def bigram_stats(
         )
     )
     return scored.orderBy(F.col("c12").desc(), "w1", "w2").limit(top_n)
+
+
+def postings(
+    docs: DataFrame, id_col: str, text_col: str, head_n: int = 20
+) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the first ``head_n`` doc ids of the (ascending)
+    postings list rendered as a comma string — the search-index
+    construction pass feeding BM25 serving.
+
+    One token scan -> one (term, doc) aggregate (tf per posting) ->
+    one term-level rollup where the postings list materializes as
+    sort_array(collect_list(...)) TRUNCATED to head_n: the head is for
+    inspection/oracle purposes — a full 100 TB postings store writes the
+    (term, doc, tf) aggregate itself, bucketed by term, instead of
+    packing giant arrays into single rows (documented cap, not a silent
+    one). Deterministic: doc ids are distinct per term by construction,
+    so the ascending sort is a total order."""
+    text = F.col(text_col)
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    per_posting = toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    heads = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, head_n),
+            lambda x: x.cast("string"),
+        ),
+    )
+    return per_posting.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        heads.alias("head_postings"),
+    )

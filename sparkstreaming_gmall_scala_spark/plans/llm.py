@@ -3298,3 +3298,33 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_stats(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", top_n=50
     )
+
+
+@register(
+    "term_postings",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), pp AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    )
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+           array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+             AS head_postings
+    FROM pp GROUP BY term
+    """,
+    tags=("llm", "text", "search"),
+)
+def term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over the documents table: per term, df,
+    total tf, and the first 20 doc ids of the ascending postings list
+    as a comma string (a documented inspection cap — the full-scale
+    store ships the (term, doc, tf) aggregate bucketed by term rather
+    than packing unbounded arrays into rows). The lexical-index
+    counterpart to the ANN index builds
+    (operators/textstats.py:postings)."""
+    from ..operators.textstats import postings
+
+    return postings(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", head_n=20
+    )

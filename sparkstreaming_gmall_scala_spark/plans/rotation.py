@@ -220,6 +220,9 @@ POOL: tuple[str, ...] = (
     "daily_value_corr",
     # round-9 Markov transition matrix over per-user event sequences
     "event_transitions",
+    # round-9 skew diagnostic + inverted-index build
+    "key_skew_profile",
+    "term_postings",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -948,3 +948,49 @@ def type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chi2_6"),
     )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_suppkey AS k, count(*) AS s FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s, k) AS rn FROM sizes
+    ), st AS (
+      SELECT count(*) AS n_keys, CAST(sum(s) AS BIGINT) AS n_rows
+      FROM ranked
+    ), picks AS (
+      SELECT st.n_keys, st.n_rows,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.5 * st.n_keys) AS BIGINT)
+                      THEN s END) AS BIGINT) AS p50,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.9 * st.n_keys) AS BIGINT)
+                      THEN s END) AS BIGINT) AS p90,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.99 * st.n_keys) AS BIGINT)
+                      THEN s END) AS BIGINT) AS p99,
+             CAST(max(CASE WHEN rn = st.n_keys THEN s END) AS BIGINT)
+               AS max_sz
+      FROM ranked CROSS JOIN st
+      GROUP BY st.n_keys, st.n_rows
+    )
+    SELECT n_keys, n_rows, p50, p90, p99, max_sz,
+           max_sz * 1000000 // n_rows AS top1_share6,
+           p99 * 1000000 // p50 AS p99_over_p50_6
+    FROM picks
+    """,
+    tags=("scale", "skew", "profile"),
+    gated=False,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic for lineitem's supplier join key — the planning
+    query behind the salting operators: exact discrete order statistics
+    of the per-key group sizes (value at rank ceil(q·n_keys), key
+    tiebreak — both engines pick the identical element, no
+    interpolation) plus the top-1 share and p99/p50 skew ratio as exact
+    integral divisions (operators/skew.py:key_size_profile). The window
+    ranks the key-cardinality SIZES table, never the fact."""
+    from ..operators.skew import key_size_profile
+
+    return key_size_profile(
+        load_table(spark, sf_dir, "lineitem"), "l_suppkey"
+    )

@@ -270,6 +270,9 @@ def test_gate_budget(registry):
         "daily_value_corr",
         # round-9 Markov transitions
         "event_transitions",
+        # round-9 skew diagnostic + postings index
+        "key_skew_profile",
+        "term_postings",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -673,3 +673,33 @@ def test_bigram_stats_counts_and_integer_probs(spark):
     assert got[("b", "a")] == (1, 333_333, 333_333)          # P(a|b)=1/3
     assert got[("b", "c")] == (2, 666_666, 333_333)          # P(c|b)=2/3
     assert len(got) == 3  # the solo doc contributes nothing
+
+
+def test_key_size_profile_exact_order_statistics(spark):
+    from sparkstreaming_gmall_scala_spark.operators.skew import key_size_profile
+
+    # 10 keys with sizes 1..10 -> ranks are the sizes themselves:
+    # p50 = rank ceil(5) = 5, p90 = rank 9, p99 = rank ceil(9.9) = 10
+    rows = [(k, i) for k in range(1, 11) for i in range(k)]
+    df = spark.createDataFrame(rows, ["k", "i"])
+    [r] = key_size_profile(df, "k").collect()
+    assert (r["n_keys"], r["n_rows"]) == (10, 55)
+    assert (r["p50"], r["p90"], r["p99"], r["max_sz"]) == (5, 9, 10, 10)
+    assert r["top1_share6"] == 10 * 1_000_000 // 55
+    assert r["p99_over_p50_6"] == 2_000_000
+
+
+def test_postings_heads_sorted_and_capped(spark):
+    from sparkstreaming_gmall_scala_spark.operators.textstats import postings
+
+    docs = spark.createDataFrame(
+        [(9, "apple"), (3, "apple apple"), (5, "apple banana")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["term"]: (r["df"], r["tf_total"], r["head_postings"])
+        for r in postings(docs, "doc_id", "text", head_n=2).collect()
+    }
+    # head capped at 2 of the 3 apple docs, ascending by doc id
+    assert got["apple"] == (3, 4, "3,5")
+    assert got["banana"] == (1, 1, "5")
