@@ -41,6 +41,11 @@ ITERATIVE = {
     "re-prints its lineitem lineage for the scalar-max and equality "
     "consumers; real shape is 1 fact scan + 1 suppkey exchange + 2 "
     "broadcast joins — guarded in tests/test_plan_properties.py",
+    "key_skew_profile": "zero counts are an artifact: the profile "
+    "computes at BUILD time (1 fact scan + 1 key exchange + a rank over "
+    "the key-cardinality sizes table, then two bounded collects) and the "
+    "returned frame is a literal one-row result — the executed plan of "
+    "the returned frame is a LocalTableScan by design",
     "type_hour_chi2": "flat counts are cache-reprints: the (type, hr) "
     "cell aggregate (materialized ONCE — persist+count in plans/scale.py)"
     " re-prints its events lineage for the row-marginal, column-marginal "
