@@ -262,6 +262,8 @@ HEADLINE = (
     # added r9: join-key skew diagnostic + inverted-index build
     "key_skew_profile",
     "term_postings",
+    # added r9: conversion-latency bands (as-of join reuse)
+    "conversion_lag",
 )
 
 

@@ -223,6 +223,8 @@ POOL: tuple[str, ...] = (
     # round-9 skew diagnostic + inverted-index build
     "key_skew_profile",
     "term_postings",
+    # round-9 conversion-latency bands off the as-of join
+    "conversion_lag",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -961,3 +961,76 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("c * 1000000L div c_from").alias("p6"),
         )
     )
+
+
+@register(
+    "conversion_lag",
+    oracle="""
+    WITH j AS (
+      SELECT p.event_id AS pid,
+             max(c.ts) AS last_click
+      FROM events p LEFT JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.event_id, p.ts
+    ), lag AS (
+      SELECT pid,
+             CASE
+               WHEN last_click IS NULL THEN 'no_click'
+               WHEN epoch_us(p.ts) - epoch_us(last_click) < 60000000
+                 THEN 'lt_1m'
+               WHEN epoch_us(p.ts) - epoch_us(last_click) < 600000000
+                 THEN 'lt_10m'
+               WHEN epoch_us(p.ts) - epoch_us(last_click) < 3600000000
+                 THEN 'lt_1h'
+               WHEN epoch_us(p.ts) - epoch_us(last_click) < 21600000000
+                 THEN 'lt_6h'
+               ELSE 'ge_6h'
+             END AS band
+      FROM j JOIN events p ON p.event_id = j.pid
+    ), tot AS (SELECT count(*) AS n FROM lag)
+    SELECT band, count(*) AS n_purchases,
+           count(*) * 1000000 // n AS share6
+    FROM lag CROSS JOIN tot GROUP BY band, n
+    """,
+    tags=("temporal", "asof", "funnel"),
+    gated=False,
+)
+def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every purchase, the time
+    since the same user's most recent click (the as-of join —
+    union-and-carry, one user shuffle; the oracle runs the naive
+    non-equi max), banded into duration buckets with exact integral
+    shares. The funnel-latency report behind 'how long after the last
+    touch do users buy'; purchases with no prior click land in an
+    honest 'no_click' band instead of silently dropping."""
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    refs = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.unix_micros("ts").alias("c_us"),
+    )
+    j = asof_join(probes, refs, on="user_id", time_col="ts", tiebreak="c_us")
+    lag_us = F.col("p_us") - F.col("c_us")
+    band = (
+        F.when(F.col("c_us").isNull(), "no_click")
+        .when(lag_us < 60_000_000, "lt_1m")
+        .when(lag_us < 600_000_000, "lt_10m")
+        .when(lag_us < 3_600_000_000, "lt_1h")
+        .when(lag_us < 21_600_000_000, "lt_6h")
+        .otherwise("ge_6h")
+    )
+    banded = j.select(band.alias("band")).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    ).persist()
+    n = banded.agg(F.sum("n_purchases")).collect()[0][0]
+    return banded.select(
+        "band",
+        "n_purchases",
+        F.expr(f"n_purchases * 1000000L div {n}L").alias("share6"),
+    )

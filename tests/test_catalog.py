@@ -273,6 +273,8 @@ def test_gate_budget(registry):
         # round-9 skew diagnostic + postings index
         "key_skew_profile",
         "term_postings",
+        # round-9 conversion-latency bands
+        "conversion_lag",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
