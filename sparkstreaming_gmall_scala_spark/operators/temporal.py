@@ -224,8 +224,18 @@ def concurrency_sweep(
     bucket borders carried correctly by the offset.
 
     Half-open [start, end): a session ending exactly when another starts
-    does not overlap it. ``grain`` is any truncation unit date_trunc
-    accepts ('hour', 'day', 'week').
+    does not overlap it. ``grain`` ∈ {'hour', 'day', 'week'} (fixed-width
+    units, so gap buckets can be enumerated with F.sequence).
+
+    Two boundary-free corners (round-9 advice): (1) the carried-in level
+    ``off`` holds on [bucket_start, first_in-bucket_boundary) and is a
+    max candidate whenever that interval is non-empty — a day where
+    long-lived sessions only END peaks at ``off``, not ``off-1``; when
+    the first boundary lands exactly on the bucket start the interval is
+    empty and ``off`` is NOT attained. (2) buckets containing no
+    boundary at all but covered by live intervals emit a carry row
+    (bucket, level) — enumerated from the tiny per-bucket totals frame,
+    never the firehose.
 
     The input is scanned ONCE: each interval explodes into its two
     boundary deltas in a single pass (a union of two selects would scan
@@ -252,6 +262,9 @@ def concurrency_sweep(
         .persist()
     )
     deltas.count()  # materialize BEFORE the fan-out (graph.py discipline)
+    _step = {"hour": "1 hour", "day": "1 day", "week": "7 days"}
+    if grain not in _step:
+        raise ValueError(f"grain must be one of {sorted(_step)}, got {grain!r}")
     bucket = F.date_trunc(grain, F.timestamp_micros(F.col("t")))
     wb = (
         Window.partitionBy("b")
@@ -267,12 +280,42 @@ def concurrency_sweep(
     )  # tiny: one row per bucket — the only global window, bounded
     offsets = totals.withColumn(
         "off", F.coalesce(F.sum("tot").over(wo), F.lit(0))
-    ).select("b", "off")
-    return (
-        local.join(F.broadcast(offsets), "b")
-        .groupBy(F.col("b").alias("bucket_start"))
-        .agg(F.max(F.col("run") + F.col("off")).alias("max_active"))
+    ).select("b", "tot", "off")
+    per_bucket = (
+        local.join(F.broadcast(offsets.select("b", "off")), "b")
+        .groupBy("b")
+        .agg(
+            F.max(F.col("run") + F.col("off")).alias("_m"),
+            F.min("t").alias("_mt"),
+            F.first("off").alias("_off"),
+        )
+        .select(
+            F.col("b").alias("bucket_start"),
+            F.when(
+                F.col("_mt") > F.unix_micros(F.col("b")),
+                F.greatest(F.col("_m"), F.col("_off")),
+            )
+            .otherwise(F.col("_m"))
+            .alias("max_active"),
+        )
     )
+    step = F.expr(f"interval {_step[grain]}")
+    gaps = (
+        offsets.withColumn("lvl_end", F.col("off") + F.col("tot"))
+        .withColumn("next_b", F.lead("b").over(Window.orderBy("b")))
+        .filter(
+            (F.col("lvl_end") > 0)
+            & F.col("next_b").isNotNull()
+            & (F.col("next_b") > F.col("b") + step)
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("b") + step, F.col("next_b") - step, step)
+            ).alias("bucket_start"),
+            F.col("lvl_end").alias("max_active"),
+        )
+    )
+    return per_bucket.unionByName(gaps)
 
 
 def time_weighted_avg(

@@ -502,13 +502,36 @@ _SESS_SQL = """
     ),
     byt AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY t),
     run AS (
-      SELECT t, sum(d) OVER (ORDER BY t
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+      SELECT t,
+             sum(d) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active,
+             COALESCE(sum(d) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
       FROM byt
+    ),
+    perb AS (
+      SELECT date_trunc('day', make_timestamp(t)) AS bucket_start,
+             max(active) AS m, min(t) AS mt,
+             arg_min(prev, t) AS off, arg_max(active, t) AS lvl_end
+      FROM run GROUP BY 1
+    ),
+    lvl AS (
+      SELECT bucket_start, lvl_end,
+             lead(bucket_start) OVER (ORDER BY bucket_start) AS next_b
+      FROM perb
     )
-    SELECT date_trunc('day', make_timestamp(t)) AS bucket_start,
-           CAST(max(active) AS BIGINT) AS max_active
-    FROM run GROUP BY 1
+    SELECT bucket_start,
+           CAST(CASE WHEN mt > epoch_us(bucket_start)
+                     THEN greatest(m, off) ELSE m END AS BIGINT) AS max_active
+    FROM perb
+    UNION ALL
+    SELECT unnest(generate_series(bucket_start + INTERVAL 1 DAY,
+                                  next_b - INTERVAL 1 DAY,
+                                  INTERVAL 1 DAY)) AS bucket_start,
+           CAST(lvl_end AS BIGINT) AS max_active
+    FROM lvl
+    WHERE lvl_end > 0 AND next_b IS NOT NULL
+      AND next_b > bucket_start + INTERVAL 1 DAY
     """,
     tags=("temporal", "interval", "sweep"),
     gated=False,
@@ -523,8 +546,11 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a single-partition sort of the firehose (the oracle's global
     OVER (ORDER BY t) is exactly what the operator avoids). Sessions
     are the 30-min-gap sessionize intervals, closed at max(ts) (the
-    half-open sweep end is max + 1us). Days with no session boundary
-    carry no row (concurrency only changes at boundaries)."""
+    half-open sweep end is max + 1us). The carried-in level competes in
+    each day's max (a day where sessions only END peaks at the carry
+    level, round-9 advice), and boundary-free days covered by live
+    sessions emit carry rows — both engines walk the identical
+    semantics."""
     from ..operators.temporal import concurrency_sweep
     from pyspark.sql import Window
 

@@ -351,7 +351,10 @@ def test_concurrency_sweep_matches_bruteforce(spark):
         r["bucket_start"]: r["max_active"]
         for r in concurrency_sweep(df, "s", "e", "day").collect()
     }
-    # brute force: evaluate the running sum at every boundary instant
+    # brute force: walk the STEP FUNCTION (level between consecutive
+    # boundaries), not just the levels AT boundaries — the carried-in
+    # level before a day's first boundary and boundary-free days covered
+    # by live intervals both count (round-9 advice fix)
     events = []
     for _, s, e in rows:
         if e > s:
@@ -360,11 +363,27 @@ def test_concurrency_sweep_matches_bruteforce(spark):
     by_t = {}
     for t, d in events:
         by_t[t] = by_t.get(t, 0) + d
-    active, expect = 0, {}
-    for t in sorted(by_t):
+    ts = sorted(by_t)
+    day_of = lambda t: t.replace(hour=0, minute=0, second=0, microsecond=0)
+    boundary_days = {day_of(t) for t in ts}
+    # segments (a, b, level): leading zero-level segment clipped to its
+    # day, then [t_i, t_{i+1}) at the post-t_i level, then the final
+    # zero-level instant at the last boundary
+    segs, active = [], 0
+    if ts and ts[0] > day_of(ts[0]):
+        segs.append((day_of(ts[0]), ts[0], 0))
+    for i, t in enumerate(ts):
         active += by_t[t]
-        day = t.replace(hour=0, minute=0, second=0, microsecond=0)
-        expect[day] = max(expect.get(day, -(10**9)), active)
+        nxt = ts[i + 1] if i + 1 < len(ts) else t + dt.timedelta(microseconds=1)
+        segs.append((t, nxt, active))
+    expect = {}
+    one_day = dt.timedelta(days=1)
+    for a, b, lvl in segs:
+        day = day_of(a)
+        while day < b:
+            if day in boundary_days or lvl > 0:
+                expect[day] = max(expect.get(day, lvl), lvl)
+            day = day + one_day
     assert got == expect
     # intervals span day borders, so some day's max must exceed its own
     # net delta — proof the carry-in offset path is exercised
@@ -395,6 +414,40 @@ def test_concurrency_sweep_half_open_and_cross_bucket_carry(spark):
     # day 1): peak 2 = carried session 1 + session 2; never 3 (half-open)
     assert got[_ts("2024-01-01 00:00:00")] == 1
     assert got[_ts("2024-01-02 00:00:00")] == 2
+
+
+def test_concurrency_sweep_carry_level_and_gap_days(spark):
+    # round-9 advice corners: (A) a day whose only boundaries are ENDS
+    # peaks at the carried-in level, not level-1; (B) boundary-free days
+    # fully covered by a live interval emit carry rows; (C) a boundary
+    # exactly at midnight does NOT admit the carried level (it holds for
+    # an empty interval); (D) zero-level gap days emit nothing.
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-05 10:00:00")),
+            (2, _ts("2024-01-04 23:00:00"), _ts("2024-01-05 06:00:00")),
+            (3, _ts("2024-01-07 00:00:00"), _ts("2024-01-08 00:00:00")),
+        ],
+        ["i", "s", "e"],
+    )
+    from sparkstreaming_gmall_scala_spark.operators.temporal import (
+        concurrency_sweep,
+    )
+
+    got = {
+        r["bucket_start"]: r["max_active"]
+        for r in concurrency_sweep(df, "s", "e", "day").collect()
+    }
+    assert got == {
+        _ts("2024-01-01 00:00:00"): 1,  # boundary day, start at 10:00
+        _ts("2024-01-02 00:00:00"): 1,  # (B) gap day, carried level 1
+        _ts("2024-01-03 00:00:00"): 1,  # (B) gap day
+        _ts("2024-01-04 00:00:00"): 2,  # session 2 starts at 23:00
+        _ts("2024-01-05 00:00:00"): 2,  # (A) ends only — peak = carry 2
+        # Jan 6: zero-level gap day — no row (D)
+        _ts("2024-01-07 00:00:00"): 1,  # (C) +1 exactly at midnight
+        _ts("2024-01-08 00:00:00"): 0,  # -1 at midnight: level 0 all day
+    }
 
 
 # ---------------------------------------------------------------------------
