@@ -91,21 +91,33 @@ def equal_split_exact(
 ) -> DataFrame:
     """Split an integer ``amount_col`` (repeated on every row of a group)
     EQUALLY across the group's rows, exactly: each row gets
-    ``amount div n`` and the ``amount mod n`` remainder units go one
-    each to the first rows in ``order_cols`` order — so the per-group
+    ``floor(amount / n)`` and the ``pmod(amount, n)`` remainder units go
+    one each to the first rows in ``order_cols`` order — so the per-group
     sum reproduces the amount to the unit, under any partitioning
-    (``order_cols`` must totally order the group).
+    (``order_cols`` must totally order the group) and for ANY sign of
+    the amount (round-9 advice: the old ``amt % n`` arithmetic silently
+    under-distributed negative amounts, e.g. refunds — pmod keeps the
+    remainder in [0, n) so ``n·base + rem == amount`` always). The floor
+    division is written ``(amt − pmod) div n``: the numerator is exactly
+    divisible, so truncating ``div`` equals floor in both engines and no
+    double arithmetic touches the units.
 
     The equal-weight sibling of :func:`allocate` (proportional with
     last-row residual); one shuffle on ``group_col`` serves both the
     count and the row_number."""
     w = Window.partitionBy(group_col)
     wo = w.orderBy(*order_cols)
-    n = F.count(F.lit(1)).over(w)
-    rn = F.row_number().over(wo)
-    amt = F.col(amount_col)
-    return df.withColumn(
-        out_col,
-        (amt - amt % n) / n
-        + F.when(rn <= amt % n, F.lit(1)).otherwise(F.lit(0)),
-    ).withColumn(out_col, F.col(out_col).cast("long"))
+    return (
+        df.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_pm", F.pmod(F.col(amount_col), F.col("_n")))
+        .withColumn(
+            out_col,
+            F.expr(f"(`{amount_col}` - _pm) div _n")
+            + F.when(F.col("_rn") <= F.col("_pm"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(out_col, F.col(out_col).cast("long"))
+        .drop("_n", "_rn", "_pm")
+    )

@@ -188,7 +188,15 @@ def weighted_priority(key: Column, weight: Column) -> Column:
     u keeps the sample retry-stable and engine-portable (same md5 hex in
     Spark and DuckDB; the hex->int, +0.5, /2^32, ln, /w expression tree
     is written identically on both sides — all exact-integer inputs into
-    the same IEEE double ops)."""
+    the same IEEE double ops).
+
+    Residual portability risk (round-9 advice, same caveat as
+    daily_value_corr): ln() is only ~1-ulp-accurate and platform-
+    dependent (JVM Math.log vs DuckDB libm), so a priority landing
+    within one ulp of a rank-k boundary could order differently on a
+    different platform/libm. Observed identical on this host; a
+    StrictMath-pinned expression would remove the risk at the cost of a
+    slower scan."""
     v = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
         "double"
     )

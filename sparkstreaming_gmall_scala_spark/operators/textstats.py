@@ -99,6 +99,7 @@ def bm25_rank(
     text_col: str,
     query_terms: tuple[str, ...],
     top_n: int = 10,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-n documents for a fixed query under BM25 (Robertson k1=1.2,
     b=0.75; Lucene idf = ln(1 + (N-df+0.5)/(df+0.5))).
@@ -115,7 +116,12 @@ def bm25_rank(
     Determinism: scores are IEEE doubles built with the same expression
     tree the DuckDB oracle writes (exact-integer tf/dl/N/df; one
     division for avgdl; per-term sums added left-to-right), floored at
-    1e-6 into integer score6 — ranking ties break on the doc id."""
+    1e-6 into integer score6 — ranking ties break on the doc id.
+    Residual portability risk (round-9 advice): the idf's ln() is only
+    ~1-ulp-accurate and platform-dependent (JVM Math.log vs DuckDB
+    libm), so a score6 within one ulp of the 1e-6 floor or a rank
+    boundary could differ on another platform/libm — observed identical
+    on this host."""
     from pyspark.sql import Window
 
     if len(set(query_terms)) != len(query_terms):
@@ -143,6 +149,14 @@ def bm25_rank(
         ],
     ).collect()[0]  # one bounded row; also materializes the cache
     n = stats["n"]
+    if not n:  # empty corpus: no avgdl to divide by (round-9 advice)
+        per_doc.unpersist()
+        return docs.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("dl"),
+            F.lit(0).cast("long").alias("score6"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
     avgdl = stats["sum_dl"] / n  # exact ints -> one double division
     score = None
     for i in range(len(query_terms)):
@@ -168,7 +182,16 @@ def bm25_rank(
     ).filter(F.col("score6") > 0)
     top = scored.orderBy(F.col("score6").desc(), F.col(id_col)).limit(top_n)
     w = Window.orderBy(F.col("score6").desc(), F.col(id_col))
-    return top.withColumn("rank", F.row_number().over(w))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    if not materialize:  # plan-inspection path: caller owns the cache
+        return ranked
+    # the result is bounded (≤ top_n rows): materialize it in ONE action
+    # — the token scan + TakeOrderedAndProject run here — so the cached
+    # per-doc frame can be unpersisted before return instead of leaking
+    # across the bench session (round-9 advice)
+    rows = ranked.collect()
+    per_doc.unpersist()
+    return docs.sparkSession.createDataFrame(rows, schema=ranked.schema)
 
 
 def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -672,7 +695,11 @@ def perplexity_buckets(
 
 
 def bigram_stats(
-    docs: DataFrame, id_col: str, text_col: str, top_n: int = 50
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 50,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-n corpus bigrams with conditional and continuation
     probabilities — the n-gram LM counting pass (the expensive half of
@@ -721,7 +748,15 @@ def bigram_stats(
             F.expr(f"n_left * 1000000L div {n_bigram_types}L").alias("pcont6"),
         )
     )
-    return scored.orderBy(F.col("c12").desc(), "w1", "w2").limit(top_n)
+    top = scored.orderBy(F.col("c12").desc(), "w1", "w2").limit(top_n)
+    if not materialize:  # plan-inspection path: caller owns the cache
+        return top
+    # bounded (≤ top_n rows): one action materializes the whole pipeline
+    # so the cached bigram aggregate unpersists before return instead of
+    # leaking across the bench session (round-9 advice)
+    rows = top.collect()
+    c12.unpersist()
+    return docs.sparkSession.createDataFrame(rows, schema=top.schema)
 
 
 def postings(

@@ -916,25 +916,30 @@ def type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared independence cells for the event_type × hour-of-day
     contingency table — the seasonality/independence diagnostic every
     behavioural pipeline runs. ONE (type, hr) aggregate feeds everything:
-    both marginals and the grand total roll up from it (dimension-sized,
-    broadcast back — the fact is scanned once). Expected counts are
+    both marginals and the grand total are WINDOW sums over that same
+    ~144-row contingency frame (the fact is scanned once; no persist, no
+    second consumer — the only unpartitioned window moves just the
+    contingency rows). Expected counts are
     EXACT integers at 1e-6 scale (rt·ct·1e6 div N — integral division,
     matching the oracle's // to the unit); only the final
     (o−e)²/e cell statistic is a double, built with one fixed tree and
     6-dp-floored. rt·ct·1e6 fits a long through ~10^6-row tables; at
     100 TB the product moves to DECIMAL(38,0) with the same div."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events").select(
         "event_type", F.hour("ts").cast("long").alias("hr")
     )
-    o = e.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("o")).persist()
-    o.count()  # materialize before the three-rollup fan-out
-    rt = o.groupBy("event_type").agg(F.sum("o").alias("rt"))
-    ct = o.groupBy("hr").agg(F.sum("o").alias("ct"))
-    n = o.agg(F.sum("o")).collect()[0][0]
+    o = e.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("o"))
+    # marginals + grand total as WINDOW sums over the |types|×24-row
+    # aggregate — a single consumer of the fact scan, so nothing persists
+    # (and leaks) across the session (round-9 advice). The unpartitioned
+    # grand-total window moves only the ~144-row contingency table.
     cells = (
-        o.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "hr")
-        .withColumn("e6", F.expr(f"rt * ct * 1000000L div {n}L"))
+        o.withColumn("rt", F.sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("hr")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+        .withColumn("e6", F.expr("rt * ct * 1000000L div n"))
         .filter(F.col("e6") > 0)
     )
     od = F.col("o").cast("double")

@@ -718,7 +718,8 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND t.tus > p.pus - 86400000000 AND t.tus <= p.pus
     ), alloc AS (
       SELECT channel,
-             v6 // n + CASE WHEN rn <= v6 % n THEN 1 ELSE 0 END AS a6
+             (v6 - ((v6 % n) + n) % n) // n
+               + CASE WHEN rn <= ((v6 % n) + n) % n THEN 1 ELSE 0 END AS a6
       FROM j
       UNION ALL
       SELECT 'unattributed' AS channel, v6 AS a6
@@ -960,8 +961,10 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences — P(next type | type), the sankey/behavioural-flow query.
     One lead() per user partition (the sequence never self-joins), one
-    (from, to) aggregate, the from-marginal rolled up from that SAME
-    aggregate and broadcast back; probabilities are exact integers
+    (from, to) aggregate, the from-marginal computed as a WINDOW sum
+    over that same |types|²-row aggregate — a single consumer, so no
+    persist to leak across the bench session (round-9 advice) and no
+    second shuffle of the firehose; probabilities are exact integers
     (c·1e6 div c_from). Each user's final event has no successor and
     contributes nothing — identical in the oracle's lead()."""
     from pyspark.sql import Window
@@ -974,18 +977,15 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("to_type").isNotNull())
     c = seq.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("c")
-    ).persist()
-    c.count()  # |types|^2 rows; materialize before the two-consumer fan-out
-    tot = c.groupBy("from_type").agg(F.sum("c").alias("c_from"))
-    return (
-        c.join(F.broadcast(tot), "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            "c",
-            "c_from",
-            F.expr("c * 1000000L div c_from").alias("p6"),
-        )
+    )
+    return c.withColumn(
+        "c_from", F.sum("c").over(Window.partitionBy("from_type"))
+    ).select(
+        "from_type",
+        "to_type",
+        "c",
+        "c_from",
+        F.expr("c * 1000000L div c_from").alias("p6"),
     )
 
 
@@ -1053,10 +1053,18 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     banded = j.select(band.alias("band")).groupBy("band").agg(
         F.count(F.lit(1)).alias("n_purchases")
-    ).persist()
-    n = banded.agg(F.sum("n_purchases")).collect()[0][0]
-    return banded.select(
-        "band",
-        "n_purchases",
-        F.expr(f"n_purchases * 1000000L div {n}L").alias("share6"),
+    )
+    # ≤6 band rows — collect the whole aggregate once (bounded,
+    # post-agg), so shares divide driver-side with no second pass and
+    # the zero-purchase corner returns an empty frame instead of an
+    # unparseable `div None` expression (round-9 advice)
+    schema = "band string, n_purchases bigint, share6 bigint"
+    rows = banded.collect()
+    n = sum(r["n_purchases"] for r in rows)
+    if not n:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        [(r["band"], r["n_purchases"], r["n_purchases"] * 1_000_000 // n)
+         for r in rows],
+        schema,
     )

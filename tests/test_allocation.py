@@ -135,6 +135,28 @@ def test_equal_split_exact_remainder_goes_to_earliest(spark):
                    ("g2", 1): 5, ("g2", 2): 5}
 
 
+def test_equal_split_exact_negative_amounts_refunds(spark):
+    # round-9 advice: pmod arithmetic must conserve NEGATIVE amounts too
+    # (refunds): -7 over 3 rows -> -2, -2, -3 (remainder units +1 to the
+    # earliest rows on top of floor(-7/3) = -3)
+    from sparkstreaming_gmall_scala_spark.operators.allocation import (
+        equal_split_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("r1", 1, -7), ("r1", 2, -7), ("r1", 3, -7),
+         ("r2", 1, -6), ("r2", 2, -6)],
+        ["g", "ord", "amt"],
+    )
+    got = {
+        (r["g"], r["ord"]): r["split_amount"]
+        for r in equal_split_exact(df, "g", ["ord"], "amt").collect()
+    }
+    assert got == {("r1", 1): -2, ("r1", 2): -2, ("r1", 3): -3,
+                   ("r2", 1): -3, ("r2", 2): -3}
+    assert sum(v for (g, _), v in got.items() if g == "r1") == -7
+
+
 def test_equal_split_exact_conserves_any_group_size(spark):
     import random
 
@@ -147,7 +169,7 @@ def test_equal_split_exact_conserves_any_group_size(spark):
     rng = random.Random(99)
     rows = []
     for g in range(40):
-        amt = rng.randint(1, 10**9)
+        amt = rng.randint(-(10**9), 10**9)
         for i in range(rng.randint(1, 9)):
             rows.append((g, i, amt))
     df = spark.createDataFrame(rows, ["g", "ord", "amt"])

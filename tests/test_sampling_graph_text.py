@@ -645,7 +645,10 @@ def test_bm25_plan_is_top_k_not_global_sort(spark):
         [(i, "spark stream " * (i % 3 + 1)) for i in range(50)],
         ["doc_id", "text"],
     )
-    df = bm25_rank(docs, "doc_id", "text", ("spark",), top_n=5)
+    # materialize=False exposes the lazy plan (the public path runs the
+    # same plan in one action, then unpersists the per-doc cache)
+    df = bm25_rank(docs, "doc_id", "text", ("spark",), top_n=5,
+                   materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
 
