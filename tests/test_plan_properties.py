@@ -478,3 +478,34 @@ def test_bm25_top_n_is_take_ordered(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_key_size_profile_no_global_rank_of_sizes(spark, sf_dir):
+    # r10 (r9 verdict #1): the skew diagnostic must never rank the
+    # key-cardinality sizes table under an unpartitioned window. The
+    # histogram prefix-sum pipeline's ONLY SinglePartition exchange sits
+    # above the <=64-row bucket-totals aggregate (the concurrency_sweep
+    # carry pattern); the histogram's own cum window is partitioned by
+    # the log2 bucket, and no row_number appears anywhere.
+    from sparkstreaming_gmall_scala_spark.operators.skew import (
+        size_histogram_cum,
+    )
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plan = size_histogram_cum(hist)._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan, plan[:2000]
+    assert plan.count("Exchange SinglePartition") == 1, plan[:2000]
+    # the SinglePartition exchange feeds the carry window, directly above
+    # the bucket-totals HashAggregate — not the histogram
+    below = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate(keys=[_b" in below.split("Exchange", 1)[0], plan[:3000]
+    # the cum window is partitioned by the bucket
+    assert "windowspecdefinition(_b" in plan, plan[:2000]

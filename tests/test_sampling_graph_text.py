@@ -692,6 +692,45 @@ def test_key_size_profile_exact_order_statistics(spark):
     assert r["p99_over_p50_6"] == 2_000_000
 
 
+def test_key_size_profile_histogram_matches_bruteforce_rank(spark):
+    # r10 (r9 verdict #1): the histogram-based path must equal the naive
+    # global rank walk on a skewed, tie-heavy size distribution — many
+    # keys share sizes, so every percentile lands inside a tie run
+    import math
+    import random
+
+    from sparkstreaming_gmall_scala_spark.operators.skew import key_size_profile
+
+    rng = random.Random(42)
+    rows = []
+    for k in range(200):
+        # zipf-ish: most keys tiny, a few huge — sizes collide heavily
+        sz = min(int(1 / max(rng.random(), 1e-3) ** 1.2), 500)
+        rows.extend((k, i) for i in range(max(sz, 1)))
+    df = spark.createDataFrame(rows, ["k", "i"])
+    [r] = key_size_profile(df, "k").collect()
+    from collections import Counter
+
+    sizes = sorted(Counter(k for k, _ in rows).values())
+    n_keys, n_rows = len(sizes), len(rows)
+
+    def at(q):
+        return sizes[math.ceil(q * n_keys) - 1]
+
+    assert (r["n_keys"], r["n_rows"]) == (n_keys, n_rows)
+    assert (r["p50"], r["p90"], r["p99"]) == (at(0.5), at(0.9), at(0.99))
+    assert r["max_sz"] == sizes[-1]
+    assert r["top1_share6"] == sizes[-1] * 1_000_000 // n_rows
+    assert r["p99_over_p50_6"] == at(0.99) * 1_000_000 // at(0.5)
+
+
+def test_key_size_profile_empty_input(spark):
+    from sparkstreaming_gmall_scala_spark.operators.skew import key_size_profile
+
+    df = spark.createDataFrame([], "k long, i long")
+    assert key_size_profile(df, "k").count() == 0
+
+
 def test_postings_heads_sorted_and_capped(spark):
     from sparkstreaming_gmall_scala_spark.operators.textstats import postings
 
