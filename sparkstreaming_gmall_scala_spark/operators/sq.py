@@ -421,12 +421,26 @@ def ivf_sq8_topk(
 
     where the first two terms and t_i = (q_i·(mx_i − mn_i))/255 depend
     only on the (query, probed cell) pair — both precompute DRIVER-side
-    over the bounded collected query batch (the pq_topk contract; the
-    probe table is |queries| × nprobe rows, broadcast), so the
-    codes-side scan is one codegen'd multiply-add chain per pair, zero
-    Python workers. At 100 TB the scan cost is nprobe/k_cells of the
-    codes table read as 1-byte/dim rows; raw-vector IO is
-    shortlist-sized point lookups in the refine stage."""
+    over the bounded collected query batch (the pq_topk contract), so
+    the codes-side scan is one codegen'd multiply-add chain per pair,
+    zero Python workers. At 100 TB the scan cost is nprobe/k_cells of
+    the codes table read as 1-byte/dim rows; raw-vector IO is
+    shortlist-sized point lookups in the refine stage.
+
+    Probe-latency shape (round-9 verdict #5, 1.5 s → sub-second): the
+    per-(query, cell) probe table embeds as a LITERAL cell→probes map
+    in ONE parsed expression (plain double literals round-trip exactly)
+    exploded against the pruned codes — no createDataFrame, no
+    broadcast-exchange job; the probes-for-this-cell lookup is an
+    element_at against the map literal. With ``rerank``, the refine
+    stage runs DRIVER-side over the collected shortlist (bounded at
+    |queries|·shortlist rows — the same query-batch contract as the
+    collect above): raw vectors arrive via one single-parse ``IN``
+    point-lookup scan (predicate pushdown, never a corpus scan), and
+    the exact cosine reproduces the JVM chain bit-for-bit (left-to-
+    right float64 accumulation, same floor tree) — verified equal to
+    the previous in-Spark _exact_rerank output. Three bounded jobs
+    total: query collect, shortlist, vector lookup."""
     import numpy as np
 
     d = dim if dim is not None else len(bounds)
@@ -437,6 +451,8 @@ def ivf_sq8_topk(
         raise ValueError("ivf_sq8_topk needs a non-empty query batch")
     q_ids = [int(r[id_col]) for r in q_rows]
     q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    if q.shape[1] != d:
+        raise ValueError(f"expected {d}-dim query vectors, got {q.shape[1]}")
     # probe cells by DIRECTION — the same dot(q, ĉ) ranking the index's
     # _directional_cell assignment uses (negated: argsort ascending,
     # stable ties → lowest cell index, matching array_position)
@@ -446,39 +462,61 @@ def ivf_sq8_topk(
         [float(b[1]) - float(b[0]) for b in bounds], dtype=np.float64
     )
     qmn = q @ mn_v
-    qnorm = np.sqrt((q * q).sum(axis=1))
     t = q * diff_v / 255.0
-    rows = [
-        (
-            q_ids[j],
-            int(c),
-            float(qmn[j] + q[j] @ cents[c]),
-            [float(v) for v in t[j]],
-            float(qnorm[j]),
+    # left-to-right norm — the exact chain norm_fixed codegens, reused
+    # verbatim by the driver-side refine below
+    _qn = q[:, 0] * q[:, 0]
+    for i in range(1, d):
+        _qn = _qn + q[:, i] * q[:, i]
+    qnorm = np.sqrt(_qn)
+    by_cell: dict[int, list[int]] = {}
+    for j in range(len(q_ids)):
+        for c in probed[j]:
+            by_cell.setdefault(int(c), []).append(j)
+
+    def _d(v: float) -> str:  # repr round-trips doubles exactly
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    entries = []
+    for c, js in sorted(by_cell.items()):
+        structs = ",".join(
+            f"named_struct('query_id',{q_ids[j]}L,"
+            f"'_qmn2',{_d(qmn[j] + q[j] @ cents[c])},"
+            f"'_qnorm',{_d(qnorm[j])},"
+            f"'_t',array({','.join(_d(v) for v in t[j])}))"
+            for j in js
         )
-        for j in range(len(q_ids))
-        for c in probed[j]
-    ]
-    probe = index.sparkSession.createDataFrame(
-        rows,
-        "query_id long, cell long, _qmn2 double, _t array<double>, "
-        "_qnorm double",
-    )
-    cells = sorted({int(c) for j in range(len(q_ids)) for c in probed[j]})
+        entries.append(f"{c}, array({structs})")
+    map_sql = "map(" + ",".join(entries) + ")"
+    cells = sorted(by_cell)
     pruned = index.filter(F.col("cell").isin(cells)).select(
         F.col(id_col).alias("neighbor_id"), "cell", "codes", "_cnorm"
     )
+    exp = pruned.select(
+        "neighbor_id",
+        "codes",
+        "_cnorm",
+        F.explode(
+            F.expr(f"element_at({map_sql}, CAST(cell AS INT))")
+        ).alias("p"),
+    ).select(
+        "neighbor_id",
+        "codes",
+        "_cnorm",
+        F.col("p.query_id").alias("query_id"),
+        F.col("p._qmn2").alias("_qmn2"),
+        F.col("p._qnorm").alias("_qnorm"),
+        F.col("p._t").alias("_t"),
+    )
     pair_dot = F.col("_qmn2") + dot_fixed("codes", "_t", d)
-    approx = (
-        pruned.join(F.broadcast(probe), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "approx",
-            F.floor(
-                (pair_dot / (F.col("_qnorm") * F.col("_cnorm"))) * 1e6 + 0.5
-            )
-            / 1e6,
+    approx = exp.filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "approx",
+        F.floor(
+            (pair_dot / (F.col("_qnorm") * F.col("_cnorm"))) * 1e6 + 0.5
         )
+        / 1e6,
     )
     n_short = max(shortlist, k + 1) if rerank is not None else k + 1
     w = Window.partitionBy("query_id").orderBy(
@@ -494,4 +532,42 @@ def ivf_sq8_topk(
             "query_id", "neighbor_id", F.col("approx").alias("score")
         )
         return _rank_topk(scored, k)
-    return _exact_rerank(short, queries, rerank, id_col, vec_col, dim, k)
+    # driver-side refine over the BOUNDED shortlist (<= |q|·n_short rows)
+    import math
+    from collections import defaultdict
+
+    srows = short.select("query_id", "neighbor_id").collect()
+    schema = "query_id long, neighbor_id long, score double, rank integer"
+    if not srows:
+        return index.sparkSession.createDataFrame([], schema)
+    need = sorted({int(r["neighbor_id"]) for r in srows})
+    in_sql = f"`{id_col}` IN (" + ",".join(str(v) for v in need) + ")"
+    vecs = {
+        int(r[id_col]): np.array(r[vec_col], dtype=np.float64)
+        for r in rerank.filter(F.expr(in_sql))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    qv = {q_ids[j]: q[j] for j in range(len(q_ids))}
+    qnm = {q_ids[j]: float(qnorm[j]) for j in range(len(q_ids))}
+    byq: dict[int, list[tuple[float, int]]] = defaultdict(list)
+    for r in srows:
+        qid, nid = int(r["query_id"]), int(r["neighbor_id"])
+        a, b = qv[qid], vecs[nid]
+        dot = a[0] * b[0]
+        nn = b[0] * b[0]
+        for i in range(1, d):
+            dot = dot + a[i] * b[i]
+            nn = nn + b[i] * b[i]
+        score = (
+            math.floor(float(dot) / (qnm[qid] * math.sqrt(float(nn))) * 1e6 + 0.5)
+            / 1e6
+        )
+        byq[qid].append((score, nid))
+    out = []
+    for qid in sorted(byq):
+        ranked = sorted(byq[qid], key=lambda x: (-x[0], x[1]))[:k]
+        out.extend(
+            (qid, nid, s, rk) for rk, (s, nid) in enumerate(ranked, 1)
+        )
+    return index.sparkSession.createDataFrame(out, schema)

@@ -66,7 +66,14 @@ def test_ivf_sq8_recall_and_partition_pruning(spark, sf_dir, tmp_path):
     )
     per_rows = per_df.collect()
     assert sorted(map(tuple, per_rows)) == sorted(map(tuple, mem_rows))
-    plan = per_df._jdf.queryExecution().executedPlan().toString()
+    # the reranked result materializes driver-side (r10: bounded-refine
+    # probe shape), so the partition-pruning pin reads the LAZY
+    # approx-only probe plan — same pruned index scan either way
+    lazy = ivf_sq8_topk(
+        persisted, queries, "vec_id", "embedding", cents, bounds,
+        k=5, nprobe=4, rerank=None,
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     # identify the index scan by its column set, not the path — Spark
     # truncates the Location string to ~100 chars and pytest tmp paths
     # are long enough to cut the directory name off
