@@ -1706,6 +1706,86 @@ def test_index_compaction_crash_before_swap_rolls_forward(spark, tmp_path):
     assert {tuple(r) for r in index.read(spark).collect()} == rows
 
 
+def test_inline_compaction_under_active_stream_then_inflight_replay(
+    spark, tmp_path
+):
+    """The one crash window inline compaction leaves open (r9 verdict #7):
+    ``compact_every`` folds committed batch dirs INSIDE the foreachBatch
+    body of a LIVE query, and a crash right after the fold — before the
+    offset commit — replays the in-flight batch. The replay re-probes
+    against base ∪ its own (rewritten) dir and must emit the identical
+    pair set; nothing folded may be lost or double-counted."""
+    from sparkstreaming_gmall_scala_spark.sinks.batch import AppendOnlyIndex
+    from sparkstreaming_gmall_scala_spark.streaming.dedup import (
+        DOC_SCHEMA,
+        banded_candidates_batch,
+        dedup_index_pipeline,
+        minhash_bander,
+    )
+
+    src, idx, out, ckpt = _dirs(tmp_path, "src", "idx", "out", "ckpt")
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    q = dedup_index_pipeline(spark, src, idx, out, ckpt, compact_every=2)
+    try:
+        for i, doc in enumerate(
+            [(1, base), (2, base + " x"), (3, base + " y")]
+        ):
+            _drop(spark, DOC_SCHEMA, [doc], src)
+            q.processAllAvailable()
+        # batch 2 compacted inline while the query was still ACTIVE:
+        # dirs 0 and 1 folded into base, dir 2 (the in-flight one a
+        # replay may rewrite) left as its own generation
+        assert os.path.isdir(os.path.join(idx, "base"))
+        assert not os.path.isdir(os.path.join(idx, "batch_id=0"))
+        assert not os.path.isdir(os.path.join(idx, "batch_id=1"))
+        assert os.path.isdir(os.path.join(idx, "batch_id=2"))
+    finally:
+        q.stop()
+
+    sink = IdempotentBatchWriter(out)
+    before = sorted(
+        (r["id_a"], r["id_b"], r["batch_id"])
+        for r in sink.read(spark).collect()
+    )
+    assert {(p[0], p[1]) for p in before} == {(1, 2), (1, 3), (2, 3)}
+
+    # driver-retry simulation: the crash happened right after batch 2's
+    # inline compact but before its offset commit, so batch 2 (doc 3)
+    # replays on restart — same body, same batch id, post-compaction
+    # index layout (base ∪ its own dir)
+    replay = banded_candidates_batch(
+        spark, idx, sink, minhash_bander(), compact_every=2
+    )
+    replay(spark.createDataFrame([(3, base + " y")], DOC_SCHEMA), 2)
+
+    after = sorted(
+        (r["id_a"], r["id_b"], r["batch_id"])
+        for r in sink.read(spark).collect()
+    )
+    assert after == before  # probe results unchanged, batch 2 rewritten
+    # index integrity: every doc's bands present exactly once per read()
+    bands = AppendOnlyIndex(idx).read(spark)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in bands.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_doc) == {1, 2, 3}
+    assert len(set(per_doc.values())) == 1  # same band count per doc
+
+    # the resumed stream (post-replay) keeps emitting complete
+    # cross-batch pairs against the folded-plus-replayed index
+    _drop(spark, DOC_SCHEMA, [(4, base + " z")], src)
+    q = dedup_index_pipeline(spark, src, idx, out, ckpt, compact_every=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        (r["id_a"], r["id_b"]) for r in sink.read(spark).collect()
+    }
+    assert final == {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+
+
 def test_streaming_curate_substring_candidates_union_equals_batch(
     spark, tmp_path
 ):
