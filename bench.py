@@ -264,6 +264,8 @@ HEADLINE = (
     "term_postings",
     # added r9: conversion-latency bands (as-of join reuse)
     "conversion_lag",
+    # added r10: real-codec multimodal round trip
+    "media_roundtrip",
 )
 
 

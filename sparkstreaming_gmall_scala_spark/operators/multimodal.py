@@ -11,11 +11,16 @@ batch shape, partitioning) is real and tested.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Injected decoder signature: (payload bytes, mime) -> decoded content
+#: bytes (raw pixels for images, PCM samples for audio, concatenated
+#: frames for video). Runs inside the Arrow batch loop on executors.
+Decoder = Callable[[bytes, str], bytes]
 
 
 def to_binary_payload(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -32,34 +37,243 @@ def to_binary_payload(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _decode_png(payload: bytes) -> bytes:
+    """Raw 8-bit pixel bytes from a PNG: zlib-inflate the IDAT stream and
+    reverse the five standard scanline filters (None/Sub/Up/Average/
+    Paeth) — pure stdlib, no PIL. Greyscale (0), RGB (2), grey+alpha (4)
+    and RGBA (6) color types at bit depth 8; palette / 16-bit / Adam7
+    need a real imaging lib and raise."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat = 8, []
+    width = height = None
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}
+    bpp = None
+    while pos + 8 <= len(payload):
+        (n,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + n]
+        if tag == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in channels or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={ctype} interlace={interlace}"
+                    " needs a real imaging lib (PIL) — stdlib path covers"
+                    " 8-bit grey/RGB/GA/RGBA non-interlaced"
+                )
+            bpp = channels[ctype]
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + n
+    if bpp is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * bpp
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        f, data = row[0], bytearray(row[1:])
+        for i in range(stride):
+            a = data[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            if f == 1:
+                data[i] = (data[i] + a) & 0xFF
+            elif f == 2:
+                data[i] = (data[i] + b) & 0xFF
+            elif f == 3:
+                data[i] = (data[i] + ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                data[i] = (data[i] + pred) & 0xFF
+        prior = bytes(data)
+        out += data
+    return bytes(out)
+
+
+def _decode_wav(payload: bytes) -> bytes:
+    """PCM frame bytes from an uncompressed WAV via the stdlib ``wave``
+    module (unknown trailing chunks skipped per the RIFF contract);
+    compressed codecs raise ``wave.Error`` — those need librosa/av."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        return wf.readframes(wf.getnframes())
+
+
+def encode_png_grey(content: bytes) -> bytes:
+    """Encode arbitrary bytes as a 1×N 8-bit greyscale PNG (stdlib zlib;
+    one filter-0 scanline) — the deterministic inverse of
+    :func:`_decode_png` for this shape, used to exercise the full
+    binary-column round trip without external imaging libs."""
+    import struct
+    import zlib
+
+    if not content:
+        raise ValueError("PNG requires at least one pixel")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", len(content), 1, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" + content))
+        + chunk(b"IEND", b"")
+    )
+
+
+def to_png_payload(media: DataFrame, id_col: str) -> DataFrame:
+    """Re-encode every payload as a 1×N greyscale PNG (stdlib encoder,
+    executor-side) — gives downstream stages a REAL container format to
+    decode, so the binary-column plumbing is exercised with actual codec
+    bytes rather than pass-through text. Empty payloads must be filtered
+    upstream (a 0×1 PNG is invalid)."""
+    out_schema = (
+        f"{id_col} long, payload binary, "
+        "meta struct<n_bytes: bigint, mime: string>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            enc = [encode_png_grey(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": enc,
+                    "meta": [
+                        {"n_bytes": len(b), "mime": "image/png"} for b in enc
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def content_digest(
+    media: DataFrame, id_col: str, decoder: Decoder | None = None
+) -> DataFrame:
+    """(id, n_bytes, content_md5) over the DECODED payload — the
+    oracle-friendly content fingerprint (md5 is computable by any engine
+    from the pre-encode source, so a round trip through a real container
+    format is exact-value checkable). Decoder contract as in
+    :func:`extract_features`; default :func:`decode_media`."""
+    import hashlib
+
+    dec = decoder if decoder is not None else decode_media
+    out_schema = f"{id_col} long, n_bytes long, content_md5 string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mimes = (
+                pdf["meta"].map(lambda m: m["mime"])
+                if "meta" in pdf.columns
+                else pd.Series(
+                    ["application/octet-stream"] * len(pdf), index=pdf.index
+                )
+            )
+            decoded = [
+                dec(b, m) for b, m in zip(pdf["payload"], mimes)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": pd.Series(
+                        [len(b) for b in decoded], index=pdf.index
+                    ).astype("int64"),
+                    "content_md5": [
+                        hashlib.md5(b).hexdigest() for b in decoded
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
 def decode_media(payload: bytes, mime: str) -> bytes:
-    """Real media decode (PIL/librosa/av) — not available in this
-    container. The mapInPandas plumbing around it is real; swap this body
-    for the actual decoder on a cluster with the media libs installed."""
+    """Decode a media payload to its CONTENT bytes (raw pixels / PCM
+    samples). Stdlib-real for the two formats Python decodes without
+    external libs — PNG (zlib + defilter) and uncompressed WAV (wave) —
+    so the binary → decode → features → dedup path runs end-to-end in
+    this container; every other format (JPEG, MP3, MP4, …) needs
+    PIL/librosa/av, absent from this image, and raises. On a cluster
+    with those libs, either swap this body or inject a decoder callable
+    via ``extract_features(..., decoder=...)`` — same signature."""
+    if mime == "image/png":
+        return _decode_png(payload)
+    if mime in ("audio/wav", "audio/x-wav"):
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires image/audio libs not present in this image"
+        f"decoding {mime} requires media libs not present in this image; "
+        "inject a decoder callable (see extract_features)"
     )
 
 
 def extract_features(
-    media: DataFrame, id_col: str, deterministic_fake: bool = True
+    media: DataFrame,
+    id_col: str,
+    deterministic_fake: bool = True,
+    decoder: Decoder | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload.
 
-    With ``deterministic_fake`` the 'features' are cheap exact functions of
-    the bytes (length, first byte, byte sum mod 2^31) so the pipeline is
-    testable end-to-end; the real decoder plugs into the same batch shape.
+    With ``deterministic_fake`` (and no ``decoder``) the 'features' are
+    cheap exact functions of the raw bytes (length, first byte, byte sum
+    mod 2^31) so the pipeline is testable end-to-end without media libs.
+
+    ``decoder`` injects a real decoder callable (payload, mime) -> bytes;
+    it runs inside the Arrow batch loop and the features fingerprint the
+    DECODED content (pixels / PCM samples), not the container bytes — two
+    files whose containers differ (compression level, metadata chunks)
+    but whose content matches produce identical feature rows, which is
+    exactly what content-level media dedup needs. The mime threads from
+    the ``meta`` struct when present. Without an injected decoder,
+    ``deterministic_fake=False`` falls back to :func:`decode_media` (the
+    environment stub that raises until real codecs exist on the cluster).
     """
     # All-BIGINT output: the correctness oracle's value-hash is
     # type-sensitive, and DuckDB arithmetic lands on BIGINT — int32 here
     # would match values but fail the hash.
     out_schema = f"{id_col} long, n_bytes long, first_byte long, byte_sum long"
+    dec = decoder
+    if dec is None and not deterministic_fake:
+        dec = decode_media
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            if not deterministic_fake:
-                payloads = payloads.map(lambda b: decode_media(b, "application/octet-stream"))
+            if dec is not None:
+                if "meta" in pdf.columns:
+                    mimes = pdf["meta"].map(
+                        lambda m: m["mime"] if m is not None else
+                        "application/octet-stream"
+                    )
+                else:
+                    mimes = pd.Series(
+                        ["application/octet-stream"] * len(pdf),
+                        index=pdf.index,
+                    )
+                payloads = pd.Series(
+                    [dec(b, m) for b, m in zip(payloads, mimes)],
+                    index=pdf.index,
+                )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -1684,6 +1684,37 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, "doc_id", stride=16)
 
 
+@register(
+    "media_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE strlen(text) > 0
+    """,
+    tags=("llm", "multimodal"),
+    # Ungated like the other multimodal variants: the driver gate budgets
+    # distinct behaviors; this one's full-oracle check runs in-suite.
+    gated=False,
+)
+def media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column round trip through a REAL container format (r9
+    verdict #8): utf-8 text bytes → 1×N greyscale PNG (stdlib encoder,
+    executor-side Arrow batches) → binary column + image/png metadata →
+    ``decode_media`` (zlib inflate + scanline defilter) → content md5.
+    The oracle computes the digest from the PLAINTEXT, so an exact
+    value-hash match proves encode→decode is lossless through the whole
+    plumbing — not a fake decoder. Both map stages fuse into one Python
+    runner per task: no shuffle, scales linearly with the corpus."""
+    from ..operators.multimodal import content_digest, to_png_payload
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") > 0
+    )
+    media = to_png_payload(to_binary_payload(d, "doc_id", "text"), "doc_id")
+    return content_digest(media, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Corpus-quality extensions (gated as of round 5: the four near-twin
 # entries customers_with_orders / dau_first_visit / multimodal_resize /

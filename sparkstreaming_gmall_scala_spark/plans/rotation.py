@@ -225,6 +225,8 @@ POOL: tuple[str, ...] = (
     "term_postings",
     # round-9 conversion-latency bands off the as-of join
     "conversion_lag",
+    # round-10 real-codec multimodal round trip (stdlib PNG encode/decode)
+    "media_roundtrip",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -275,6 +275,8 @@ def test_gate_budget(registry):
         "term_postings",
         # round-9 conversion-latency bands
         "conversion_lag",
+        # round-10 real-codec multimodal round trip
+        "media_roundtrip",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

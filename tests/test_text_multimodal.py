@@ -90,9 +90,171 @@ def test_multimodal_features_deterministic_fake(spark):
     assert out[2]["n_bytes"] == 0 and out[2]["first_byte"] == -1
 
 
-def test_decode_media_is_explicit_stub():
+def test_decode_media_stub_only_for_external_lib_formats():
+    # JPEG/MP3/… genuinely need PIL/librosa — explicit, loud stub
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00", "image/png")
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
+    # …but PNG depth/color combos beyond the stdlib path also fail loud
+    # rather than decoding garbage (palette PNG header)
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)  # color type 3
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n" + chunk, "image/png")
+
+
+# --- real-codec plumbing (r9 verdict #8): deterministic PNG/WAV byte
+# literals built with the stdlib only, decoded by the package's stdlib
+# decode_media (and the injected-decoder hook), so the full binary-column
+# → decode → features → content-dedup path runs end-to-end without media
+# libs or network. -----------------------------------------------------------
+
+
+def _png_bytes(pixels: list[list[tuple[int, int, int]]], level: int) -> bytes:
+    """Minimal valid RGB8 PNG (signature + IHDR + IDAT + IEND) — zlib
+    ``level`` varies the CONTAINER bytes without changing the pixels."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    h, w = len(pixels), len(pixels[0])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(
+        b"\x00" + b"".join(bytes(px) for px in row) for row in pixels
+    )  # filter byte 0 per scanline
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(samples: list[int], trailer: bytes = b"") -> bytes:
+    """Minimal PCM16 mono WAV; an optional trailing LIST chunk varies the
+    container without changing the samples (stdlib ``wave`` skips it)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(
+            b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+        )
+    return buf.getvalue() + trailer
+
+
+def test_decode_png_reverses_all_five_filters():
+    """The stdlib PNG path must reverse Sub/Up/Average/Paeth, not just
+    filter 0 — hand-filter a known 3×3 RGB image per scanline and check
+    exact pixel recovery."""
+    import struct
+    import zlib
+
+    pixels = bytes(range(27))  # 3 rows × 3 px × RGB, stride 9, bpp 3
+    stride, bpp = 9, 3
+
+    def flt(row: bytes, prior: bytes, f: int) -> bytes:
+        out = bytearray()
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if f == 1:
+                out.append((row[i] - a) & 0xFF)
+            elif f == 2:
+                out.append((row[i] - b) & 0xFF)
+            elif f == 3:
+                out.append((row[i] - ((a + b) >> 1)) & 0xFF)
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out.append((row[i] - pred) & 0xFF)
+        return bytes(out)
+
+    rows = [pixels[i * stride : (i + 1) * stride] for i in range(3)]
+    raw = (
+        bytes([1]) + flt(rows[0], bytes(stride), 1)
+        + bytes([2]) + flt(rows[1], rows[0], 2)
+        + bytes([4]) + flt(rows[2], rows[1], 4)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_media(png, "image/png") == pixels
+
+
+def test_injected_decoder_content_dedup_end_to_end(spark):
+    """binary column → injected decode → features → dedup, with REAL
+    container formats: pairs whose containers differ (zlib level /
+    trailing LIST chunk) but whose decoded content is identical must
+    collapse to one content group; a content change must not."""
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (7, 7, 7)]]
+    px_other = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (7, 7, 8)]]
+    rows = [
+        (1, _png_bytes(px, 1), "image/png"),
+        (2, _png_bytes(px, 9), "image/png"),        # same pixels, new container
+        (3, _png_bytes(px_other, 9), "image/png"),  # one channel differs
+        (4, _wav_bytes([0, 1000, -1000, 32000]), "audio/wav"),
+        (5, _wav_bytes([0, 1000, -1000, 32000],
+                       trailer=b"LIST\x04\x00\x00\x00INFO"), "audio/wav"),
+        (6, _wav_bytes([0, 1000, -1000, 31999]), "audio/wav"),
+    ]
+    # container bytes genuinely differ inside each same-content pair
+    assert rows[0][1] != rows[1][1] and rows[3][1] != rows[4][1]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mime string"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.octet_length("payload").alias("n_bytes"),
+            F.col("mime").alias("mime"),
+        ).alias("meta"),
+    )
+    # the injected-decoder hook, fed the package's stdlib decoder (a
+    # PIL/librosa decoder plugs into the same signature on a real cluster)
+    feats = extract_features(media, "doc_id", decoder=decode_media)
+    out = {r["doc_id"]: r for r in feats.collect()}
+    # decoded sizes are content sizes: 2x2 RGB = 12 bytes, 4 PCM16 = 8
+    assert out[1]["n_bytes"] == 12 and out[4]["n_bytes"] == 8
+    # content-level dedup: group on the decoded-feature triple
+    groups = (
+        feats.groupBy("n_bytes", "first_byte", "byte_sum")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .collect()
+    )
+    sets = sorted(tuple(g["ids"]) for g in groups)
+    assert sets == [(1, 2), (3,), (4, 5), (6,)]
 
 
 def test_repetition_stats_known_values(spark):
