@@ -266,6 +266,15 @@ HEADLINE = (
     "conversion_lag",
     # added r10: real-codec multimodal round trip
     "media_roundtrip",
+    # added r10: cooccurrence, phrase retrieval, rolling distinct, paths,
+    # experiment stats, regression, SCD2 snapshot diff
+    "skipgram_cooc",
+    "phrase_search",
+    "rolling_dau_7d",
+    "top_event_paths",
+    "welch_t_nation",
+    "revenue_trend",
+    "dim_snapshot_diff",
 )
 
 

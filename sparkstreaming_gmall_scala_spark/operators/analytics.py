@@ -105,3 +105,68 @@ def ohlc_frame(ev: DataFrame, event_type: str = "purchase") -> DataFrame:
             "open", "high", "low", "close", "n_events",
         )
     )
+
+
+def rolling_distinct_users(
+    ev: DataFrame, days: int = 7, user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT trailing-``days`` distinct users per active day (rolling
+    DAU/WAU/MAU) — the window-distinct aggregation Spark has no native
+    frame for (COUNT(DISTINCT) OVER RANGE is unsupported).
+
+    Scale shape: the firehose collapses to distinct (user, day) first
+    (active-user-days — orders of magnitude below events), each of
+    those explodes into only the ``days`` windows it can serve, and one
+    (window_day, user) distinct + count finishes it. Two shuffles total,
+    both on dimension-bounded keys; no global sort, no per-day rescan of
+    the events table — the day-exploded twin of the HLL sketch-mart's
+    rolling_mau (operators/hll.py), exact instead of approximate. Only
+    days that actually appear in the data are reported (a trailing
+    window ending on a dead day has no dashboard row to serve)."""
+    ud = ev.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    served = ud.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), days - 1)
+            )
+        ).alias("w"),
+    ).distinct()
+    observed = ud.select(F.col("d").alias("w")).distinct()
+    return (
+        served.join(observed, "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias(f"dau_{days}d"))
+        .select(
+            F.date_format("w", "yyyy-MM-dd").alias("day"),
+            f"dau_{days}d",
+        )
+    )
+
+
+def top_paths_frame(ev: DataFrame, steps: int = 3, top_n: int = 25) -> DataFrame:
+    """Most frequent ``steps``-long consecutive event-type paths across
+    user journeys (path mining): per user, events ordered by (ts,
+    event_id), each window of ``steps`` consecutive types is one path
+    occurrence. One (user) window shuffle + one path aggregate;
+    TakeOrderedAndProject serves the top-k — never a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w) for i in range(1, steps)
+    ]
+    paths = ev.select(F.concat_ws(">", *cols).alias("path"),
+                      *[c.alias(f"_s{i}") for i, c in enumerate(cols)])
+    complete = paths.filter(
+        F.lit(True) if steps == 1 else F.col(f"_s{steps-1}").isNotNull()
+    )
+    return (
+        complete.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(top_n)
+    )

@@ -797,3 +797,125 @@ def postings(
         F.sum("tf").alias("tf_total"),
         heads.alias("head_postings"),
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    top_n: int = 100,
+    materialize: bool = True,
+) -> DataFrame:
+    """Top-``top_n`` skip-gram co-occurrence pairs with PPM lift — the
+    word2vec/PMI data-prep pass: tokens within ``window`` positions
+    co-occur; lift = P(w1,w2)/(P(w1)·P(w2)) scaled to parts-per-million.
+
+    Scale shape: pair generation is ARRAY-side (zip_with over position-
+    shifted slices — no positional self-join, no O(len²) explode), so the
+    corpus is token-scanned once into one (pair) aggregate plus one
+    (token) aggregate; the pair→unigram joins broadcast the vocab-sized
+    count tables. Lift avoids ln() entirely (integral PPM ratio of exact
+    BIGINT counts through one IEEE-double tree shared with the oracle —
+    multiplication/division are correctly rounded, unlike ln; counts
+    above 2^53 at extreme corpus scale would round identically on both
+    engines, so the gate holds even there). Ties: (n_cooc desc, pair asc)
+    is a total order."""
+    text = F.col(text_col)
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    d = docs.select(F.col(id_col), toks.alias("t"))
+    parts = []
+    for k in range(1, window + 1):
+        parts.append(
+            F.when(
+                F.size("t") > k,
+                F.zip_with(
+                    F.expr(f"slice(t, 1, size(t) - {k})"),
+                    F.expr(f"slice(t, {k + 1}, size(t) - {k})"),
+                    lambda a, b: F.concat_ws(
+                        " ", F.least(a, b), F.greatest(a, b)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    pairs = d.select(
+        F.explode(F.concat(*parts)).alias("pair")
+    )
+    cooc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_cooc"))
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    total = uni.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    if not total:
+        uni.unpersist()
+        return docs.sparkSession.createDataFrame(
+            [], "pair string, n_cooc long, lift_ppm long"
+        )
+    split_pair = F.split(F.col("pair"), " ", 2)
+    scored = (
+        cooc.withColumn("w1", split_pair.getItem(0))
+        .withColumn("w2", split_pair.getItem(1))
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("c", "c2")), "w2")
+        .select(
+            "pair",
+            "n_cooc",
+            F.floor(
+                (
+                    F.col("n_cooc").cast("double")
+                    * F.lit(float(total))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("lift_ppm"),
+        )
+    )
+    top = scored.orderBy(F.col("n_cooc").desc(), "pair").limit(top_n)
+    if not materialize:  # plan-inspection path: caller owns the cache
+        return top
+    rows = top.collect()  # bounded: <= top_n rows
+    uni.unpersist()
+    return docs.sparkSession.createDataFrame(rows, schema=top.schema)
+
+
+def phrase_match(
+    docs: DataFrame, id_col: str, text_col: str, w1: str, w2: str
+) -> DataFrame:
+    """Exact-phrase retrieval ("w1 w2" adjacent) via a POSITIONAL
+    postings join: per matching document, occurrence count and first
+    match position (1-based).
+
+    The serving-path shape: explode to (doc, pos, term) postings,
+    filter each side to ONE term (against a persisted term-bucketed
+    postings store this is partition pruning — two point lookups, never
+    a corpus scan), then an equi-join on (doc, pos+1 = pos) — a hash
+    join of two term-sized slices, no nested loop, no array
+    rescanning. Complements bm25_rank (bag-of-words) with order-aware
+    matching."""
+    text = F.col(text_col)
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    pos = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    )
+    # 1-based position of w1; w2 must sit at the NEXT slot, whose 0-based
+    # pos equals that same number — both join keys are plain columns, so
+    # Catalyst plans a hash join of two term-sized postings slices
+    p1 = pos.filter(F.col("term") == w1).select(
+        F.col(id_col), (F.col("pos") + 1).alias("i")
+    )
+    p2 = pos.filter(F.col("term") == w2).select(
+        F.col(id_col).alias("_d2"), F.col("pos").alias("i2")
+    )
+    m = p1.join(
+        p2, (F.col(id_col) == F.col("_d2")) & (F.col("i") == F.col("i2"))
+    )
+    return m.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("i").alias("first_pos"),
+    )

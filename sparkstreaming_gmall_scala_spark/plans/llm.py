@@ -3359,3 +3359,79 @@ def term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", head_n=20
     )
+
+@register(
+    "skipgram_cooc",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), pairs AS (
+      SELECT unnest(flatten(list_transform([1, 2], k ->
+        list_transform(generate_series(1, len(t) - k), i ->
+          CASE WHEN t[i] <= t[i+k] THEN t[i] || ' ' || t[i+k]
+               ELSE t[i+k] || ' ' || t[i] END)))) AS pair
+      FROM toks WHERE len(t) >= 2
+    ), cooc AS (
+      SELECT pair, count(*) AS n_cooc FROM pairs GROUP BY pair
+    ), uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+    SELECT pair, n_cooc,
+           CAST(floor(
+             CAST(n_cooc AS DOUBLE) * CAST(total.n AS DOUBLE)
+             / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS lift_ppm
+    FROM cooc
+    CROSS JOIN total
+    JOIN uni u1 ON u1.w = string_split(pair, ' ')[1]
+    JOIN uni u2 ON u2.w = string_split(pair, ' ')[2]
+    ORDER BY n_cooc DESC, pair LIMIT 100
+    """,
+    tags=("llm", "text", "cooccurrence"),
+    gated=False,
+)
+def skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 window-2 skip-gram co-occurrence pairs with PPM lift —
+    the word2vec/PMI data-prep pass over the corpus. Pair generation is
+    array-side (zip_with over shifted slices: no positional self-join),
+    one token scan feeds both the pair and unigram aggregates, unigram
+    counts broadcast into the lift join, and lift is an integral-PPM
+    ratio through one shared IEEE-double tree — no ln(), so none of the
+    bm25/weighted-priority libm portability caveat applies."""
+    from ..operators.textstats import skipgram_pairs
+
+    return skipgram_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        window=2, top_n=100,
+    )
+
+
+@register(
+    "phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), m AS (
+      SELECT doc_id, i
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS ii(i)
+      WHERE t[i] = 'table' AND t[i+1] = 'hash'
+    )
+    SELECT doc_id, count(*) AS n_matches, min(i) AS first_pos
+    FROM m GROUP BY doc_id
+    """,
+    tags=("llm", "text", "search"),
+    gated=False,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ('table hash' adjacent) via a positional
+    postings join: each side of the join is the postings slice of ONE
+    term (partition pruning against a term-bucketed store at scale),
+    hash-joined on (doc, position+1) — order-aware matching
+    complementing bm25_rank's bag-of-words scoring."""
+    from ..operators.textstats import phrase_match
+
+    return phrase_match(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        "table", "hash",
+    )

@@ -970,3 +970,79 @@ def orders_with_status_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_status",
         "version",
     )
+
+@register(
+    "dim_snapshot_diff",
+    oracle=f"""
+    WITH {_SCD2_SEG_CTES}, hist AS (
+      SELECT o_custkey, o_orderstatus, eff_from,
+             lead(eff_from) OVER (
+               PARTITION BY o_custkey ORDER BY grp) AS eff_to
+      FROM seg
+    ), s1 AS (
+      SELECT o_custkey, o_orderstatus AS status_t1 FROM hist
+      WHERE eff_from <= TIMESTAMP '1997-01-01'
+        AND (eff_to IS NULL OR eff_to > TIMESTAMP '1997-01-01')
+    ), s2 AS (
+      SELECT o_custkey, o_orderstatus AS status_t2 FROM hist
+      WHERE eff_from <= TIMESTAMP '2000-01-01'
+        AND (eff_to IS NULL OR eff_to > TIMESTAMP '2000-01-01')
+    )
+    SELECT COALESCE(s1.o_custkey, s2.o_custkey) AS o_custkey,
+           status_t1, status_t2,
+           CASE WHEN status_t1 IS NULL THEN 'added'
+                WHEN status_t2 IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+    WHERE status_t1 IS DISTINCT FROM status_t2
+    """,
+    tags=("parity", "scd2", "diff"),
+    gated=False,
+)
+def dim_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF of a dimension between two as-of instants, answered
+    from the SCD2 timeline instead of two table scans: state at
+    1997-01-01 vs 2000-01-01, emitting added / removed / changed keys —
+    the reconciliation query behind CDC backfills and dim-table audits.
+    The timeline (one o_custkey-partitioned window chain) is computed
+    once and persisted; each snapshot is a validity-interval filter of
+    that dim-scale frame, and the diff is one self-join on the key. At
+    100 TB the SCD2 history IS the stored table (customer_status_history
+    materializes it), so a snapshot-diff never rescans facts."""
+    from ..operators.scd2 import scd2_timeline
+
+    o = load_table(spark, sf_dir, "orders")
+    t = scd2_timeline(
+        o, "o_custkey", "o_orderdate", ["o_orderstatus"], "o_orderkey"
+    ).persist()
+    t.count()  # materialize BEFORE the two-consumer self-join fan-out
+
+    def snap(ts: str, alias: str) -> DataFrame:
+        return t.filter(
+            (F.col("eff_from") <= F.lit(ts).cast("timestamp"))
+            & (
+                F.col("eff_to").isNull()
+                | (F.col("eff_to") > F.lit(ts).cast("timestamp"))
+            )
+        ).select(F.col("o_custkey").alias(f"_k_{alias}"),
+                 F.col("o_orderstatus").alias(f"status_{alias}"))
+
+    s1, s2 = snap("1997-01-01", "t1"), snap("2000-01-01", "t2")
+    j = s1.join(s2, s1["_k_t1"] == s2["_k_t2"], "full_outer")
+    out = (
+        j.where(
+            ~F.col("status_t1").eqNullSafe(F.col("status_t2"))
+        )
+        .select(
+            F.coalesce("_k_t1", "_k_t2").alias("o_custkey"),
+            "status_t1",
+            "status_t2",
+            F.when(F.col("status_t1").isNull(), "added")
+            .when(F.col("status_t2").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+        )
+    )
+    rows = out.collect()  # dim-bounded diff; frees the timeline cache
+    t.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)

@@ -227,6 +227,17 @@ POOL: tuple[str, ...] = (
     "conversion_lag",
     # round-10 real-codec multimodal round trip (stdlib PNG encode/decode)
     "media_roundtrip",
+    # round-10 co-occurrence/PMI prep + positional phrase retrieval
+    "skipgram_cooc",
+    "phrase_search",
+    # round-10 exact rolling window-distinct + path mining
+    "rolling_dau_7d",
+    "top_event_paths",
+    # round-10 experiment stats + regression-over-aggregates
+    "welch_t_nation",
+    "revenue_trend",
+    # round-10 SCD2 snapshot reconciliation diff
+    "dim_snapshot_diff",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -1004,3 +1004,197 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_size_profile(
         load_table(spark, sf_dir, "lineitem"), "l_suppkey"
     )
+
+@register(
+    "welch_t_nation",
+    oracle="""
+    WITH c AS (
+      SELECT n.n_name,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+    ), per AS (
+      SELECT n_name, count(*) AS n1,
+             CAST(sum(v) AS HUGEINT) AS s1,
+             sum(CAST(v AS HUGEINT) * v) AS q1
+      FROM c GROUP BY n_name
+    ), tot AS (
+      SELECT count(*) AS nt, CAST(sum(v) AS HUGEINT) AS st,
+             sum(CAST(v AS HUGEINT) * v) AS qt
+      FROM c
+    )
+    SELECT n_name, n1 AS n_orders,
+           CAST(floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(st - s1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) AS mean_diff_6,
+           CAST(floor(
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(st - s1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE))
+             / sqrt(
+                 ((CAST(q1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
+                 / CAST(n1 AS DOUBLE)
+               + ((CAST(qt - q1 AS DOUBLE)
+                   - CAST(st - s1 AS DOUBLE) * CAST(st - s1 AS DOUBLE)
+                     / CAST(nt - n1 AS DOUBLE))
+                  / CAST(nt - n1 - 1 AS DOUBLE))
+                 / CAST(nt - n1 AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS t6
+    FROM per CROSS JOIN tot
+    WHERE n1 > 1 AND nt - n1 > 1
+    """,
+    tags=("scale", "stats", "experiment"),
+    gated=False,
+)
+def welch_t_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-statistic per nation (that nation's order
+    totals vs everyone else's) — the A/B-experiment primitive. All
+    moments fold map-side from exact integer cents (sums and
+    sum-of-squares as DECIMAL(38,0) / HUGEINT — v² per row fits BIGINT
+    up to $30 M order totals; the SUM doesn't, hence the wide types);
+    the complement group's moments come from ONE broadcast global row
+    (total − group), so the whole test is two aggregates — no second
+    scan, no per-pair shuffle. The t itself is one shared IEEE tree:
+    +,−,×,÷,sqrt are all correctly rounded (unlike ln), so the 6-dp
+    floor matches DuckDB bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    c = (
+        o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .select("n_name", "v")
+    )
+    per = c.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,0)")
+        ).alias("q1"),
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("st"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,0)")
+        ).alias("qt"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).where(
+        (F.col("n1") > 1) & (F.col("nt") - F.col("n1") > 1)
+    )
+    d = lambda col: col.cast("double")  # noqa: E731
+    m1 = d(F.col("s1")) / d(F.col("n1"))
+    m2 = d(F.col("st") - F.col("s1")) / d(F.col("nt") - F.col("n1"))
+    v1 = (
+        d(F.col("q1")) - d(F.col("s1")) * d(F.col("s1")) / d(F.col("n1"))
+    ) / d(F.col("n1") - 1)
+    v2 = (
+        d(F.col("qt") - F.col("q1"))
+        - d(F.col("st") - F.col("s1")) * d(F.col("st") - F.col("s1"))
+          / d(F.col("nt") - F.col("n1"))
+    ) / d(F.col("nt") - F.col("n1") - 1)
+    t = (m1 - m2) / F.sqrt(
+        v1 / d(F.col("n1")) + v2 / d(F.col("nt") - F.col("n1"))
+    )
+    return j.select(
+        "n_name",
+        F.col("n1").alias("n_orders"),
+        F.floor((m1 - m2) * 1000000.0 + 0.5).cast("long").alias("mean_diff_6"),
+        F.floor(t * 1000000.0 + 0.5).cast("long").alias("t6"),
+    )
+
+@register(
+    "revenue_trend",
+    oracle="""
+    WITH d AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), x AS (
+      SELECT n_name,
+             date_diff('day', min(day) OVER (PARTITION BY n_name), day)
+               AS x0,
+             y
+      FROM d
+    ), a AS (
+      SELECT n_name, count(*) AS n,
+             CAST(sum(x0) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x0 AS HUGEINT) * y) AS sxy,
+             sum(CAST(x0 AS HUGEINT) * x0) AS sxx
+      FROM x GROUP BY n_name
+    )
+    SELECT n_name, n AS n_days,
+           CAST(floor(
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+             * 1000000.0 + 0.5) AS BIGINT) AS slope_ppm
+    FROM a WHERE CAST(n AS HUGEINT) * sxx - sx * sx > 0
+    """,
+    tags=("scale", "stats", "regression"),
+    gated=False,
+)
+def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation least-squares revenue trend (cents/day, ppm-floored):
+    the regression-over-aggregates shape. The fact table folds once into
+    a (nation, day, cents) daily aggregate; x centers on each nation's
+    first day via a window over that DIMENSION-sized frame (never the
+    fact table), and the slope's four moments fold in one more pass —
+    numerator/denominator stay exact integers (DECIMAL(38,0) / HUGEINT;
+    centering keeps n·Σxy under 38 digits at any realistic history
+    length), with one shared IEEE divide at the end. No per-nation
+    rescans, no driver-side math."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name", "day")
+        .agg(F.sum("v").alias("y"))
+    )
+    w = Window.partitionBy("n_name")
+    x = daily.select(
+        "n_name",
+        F.datediff(F.col("day"), F.min("day").over(w)).alias("x0"),
+        "y",
+    )
+    dec = "decimal(38,0)"
+    a = x.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x0").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum((F.col("x0") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x0") * F.col("x0")).cast(dec)).alias("sxx"),
+    )
+    n_dec = F.col("n").cast(dec)
+    num = n_dec * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n_dec * F.col("sxx") - F.col("sx") * F.col("sx")
+    return a.where(den > 0).select(
+        "n_name",
+        F.col("n").alias("n_days"),
+        F.floor(
+            num.cast("double") / den.cast("double") * 1000000.0 + 0.5
+        ).cast("long").alias("slope_ppm"),
+    )

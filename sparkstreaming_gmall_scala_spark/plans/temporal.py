@@ -1068,3 +1068,60 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
          for r in rows],
         schema,
     )
+
+@register(
+    "rolling_dau_7d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+    ), obs AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(o.d, '%Y-%m-%d') AS day,
+           count(DISTINCT u.u) AS dau_7d
+    FROM obs o JOIN ud u ON u.d BETWEEN o.d - INTERVAL 6 DAY AND o.d
+    GROUP BY o.d
+    """,
+    tags=("temporal", "events", "window-distinct"),
+    gated=False,
+)
+def rolling_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per active day — the
+    window-distinct aggregation Spark has no native frame for. The
+    firehose collapses to distinct (user, day), each active-user-day
+    explodes into only the ≤7 trailing windows it serves, one more
+    distinct+count finishes. The oracle runs the naive range self-join
+    the operator deliberately avoids (it rescans the activity table per
+    window); the exact twin of the rows-only rolling_mau_hll sketch
+    query — same question, sketch-free answer."""
+    from ..operators.analytics import rolling_distinct_users
+
+    return rolling_distinct_users(load_table(spark, sf_dir, "events"), days=7)
+
+
+@register(
+    "top_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS s0,
+             lead(event_type, 1) OVER w AS s1,
+             lead(event_type, 2) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
+    FROM seq WHERE s2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 25
+    """,
+    tags=("temporal", "events", "paths"),
+    gated=False,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 three-step user journeys (consecutive event-type paths,
+    ordered by (ts, event_id) per user) — path mining / clickstream
+    analysis: one (user) window shuffle + one path aggregate, top-k via
+    TakeOrderedAndProject. Generalizes event_transitions' bigram matrix
+    to arbitrary path length."""
+    from ..operators.analytics import top_paths_frame
+
+    return top_paths_frame(
+        load_table(spark, sf_dir, "events"), steps=3, top_n=25
+    )

@@ -277,6 +277,17 @@ def test_gate_budget(registry):
         "conversion_lag",
         # round-10 real-codec multimodal round trip
         "media_roundtrip",
+        # round-10 co-occurrence/PMI prep + positional phrase retrieval
+        "skipgram_cooc",
+        "phrase_search",
+        # round-10 exact rolling window-distinct + path mining
+        "rolling_dau_7d",
+        "top_event_paths",
+        # round-10 experiment stats + regression-over-aggregates
+        "welch_t_nation",
+        "revenue_trend",
+        # round-10 SCD2 snapshot reconciliation diff
+        "dim_snapshot_diff",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
