@@ -275,6 +275,7 @@ HEADLINE = (
     "welch_t_nation",
     "revenue_trend",
     "dim_snapshot_diff",
+    "nearest_click",
 )
 
 

@@ -387,3 +387,87 @@ def time_weighted_avg(
         .alias("twap6"),
         "dur_us",
     )
+
+
+def nearest_join(
+    probes: DataFrame,
+    refs: DataFrame,
+    on: str,
+    time_col: str,
+    ref_id_col: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """Nearest-in-time join: for each probe row, the ref row (same ``on``
+    key) minimizing |ref_ts − probe_ts|, bounded by ``tolerance_us`` —
+    the bidirectional extension of the backward-only ``asof_join``
+    (sensor alignment, attribution to the closest touchpoint either
+    side).
+
+    Same union-and-carry shape as asof_join — one key-partitioned
+    window sort, NO range self-join: the backward candidate is
+    last(ref, ignorenulls) over (-∞, current], the forward candidate is
+    first(ref, ignorenulls) over [current, +∞) — both frames share the
+    single (ts, is_probe, ref_id) sort, so Spark pays one shuffle + one
+    sort total. Semantics at equal timestamps (refs sort before
+    probes): the backward frame is INCLUSIVE (a ref at the probe's
+    exact ts matches at distance 0 and wins), the forward frame is
+    strict. Backward wins distance ties; equal-ts ref ties go to the
+    highest ref id backward / lowest forward (frame edge order) — all
+    mirrored in the oracle.
+
+    Output: every probe column + ``nearest_<ref_id_col>`` +
+    ``delta_us`` (signed, ref − probe; NULL / row dropped when nothing
+    lies within tolerance)."""
+    p_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    u = (
+        refs.select(
+            F.col(on),
+            p_us.alias("_us"),
+            F.col(ref_id_col).alias("_rid"),
+            F.lit(0).alias("_is_probe"),
+        ).unionByName(
+            probes.withColumn("_us", p_us)
+            .withColumn("_rid", F.lit(None).cast("long"))
+            .withColumn("_is_probe", F.lit(1)),
+            allowMissingColumns=True,
+        )
+    )
+    order = [F.col("_us").asc(), F.col("_is_probe").asc(), F.col("_rid").asc()]
+    wp = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ref_struct = F.when(
+        F.col("_is_probe") == 0,
+        F.struct(F.col("_rid").alias("rid"), F.col("_us").alias("us")),
+    )
+    c = u.select(
+        *[x for x in u.columns if x not in ("_rid",)],
+        F.last(ref_struct, ignorenulls=True).over(wp).alias("_prev"),
+        F.first(ref_struct, ignorenulls=True).over(wn).alias("_next"),
+    ).filter(F.col("_is_probe") == 1)
+    dp = F.col("_us") - F.col("_prev.us")
+    dn = F.col("_next.us") - F.col("_us")
+    take_prev = F.col("_prev").isNotNull() & (
+        F.col("_next").isNull() | (dp <= dn)
+    )
+    chosen_id = F.when(take_prev, F.col("_prev.rid")).otherwise(
+        F.col("_next.rid")
+    )
+    delta = F.when(take_prev, -dp).otherwise(dn)
+    probe_cols = [x for x in probes.columns]
+    return (
+        c.withColumn(f"nearest_{ref_id_col}", chosen_id)
+        .withColumn("delta_us", delta)
+        .filter(
+            F.col(f"nearest_{ref_id_col}").isNotNull()
+            & (F.abs(F.col("delta_us")) <= tolerance_us)
+        )
+        .select(*probe_cols, f"nearest_{ref_id_col}", "delta_us")
+    )

@@ -238,6 +238,8 @@ POOL: tuple[str, ...] = (
     "revenue_trend",
     # round-10 SCD2 snapshot reconciliation diff
     "dim_snapshot_diff",
+    # round-10 bidirectional nearest-in-time join
+    "nearest_click",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

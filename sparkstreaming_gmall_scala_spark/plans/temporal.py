@@ -1125,3 +1125,75 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths_frame(
         load_table(spark, sf_dir, "events"), steps=3, top_n=25
     )
+
+@register(
+    "nearest_click",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id AS rid, 0 AS isp,
+             NULL::BIGINT AS pid
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, epoch_us(ts) AS us, NULL::BIGINT AS rid, 1 AS isp,
+             event_id AS pid
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT pid, user_id, us, isp,
+        last_value(CASE WHEN isp = 0
+                        THEN struct_pack(rid := rid, us := us) END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, isp, rid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        first_value(CASE WHEN isp = 0
+                         THEN struct_pack(rid := rid, us := us) END
+                    IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, isp, rid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM u
+    ), p AS (
+      SELECT pid, user_id, us,
+        CASE WHEN prev IS NOT NULL
+                  AND (nxt IS NULL OR us - prev['us'] <= nxt['us'] - us)
+             THEN prev['rid'] ELSE nxt['rid'] END AS nearest_event_id,
+        CASE WHEN prev IS NOT NULL
+                  AND (nxt IS NULL OR us - prev['us'] <= nxt['us'] - us)
+             THEN -(us - prev['us']) ELSE nxt['us'] - us END AS delta_us
+      FROM c WHERE isp = 1
+    )
+    SELECT pid AS event_id, user_id, us AS ts_us,
+           nearest_event_id, delta_us
+    FROM p
+    WHERE nearest_event_id IS NOT NULL AND abs(delta_us) <= 14400000000
+    """,
+    tags=("temporal", "events", "asof"),
+    gated=False,
+)
+def nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase attributed to the NEAREST click by the same user
+    within ±4 hours — the bidirectional as-of join
+    (operators/temporal.py:nearest_join): one union of the two event
+    slices, one user-partitioned window sort carrying the backward
+    candidate (inclusive) and forward candidate (strict) in the same
+    frame pass, backward winning distance ties. The oracle re-derives
+    the identical carry with IGNORE-NULLS window functions; the
+    operator never runs the |purchases|×|clicks| range join."""
+    from ..operators.temporal import nearest_join
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    refs = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = nearest_join(
+        probes, refs, on="user_id", time_col="ts",
+        ref_id_col="event_id", tolerance_us=14_400_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "nearest_event_id",
+        "delta_us",
+    )

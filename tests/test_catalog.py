@@ -288,6 +288,8 @@ def test_gate_budget(registry):
         "revenue_trend",
         # round-10 SCD2 snapshot reconciliation diff
         "dim_snapshot_diff",
+        # round-10 bidirectional nearest-in-time join
+        "nearest_click",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

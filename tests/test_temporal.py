@@ -502,3 +502,43 @@ def test_twap_duplicate_timestamps_tiebreak_deterministic(spark):
         for r in time_weighted_avg(df, "uid", "t", "v", "eid").collect()
     }
     assert got == {_ts("2024-03-01 00:00:00"): 20_000_000}
+
+
+def test_nearest_join_tie_rules_and_tolerance(spark):
+    from sparkstreaming_gmall_scala_spark.operators.temporal import nearest_join
+
+    probes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),  # ref at exact ts → dist 0, prev
+            (2, _ts("2024-01-01 10:00:00")),  # equidistant ±60s → prev wins
+            (3, _ts("2024-01-01 10:00:00")),  # forward-only match
+            (4, _ts("2024-01-01 10:00:00")),  # nothing within tolerance
+            (5, _ts("2024-01-01 10:00:00")),  # two refs at equal prev ts → max rid
+        ],
+        ["user_id", "ts"],
+    )
+    refs = spark.createDataFrame(
+        [
+            (10, 1, _ts("2024-01-01 10:00:00")),
+            (11, 1, _ts("2024-01-01 09:00:00")),
+            (20, 2, _ts("2024-01-01 09:59:00")),
+            (21, 2, _ts("2024-01-01 10:01:00")),
+            (30, 3, _ts("2024-01-01 10:05:00")),
+            (40, 4, _ts("2024-01-01 13:00:00")),  # 3 h away > 1 h tolerance
+            (50, 5, _ts("2024-01-01 09:30:00")),
+            (51, 5, _ts("2024-01-01 09:30:00")),
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    out = {
+        r["user_id"]: (r["nearest_event_id"], r["delta_us"])
+        for r in nearest_join(
+            probes, refs, on="user_id", time_col="ts",
+            ref_id_col="event_id", tolerance_us=3_600_000_000,
+        ).collect()
+    }
+    assert out[1] == (10, 0)                    # inclusive backward, dist 0
+    assert out[2] == (20, -60_000_000)          # tie → backward wins
+    assert out[3] == (30, 300_000_000)          # forward-only
+    assert 4 not in out                         # outside tolerance → dropped
+    assert out[5] == (51, -1_800_000_000)       # equal-ts refs → max ref id

@@ -69,6 +69,20 @@ ITERATIVE = {
     "and offset-join consumers; real shape is 1 events scan + 1 user "
     "exchange + 1 timestamp exchange + the one-row-per-bucket offset "
     "broadcast",
+    "welch_t_nation": "the 1 cartesian is the sanctioned ONE-ROW global-"
+    "moments crossJoin (total−group complement trick, the chi² grand-"
+    "total pattern); real shape is 1 orders scan + 2 dim broadcasts + 1 "
+    "nation exchange + the broadcast single-row join",
+    "skipgram_cooc": "zero counts are the bounded top-100 materialization "
+    "(collect + createDataFrame so the unigram cache unpersists before "
+    "return — the bigram_lm discipline); real shape is 1 documents scan "
+    "+ 1 pair exchange + 2 vocabulary-sized broadcast joins + "
+    "TakeOrderedAndProject",
+    "dim_snapshot_diff": "zero counts are the dim-bounded diff "
+    "materialization (collect + createDataFrame frees the persisted SCD2 "
+    "timeline); real shape is 1 orders scan + 1 custkey exchange (window "
+    "chain) + 1 key self-join of two validity filters over the cached "
+    "timeline",
 }
 
 PY_MARKERS = (
