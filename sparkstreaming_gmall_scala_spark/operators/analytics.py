@@ -127,6 +127,15 @@ def rolling_distinct_users(
     ud = ev.select(
         F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
     ).distinct()
+    return rolling_distinct_from_user_days(ud, days)
+
+
+def rolling_distinct_from_user_days(ud: DataFrame, days: int) -> DataFrame:
+    """The rolling-distinct core over a (u, d) activity frame — shared by
+    the batch query (which derives it from the firehose) and the
+    streaming mart (which reads it from the append-only activity index,
+    where replays may leave duplicate rows: the distincts here absorb
+    them by contract)."""
     served = ud.select(
         "u",
         F.explode(
