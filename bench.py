@@ -276,6 +276,9 @@ HEADLINE = (
     "revenue_trend",
     "dim_snapshot_diff",
     "nearest_click",
+    "order_value_deciles",
+    "spend_orders_spearman",
+    "revenue_changepoint",
 )
 
 

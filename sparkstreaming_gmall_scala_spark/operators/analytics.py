@@ -13,7 +13,7 @@ once, as a pure events-frame → result-frame function both sides call.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel_frame(ev: DataFrame) -> DataFrame:
@@ -178,4 +178,177 @@ def top_paths_frame(ev: DataFrame, steps: int = 3, top_n: int = 25) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "path")
         .limit(top_n)
+    )
+
+
+def decile_profile(
+    df: DataFrame, value_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Per-decile profile (n, min, max, sum) of a positive integral value
+    column, with EXACT discrete boundaries and no global sort.
+
+    Deciles are VALUE-bucketed: boundary b_k is the value at 1-based
+    rank ceil(k·n/n_buckets) of the ascending ordering, and a row lands
+    in the smallest bucket whose boundary covers its value — ties share
+    a bucket (so bucket sizes deviate from n/10 exactly where ntile
+    would split equal values arbitrarily across deciles; this is the
+    deterministic choice both engines agree on).
+
+    Scale shape: ONE scan folds the rows into a (value, cnt) histogram;
+    boundaries read off the two-level cumulative histogram
+    (operators/skew.py:size_histogram_cum — no window ever touches the
+    row-cardinality frame), and the per-decile stats fold from the
+    HISTOGRAM itself (n = Σcnt, sum = Σ value·cnt), so the fact table is
+    never rescanned. Requires value >= 1 (the histogram's log2
+    bucketing); the sums use DECIMAL(38,0) so cents·count never
+    overflows at any scale."""
+    from .skew import size_histogram_cum
+
+    hist = (
+        df.select(F.col(value_col).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    hist.count()  # materialize before the two-consumer fan-out
+    n = hist.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    if not n:
+        hist.unpersist()
+        return df.sparkSession.createDataFrame(
+            [],
+            "decile integer, n_rows long, min_value long, max_value long, "
+            "sum_value long",
+        )
+    ranks = [
+        (k * n + n_buckets - 1) // n_buckets for k in range(1, n_buckets)
+    ]
+    cum = size_histogram_cum(hist)
+    brow = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= r, F.col("s"))).alias(f"b{i}")
+            for i, r in enumerate(ranks)
+        ]
+    ).collect()[0]
+    bounds = [int(brow[f"b{i}"]) for i in range(len(ranks))]
+    dec = F.lit(1)
+    for b in bounds:
+        dec = dec + F.when(F.lit(b) < F.col("s"), 1).otherwise(0)
+    out = (
+        hist.select(dec.cast("int").alias("decile"), "s", "cnt")
+        .groupBy("decile")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.min("s").alias("min_value"),
+            F.max("s").alias("max_value"),
+            F.sum(
+                (F.col("s").cast("decimal(38,0)") * F.col("cnt"))
+            ).cast("long").alias("sum_value"),
+        )
+    )
+    rows = out.collect()  # <= n_buckets rows; frees the histogram cache
+    hist.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema=out.schema)
+
+
+def spearman_rho(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """ONE-row Spearman rank correlation between two integral columns,
+    exact under ties (Pearson over AVERAGE ranks, the standard tie
+    treatment) and fully distributed: no row-cardinality window — each
+    variable's average ranks read off its (value, cnt) HISTOGRAM
+    (avg rank of value v = cum_before(v) + (cnt+1)/2, kept integral as
+    r2 = 2·cum − cnt + 1), joined back by value. Moments fold as
+    DECIMAL(38,0) (r2 ≈ 2n, so Σr2x·r2y ≈ 4n³ — exact to n ≈ 10^11);
+    the ρ itself is one shared IEEE tree (×, ÷, sqrt — all correctly
+    rounded), floored at 1e-6."""
+
+    def r2_map(col: str) -> DataFrame:
+        h = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        # the histogram is distinct-value-sized; for fact-cardinality
+        # value domains swap this window for size_histogram_cum's
+        # two-level prefix (same arithmetic)
+        return h.select(
+            "v",
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias("r2"),
+        )
+
+    xr = r2_map(x_col).withColumnRenamed("v", "_vx").withColumnRenamed(
+        "r2", "r2x"
+    )
+    yr = r2_map(y_col).withColumnRenamed("v", "_vy").withColumnRenamed(
+        "r2", "r2y"
+    )
+    ranked = df.join(
+        xr, df[x_col] == xr["_vx"]
+    ).join(yr, df[y_col] == yr["_vy"])
+    dec = "decimal(38,0)"
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r2x").cast(dec)).alias("sx"),
+        F.sum(F.col("r2y").cast(dec)).alias("sy"),
+        F.sum((F.col("r2x") * F.col("r2x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("r2y") * F.col("r2y")).cast(dec)).alias("syy"),
+        F.sum((F.col("r2x") * F.col("r2y")).cast(dec)).alias("sxy"),
+    )
+    n_dec = F.col("n").cast(dec)
+    num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n_dec * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.floor(
+            num / F.sqrt(dx * dy) * 1000000.0 + 0.5
+        ).cast("long").alias("rho6"),
+    ).where(F.col("n_rows") > 1)
+
+
+def cusum_changepoint(
+    daily: DataFrame, key_col: str, day_col: str, value_col: str
+) -> DataFrame:
+    """Per-key CUSUM change point over a (key, day, integral value)
+    frame: the day k maximizing |n·prefix_k − k·S| (the cumulative
+    deviation from the key's mean, scaled by n to stay in exact
+    integers — no mean division until never). Ties break on the
+    earliest day. One key-partitioned window pass over the DAILY frame
+    (dimension × days — the facts were already folded before this is
+    called); outputs (key, change_day, cusum_abs, n_days)."""
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    wall = Window.partitionBy(key_col)
+    d = daily.select(
+        F.col(key_col),
+        F.col(day_col),
+        F.sum(value_col).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("pfx"),
+        F.row_number().over(w).alias("k"),
+        F.sum(value_col).over(wall).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dev = d.select(
+        key_col,
+        day_col,
+        "n",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("pfx")
+            - F.col("k") * F.col("s")
+        ).alias("c"),
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.col("c").desc(), F.col(day_col).asc()
+    )
+    return (
+        dev.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            key_col,
+            F.col(day_col).alias("change_day"),
+            # exact integer <= n_days²·max_daily — BIGINT-safe far past
+            # any realistic history; the decimal above did the math
+            F.col("c").cast("long").alias("cusum_abs"),
+            F.col("n").alias("n_days"),
+        )
     )

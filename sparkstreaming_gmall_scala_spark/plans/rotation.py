@@ -240,6 +240,10 @@ POOL: tuple[str, ...] = (
     "dim_snapshot_diff",
     # round-10 bidirectional nearest-in-time join
     "nearest_click",
+    # round-10 exact decile profile, Spearman rank corr, CUSUM change point
+    "order_value_deciles",
+    "spend_orders_spearman",
+    "revenue_changepoint",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

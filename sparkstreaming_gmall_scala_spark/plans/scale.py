@@ -1198,3 +1198,175 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / den.cast("double") * 1000000.0 + 0.5
         ).cast("long").alias("slope_ppm"),
     )
+
+@register(
+    "order_value_deciles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ), h AS (SELECT c, count(*) AS cnt FROM v GROUP BY c),
+    ch AS (SELECT c, cnt, sum(cnt) OVER (ORDER BY c) AS cum FROM h),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+    b AS (
+      SELECT k, min(CASE WHEN cum >= (k * n + 9) // 10 THEN c END) AS bound
+      FROM ch CROSS JOIN t
+      CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) ks
+      GROUP BY k
+    ), d AS (
+      SELECT h.c, h.cnt,
+             1 + CAST(sum(CASE WHEN b.bound < h.c THEN 1 ELSE 0 END)
+                      AS INTEGER) AS decile
+      FROM h CROSS JOIN b GROUP BY h.c, h.cnt
+    )
+    SELECT decile, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           min(c) AS min_value, max(c) AS max_value,
+           CAST(sum(c * cnt) AS BIGINT) AS sum_value
+    FROM d GROUP BY decile
+    """,
+    tags=("scale", "stats", "percentile"),
+    gated=False,
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile profile of order values (n/min/max/sum per value-bucketed
+    decile) with EXACT discrete boundaries and NO global sort: one scan
+    folds orders into a cents histogram, the boundaries read off the
+    two-level cumulative histogram (the key_size_profile machinery),
+    and the per-decile stats fold from the histogram itself — the fact
+    table is never rescanned and no window touches row cardinality. The
+    oracle runs the naive global-window formulation; values agree
+    because value-bucketed deciles are tiebreak-free (ties share a
+    bucket — where ntile would split equal values arbitrarily)."""
+    from ..operators.analytics import decile_profile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c")
+    )
+    return decile_profile(o, "c", n_buckets=10)
+
+
+@register(
+    "spend_orders_spearman",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, count(*) AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ), hx AS (SELECT x AS v, count(*) AS cnt FROM per GROUP BY x),
+    rx AS (SELECT v, 2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS r2 FROM hx),
+    hy AS (SELECT y AS v, count(*) AS cnt FROM per GROUP BY y),
+    ry AS (SELECT v, 2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS r2 FROM hy),
+    rk AS (
+      SELECT rx.r2 AS r2x, ry.r2 AS r2y
+      FROM per JOIN rx ON per.x = rx.v JOIN ry ON per.y = ry.v
+    ), m AS (
+      SELECT count(*) AS n,
+             CAST(sum(r2x) AS HUGEINT) AS sx,
+             CAST(sum(r2y) AS HUGEINT) AS sy,
+             sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+             sum(CAST(r2y AS HUGEINT) * r2y) AS syy,
+             sum(CAST(r2x AS HUGEINT) * r2y) AS sxy
+      FROM rk
+    )
+    SELECT n AS n_rows,
+           CAST(floor(
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS rho6
+    FROM m WHERE n > 1
+    """,
+    tags=("scale", "stats", "correlation"),
+    gated=False,
+)
+def spend_orders_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each customer's order COUNT and
+    total SPEND — rank correlation exact under ties (Pearson over
+    average ranks, kept integral as r2 = 2·cum − cnt + 1 off each
+    variable's value histogram; no row-cardinality ranking window). One
+    aggregate produces the per-customer frame; two histogram joins
+    attach ranks; DECIMAL(38,0)/HUGEINT moments; one shared IEEE tree
+    (×, ÷, sqrt — correctly rounded) floored at 1e-6."""
+    from ..operators.analytics import spearman_rho
+
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("y"),
+        )
+    )
+    return spearman_rho(per, "x", "y")
+
+
+@register(
+    "revenue_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT n_name, day,
+             count(*) OVER (PARTITION BY n_name) AS n,
+             sum(y) OVER (PARTITION BY n_name ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pfx,
+             row_number() OVER (PARTITION BY n_name ORDER BY day) AS k,
+             CAST(sum(y) OVER (PARTITION BY n_name) AS HUGEINT) AS s
+      FROM d
+    ), dev AS (
+      SELECT n_name, day, n,
+             abs(CAST(n AS HUGEINT) * pfx - k * s) AS c
+      FROM c
+    ), pick AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY n_name ORDER BY c DESC, day) AS rn
+      FROM dev
+    )
+    SELECT n_name, strftime(day, '%Y-%m-%d') AS change_day,
+           CAST(c AS BIGINT) AS cusum_abs, n AS n_days
+    FROM pick WHERE rn = 1
+    """,
+    tags=("scale", "stats", "changepoint"),
+    gated=False,
+)
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per nation: the day maximizing the cumulative
+    deviation of daily revenue from the nation's mean (|n·prefix − k·S|
+    — scaled by n so everything stays exact integers, earliest-day
+    tiebreak). The facts fold ONCE into the dimension-sized daily frame;
+    all windows partition by nation over that frame — regime-shift
+    detection as one aggregation + one window pass."""
+    from ..operators.analytics import cusum_changepoint
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name", "day")
+        .agg(F.sum("v").alias("y"))
+    )
+    out = cusum_changepoint(daily, "n_name", "day", "y")
+    return out.select(
+        "n_name",
+        F.date_format("change_day", "yyyy-MM-dd").alias("change_day"),
+        "cusum_abs",
+        "n_days",
+    )

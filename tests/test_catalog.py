@@ -290,6 +290,10 @@ def test_gate_budget(registry):
         "dim_snapshot_diff",
         # round-10 bidirectional nearest-in-time join
         "nearest_click",
+        # round-10 exact decile profile, Spearman rank corr, CUSUM change point
+        "order_value_deciles",
+        "spend_orders_spearman",
+        "revenue_changepoint",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
