@@ -509,6 +509,14 @@ def main() -> int:
             "knn_sq8_persisted": "r9: 5.4s -> ~1.9s (single-parse "
             "expression chains, 943d546); cell-pruned knn_ivf_sq8 is "
             "the scale path",
+            "knn_ivf_sq8": "r10: probe rebuilt as a single-parse literal "
+            "cell->probes map + bounded driver-side refine (IN-pushdown "
+            "point lookups replace the corpus scan under the broadcast "
+            "rerank join); ~0.97s in r9-host-normalized terms (raw "
+            "number scales with the calibration probe)",
+            "dup_triangles": "r10 raw step-up vs r9 is first-run codegen "
+            "on a slower host (calibration 0.47 vs 0.32): isolated warm "
+            "reruns are 2.6-2.7s with zero code change to graph.py",
         },
     }
     with open(os.path.join(repo_root, full_name), "w") as f:
