@@ -78,6 +78,11 @@ ITERATIVE = {
     "return — the bigram_lm discipline); real shape is 1 documents scan "
     "+ 1 pair exchange + 2 vocabulary-sized broadcast joins + "
     "TakeOrderedAndProject",
+    "order_value_deciles": "zero counts are the <=10-row profile "
+    "materialization (collect + createDataFrame frees the histogram "
+    "cache); real shape is 1 orders scan + 1 cents exchange (histogram) "
+    "+ the two-level cumulative prefix + per-decile folds over the "
+    "HISTOGRAM — the fact table is never rescanned",
     "dim_snapshot_diff": "zero counts are the dim-bounded diff "
     "materialization (collect + createDataFrame frees the persisted SCD2 "
     "timeline); real shape is 1 orders scan + 1 custkey exchange (window "
