@@ -279,6 +279,7 @@ HEADLINE = (
     "order_value_deciles",
     "spend_orders_spearman",
     "revenue_changepoint",
+    "name_entity_clusters",
 )
 
 

@@ -3435,3 +3435,95 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         "table", "hash",
     )
+
+@register(
+    "name_entity_clusters",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT p_name AS name, count(*) AS n,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY p_name
+    ), pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 3
+    ), edges AS (
+      SELECT name_a AS a, name_b AS b FROM pairs
+      UNION SELECT name_b, name_a FROM pairs
+    ), reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+    ), comp AS (
+      SELECT node AS name, min(lab) AS canon FROM reach GROUP BY node
+    )
+    SELECT comp.canon AS cluster_canon,
+           count(*) AS n_names,
+           CAST(sum(names.n) AS BIGINT) AS n_entities
+    FROM comp JOIN names ON names.name = comp.name
+    GROUP BY comp.canon
+    """,
+    tags=("llm", "dedup", "fuzzy", "graph"),
+    gated=False,
+)
+def name_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END: the blocked fuzzy name matches
+    (part_name_matches) become an undirected graph and collapse into
+    clusters via the distributed connected-components operator
+    (min-label propagation with O(log n) star-contraction fallback —
+    the dup_clusters machinery applied to STRING nodes); each cluster
+    reports its canonical (minimum) spelling, spelling count, and total
+    entity rows it absorbs. The oracle closes the same edge set with a
+    recursive CTE. This is the variant-consolidation step a catalog
+    cleanup actually ships: matches alone say 'these two look alike' —
+    clusters say 'these five spellings are ONE product'."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import fuzzy_name_matches
+
+    parts = load_table(spark, sf_dir, "part")
+    m = fuzzy_name_matches(
+        parts,
+        "p_name",
+        lambda name: F.element_at(F.split(name, " "), -1),
+        max_dist=3,
+    )
+    counts = parts.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # CC wants NUMERIC nodes (its convergence check sums labels):
+    # number the dictionary in lexicographic order, so the min-id
+    # canonical IS the min-name canonical the oracle computes. The
+    # window is dictionary-sized by the fuzzy-match contract (tiny),
+    # and persist+count stops the rank lineage recomputing per consumer.
+    ids = counts.withColumn(
+        "nid", F.row_number().over(Window.orderBy("name"))
+    ).persist()
+    ids.count()
+    a = ids.select(F.col("name").alias("name_a"), F.col("nid").alias("id_a"))
+    b = ids.select(F.col("name").alias("name_b"), F.col("nid").alias("id_b"))
+    edges = m.join(F.broadcast(a), "name_a").join(F.broadcast(b), "name_b")
+    cc = connected_components(edges.select("id_a", "id_b"))
+    out = (
+        cc.join(
+            F.broadcast(ids.select(F.col("nid").alias("node"), "n")), "node"
+        )
+        .join(
+            F.broadcast(
+                ids.select(
+                    F.col("nid").alias("label"),
+                    F.col("name").alias("cluster_canon"),
+                )
+            ),
+            "label",
+        )
+        .groupBy("cluster_canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.sum("n").alias("n_entities"),
+        )
+    )
+    rows = out.collect()  # cluster-bounded; frees the dictionary cache
+    ids.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)

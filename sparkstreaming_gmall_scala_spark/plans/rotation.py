@@ -244,6 +244,8 @@ POOL: tuple[str, ...] = (
     "order_value_deciles",
     "spend_orders_spearman",
     "revenue_changepoint",
+    # round-10 entity-resolution clusters (fuzzy matches -> CC rollup)
+    "name_entity_clusters",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

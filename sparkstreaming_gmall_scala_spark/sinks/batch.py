@@ -163,6 +163,61 @@ def upsert_parquet(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def apply_cdc_parquet(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+) -> None:
+    """Full CDC apply — ``upsert_parquet`` plus DELETE semantics (the
+    Maxwell/Canal 'delete' rows the insert-only router drops for facts
+    but a mirrored DIM table must honor): per key, the LAST change in
+    the batch wins (``order_col`` desc; batch rows beat the stored row);
+    if that change is a delete the key leaves the table, otherwise the
+    row upserts with ``op_col`` stripped.
+
+    Replay-idempotent by construction: re-applying a batch reproduces
+    the same winning row per key (a re-applied delete finds the key
+    already absent and keeps it absent; a re-applied upsert overwrites
+    byte-identically), so a foreachBatch retry is harmless. Crash-safe
+    via the same two-rename swap as upsert_parquet. ``op_col`` values:
+    anything equal to ``'delete'`` removes; every other value upserts
+    (Maxwell's insert/update/bootstrap-insert all carry the full row)."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    recover_dir(path)
+    fresh = changes.withColumn("_gen", F.lit(1))
+    if has_parquet(path):
+        current = (
+            spark.read.parquet(path)
+            .withColumn(op_col, F.lit("keep"))
+            .withColumn("_gen", F.lit(0))
+        )
+        allrows = current.unionByName(fresh, allowMissingColumns=True)
+    else:
+        allrows = fresh
+    order = [F.col("_gen").desc()]
+    if order_col is not None:
+        order.append(F.col(order_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    merged = (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "delete"))
+        .drop("_rn", "_gen", op_col)
+    )
+    tmp = path.rstrip("/") + ".tmp"
+    old = path.rstrip("/") + ".old"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def kafka_fanout(
     df: DataFrame, brokers: str, checkpoint: str, default_topic: str | None = None
 ):

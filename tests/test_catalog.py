@@ -294,6 +294,8 @@ def test_gate_budget(registry):
         "order_value_deciles",
         "spend_orders_spearman",
         "revenue_changepoint",
+        # round-10 entity-resolution clusters
+        "name_entity_clusters",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

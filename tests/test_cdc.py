@@ -76,3 +76,60 @@ def test_dead_letter_split_keeps_poison_rows_off_hot_path(spark):
     assert {r["raw_value"] for r in dead.collect()} == {rows[1][0], rows[2][0]}
     routed = {r["topic"] for r in route_maxwell(ok).collect()}
     assert routed == {"ods_user_info", "ods_order_info"}
+
+
+def test_apply_cdc_parquet_insert_update_delete_replay(spark, tmp_path):
+    """Full CDC apply (S8 + the delete half the insert-only router drops
+    for facts): last-op-per-key wins within a batch, deletes remove the
+    key, replays are byte-idempotent, and a later batch can re-insert a
+    deleted key."""
+    from sparkstreaming_gmall_scala_spark.sinks.batch import apply_cdc_parquet
+
+    path = str(tmp_path / "dim")
+    schema = "id long, name string, op string, ver long"
+
+    def table():
+        import glob
+
+        if not glob.glob(path + "/*.parquet"):
+            return {}
+        return {
+            r["id"]: (r["name"], r["ver"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "a0", "insert", 1),
+            (1, "a1", "update", 2),   # same key later in batch → wins
+            (2, "b0", "insert", 1),
+            (3, "c0", "insert", 1),
+            (3, None, "delete", 2),   # insert+delete in ONE batch → absent
+        ],
+        schema,
+    )
+    apply_cdc_parquet(spark, b1, path, ["id"], op_col="op", order_col="ver")
+    assert table() == {1: ("a1", 2), 2: ("b0", 1)}
+
+    # replay the same batch: idempotent
+    apply_cdc_parquet(spark, b1, path, ["id"], op_col="op", order_col="ver")
+    assert table() == {1: ("a1", 2), 2: ("b0", 1)}
+
+    b2 = spark.createDataFrame(
+        [
+            (2, None, "delete", 3),   # delete a stored key
+            (3, "c1", "insert", 3),   # re-insert a previously deleted key
+        ],
+        schema,
+    )
+    apply_cdc_parquet(spark, b2, path, ["id"], op_col="op", order_col="ver")
+    assert table() == {1: ("a1", 2), 3: ("c1", 3)}
+
+    # replay batch 2 as well
+    apply_cdc_parquet(spark, b2, path, ["id"], op_col="op", order_col="ver")
+    assert table() == {1: ("a1", 2), 3: ("c1", 3)}
+
+    # a delete for a key that was never stored is a no-op, not an error
+    b3 = spark.createDataFrame([(99, None, "delete", 4)], schema)
+    apply_cdc_parquet(spark, b3, path, ["id"], op_col="op", order_col="ver")
+    assert table() == {1: ("a1", 2), 3: ("c1", 3)}
