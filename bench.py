@@ -280,6 +280,7 @@ HEADLINE = (
     "spend_orders_spearman",
     "revenue_changepoint",
     "name_entity_clusters",
+    "cdc_refresh_totals",
 )
 
 

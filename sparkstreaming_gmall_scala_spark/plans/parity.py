@@ -1046,3 +1046,63 @@ def dim_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()  # dim-bounded diff; frees the timeline cache
     t.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
+
+@register(
+    "cdc_refresh_totals",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) >= '10'
+    GROUP BY o_orderstatus
+    """,
+    tags=("parity", "cdc", "refresh"),
+    gated=False,
+)
+def cdc_refresh_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-style refresh (RF1 inserts + RF2 deletes) driven through
+    the PHYSICAL CDC apply path: the orders table splits by md5 bucket
+    into a stored base (h < 'e0'), an insert batch (h >= 'e0') and a
+    delete batch (h < '10'); the batches apply via
+    ``sinks.batch.apply_cdc_parquet`` (last-op-wins, delete removes,
+    two-rename crash-safe swap) against a /tmp mirror, and the query
+    aggregates the POST-REFRESH table read back from disk. The oracle
+    states the final set declaratively (h >= '10') — a value-hash match
+    proves the imperative apply (write, merge window, delete filter,
+    swap, re-read) reproduces the declarative truth exactly. Mirror
+    rebuilt per run: the measured number IS the refresh cost."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from ..sinks.batch import apply_cdc_parquet
+
+    o = load_table(spark, sf_dir, "orders")
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    dim_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdcref_{_os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_os.getpid()}",
+    )
+    _shutil.rmtree(dim_dir, ignore_errors=True)
+    o.filter(h < "e0").write.mode("overwrite").parquet(dim_dir)
+    changes = o.filter(h >= "e0").withColumn(
+        "op", F.lit("insert")
+    ).unionByName(
+        o.filter(h < "10").withColumn("op", F.lit("delete"))
+    )
+    apply_cdc_parquet(
+        spark, changes, dim_dir, ["o_orderkey"], op_col="op"
+    )
+    refreshed = spark.read.parquet(dim_dir)
+    out = refreshed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("total_cents"),
+    )
+    rows = out.collect()  # |statuses| rows; lets the /tmp mirror go away
+    _shutil.rmtree(dim_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=out.schema)

@@ -246,6 +246,8 @@ POOL: tuple[str, ...] = (
     "revenue_changepoint",
     # round-10 entity-resolution clusters (fuzzy matches -> CC rollup)
     "name_entity_clusters",
+    # round-10 TPC-H-style refresh through the physical CDC apply
+    "cdc_refresh_totals",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -296,6 +296,8 @@ def test_gate_budget(registry):
         "revenue_changepoint",
         # round-10 entity-resolution clusters
         "name_entity_clusters",
+        # round-10 refresh through the CDC apply
+        "cdc_refresh_totals",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
