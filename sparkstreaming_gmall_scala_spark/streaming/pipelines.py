@@ -509,6 +509,40 @@ def dim_pipeline(
     )
 
 
+def cdc_dim_apply_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    dim_dir: str,
+    checkpoint: str,
+    schema: T.StructType,
+    key_cols: list[str],
+    op_col: str = "op",
+    order_col: str = "ts",
+):
+    """Dim sync with FULL CDC semantics: insert/update upsert the row,
+    'delete' removes the key (sinks.batch.apply_cdc_parquet) — the half
+    of the Maxwell envelope dim_pipeline's last-write-wins upsert cannot
+    express. Replayed micro-batches re-apply to the same winners
+    (deletes of absent keys are no-ops), so restart/redelivery is
+    harmless end-to-end."""
+    from ..sinks.batch import apply_cdc_parquet
+
+    stream = file_stream(spark, src_dir, schema)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_parquet(
+            spark, batch_df, dim_dir, key_cols,
+            op_col=op_col, order_col=order_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def province_dim_pipeline(spark, src_dir, out_dir, checkpoint):
     """ProvinceInfoApp (dim/ProvinceInfoApp.scala:47-53): straight upsert."""
     return dim_pipeline(

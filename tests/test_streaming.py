@@ -1954,3 +1954,69 @@ def test_hopping_rollup_overlap_emit_once_and_late_drop(spark, tmp_path):
         ("2024-01-01 12:00:00", "view"): (1, 900),
         ("2024-01-01 13:00:00", "view"): (1, 900),
     }
+
+
+def test_cdc_dim_apply_pipeline_deletes_and_restart(spark, tmp_path):
+    """The full-CDC dim sync: updates upsert, deletes remove the key,
+    and a checkpointed restart keeps applying correctly (the Maxwell
+    delete half the last-write-wins dim_pipeline can't express)."""
+    from pyspark.sql import types as T
+
+    from sparkstreaming_gmall_scala_spark.streaming.pipelines import (
+        cdc_dim_apply_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    src, dim, ckpt = _dirs(tmp_path, "cdc_src", "cdc_dim", "cdc_ckpt")
+
+    def start():
+        return cdc_dim_apply_pipeline(
+            spark, src, dim, ckpt, schema, ["id"],
+            op_col="op", order_col="ts",
+        )
+
+    def table():
+        import glob
+
+        if not glob.glob(dim + "/*.parquet"):
+            return {}
+        return {
+            r["id"]: r["name"] for r in spark.read.parquet(dim).collect()
+        }
+
+    q = start()
+    try:
+        _drop(
+            spark, schema,
+            [(1, "a0", "insert", 1), (2, "b0", "insert", 1)], src,
+        )
+        q.processAllAvailable()
+        assert table() == {1: "a0", 2: "b0"}
+        _drop(
+            spark, schema,
+            [(1, "a1", "update", 2), (2, None, "delete", 2)], src,
+        )
+        q.processAllAvailable()
+        assert table() == {1: "a1"}
+    finally:
+        q.stop()
+
+    # restart from the checkpoint: a re-insert of the deleted key and a
+    # delete of a live one apply on the recovered stream
+    q = start()
+    try:
+        _drop(
+            spark, schema,
+            [(2, "b1", "insert", 3), (1, None, "delete", 3)], src,
+        )
+        q.processAllAvailable()
+        assert table() == {2: "b1"}
+    finally:
+        q.stop()
