@@ -281,6 +281,7 @@ HEADLINE = (
     "revenue_changepoint",
     "name_entity_clusters",
     "cdc_refresh_totals",
+    "winsorized_value_mean",
 )
 
 

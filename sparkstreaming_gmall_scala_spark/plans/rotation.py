@@ -248,6 +248,8 @@ POOL: tuple[str, ...] = (
     "name_entity_clusters",
     # round-10 TPC-H-style refresh through the physical CDC apply
     "cdc_refresh_totals",
+    # round-10 winsorized robust mean (clip, don't drop)
+    "winsorized_value_mean",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

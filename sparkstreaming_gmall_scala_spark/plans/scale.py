@@ -1370,3 +1370,109 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_abs",
         "n_days",
     )
+
+@register(
+    "winsorized_value_mean",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS t,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    ), h AS (SELECT t, c, count(*) AS cnt FROM v GROUP BY t, c),
+    ch AS (
+      SELECT t, c, cnt,
+             sum(cnt) OVER (PARTITION BY t ORDER BY c) AS cum
+      FROM h
+    ), tot AS (SELECT t, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY t),
+    b AS (
+      SELECT ch.t,
+             min(CASE WHEN cum >= (n + 19) // 20 THEN c END) AS lo,
+             min(CASE WHEN cum >= (19 * n + 19) // 20 THEN c END) AS hi
+      FROM ch JOIN tot ON ch.t = tot.t GROUP BY ch.t
+    ), w AS (
+      SELECT h.t,
+             sum(CAST(greatest(b.lo, least(b.hi, h.c)) AS HUGEINT)
+                 * h.cnt) AS wsum
+      FROM h JOIN b ON h.t = b.t GROUP BY h.t
+    )
+    SELECT w.t AS event_type, tot.n AS n_events, b.lo AS lo_cents,
+           b.hi AS hi_cents,
+           CAST((w.wsum * 1000000) // tot.n AS BIGINT) AS wmean_ppm
+    FROM w JOIN b ON w.t = b.t JOIN tot ON w.t = tot.t
+    """,
+    tags=("scale", "stats", "robust"),
+    gated=False,
+)
+def winsorized_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 5/95-winsorized mean of event values — the robust-stats
+    sibling of mad_outliers (clip, don't drop): exact discrete p05/p95
+    boundaries per group (rank ceil(q·n), no interpolation) read off a
+    per-group cumulative value histogram, the winsorized sum folded from
+    the HISTOGRAM (clip(v)·cnt — the fact rows are never rescanned), and
+    the mean held as an exact integral ppm division. Everything integer
+    until never; one fact scan total."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    h = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        )
+        .groupBy("t", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    h.count()  # materialize before the three-consumer fan-out
+    w = Window.partitionBy("t").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ch = h.withColumn("cum", F.sum("cnt").over(w))
+    tot = h.groupBy("t").agg(F.sum("cnt").alias("n"))
+    b = (
+        ch.join(F.broadcast(tot), "t")
+        .groupBy("t")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 19) div 20"), F.col("c")
+                )
+            ).alias("lo"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(19 * n + 19) div 20"),
+                    F.col("c"),
+                )
+            ).alias("hi"),
+        )
+    )
+    wsum = (
+        h.join(F.broadcast(b), "t")
+        .groupBy("t")
+        .agg(
+            F.sum(
+                (
+                    F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("c")))
+                    * F.col("cnt")
+                ).cast("decimal(38,0)")
+            ).alias("wsum")
+        )
+    )
+    out = (
+        wsum.join(F.broadcast(b), "t")
+        .join(F.broadcast(tot), "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n").alias("n_events"),
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            F.expr("CAST(wsum * 1000000 div n AS BIGINT)").alias(
+                "wmean_ppm"
+            ),
+        )
+    )
+    rows = out.collect()  # |types| rows; frees the histogram cache
+    h.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)

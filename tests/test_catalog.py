@@ -298,6 +298,8 @@ def test_gate_budget(registry):
         "name_entity_clusters",
         # round-10 refresh through the CDC apply
         "cdc_refresh_totals",
+        # round-10 winsorized robust mean
+        "winsorized_value_mean",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
