@@ -78,6 +78,21 @@ ITERATIVE = {
     "return — the bigram_lm discipline); real shape is 1 documents scan "
     "+ 1 pair exchange + 2 vocabulary-sized broadcast joins + "
     "TakeOrderedAndProject",
+    "name_entity_clusters": "zero counts are the cluster-bounded rollup "
+    "materialization (collect + createDataFrame frees the dictionary "
+    "cache); real shape is 1 part scan + the blocked fuzzy dictionary "
+    "self-join + O(diameter) CC propagation rounds over the tiny match "
+    "graph (the dup_clusters machinery)",
+    "cdc_refresh_totals": "zero counts are the |statuses|-row post-"
+    "refresh aggregate materialization (the /tmp mirror is removed "
+    "after the bounded collect); real shape is 1 orders scan split "
+    "into base + change batches, the apply's merge window + delete "
+    "filter + two-rename swap, and one re-read aggregate",
+    "winsorized_value_mean": "zero counts are the |types|-row profile "
+    "materialization (collect + createDataFrame frees the histogram "
+    "cache); real shape is 1 events scan folded into a per-type value "
+    "histogram + per-type cumulative window + histogram-side clip "
+    "folds — the fact rows are never rescanned",
     "order_value_deciles": "zero counts are the <=10-row profile "
     "materialization (collect + createDataFrame frees the histogram "
     "cache); real shape is 1 orders scan + 1 cents exchange (histogram) "
