@@ -300,9 +300,12 @@ def spearman_rho(
     dy = (n_dec * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     return m.select(
         F.col("n").alias("n_rows"),
-        F.floor(
-            num / F.sqrt(dx * dy) * 1000000.0 + 0.5
-        ).cast("long").alias("rho6"),
+        # zero rank variance (a constant column) leaves rho undefined:
+        # NULL, not a NaN that ANSI-mode floor/cast would throw on
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.floor(num / F.sqrt(dx * dy) * 1000000.0 + 0.5).cast("long"),
+        ).alias("rho6"),
     ).where(F.col("n_rows") > 1)
 
 
