@@ -282,6 +282,8 @@ HEADLINE = (
     "name_entity_clusters",
     "cdc_refresh_totals",
     "winsorized_value_mean",
+    "audience_overlap",
+    "keyword_contexts",
 )
 
 

@@ -3527,3 +3527,55 @@ def name_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()  # cluster-bounded; frees the dictionary cache
     ids.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
+
+@register(
+    "keyword_contexts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), occ AS (
+      SELECT doc_id, t, i
+      FROM toks, unnest(generate_series(1, len(t))) AS ii(i)
+      WHERE t[i] = 'spark'
+    )
+    SELECT doc_id, i AS pos,
+           COALESCE(array_to_string(t[greatest(1, i - 3):i - 1], ' '), '')
+             AS left_ctx,
+           COALESCE(array_to_string(t[i + 1:least(len(t), i + 3)], ' '), '')
+             AS right_ctx
+    FROM occ
+    """,
+    tags=("llm", "text", "search"),
+    gated=False,
+)
+def keyword_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) extraction for the term 'spark': every
+    occurrence with its ±3-token context — the concordance/inspection
+    view a corpus tool serves next to retrieval. Zero joins: the token
+    array rides along with its own posexplode, contexts are array
+    slices (all inside whole-stage codegen), and the term filter means
+    only matching rows ever materialize contexts. Positions 1-based to
+    match the postings surface."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    occ = d.select(
+        "doc_id", toks.alias("t"), F.posexplode(toks).alias("pos0", "term")
+    ).filter(F.col("term") == "spark")
+    p = F.col("pos0") + 1  # 1-based
+    return occ.select(
+        "doc_id",
+        p.alias("pos"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("t"),
+                F.greatest(F.lit(1), p - 3),
+                F.least(F.lit(3), p - 1),
+            ),
+        ).alias("left_ctx"),
+        F.concat_ws(" ", F.slice(F.col("t"), p + 1, F.lit(3))).alias(
+            "right_ctx"
+        ),
+    )

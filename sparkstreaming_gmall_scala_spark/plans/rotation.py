@@ -250,6 +250,9 @@ POOL: tuple[str, ...] = (
     "cdc_refresh_totals",
     # round-10 winsorized robust mean (clip, don't drop)
     "winsorized_value_mean",
+    # round-10 audience intersection + KWIC concordance
+    "audience_overlap",
+    "keyword_contexts",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -1197,3 +1197,67 @@ def nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nearest_event_id",
         "delta_us",
     )
+
+@register(
+    "audience_overlap",
+    oracle="""
+    WITH seg AS (
+      SELECT DISTINCT event_type AS s, user_id AS u FROM events
+    )
+    SELECT a.s AS seg_a, b.s AS seg_b,
+           count(*) AS n_both,
+           CAST(count(*) * 1000000 //
+                (ta.n + tb.n - count(*)) AS BIGINT) AS jaccard_ppm
+    FROM seg a
+    JOIN seg b ON a.u = b.u AND a.s < b.s
+    JOIN (SELECT s, count(*) AS n FROM seg GROUP BY s) ta ON ta.s = a.s
+    JOIN (SELECT s, count(*) AS n FROM seg GROUP BY s) tb ON tb.s = b.s
+    GROUP BY a.s, b.s, ta.n, tb.n
+    """,
+    tags=("temporal", "events", "audience"),
+    gated=False,
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-segment overlap matrix: for every event-type pair, how
+    many users are in BOTH segments plus the exact Jaccard (integral
+    ppm) — the user-segmentation intersection query a bitmap/roaring
+    index answers in specialized engines, expressed as one distinct
+    (segment, user) projection self-joined on the user key (|segments|²
+    is tiny; the join is user-partitioned, no bitmap needed until
+    segment count explodes). Segment sizes fold from the same
+    projection and broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = ev.select(
+        F.col("event_type").alias("s"), F.col("user_id").alias("u")
+    ).distinct().persist()
+    seg.count()  # materialize before the three-consumer fan-out
+    sizes = seg.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    a = seg.select(F.col("s").alias("seg_a"), "u")
+    b = seg.select(F.col("s").alias("seg_b"), "u")
+    both = (
+        a.join(b, "u")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    out = (
+        both.join(
+            F.broadcast(sizes.withColumnRenamed("s", "seg_a")
+                        .withColumnRenamed("n", "na")), "seg_a"
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("s", "seg_b")
+                        .withColumnRenamed("n", "nb")), "seg_b"
+        )
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 1000000L div (na + nb - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    rows = out.collect()  # |segments|² rows; frees the projection cache
+    seg.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)

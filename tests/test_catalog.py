@@ -300,6 +300,9 @@ def test_gate_budget(registry):
         "cdc_refresh_totals",
         # round-10 winsorized robust mean
         "winsorized_value_mean",
+        # round-10 audience intersection + KWIC concordance
+        "audience_overlap",
+        "keyword_contexts",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
