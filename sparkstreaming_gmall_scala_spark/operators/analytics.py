@@ -264,16 +264,26 @@ def spearman_rho(
     rounded), floored at 1e-6."""
 
     def r2_map(col: str) -> DataFrame:
+        from .skew import size_histogram_cum
+
         h = df.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        # the histogram is distinct-value-sized; for fact-cardinality
-        # value domains swap this window for size_histogram_cum's
-        # two-level prefix (same arithmetic)
-        return h.select(
-            "v",
-            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias("r2"),
+        # the cumulative walk runs on size_histogram_cum's TWO-LEVEL
+        # prefix (per-log2-bucket windows + a <=64-row carry), so no
+        # unpartitioned window ever touches the distinct-value frame —
+        # it survives fact-cardinality value domains. The histogram
+        # needs positive keys: shift by (1 - min), one bounded scalar
+        # collect per variable.
+        mn = h.agg(F.min("v").alias("m")).collect()[0]["m"]
+        if mn is None:  # empty input: no ranks to map
+            return df.sparkSession.createDataFrame([], "v long, r2 long")
+        shifted = h.select(
+            (F.col("v") - F.lit(int(mn)) + 1).alias("s"), "cnt"
+        )
+        return size_histogram_cum(shifted).select(
+            (F.col("s") + F.lit(int(mn)) - 1).alias("v"),
+            (2 * F.col("cum") - F.col("cnt") + 1).alias("r2"),
         )
 
     xr = r2_map(x_col).withColumnRenamed("v", "_vx").withColumnRenamed(
