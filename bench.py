@@ -284,6 +284,7 @@ HEADLINE = (
     "winsorized_value_mean",
     "audience_overlap",
     "keyword_contexts",
+    "revenue_gini",
 )
 
 

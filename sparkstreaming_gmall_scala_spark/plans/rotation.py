@@ -253,6 +253,8 @@ POOL: tuple[str, ...] = (
     # round-10 audience intersection + KWIC concordance
     "audience_overlap",
     "keyword_contexts",
+    # round-10 revenue concentration (Gini off the value histogram)
+    "revenue_gini",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -1476,3 +1476,82 @@ def winsorized_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()  # |types| rows; frees the histogram cache
     h.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
+
+@register(
+    "revenue_gini",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM per
+    ), m AS (
+      SELECT count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+             sum(CAST(i AS HUGEINT) * x) AS six
+      FROM r
+    )
+    SELECT n AS n_customers,
+           CAST(floor(
+             (2.0 * CAST(six AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+              - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS gini_ppm
+    FROM m WHERE n > 0 AND sx > 0
+    """,
+    tags=("scale", "stats", "concentration"),
+    gated=False,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend (revenue concentration):
+    G = 2·Σ iₓ·x / (n·Σx) − (n+1)/n over the ascending ordering. The
+    rank-weighted sum folds from the VALUE HISTOGRAM, never a sorted
+    row frame: a value v with count c and cumulative-before k
+    contributes v·(c·k + c·(c+1)/2) — rank ties are sum-invariant (any
+    tie order yields the same Σi·x), so the histogram form equals the
+    oracle's explicit row_number walk exactly. Cumulative counts come
+    off the two-level prefix (size_histogram_cum); moments are
+    DECIMAL(38,0)/HUGEINT; one shared IEEE tree at the end."""
+    from ..operators.skew import size_histogram_cum
+
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+    )
+    h = per.groupBy(F.col("x").alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = size_histogram_cum(h)  # spend cents are >= 1 by table contract
+    dec = "decimal(38,0)"
+    # c·(c+1) is even, so the triangular term is an exact integral div
+    tri = F.expr(
+        "CAST(cnt AS DECIMAL(38,0)) * (cnt + 1) div 2"
+    ).cast(dec)
+    contrib = (
+        F.col("s").cast(dec)
+        * (
+            F.col("cnt").cast(dec) * (F.col("cum") - F.col("cnt")).cast(dec)
+            + tri
+        )
+    )
+    m = cum.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("s").cast(dec) * F.col("cnt").cast(dec)).alias("sx"),
+        F.sum(contrib).alias("six"),
+    )
+    n_d = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six").cast("double")
+        / (n_d * F.col("sx").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.floor(gini * 1000000.0 + 0.5).cast("long").alias("gini_ppm"),
+    ).where((F.col("n_customers") > 0) & (F.col("sx") > 0))

@@ -303,6 +303,8 @@ def test_gate_budget(registry):
         # round-10 audience intersection + KWIC concordance
         "audience_overlap",
         "keyword_contexts",
+        # round-10 revenue concentration
+        "revenue_gini",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
