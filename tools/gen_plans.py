@@ -78,6 +78,10 @@ ITERATIVE = {
     "return — the bigram_lm discipline); real shape is 1 documents scan "
     "+ 1 pair exchange + 2 vocabulary-sized broadcast joins + "
     "TakeOrderedAndProject",
+    "audience_overlap": "zero counts are the |segments|²-row overlap "
+    "matrix materialization (collect + createDataFrame frees the "
+    "distinct (segment, user) projection cache); real shape is 1 events "
+    "scan + the user-keyed self-join + two broadcast size joins",
     "name_entity_clusters": "zero counts are the cluster-bounded rollup "
     "materialization (collect + createDataFrame frees the dictionary "
     "cache); real shape is 1 part scan + the blocked fuzzy dictionary "
