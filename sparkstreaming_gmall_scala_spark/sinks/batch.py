@@ -324,16 +324,54 @@ class AppendOnlyIndex:
     def has_data(self) -> bool:
         return has_parquet(self._base) or bool(self._batch_ids())
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def _horizon(self) -> int:
+        """Highest batch id folded into the base generation: -1 when no
+        base exists; raises for a legacy base with no marker (its fold
+        horizon is unknowable, so time travel would silently lie)."""
+        if not has_parquet(self._base):
+            return -1
+        marker = os.path.join(self._base, "_horizon")
+        if not os.path.exists(marker):
+            raise ValueError(
+                f"{self._base} predates the _horizon marker — its fold "
+                "horizon is unknown, so as-of reads are not available; "
+                "re-compact once to stamp it"
+            )
+        with open(marker) as f:
+            return int(f.read().strip())
+
+    def read(
+        self, spark: SparkSession, upto_batch_id: int | None = None
+    ) -> DataFrame:
         """Everything indexed so far (base generation ∪ batch dirs).
         May contain duplicate rows after an interrupted compaction —
-        callers tolerate that by contract."""
+        callers tolerate that by contract.
+
+        ``upto_batch_id`` gives a TIME-TRAVEL read: the index exactly as
+        of that committed batch (base + batch dirs ≤ id) — reproducible
+        dashboards, A/B-ing a probe against yesterday's index state.
+        Compaction is the retention horizon: asking for a state OLDER
+        than the last fold raises (those per-batch generations are gone
+        — the Delta/Iceberg VACUUM contract), so callers needing deep
+        history compact less often."""
         recover_dir(self._base)
+        if upto_batch_id is not None and upto_batch_id < self._horizon():
+            raise ValueError(
+                f"batch {upto_batch_id} was folded into the base "
+                f"generation (horizon {self._horizon()}) — state before "
+                "the last compaction is not recoverable"
+            )
         parts = []
         if has_parquet(self._base):
             parts.append(spark.read.parquet(self._base))
-        if self._batch_ids():
-            parts.append(self._writer.read(spark).drop("batch_id"))
+        ids = self._batch_ids()
+        if upto_batch_id is not None:
+            ids = [b for b in ids if b <= upto_batch_id]
+        if ids:
+            r = self._writer.read(spark)
+            if upto_batch_id is not None:
+                r = r.filter(F.col("batch_id") <= upto_batch_id)
+            parts.append(r.drop("batch_id"))
         if not parts:
             raise FileNotFoundError(f"empty index at {self.index_dir}")
         df = parts[0]
@@ -385,6 +423,15 @@ class AppendOnlyIndex:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
+        # stamp the fold horizon INSIDE the new generation before the
+        # swap (underscore-prefixed: parquet readers skip it) — read()'s
+        # time-travel contract needs to know which ids are gone
+        try:
+            prior = self._horizon()
+        except ValueError:  # legacy base without a marker
+            prior = -1
+        with open(os.path.join(tmp, "_horizon"), "w") as f:
+            f.write(str(max([prior] + todo)))
         if os.path.isdir(self._base):
             os.rename(self._base, old)
         os.rename(tmp, self._base)

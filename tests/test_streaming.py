@@ -2020,3 +2020,44 @@ def test_cdc_dim_apply_pipeline_deletes_and_restart(spark, tmp_path):
         assert table() == {2: "b1"}
     finally:
         q.stop()
+
+
+def test_append_only_index_time_travel_reads(spark, tmp_path):
+    """read(upto_batch_id=N) reproduces the index exactly as of batch N;
+    compaction is the retention horizon (older as-of reads raise — the
+    VACUUM contract) and the horizon survives further compactions."""
+    import pytest as _pytest
+
+    from sparkstreaming_gmall_scala_spark.sinks.batch import AppendOnlyIndex
+
+    idx = AppendOnlyIndex(str(tmp_path / "idx"))
+    schema = "doc_id long, band_idx int, band_hash string"
+    batches = {
+        i: spark.createDataFrame([(10 + i, i, f"h{i}")], schema)
+        for i in range(4)
+    }
+    for i in range(3):
+        idx.append(batches[i], i)
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in df.collect())
+
+    # pre-compaction: any prefix is reproducible
+    assert ids(idx.read(spark, upto_batch_id=0)) == [10]
+    assert ids(idx.read(spark, upto_batch_id=1)) == [10, 11]
+    assert ids(idx.read(spark)) == [10, 11, 12]
+
+    assert idx.compact(spark, upto_batch_id=1) == 2
+    idx.append(batches[3], 3)
+    # as-of the horizon and later: exact
+    assert ids(idx.read(spark, upto_batch_id=1)) == [10, 11]
+    assert ids(idx.read(spark, upto_batch_id=2)) == [10, 11, 12]
+    assert ids(idx.read(spark)) == [10, 11, 12, 13]
+    # before the horizon: those generations are gone — loud, not wrong
+    with _pytest.raises(ValueError, match="folded into the base"):
+        idx.read(spark, upto_batch_id=0)
+    # a second compaction advances the horizon monotonically
+    assert idx.compact(spark, upto_batch_id=2) == 1
+    assert ids(idx.read(spark, upto_batch_id=2)) == [10, 11, 12]
+    with _pytest.raises(ValueError, match="folded into the base"):
+        idx.read(spark, upto_batch_id=1)
