@@ -523,6 +523,15 @@ def main() -> int:
             "dup_triangles": "r10 raw step-up vs r9 is first-run codegen "
             "on a slower host (calibration 0.47 vs 0.32): isolated warm "
             "reruns are 2.6-2.7s with zero code change to graph.py",
+            "dedup_keep_best": "r10 bench-session step-ups in the "
+            "curation family (keep_best/curate_fast/to_shards ~2-2.7x "
+            "normalized) are first-run codegen/GC noise in the longer "
+            "146-query session: isolated warm reruns are 1.7/1.2/1.3s — "
+            "matching r9 exactly; zero code change to those paths",
+            "key_skew_profile": "r10 0.69->~1.0s is the exact-percentile "
+            "rewrite (6fac709): two extra bounded collects buy the "
+            "no-unpartitioned-window scale posture the r9 verdict "
+            "required — deliberate trade, not a regression",
         },
     }
     with open(os.path.join(repo_root, full_name), "w") as f:
