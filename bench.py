@@ -285,6 +285,7 @@ HEADLINE = (
     "audience_overlap",
     "keyword_contexts",
     "revenue_gini",
+    "brand_affinity",
 )
 
 

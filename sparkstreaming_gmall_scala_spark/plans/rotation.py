@@ -255,6 +255,8 @@ POOL: tuple[str, ...] = (
     "keyword_contexts",
     # round-10 revenue concentration (Gini off the value histogram)
     "revenue_gini",
+    # round-10 market-basket brand affinity (co-purchase lift)
+    "brand_affinity",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -1136,3 +1136,86 @@ def excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+@register(
+    "brand_affinity",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+    f AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+    pairs AS (
+      SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS n_both
+      FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+      GROUP BY a.b, c.b
+    )
+    SELECT brand_a, brand_b, n_both,
+           CAST(floor(
+             CAST(n_both AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / (CAST(fa.nb AS DOUBLE) * CAST(fb.nb AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS lift_ppm
+    FROM pairs
+    CROSS JOIN n
+    JOIN f fa ON fa.b = brand_a
+    JOIN f fb ON fb.b = brand_b
+    """,
+    tags=("tpch", "affinity", "basket"),
+    gated=False,
+)
+def brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity: for every brand pair, the number of
+    orders containing BOTH plus the lift (co-purchase rate vs
+    independence, integral ppm) — the retail cross-sell query. The fact
+    table collapses to distinct (order, brand) first (baskets are a few
+    brands wide, so the within-order self-join is quadratic only in
+    basket WIDTH, never in order count); brand frequencies and the
+    order total fold from the same projection and broadcast back. Same
+    lift discipline as skipgram_cooc: one shared IEEE tree, no ln()."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    n_orders = ob.select("o").distinct().count()
+    freq = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a = ob.select("o", F.col("b").alias("brand_a"))
+    c = ob.select("o", F.col("b").alias("brand_b"))
+    pairs = (
+        a.join(c, "o")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(freq.withColumnRenamed("b", "brand_a")
+                        .withColumnRenamed("nb", "na")), "brand_a"
+        )
+        .join(
+            F.broadcast(freq.withColumnRenamed("b", "brand_b")
+                        .withColumnRenamed("nb", "nbb")), "brand_b"
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.floor(
+                F.col("n_both").cast("double")
+                * F.lit(float(n_orders))
+                / (F.col("na").cast("double") * F.col("nbb").cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("lift_ppm"),
+        )
+    )
+    rows = out.collect()  # |brands|²-bounded; frees the projection cache
+    ob.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)

@@ -305,6 +305,8 @@ def test_gate_budget(registry):
         "keyword_contexts",
         # round-10 revenue concentration
         "revenue_gini",
+        # round-10 market-basket brand affinity
+        "brand_affinity",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
