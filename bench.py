@@ -286,6 +286,7 @@ HEADLINE = (
     "keyword_contexts",
     "revenue_gini",
     "brand_affinity",
+    "user_survival",
 )
 
 

@@ -257,6 +257,8 @@ POOL: tuple[str, ...] = (
     "revenue_gini",
     # round-10 market-basket brand affinity (co-purchase lift)
     "brand_affinity",
+    # round-10 Kaplan-Meier user-survival curve (censored lifetimes)
+    "user_survival",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -1261,3 +1261,86 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()  # |segments|² rows; frees the projection cache
     seg.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
+
+@register(
+    "user_survival",
+    oracle="""
+    WITH RECURSIVE per AS (
+      SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS dur,
+             max(CAST(ts AS DATE)) =
+               (SELECT max(CAST(ts AS DATE)) FROM events) AS censored
+      FROM events GROUP BY user_id
+    ), tbl AS (
+      SELECT dur, count(*) AS n_all,
+             CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d
+      FROM per GROUP BY dur
+    ), ranked AS (
+      SELECT dur, d,
+             (SELECT count(*) FROM per) -
+               COALESCE(sum(n_all) OVER (
+                 ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS n_risk,
+             row_number() OVER (ORDER BY dur) AS rn
+      FROM tbl
+    ), km(rn, dur, d, n_risk, s6) AS (
+      SELECT rn, dur, d, n_risk, (n_risk - d) * 1000000 // n_risk
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.rn, r.dur, r.d, r.n_risk,
+             km.s6 * (r.n_risk - r.d) // r.n_risk
+      FROM ranked r JOIN km ON r.rn = km.rn + 1
+    )
+    SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, CAST(s6 AS BIGINT) AS surv6
+    FROM km WHERE d > 0
+    """,
+    tags=("temporal", "events", "survival"),
+    gated=False,
+)
+def user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-survival curve over activity lifetimes: a
+    user's duration is first-to-last active day; users still active on
+    the corpus's final day are right-CENSORED (they leave the risk set
+    without counting as churn — the estimator's whole point). The
+    survival probability folds as an exact INTEGER fixed-point
+    recurrence, s6 ← s6·(n−d) div n (the bigram_lm discipline; a
+    windowed product() would hit cross-engine multiplication-
+    association drift — DuckDB's segment trees vs a left fold), run
+    driver-side over the collected duration table (bounded by the
+    corpus's day span) and as a recursive CTE in the oracle. The risk
+    sets and event counts per duration fold distributed from one
+    (user) aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"), F.max(F.to_date("ts")).alias("l")
+    ).persist()
+    m = per.agg(
+        F.max("l").alias("m"), F.count(F.lit(1)).alias("n_users")
+    ).collect()[0]
+    if not m["n_users"]:
+        per.unpersist()
+        return spark.createDataFrame(
+            [], "duration_days long, n_risk long, n_events long, surv6 long"
+        )
+    tbl = (
+        per.select(
+            F.datediff("l", "f").cast("long").alias("dur"),
+            F.when(F.col("l") == F.lit(m["m"]), 0).otherwise(1).alias("e"),
+        )
+        .groupBy("dur")
+        .agg(F.count(F.lit(1)).alias("n_all"), F.sum("e").alias("d"))
+        .orderBy("dur")
+    )
+    rows = tbl.collect()  # bounded by the corpus day span
+    per.unpersist()
+    out, n_risk, s6 = [], m["n_users"], 1_000_000
+    for r in rows:
+        s6 = s6 * (n_risk - r["d"]) // n_risk
+        if r["d"] > 0:
+            out.append((r["dur"], n_risk, r["d"], s6))
+        n_risk -= r["n_all"]
+    return spark.createDataFrame(
+        out, "duration_days long, n_risk long, n_events long, surv6 long"
+    )

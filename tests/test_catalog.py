@@ -307,6 +307,8 @@ def test_gate_budget(registry):
         "revenue_gini",
         # round-10 market-basket brand affinity
         "brand_affinity",
+        # round-10 Kaplan-Meier survival curve
+        "user_survival",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
