@@ -287,6 +287,7 @@ HEADLINE = (
     "revenue_gini",
     "brand_affinity",
     "user_survival",
+    "lang_confusion",
 )
 
 

@@ -3579,3 +3579,74 @@ def keyword_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_ctx"
         ),
     )
+
+def _lang_confusion_oracle() -> str:
+    """Confusion matrix over the lang_id prediction (same marker-argmax
+    mirror as _lang_oracle, aggregated against the declared label)."""
+    hit_exprs = {
+        lang: (
+            f"len(list_filter({_TOKENS}, t -> t IN "
+            f"({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hit_exprs.values()) + ")"
+    case = "CASE"
+    for lang, expr in hit_exprs.items():
+        case += f" WHEN {expr} = best AND best > 0 THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return f"""
+    WITH p AS (
+      SELECT lang AS declared, {case} AS predicted
+      FROM (SELECT lang, {best} AS best, text FROM documents)
+    ), cells AS (
+      SELECT declared, predicted, count(*) AS n
+      FROM p GROUP BY declared, predicted
+    ), tot AS (
+      SELECT declared, CAST(sum(n) AS BIGINT) AS nd FROM cells
+      GROUP BY declared
+    )
+    SELECT c.declared, c.predicted, c.n,
+           CAST(c.n * 1000000 // t.nd AS BIGINT) AS row_share_ppm
+    FROM cells c JOIN tot t ON c.declared = t.declared
+    """
+
+
+@register(
+    "lang_confusion",
+    oracle=_lang_confusion_oracle(),
+    tags=("llm", "text", "quality"),
+    gated=False,
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: the confusion matrix of the marker-argmax
+    lang_id prediction against each document's DECLARED language, with
+    each cell's share of its declared-language row (integral ppm) — the
+    audit that decides whether a corpus's metadata labels can be
+    trusted before they drive filtering or mixture weights. One scan +
+    one (declared, predicted) aggregate; the row marginal folds from
+    the same aggregate and broadcasts back (the chi² discipline)."""
+    from ..operators.textstats import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = lang_id(d, "doc_id", "text").select("doc_id", "pred_lang")
+    cells = (
+        d.select("doc_id", F.col("lang").alias("declared"))
+        .join(pred, "doc_id")
+        .groupBy("declared", F.col("pred_lang").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    cells.count()  # materialize before the two-consumer fan-out
+    tot = cells.groupBy("declared").agg(F.sum("n").alias("nd"))
+    out = cells.join(F.broadcast(tot), "declared").select(
+        "declared",
+        "predicted",
+        "n",
+        F.expr("CAST(n * 1000000L div nd AS BIGINT)").alias(
+            "row_share_ppm"
+        ),
+    )
+    rows = out.collect()  # |langs|²-bounded; frees the cells cache
+    cells.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)

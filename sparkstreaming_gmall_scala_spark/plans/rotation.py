@@ -259,6 +259,8 @@ POOL: tuple[str, ...] = (
     "brand_affinity",
     # round-10 Kaplan-Meier user-survival curve (censored lifetimes)
     "user_survival",
+    # round-10 metadata label-quality confusion audit
+    "lang_confusion",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

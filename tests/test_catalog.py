@@ -309,6 +309,8 @@ def test_gate_budget(registry):
         "brand_affinity",
         # round-10 Kaplan-Meier survival curve
         "user_survival",
+        # round-10 label-quality confusion audit
+        "lang_confusion",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
