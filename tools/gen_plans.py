@@ -78,6 +78,19 @@ ITERATIVE = {
     "return — the bigram_lm discipline); real shape is 1 documents scan "
     "+ 1 pair exchange + 2 vocabulary-sized broadcast joins + "
     "TakeOrderedAndProject",
+    "brand_affinity": "zero counts are the |brands|²-row matrix "
+    "materialization (collect + createDataFrame frees the distinct "
+    "(order, brand) projection); real shape is 1 lineitem scan + 1 part "
+    "broadcast + the order-keyed self-join (quadratic only in basket "
+    "width) + two broadcast frequency joins",
+    "user_survival": "zero counts are the day-span-bounded KM fold "
+    "(the integer fixed-point recurrence runs driver-side over the "
+    "collected duration table); real shape is 1 events scan + 1 user "
+    "exchange (lifetimes) + 1 duration aggregate",
+    "lang_confusion": "zero counts are the |langs|²-cell matrix "
+    "materialization (collect + createDataFrame frees the cells "
+    "cache); real shape is 1 documents scan + 1 (declared, predicted) "
+    "exchange + the row-marginal broadcast",
     "audience_overlap": "zero counts are the |segments|²-row overlap "
     "matrix materialization (collect + createDataFrame frees the "
     "distinct (segment, user) projection cache); real shape is 1 events "
