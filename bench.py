@@ -288,6 +288,7 @@ HEADLINE = (
     "brand_affinity",
     "user_survival",
     "lang_confusion",
+    "revenue_ewma",
 )
 
 

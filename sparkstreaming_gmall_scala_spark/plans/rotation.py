@@ -261,6 +261,8 @@ POOL: tuple[str, ...] = (
     "user_survival",
     # round-10 metadata label-quality confusion audit
     "lang_confusion",
+    # round-10 exact fixed-point EWMA forecast
+    "revenue_ewma",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -1555,3 +1555,81 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_customers"),
         F.floor(gini * 1000000.0 + 0.5).cast("long").alias("gini_ppm"),
     ).where((F.col("n_customers") > 0) & (F.col("sx") > 0))
+
+@register(
+    "revenue_ewma",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT n_name, y,
+             row_number() OVER (PARTITION BY n_name ORDER BY day) AS rn
+      FROM d
+    ), f(n_name, rn, s, abserr) AS (
+      SELECT n_name, rn, y, CAST(0 AS HUGEINT)
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.n_name, r.rn,
+             (2 * r.y + 8 * f.s) // 10,
+             f.abserr + abs(r.y - f.s)
+      FROM ranked r
+      JOIN f ON r.n_name = f.n_name AND r.rn = f.rn + 1
+    ), last AS (
+      SELECT n_name, max(rn) AS n FROM f GROUP BY n_name
+    )
+    SELECT f.n_name, last.n AS n_days,
+           CAST(f.s AS BIGINT) AS ewma_cents,
+           CAST(f.abserr // greatest(last.n - 1, 1) AS BIGINT)
+             AS mae_cents
+    FROM f JOIN last ON f.n_name = last.n_name AND f.rn = last.n
+    """,
+    tags=("scale", "stats", "forecast"),
+    gated=False,
+)
+def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation exponentially-weighted moving average of daily revenue
+    (α = 0.2) plus the one-step-ahead forecast MAE — the smoothing /
+    forecasting primitive, held EXACT: the recurrence is integer
+    fixed-point (s ← (2y + 8s) div 10, the Kaplan-Meier discipline —
+    float folds would drift cross-engine with partition order), so both
+    engines land on identical integers. The facts fold distributed into
+    the dimension-sized daily frame; the sequential fold runs
+    driver-side over that bounded table (per key, days-long), exactly
+    what the oracle's recursive CTE walks."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name", "day")
+        .agg(F.sum("v").alias("y"))
+        .orderBy("n_name", "day")
+    )
+    rows = daily.collect()  # dimension-sized: |nations| x |days|
+    out, state = [], {}
+    for r in rows:  # already (n_name, day)-ordered
+        k, y = r["n_name"], r["y"]
+        if k not in state:
+            state[k] = [y, 0, 1]  # s, abserr, n
+        else:
+            s, err, n = state[k]
+            state[k] = [(2 * y + 8 * s) // 10, err + abs(y - s), n + 1]
+    for k in sorted(state):
+        s, err, n = state[k]
+        out.append((k, n, s, err // max(n - 1, 1)))
+    return daily.sparkSession.createDataFrame(
+        out, "n_name string, n_days long, ewma_cents long, mae_cents long"
+    )

@@ -311,6 +311,8 @@ def test_gate_budget(registry):
         "user_survival",
         # round-10 label-quality confusion audit
         "lang_confusion",
+        # round-10 exact fixed-point EWMA forecast
+        "revenue_ewma",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -78,6 +78,11 @@ ITERATIVE = {
     "return — the bigram_lm discipline); real shape is 1 documents scan "
     "+ 1 pair exchange + 2 vocabulary-sized broadcast joins + "
     "TakeOrderedAndProject",
+    "revenue_ewma": "zero counts are the dimension-bounded sequential "
+    "fold (the integer fixed-point recurrence runs driver-side over the "
+    "collected |nations|x|days| daily frame — the KM discipline); real "
+    "shape is 1 orders scan + 2 dim broadcasts + 1 (nation, day) "
+    "exchange",
     "brand_affinity": "zero counts are the |brands|²-row matrix "
     "materialization (collect + createDataFrame frees the distinct "
     "(order, brand) projection); real shape is 1 lineitem scan + 1 part "
