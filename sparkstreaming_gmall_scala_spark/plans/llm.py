@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import scaled_dim
 from ..operators.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -636,8 +637,10 @@ def corpus_clean_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware corpus cleaning: drop every non-canonical member of
     a >=0.5-Jaccard cluster (keep the min-id representative plus all
     unclustered docs) — dup_clusters applied as a filter, the keep-policy
-    step a training-data pipeline actually ships. Anti-join against the
-    (tiny) non-canonical set broadcasts."""
+    step a training-data pipeline actually ships. The anti-join side
+    (non-canonical members) scales with the dup fraction of the corpus,
+    so it carries no pinned broadcast hint — AQE broadcasts it at bench
+    SF where it is tiny."""
     from ..operators.dedup import connected_components
 
     d = load_table(spark, sf_dir, "documents")
@@ -648,7 +651,7 @@ def corpus_clean_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = cc.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
-    return d.select("doc_id").join(F.broadcast(drops), "doc_id", "left_anti")
+    return d.select("doc_id").join(scaled_dim(drops), "doc_id", "left_anti")
 
 
 @register(

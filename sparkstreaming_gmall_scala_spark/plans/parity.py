@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import scaled_dim
 from ..functions.dates import dt_of, hr_of
 from ..functions.money import money
 from ..operators.allocation import allocate
@@ -42,7 +43,7 @@ _REV_SQL = (
 
 # ---------------------------------------------------------------------------
 # A1 — per-batch hash aggregation (ads/TrademarkStatApp.scala:67-72) as the
-# flagship: revenue by brand through a broadcast dim join.
+# flagship: revenue by brand through a dim join (AQE-broadcast at bench SF).
 # ---------------------------------------------------------------------------
 @register(
     "trademark_stat",
@@ -57,13 +58,16 @@ _REV_SQL = (
 )
 def trademark_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 + J3 + P7: revenue grouped by brand (the TrademarkStat chain,
-    reference: ads/TrademarkStatApp.scala:67-72,127) with the dim joined
-    broadcast — the fact side never shuffles for the join; the aggregate
-    does one shuffle with map-side partials (Catalyst hash-agg)."""
+    reference: ads/TrademarkStatApp.scala:67-72,127). part scales with
+    sf, so it carries no pinned broadcast hint: AQE broadcasts it from
+    its ACTUAL size at bench SF (fact side never shuffles for the join)
+    and falls back to sort-merge at 100 TB where a hint would OOM; the
+    aggregate does one shuffle with map-side partials (Catalyst
+    hash-agg)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(scaled_dim(part), li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.round(F.sum(_revenue_dec()), 2).cast("double").alias("amount"),
@@ -486,7 +490,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(scaled_dim(part), li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), "l_partkey")
         .agg(F.sum(_revenue_dec()).alias("rev_dec"))
     )
@@ -605,7 +609,7 @@ def join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment —
     the three-way join every order dashboard runs. Plan: both filters
-    push to their scans, the segment-filtered customer side broadcasts
+    push to their scans, the segment-filtered customer side stays small
     into orders, the grouped sum partial-aggregates map-side, and
     orderBy+limit caps the global sort at 10 rows before the rank
     window touches anything."""
@@ -623,14 +627,14 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    # only the segment-filtered CUSTOMER side is broadcast (a dim); the
-    # orders∘customer intermediate scales with the fact table, so its
-    # join to lineitem shuffles on the order key (AQE may still choose
-    # broadcast at test scale, where it fits — a hint here would pin a
-    # driver-OOM plan at sf100)
+    # customer scales with sf, so no pinned hint anywhere here: AQE
+    # broadcasts the segment-filtered customer side at test scale where
+    # it fits, and the orders∘customer intermediate joins lineitem via
+    # shuffle on the order key at 100 TB (a hint would pin a driver-OOM
+    # plan at sf100)
     grouped = (
         li.join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            o.join(scaled_dim(c), o.o_custkey == c.c_custkey),
             li.l_orderkey == o.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -687,7 +691,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     grouped = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(scaled_dim(o), li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
@@ -726,8 +730,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     line's supplier sit in the SAME nation of one region, over one order
     year — the six-way join with a cross-table predicate (c_nationkey =
     s_nationkey) that join ordering actually matters for. Plan: region→
-    nation→supplier collapse into one broadcast (dims are tiny at any
-    scale), lineitem picks up s_nationkey from that broadcast without a
+    nation→region collapse into supplier via true-dim broadcasts (25/5
+    rows at any scale); lineitem joins the supplier dim without a pinned
+    hint (supplier scales with sf — AQE broadcasts at bench SF) and needs no
     shuffle, and the only real exchanges are the orderkey join against
     the date-filtered orders and the custkey join against customer —
     where the nation-equality predicate rides the join condition so
@@ -756,7 +761,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey"
     )
     return (
-        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        li.join(scaled_dim(sdim), li.l_suppkey == sdim.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(
             c,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import scaled_dim
 from ..operators.skew import salted_agg, salted_join
 from ..sources import load_table
 from .catalog import register
@@ -97,7 +98,8 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per brand (median + p90) — both
     engines use the same linear-interpolation definition; results are
     2-dp-rounded so a last-ulp arithmetic difference can't flip the hash.
-    The dim side broadcasts; one shuffle on brand.
+    The dim side is AQE-broadcast at bench SF (no pinned hint — part
+    scales with sf); one shuffle on brand.
 
     NOTE: exact percentile's aggregation buffer holds every value in the
     group — fine at oracle scale, unbounded at 100 TB. The production
@@ -106,7 +108,7 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(scaled_dim(p), li.l_partkey == p.p_partkey)
     r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
     return j.groupBy("p_brand").agg(
         r2(F.percentile("l_extendedprice", F.lit(0.5))).alias("median_price"),
@@ -236,13 +238,13 @@ def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded mergeable sketch per group (state O(accuracy), rank error
     ≤ n/accuracy) instead of exact percentile's collect-every-value
     buffer — the only formulation that survives a group with billions of
-    rows. Same plan shape otherwise: broadcast dim, one shuffle on brand,
+    rows. Same plan shape otherwise: AQE-broadcast dim, one shuffle on brand,
     partial-aggregated sketches merged map-side."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice"
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(scaled_dim(p), li.l_partkey == p.p_partkey)
     r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
     acc = F.lit(10_000)
     return j.groupBy("p_brand").agg(
@@ -510,8 +512,8 @@ def fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li_audit = (
         li.join(o_keys, li.l_orderkey == F.col("_ok"), "left")
-        .join(F.broadcast(p_keys), li.l_partkey == F.col("_pk"), "left")
-        .join(F.broadcast(s_keys), li.l_suppkey == F.col("_sk"), "left")
+        .join(scaled_dim(p_keys), li.l_partkey == F.col("_pk"), "left")
+        .join(scaled_dim(s_keys), li.l_suppkey == F.col("_sk"), "left")
         .agg(
             F.count(F.lit(1)).alias("n_child"),
             F.sum(F.col("_ok").isNull().cast("long")).alias("no_order"),
@@ -607,7 +609,7 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(scaled_dim(p), li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.sum(_revenue_dec()).alias("rev_dec"))
     )
@@ -1070,7 +1072,7 @@ def welch_t_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     c = (
-        o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        o.join(scaled_dim(cu), o["o_custkey"] == cu["c_custkey"])
         .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
         .select("n_name", "v")
     )
@@ -1169,7 +1171,7 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     daily = (
-        o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        o.join(scaled_dim(cu), o["o_custkey"] == cu["c_custkey"])
         .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
         .groupBy("n_name", "day")
         .agg(F.sum("v").alias("y"))
@@ -1358,7 +1360,7 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     daily = (
-        o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        o.join(scaled_dim(cu), o["o_custkey"] == cu["c_custkey"])
         .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
         .groupBy("n_name", "day")
         .agg(F.sum("v").alias("y"))
@@ -1612,7 +1614,7 @@ def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     daily = (
-        o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        o.join(scaled_dim(cu), o["o_custkey"] == cu["c_custkey"])
         .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
         .groupBy("n_name", "day")
         .agg(F.sum("v").alias("y"))

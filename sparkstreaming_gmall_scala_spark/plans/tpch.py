@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.hints import scaled_dim
+
 from ..functions.money import money
 from ..sources import load_table
 from .catalog import register
@@ -163,7 +165,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_3")
     )
     return (
-        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        li.join(scaled_dim(sdim), li.l_suppkey == sdim.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(cdim, (o.o_custkey == cdim.c_custkey) & pair_ok)
         .groupBy(
@@ -243,8 +245,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     rows = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        li.join(scaled_dim(p), li.l_partkey == p.p_partkey)
+        .join(scaled_dim(sdim), li.l_suppkey == sdim.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(cdim, o.o_custkey == cdim.c_custkey)
         .select(
@@ -339,7 +341,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     zero = F.lit(0).cast("decimal(18,2)")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(scaled_dim(p), li.l_partkey == p.p_partkey)
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", _revenue_dec()).otherwise(zero)
     ).cast("double")
@@ -399,7 +401,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(scaled_dim(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -449,7 +451,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("l_partkey")
     j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(scaled_dim(p), li.l_partkey == p.p_partkey)
         .withColumn(
             "part_avg_qty",
             F.sum(_qty_dec()).over(w).cast("double") / F.count(F.lit(1)).over(w),
@@ -515,7 +517,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    j = li.join(F.broadcast(p), (li.l_partkey == p.p_partkey) & branch)
+    j = li.join(scaled_dim(p), (li.l_partkey == p.p_partkey) & branch)
     zero = F.lit(0).cast("decimal(18,2)")
     return j.agg(
         F.round(F.coalesce(F.sum(_revenue_dec()), zero), 2)
@@ -596,7 +598,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         blamed.groupBy("late_supp")
         .agg(F.sum("n_late_lines").alias("numwait"))
-        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .join(scaled_dim(s), F.col("late_supp") == s.s_suppkey)
         .select("s_name", "numwait")
     )
 
@@ -755,8 +757,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_size").isin(5, 10, 15, 20) & (F.col("p_type") == "STANDARD")
     )
-    j = ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey).join(
-        F.broadcast(
+    j = ps.join(scaled_dim(p), ps.l_partkey == p.p_partkey).join(
+        scaled_dim(
             s.select("s_suppkey", "s_name", "s_acctbal", "n_name")
         ),
         ps.l_suppkey == F.col("s_suppkey"),
@@ -872,10 +874,10 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     j = (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(scaled_dim(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .join(ps, ["l_partkey", "l_suppkey"])
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(scaled_dim(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
     return (
@@ -936,7 +938,7 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     v = (
-        li.join(F.broadcast(nsup), li.l_suppkey == F.col("s_suppkey"))
+        li.join(scaled_dim(nsup), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_revenue_dec()).alias("val"))
         .persist()
@@ -1061,7 +1063,7 @@ def supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(scaled_dim(p), ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(
             F.count_distinct(F.col("l_suppkey"))
@@ -1127,7 +1129,7 @@ def excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     hot = ps.join(
-        F.broadcast(rods), ps.l_partkey == F.col("p_partkey"), "left_semi"
+        scaled_dim(rods), ps.l_partkey == F.col("p_partkey"), "left_semi"
     ).filter(2 * F.col("qty_1997") > F.col("total_qty"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -1177,7 +1179,7 @@ def brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        li.join(scaled_dim(pa), li["l_partkey"] == pa["p_partkey"])
         .select(
             F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
         )

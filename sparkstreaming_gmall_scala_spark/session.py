@@ -63,8 +63,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Broadcast threshold: dims (region/nation/supplier/part at test SF)
-        # stay broadcastable; at 100 TB the explicit F.broadcast() hints in
-        # the operators are what matter, not this default.
+        # stay broadcastable from their ACTUAL sizes. Explicit F.broadcast()
+        # hints are reserved for frames bounded independent of fact scale
+        # (see functions/hints.py); sf-scaled tables rely on this threshold
+        # + AQE so the same plan degrades to sort-merge at 100 TB.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     if extra_conf:

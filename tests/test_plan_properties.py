@@ -509,3 +509,123 @@ def test_key_size_profile_no_global_rank_of_sizes(spark, sf_dir):
     assert "HashAggregate(keys=[_b" in below.split("Exchange", 1)[0], plan[:3000]
     # the cum window is partitioned by the bucket
     assert "windowspecdefinition(_b" in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# r11 (r10 verdict #2): no pinned broadcast hint on sf-scaled data.
+# ---------------------------------------------------------------------------
+
+# First column of each sf-scaled table's parquet scan — a Relation line
+# mentioning one of these IS a scan that grows with the fact data.
+_SCALED_SCAN_MARKERS = (
+    "l_orderkey#",   # lineitem
+    "o_orderkey#",   # orders
+    "c_custkey#",    # customer
+    "p_partkey#",    # part
+    "s_suppkey#",    # supplier
+    "event_id#",     # events
+    "doc_id#",       # documents
+    "vec_id#",       # embeddings
+)
+# Logical nodes that bound the cardinality of everything above them:
+# aggregates collapse to the (bounded) group domain, limits are explicit,
+# Deduplicate = distinct over a bounded domain, Window feeds the top-k
+# rank-filter pattern (WindowGroupLimit downstream).
+_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate", "Window")
+
+
+def _tree_depths(plan_str):
+    out = []
+    for ln in plan_str.split("\n"):
+        i = 0
+        while i < len(ln) and ln[i] in " :+-":
+            i += 1
+        out.append((i, ln[i:]))
+    return out
+
+
+def offending_broadcast_hints(plan_str):
+    """Return scaled-scan Relation lines sitting under a ResolvedHint
+    (strategy=broadcast) with NO cardinality-bounding ancestor between the
+    hint and the scan. Those are plans a 100 TB run cannot execute: the
+    hint overrides autoBroadcastJoinThreshold and pins an OOM broadcast."""
+    nodes = _tree_depths(plan_str)
+    bad = []
+    for i, (d, txt) in enumerate(nodes):
+        if not (txt.startswith("ResolvedHint") and "broadcast" in txt):
+            continue
+        # subtree = following lines strictly deeper than the hint
+        j = i + 1
+        while j < len(nodes) and nodes[j][0] > d:
+            dj, tj = nodes[j]
+            if tj.startswith("Relation") and any(
+                m in tj for m in _SCALED_SCAN_MARKERS
+            ):
+                # ancestor walk from the scan back up to the hint
+                guarded = False
+                mind = dj
+                for k in range(j - 1, i, -1):
+                    dk, tk = nodes[k]
+                    if dk < mind:
+                        mind = dk
+                        if tk.startswith(_BOUNDING_NODES):
+                            guarded = True
+                            break
+                if not guarded:
+                    bad.append(tj[:120])
+            j += 1
+    return bad
+
+
+def test_hint_detector_catches_a_pinned_broadcast(spark, sf_dir):
+    """Self-test: the detector must flag a raw F.broadcast(part) and must
+    sanction a broadcast of a bounded per-brand aggregate."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bad = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    plan = bad._jdf.queryExecution().analyzed().toString()
+    assert offending_broadcast_hints(plan), plan
+    agg = part.groupBy("p_brand").count()
+    ok = li.join(
+        F.broadcast(agg.withColumnRenamed("p_brand", "b")),
+        li.l_partkey == F.col("count"),
+    )
+    plan = ok._jdf.queryExecution().analyzed().toString()
+    assert not offending_broadcast_hints(plan), plan
+
+
+def test_no_broadcast_hint_on_scaled_scan(spark, sf_dir, registry):
+    """Every registered query: no pinned broadcast of sf-scaled data.
+
+    At bench SF the planner broadcasts those sides anyway from their
+    ACTUAL runtime size (autoBroadcastJoinThreshold + AQE); a pinned hint
+    adds nothing locally and pins an executor-OOM plan at the 100 TB
+    north star, where customer alone is ~2.5 TB (see functions/hints.py
+    and the scaled_dim markers at the former hint sites)."""
+    # The ANN family broadcasts its QUERY SET — a fixed-ID-range slice of
+    # embeddings (vec_id < 10: <=10 rows at EVERY sf, scale-independent by
+    # construction). A plan-only detector can't tell that filter from one
+    # whose selectivity scales, so those queries may carry an offense ONLY
+    # on the embeddings relation; a hint on any other scaled table inside
+    # them still fails.
+    query_set_ok = {
+        n for n in registry if n.startswith("knn_") or n == "hard_negatives"
+    }
+    failures = {}
+    for name, q in sorted(registry.items()):
+        try:
+            df = q.builder(spark, sf_dir)
+        except Exception as e:  # builder bugs are other tests' business
+            failures[name] = f"builder raised: {e}"
+            continue
+        plan = df._jdf.queryExecution().analyzed().toString()
+        bad = offending_broadcast_hints(plan)
+        if name in query_set_ok:
+            bad = [b for b in bad if "vec_id#" not in b]
+        if bad:
+            failures[name] = bad
+    assert not failures, failures
