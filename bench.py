@@ -15,6 +15,9 @@ full file's.
 Each query is built and then fully materialized via a count-style action
 (no driver collect of the payload — the action drains the plan the way a
 sink write would). Times include plan + execution, not session startup.
+Every headline query runs twice and the recorded number is the min (r10
+verdict #3): steady state is what predicts scale behavior; both runs are
+kept in the full record's "runs" map so the cold-call cost stays visible.
 """
 
 from __future__ import annotations
@@ -435,21 +438,36 @@ def main() -> int:
     calibration = calibrate(spark)
     print(f"# calibration: {calibration}", file=sys.stderr)
 
+    # r11 (r10 verdict #3): every headline query runs TWICE and the
+    # recorded number is the min. The driver's single-pass session hit a
+    # handful of queries cold each round (first-run codegen / GC spikes of
+    # 2-4×) and every round's triage re-litigated the same noise — the
+    # steady-state number is the one that predicts 100 TB behavior, and
+    # the cold first call is visible in the full record's "runs" pairs.
     times: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = registry[name]
-        t0 = time.perf_counter()
-        df = q.builder(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
-        # r9 advice: a few queries persist() frames their RETURNED lazy
-        # plan still needs (e.g. important_stock's two-consumer aggregate)
-        # and so cannot unpersist before returning; clearing between
-        # queries keeps those caches from accumulating across the
-        # 128-query session (outside the timed window — each query's
-        # number is self-contained).
-        spark.catalog.clearCache()
+        runs = []
+        n = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.builder(spark, sf_dir)
+            n = df.count()
+            runs.append(round(time.perf_counter() - t0, 3))
+            # r9 advice: a few queries persist() frames their RETURNED
+            # lazy plan still needs (e.g. important_stock's two-consumer
+            # aggregate) and so cannot unpersist before returning;
+            # clearing between runs keeps those caches from accumulating
+            # across the session and keeps run 2 a true re-execution, not
+            # a cache read.
+            spark.catalog.clearCache()
+        all_runs[name] = runs
+        times[name] = min(runs)
+        print(
+            f"# {name}: {n} rows in {times[name]:.2f}s (runs: {runs})",
+            file=sys.stderr,
+        )
 
     # added r5: the incremental streaming-dedup probe (not a catalog
     # query — it drives the foreachBatch body over two micro-batches).
@@ -508,34 +526,35 @@ def main() -> int:
         "ref_calibration_min": REF_CALIBRATION_MIN,
         "ref_calibration_median": REF_CALIBRATION_MEDIAN,
         "streaming_rows_per_sec": streaming_rows_per_sec,
+        # both timed runs per query (headline number = min); the cold/warm
+        # gap is answerable from the record itself instead of via static
+        # notes about specific hosts (r10 verdict #2/#3)
+        "runs": all_runs,
         # cross-round triage notes (round-8 verdict #5): deltas with a
-        # known, accepted cause, so tooling doesn't re-flag them
+        # known, accepted, HOST-INDEPENDENT cause, so tooling doesn't
+        # re-flag them. Session-noise notes are gone: min-of-2 timing
+        # (r11) removes first-run codegen/GC spikes from the headline
+        # numbers entirely.
         "notes": {
+            "timing": "r11+: each headline query runs twice, headline = "
+            "min (steady state); r<=10 records are single-pass and can "
+            "read 2-4x higher on whichever queries that session hit "
+            "cold — compare against the min of the 'runs' pair",
+            "streaming_rows_per_sec": "r10's 1593 (vs r9 1911) was host "
+            "noise, not a regression: an r11 re-measure on the same code "
+            "path read 2049 docs/s — no change to the ingest path",
             "knn_pq": "r8 step-up vs r7 is the deliberate 4->8-bit "
             "codebook upgrade (recall@5 0.48->0.94 clustered; RECALL.md)",
-            "hard_negatives": "r8 driver 5.46s was GC/ordering noise "
-            "(r8 verdict watch-list): r9 isolated+suite runs are back "
-            "to 1.6-4s with zero code change to similarity.py",
-            "knn_sq8_persisted": "r9: 5.4s -> ~1.9s (single-parse "
-            "expression chains, 943d546); cell-pruned knn_ivf_sq8 is "
-            "the scale path",
+            "knn_sq8_persisted": "r9: single-parse expression chains "
+            "(943d546); cell-pruned knn_ivf_sq8 is the scale path",
             "knn_ivf_sq8": "r10: probe rebuilt as a single-parse literal "
             "cell->probes map + bounded driver-side refine (IN-pushdown "
             "point lookups replace the corpus scan under the broadcast "
-            "rerank join); ~0.97s in r9-host-normalized terms (raw "
-            "number scales with the calibration probe)",
-            "dup_triangles": "r10 raw step-up vs r9 is first-run codegen "
-            "on a slower host (calibration 0.47 vs 0.32): isolated warm "
-            "reruns are 2.6-2.7s with zero code change to graph.py",
-            "dedup_keep_best": "r10 bench-session step-ups in the "
-            "curation family (keep_best/curate_fast/to_shards ~2-2.7x "
-            "normalized) are first-run codegen/GC noise in the longer "
-            "146-query session: isolated warm reruns are 1.7/1.2/1.3s — "
-            "matching r9 exactly; zero code change to those paths",
-            "key_skew_profile": "r10 0.69->~1.0s is the exact-percentile "
-            "rewrite (6fac709): two extra bounded collects buy the "
-            "no-unpartitioned-window scale posture the r9 verdict "
-            "required — deliberate trade, not a regression",
+            "rerank join)",
+            "key_skew_profile": "r10 step-up vs r9 is the exact-"
+            "percentile rewrite (6fac709): two extra bounded collects "
+            "buy the no-unpartitioned-window scale posture the r9 "
+            "verdict required — deliberate trade, not a regression",
         },
     }
     with open(os.path.join(repo_root, full_name), "w") as f:

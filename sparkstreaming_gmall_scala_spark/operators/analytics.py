@@ -170,9 +170,13 @@ def top_paths_frame(ev: DataFrame, steps: int = 3, top_n: int = 25) -> DataFrame
     ]
     paths = ev.select(F.concat_ws(">", *cols).alias("path"),
                       *[c.alias(f"_s{i}") for i, c in enumerate(cols)])
-    complete = paths.filter(
-        F.lit(True) if steps == 1 else F.col(f"_s{steps-1}").isNotNull()
-    )
+    # EVERY step must be non-null, not just the last: concat_ws silently
+    # skips NULLs, so a NULL event_type mid-sequence would otherwise
+    # yield a shortened 'a>c' path that a null-propagating '||'
+    # concatenation (the oracle's semantics) nulls out entirely.
+    complete = paths
+    for i in range(steps):
+        complete = complete.filter(F.col(f"_s{i}").isNotNull())
     return (
         complete.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -823,7 +823,14 @@ def skipgram_pairs(
     is a total order."""
     text = F.col(text_col)
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
-    d = docs.select(F.col(id_col), toks.alias("t"))
+    # Persisted so BOTH aggregates (pair + unigram) fold from one token
+    # scan: the `total` collect below fills the cache, the pair lineage
+    # at the final collect reads it (MEMORY_AND_DISK — spills, never
+    # recomputes through the corpus). Unigram counts can't roll up from
+    # the skip-gram pair aggregate (each token joins up to 2·window
+    # pairs), so caching the tokens is what makes one-scan true here,
+    # where bigram_stats gets it by persisting the pair aggregate.
+    d = docs.select(F.col(id_col), toks.alias("t")).persist()
     parts = []
     for k in range(1, window + 1):
         parts.append(
@@ -851,6 +858,7 @@ def skipgram_pairs(
     total = uni.agg(F.sum("c").alias("n")).collect()[0]["n"]
     if not total:
         uni.unpersist()
+        d.unpersist()
         return docs.sparkSession.createDataFrame(
             [], "pair string, n_cooc long, lift_ppm long"
         )
@@ -877,10 +885,11 @@ def skipgram_pairs(
         )
     )
     top = scored.orderBy(F.col("n_cooc").desc(), "pair").limit(top_n)
-    if not materialize:  # plan-inspection path: caller owns the cache
+    if not materialize:  # plan-inspection path: caller owns the caches
         return top
     rows = top.collect()  # bounded: <= top_n rows
     uni.unpersist()
+    d.unpersist()
     return docs.sparkSession.createDataFrame(rows, schema=top.schema)
 
 

@@ -126,7 +126,8 @@ def upsert_parquet(
 
     New rows win over existing rows for the same key; among duplicates
     within ``updates`` the max ``order_col`` wins (ties broken arbitrarily
-    but deterministically by the window sort). Production: Delta
+    but deterministically by a payload hash, so replays pick the same
+    winner). Production: Delta
     ``MERGE INTO``; this read-union-overwrite is for small dims only.
     """
     import shutil
@@ -143,6 +144,13 @@ def upsert_parquet(
     order = [F.col("_gen").desc()]
     if order_col is not None:
         order.append(F.col(order_col).desc())
+    # Equal-order duplicates must not leave the winner to shuffle order
+    # (row_number over a tie is otherwise run-dependent, breaking the
+    # byte-idempotent-replay contract): a payload hash makes the pick
+    # arbitrary but replay-stable.
+    order.append(
+        F.xxhash64(*[F.col(c) for c in updates.columns]).desc()
+    )
     w = Window.partitionBy(*key_cols).orderBy(*order)
     merged = (
         allrows.withColumn("_rn", F.row_number().over(w))
@@ -184,7 +192,13 @@ def apply_cdc_parquet(
     byte-identically), so a foreachBatch retry is harmless. Crash-safe
     via the same two-rename swap as upsert_parquet. ``op_col`` values:
     anything equal to ``'delete'`` removes; every other value upserts
-    (Maxwell's insert/update/bootstrap-insert all carry the full row)."""
+    (Maxwell's insert/update/bootstrap-insert all carry the full row).
+
+    ``order_col`` should totally order each key's changes (a binlog
+    offset / Maxwell xid, not a second-resolution timestamp); when it
+    does not, ties resolve deterministically — delete first, then payload
+    hash — so a replay can never flip the outcome (see the window sort
+    below)."""
     import shutil
 
     from pyspark.sql import Window
@@ -203,6 +217,21 @@ def apply_cdc_parquet(
     order = [F.col("_gen").desc()]
     if order_col is not None:
         order.append(F.col(order_col).desc())
+    # Ties must not leave the winner to shuffle order, or a replayed /
+    # retried batch could flip keep-vs-delete for a key. Two deterministic
+    # tie-breaks behind order_col: (1) a delete outranks a same-order
+    # upsert — a key cannot be deleted before it exists, so on a shared
+    # (e.g. second-resolution) timestamp the delete IS the later change;
+    # (2) any remaining tie (two same-order upserts with different
+    # payloads) resolves by payload hash — arbitrary but replay-stable.
+    # Callers with a true monotonic per-key sequence (binlog offset,
+    # Maxwell xid) should pass it as order_col, which then totally orders
+    # each key's changes and these tie-breaks never fire.
+    order.append(
+        F.when(F.col(op_col) == F.lit("delete"), 1).otherwise(0).desc()
+    )
+    payload = [c for c in changes.columns if c != op_col]
+    order.append(F.xxhash64(*[F.col(c) for c in payload]).desc())
     w = Window.partitionBy(*key_cols).orderBy(*order)
     merged = (
         allrows.withColumn("_rn", F.row_number().over(w))

@@ -32,15 +32,16 @@ def _path_partial(ev: DataFrame, steps: int) -> DataFrame:
     cols = [F.col("event_type")] + [
         F.lead("event_type", i).over(w) for i in range(1, steps)
     ]
-    return (
-        ev.select(
-            F.concat_ws(">", *cols).alias("path"),
-            cols[-1].alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    out = ev.select(
+        F.concat_ws(">", *cols).alias("path"),
+        *[c.alias(f"_s{i}") for i, c in enumerate(cols)],
     )
+    # EVERY step non-null, matching the batch twin (analytics.py): a NULL
+    # event_type mid-window would otherwise yield a concat_ws-shortened
+    # path where null-propagating concatenation drops the window.
+    for i in range(steps):
+        out = out.filter(F.col(f"_s{i}").isNotNull())
+    return out.groupBy("path").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def path_ingest_batch(

@@ -133,3 +133,58 @@ def test_apply_cdc_parquet_insert_update_delete_replay(spark, tmp_path):
     b3 = spark.createDataFrame([(99, None, "delete", 4)], schema)
     apply_cdc_parquet(spark, b3, path, ["id"], op_col="op", order_col="ver")
     assert table() == {1: ("a1", 2), 3: ("c1", 3)}
+
+
+def test_apply_cdc_parquet_tied_order_is_deterministic(spark, tmp_path):
+    """r11 (r10 advice): two changes for one key sharing an order_col
+    value (Maxwell insert+delete in the same second via a ts order
+    column) must resolve deterministically — delete outranks a same-order
+    upsert (a key can't be deleted before it exists), payload hash breaks
+    upsert-upsert ties — so replays and retries can never flip the
+    outcome."""
+    from sparkstreaming_gmall_scala_spark.sinks.batch import apply_cdc_parquet
+
+    path = str(tmp_path / "dim_tied")
+    schema = "id long, name string, op string, ts long"
+
+    def table():
+        import glob
+
+        if not glob.glob(path + "/*.parquet"):
+            return {}
+        return {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
+
+    # key 1: insert + delete with IDENTICAL ts → delete wins, every time
+    # key 2: two upserts with IDENTICAL ts → hash-stable single winner
+    b = spark.createDataFrame(
+        [
+            (1, "x", "insert", 100),
+            (1, None, "delete", 100),
+            (2, "p", "insert", 100),
+            (2, "q", "update", 100),
+        ],
+        schema,
+    )
+    apply_cdc_parquet(spark, b, path, ["id"], op_col="op", order_col="ts")
+    first = table()
+    assert 1 not in first            # delete won the tie
+    assert first[2] in ("p", "q")    # some winner...
+    for _ in range(3):               # ...and the SAME winner on replay
+        apply_cdc_parquet(spark, b, path, ["id"], op_col="op", order_col="ts")
+        assert table() == first
+
+    # with order_col=None everything ties: still deterministic via the
+    # delete-first + payload-hash order
+    path2 = str(tmp_path / "dim_none")
+    b2 = spark.createDataFrame(
+        [(5, "m", "insert", 0), (5, None, "delete", 0)], schema
+    )
+    apply_cdc_parquet(spark, b2, path2, ["id"], op_col="op", order_col=None)
+    import glob
+
+    rows = (
+        spark.read.parquet(path2).collect()
+        if glob.glob(path2 + "/*.parquet")
+        else []
+    )
+    assert all(r["id"] != 5 for r in rows)

@@ -212,7 +212,10 @@ def test_rolling_distinct_matches_naive(spark, act):
     seq=st.lists(
         st.tuples(
             st.integers(min_value=1, max_value=2),          # user
-            st.sampled_from(["a", "b", "c"]),               # type
+            # None exercises the null-propagation contract (r10 advice):
+            # a window touching a NULL event_type counts for NOTHING —
+            # not a shortened path (concat_ws would silently skip it)
+            st.sampled_from(["a", "b", "c", None]),         # type
         ),
         min_size=1,
         max_size=20,
@@ -241,5 +244,8 @@ def test_top_paths_matches_local(spark, seq):
     want = Counter()
     for types in per_user.values():
         for i in range(len(types) - 2):
-            want[">".join(types[i : i + 3])] += 1
+            win = types[i : i + 3]
+            if None in win:
+                continue  # null-propagating concat: whole path vanishes
+            want[">".join(win)] += 1
     assert got == dict(want)

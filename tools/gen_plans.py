@@ -125,6 +125,20 @@ ITERATIVE = {
     "timeline); real shape is 1 orders scan + 1 custkey exchange (window "
     "chain) + 1 key self-join of two validity filters over the cached "
     "timeline",
+    "bm25_search": "zero counts are the <=top_n-row materialization "
+    "(collect + createDataFrame so the per-doc tf cache unpersists "
+    "before return); real shape is 1 documents scan + 1 doc exchange "
+    "(per-doc length + per-term tfs in ONE groupBy) + a one-row corpus-"
+    "stats fold + TakeOrderedAndProject over the cached per-doc frame",
+    "conversion_lag": "zero counts are the |bands|-row materialization "
+    "(collect + createDataFrame frees the as-of join cache); real shape "
+    "is 1 events scan split into clicks/orders + the union-and-carry "
+    "as-of join (1 user exchange) + the bounded band aggregate",
+    "knn_ivf_sq8": "zero counts are the k*|queries|-row materialization "
+    "(collect + createDataFrame after the bounded refine); real shape "
+    "is 1 cell-PRUNED codes read (partition filter from the literal "
+    "cell->probes map) + the ADC scoring scan + an IN-pushdown point "
+    "refine of <= k*|queries| rows — the corpus is never fully scanned",
 }
 
 PY_MARKERS = (
