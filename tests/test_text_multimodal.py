@@ -299,3 +299,72 @@ def test_ngram_overlap_flags_contamination(spark):
     assert got[2]["contaminated"] and got[2]["n_shared_ngrams"] == 1
     assert not got[3]["contaminated"] and got[3]["n_shared_ngrams"] == 0
     assert len(got) == 3  # every input doc present (left semantics)
+
+
+def test_palette_and_interlaced_png_boundary_pinned(spark):
+    """r11 (r10 verdict #7): the stdlib decoder's documented boundary —
+    full palette and Adam7-interlaced PNG fixtures (valid chunks + CRCs,
+    not just headers) must raise the documented NotImplementedError, and
+    the SAME payloads must flow through the Spark plumbing when a
+    PIL-style decoder is injected — no silent wrong-pixels path exists
+    for the formats the stdlib path doesn't cover."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    # 2×1 palette PNG (color type 3): PLTE maps index 0→red, 1→blue;
+    # one filter-0 scanline of the two indices.
+    palette_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
+        + chunk(b"IEND", b"")
+    )
+    # the same 2×1 image as greyscale but with the Adam7 interlace flag
+    interlaced_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 10, 20])))
+        + chunk(b"IEND", b"")
+    )
+    for payload, marker in ((palette_png, "color=3"), (interlaced_png, "interlace=1")):
+        with pytest.raises(NotImplementedError) as ei:
+            decode_media(payload, "image/png")
+        assert marker in str(ei.value)          # the documented message
+        assert "PIL" in str(ei.value)           # points at the remedy
+
+    # a PIL-style decoder plugged into the injection seam handles both:
+    # palette indices resolve through PLTE, interlaced rows deinterlace
+    # (faked deterministically here — the SIGNATURE and routing are real)
+    def pil_style(payload: bytes, mime: str) -> bytes:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            ctype = payload[8 + 8 + 9]
+            if ctype == 3:
+                return bytes([255, 0, 0, 0, 0, 255])  # resolved RGB
+            return bytes([10, 20])                     # deinterlaced grey
+        raise NotImplementedError(mime)
+
+    media = spark.createDataFrame(
+        [(1, palette_png, "image/png"), (2, interlaced_png, "image/png")],
+        "doc_id long, payload binary, mime string",
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.octet_length("payload").alias("n_bytes"),
+            F.col("mime").alias("mime"),
+        ).alias("meta"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_features(media, "doc_id", decoder=pil_style).collect()
+    }
+    assert out[1]["n_bytes"] == 6 and out[1]["byte_sum"] == 510
+    assert out[2]["n_bytes"] == 2 and out[2]["byte_sum"] == 30
