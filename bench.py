@@ -292,6 +292,9 @@ HEADLINE = (
     "user_survival",
     "lang_confusion",
     "revenue_ewma",
+    # added r11: streaming market-basket twin (3-batch ingest through the
+    # carry-based counter indexes + live fold — build-inclusive by design)
+    "brand_affinity_stream",
 )
 
 

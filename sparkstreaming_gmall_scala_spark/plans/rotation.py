@@ -263,6 +263,8 @@ POOL: tuple[str, ...] = (
     "lang_confusion",
     # round-10 exact fixed-point EWMA forecast
     "revenue_ewma",
+    # round-11 streaming market-basket twin (carry-based counter indexes)
+    "brand_affinity_stream",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

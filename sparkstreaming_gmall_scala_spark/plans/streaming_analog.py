@@ -7,6 +7,8 @@ oracle checks; the live form is covered by pytest streaming tests.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -412,3 +414,69 @@ def type_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value", n_bins=32, lo=0.0, hi=500.0, keys=("event_type",)
     )
     return histogram_quantile(hist, [0.5, 0.95, 0.99], keys=("event_type",))
+
+
+# ---------------------------------------------------------------------------
+# r11 — streaming market-basket affinity through the carry-based counter
+# indexes (streaming/basket.py): the live twin IS the batch query.
+# ---------------------------------------------------------------------------
+@register(
+    "brand_affinity_stream",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+    f AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+    pairs AS (
+      SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS n_both
+      FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+      GROUP BY a.b, c.b
+    )
+    SELECT brand_a, brand_b, n_both,
+           CAST(floor(
+             CAST(n_both AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / (CAST(fa.nb AS DOUBLE) * CAST(fb.nb AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS lift_ppm
+    FROM pairs
+    CROSS JOIN n
+    JOIN f fa ON fa.b = brand_a
+    JOIN f fb ON fb.b = brand_b
+    """,
+    tags=("streaming", "affinity", "basket"),
+    gated=False,
+)
+def brand_affinity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brand_affinity answered from the STREAMING counter indexes
+    (streaming/basket.py, r10 verdict #8): the distinct (order, brand)
+    projection is ingested in three micro-batches split so baskets SPAN
+    batches (hash of the full pair, not the order), each batch folding
+    only its never-seen pairs into three additive counters via the
+    transitions-style exact-generation carry; the read side folds the
+    partials and applies the batch query's own literal-n_orders IEEE
+    lift tree. Oracle: identical SQL to brand_affinity — streamed ==
+    batch is the whole claim (also pinned over random splits + replays
+    in tests/test_streaming_basket.py)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.basket import basket_ingest_batch, brand_affinity_live
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(pa, li["l_partkey"] == pa["p_partkey"]).select(
+        F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
+    )
+    work = tempfile.mkdtemp(prefix="affinity_stream_")
+    try:
+        dirs = [os.path.join(work, d) for d in ("pairs", "freq", "orders", "carry")]
+        body = basket_ingest_batch(spark, *dirs)
+        for i in range(3):
+            body(ob.filter(F.pmod(F.hash("o", "b"), F.lit(3)) == i), i)
+        out = brand_affinity_live(spark, *dirs[:3])
+        rows = out.collect()  # |brands|²-bounded
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

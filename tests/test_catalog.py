@@ -313,6 +313,8 @@ def test_gate_budget(registry):
         "lang_confusion",
         # round-10 exact fixed-point EWMA forecast
         "revenue_ewma",
+        # round-11 streaming market-basket twin (carry counter indexes)
+        "brand_affinity_stream",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
