@@ -134,6 +134,13 @@ ITERATIVE = {
     "(collect + createDataFrame frees the as-of join cache); real shape "
     "is 1 events scan split into clicks/orders + the union-and-carry "
     "as-of join (1 user exchange) + the bounded band aggregate",
+    "brand_affinity_stream": "zero counts are the |brands|²-row "
+    "materialization after the /tmp 3-batch ingest (the cdc_refresh_"
+    "totals discipline); real shape per batch is 1 anti-join against "
+    "the exact-generation carry + the order-keyed new×(old ∪ new) pair "
+    "join (quadratic only in basket width) + three additive counter "
+    "appends, then the read side folds partials and applies the batch "
+    "query's broadcast lift joins",
     "knn_ivf_sq8": "zero counts are the k*|queries|-row materialization "
     "(collect + createDataFrame after the bounded refine); real shape "
     "is 1 cell-PRUNED codes read (partition filter from the literal "
