@@ -369,3 +369,50 @@ def cusum_changepoint(
             F.col("n").alias("n_days"),
         )
     )
+
+
+def value_bucket_bounds(
+    df: DataFrame, value_col: str, n_buckets: int
+) -> list[int]:
+    """Exact value-bucket boundaries without a global sort: b_k is the
+    value at 1-based rank ceil(k·n/n_buckets) of the ascending ordering
+    (k = 1..n_buckets−1), read off the two-level cumulative histogram
+    (the decile_profile machinery, factored out so scoring queries — RFM
+    quintiles — can bucket SEVERAL metrics without ranking the
+    row-cardinality frame). Requires value >= 1 (log2 bucketing).
+    Returns [] on an empty frame."""
+    from .skew import size_histogram_cum
+
+    hist = (
+        df.select(F.col(value_col).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    hist.count()
+    n = hist.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    if not n:
+        hist.unpersist()
+        return []
+    ranks = [
+        (k * n + n_buckets - 1) // n_buckets for k in range(1, n_buckets)
+    ]
+    cum = size_histogram_cum(hist)
+    brow = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= r, F.col("s"))).alias(f"b{i}")
+            for i, r in enumerate(ranks)
+        ]
+    ).collect()[0]
+    hist.unpersist()
+    return [int(brow[f"b{i}"]) for i in range(len(ranks))]
+
+
+def bucket_score(value, bounds: list[int]):
+    """1 + number of boundaries strictly below ``value`` — the smallest
+    bucket whose boundary covers the value (ties share a bucket, the
+    deterministic cross-engine choice decile_profile documents)."""
+    score = F.lit(1)
+    for b in bounds:
+        score = score + F.when(F.lit(b) < value, 1).otherwise(0)
+    return score

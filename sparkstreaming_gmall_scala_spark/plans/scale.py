@@ -1635,3 +1635,518 @@ def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.sparkSession.createDataFrame(
         out, "n_name string, n_days long, ewma_cents long, mae_cents long"
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                  (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+                  AS BIGINT) + 1 AS rec,
+             count(*) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    nn AS (SELECT count(*) AS n FROM rfm),
+    rk AS (SELECT (1*n+4)//5 AS k1, (2*n+4)//5 AS k2,
+                  (3*n+4)//5 AS k3, (4*n+4)//5 AS k4 FROM nn),
+    rb AS (SELECT max(CASE WHEN rn=k1 THEN v END) AS b1,
+                  max(CASE WHEN rn=k2 THEN v END) AS b2,
+                  max(CASE WHEN rn=k3 THEN v END) AS b3,
+                  max(CASE WHEN rn=k4 THEN v END) AS b4
+           FROM (SELECT rec AS v, row_number() OVER (ORDER BY rec) AS rn
+                 FROM rfm) CROSS JOIN rk),
+    fb AS (SELECT max(CASE WHEN rn=k1 THEN v END) AS b1,
+                  max(CASE WHEN rn=k2 THEN v END) AS b2,
+                  max(CASE WHEN rn=k3 THEN v END) AS b3,
+                  max(CASE WHEN rn=k4 THEN v END) AS b4
+           FROM (SELECT freq AS v, row_number() OVER (ORDER BY freq) AS rn
+                 FROM rfm) CROSS JOIN rk),
+    mb AS (SELECT max(CASE WHEN rn=k1 THEN v END) AS b1,
+                  max(CASE WHEN rn=k2 THEN v END) AS b2,
+                  max(CASE WHEN rn=k3 THEN v END) AS b3,
+                  max(CASE WHEN rn=k4 THEN v END) AS b4
+           FROM (SELECT mon AS v, row_number() OVER (ORDER BY mon) AS rn
+                 FROM rfm) CROSS JOIN rk),
+    scored AS (
+      SELECT custkey,
+        6 - (1 + CASE WHEN rec > rb.b1 THEN 1 ELSE 0 END
+               + CASE WHEN rec > rb.b2 THEN 1 ELSE 0 END
+               + CASE WHEN rec > rb.b3 THEN 1 ELSE 0 END
+               + CASE WHEN rec > rb.b4 THEN 1 ELSE 0 END) AS r_score,
+        1 + CASE WHEN freq > fb.b1 THEN 1 ELSE 0 END
+          + CASE WHEN freq > fb.b2 THEN 1 ELSE 0 END
+          + CASE WHEN freq > fb.b3 THEN 1 ELSE 0 END
+          + CASE WHEN freq > fb.b4 THEN 1 ELSE 0 END AS f_score,
+        1 + CASE WHEN mon > mb.b1 THEN 1 ELSE 0 END
+          + CASE WHEN mon > mb.b2 THEN 1 ELSE 0 END
+          + CASE WHEN mon > mb.b3 THEN 1 ELSE 0 END
+          + CASE WHEN mon > mb.b4 THEN 1 ELSE 0 END AS m_score
+      FROM rfm CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+    )
+    SELECT custkey, r_score, f_score, m_score,
+      CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+             THEN 'champion'
+           WHEN f_score >= 4 THEN 'loyal'
+           WHEN m_score >= 4 THEN 'big_spender'
+           WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+           WHEN r_score <= 2 THEN 'hibernating'
+           ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    tags=("scale", "scoring", "segmentation"),
+    gated=False,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency/frequency/monetary quintile
+    scores (1-5) plus a fixed CASE segment label, the classic CRM
+    scoring table.
+
+    Quintiles are VALUE-bucketed exactly like decile_profile: boundary
+    b_k is the value at rank ceil(k·n/5), read off the two-level
+    cumulative value histogram (operators/skew.py), and a customer lands
+    in the smallest bucket whose boundary covers its metric — ties share
+    a bucket, the deterministic cross-engine choice; an ntile() over all
+    customers would both split ties arbitrarily AND rank a fact-
+    proportional frame under one unpartitioned window (the r9-banned
+    shape). Scale: one orders scan folds to the per-customer RFM frame
+    (one custkey exchange); each metric's histogram is distinct-value-
+    bounded; the 3×4 boundaries come back as literals (bounded collects)
+    and scoring is a codegen'd CASE over the RFM frame — nothing ever
+    sorts customers globally. Recency is measured against the corpus max
+    day (+1 so the log2 histogram sees values >= 1)."""
+    from ..operators.analytics import bucket_score, value_bucket_bounds
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    ref = o.agg(F.max("day").alias("m")).collect()[0]["m"]  # one scalar
+    rfm = o.groupBy("custkey").agg(
+        (F.datediff(F.lit(ref), F.max("day")) + 1)
+        .cast("long")
+        .alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("cents").alias("mon"),
+    ).persist()
+    rfm.count()  # one scan feeds three histograms + the scoring pass
+    rb = value_bucket_bounds(rfm, "rec", 5)
+    fb = value_bucket_bounds(rfm, "freq", 5)
+    mb = value_bucket_bounds(rfm, "mon", 5)
+    r_raw = bucket_score(F.col("rec"), rb)
+    scored = rfm.select(
+        "custkey",
+        (F.lit(6) - r_raw).cast("int").alias("r_score"),
+        bucket_score(F.col("freq"), fb).cast("int").alias("f_score"),
+        bucket_score(F.col("mon"), mb).cast("int").alias("m_score"),
+    )
+    out = scored.select(
+        "custkey",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+    # NOT collected: the result is customer-proportional, so it must
+    # stay distributed. The cache served the three histogram builds;
+    # unpersisting here means the caller's action recomputes the RFM
+    # aggregate from lineage exactly once (one more orders scan) instead
+    # of holding a fact-proportional cache past return.
+    rfm.unpersist()
+    return out
+
+
+@register(
+    "cohort_ltv",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey AS custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ), cust AS (
+      SELECT custkey, min(mon) AS c0 FROM om GROUP BY 1
+    ), coh AS (
+      SELECT c0, count(*) AS n_users FROM cust GROUP BY 1
+    ), mx AS (SELECT max(mon) AS m FROM om),
+    cells AS (
+      SELECT cust.c0,
+             CAST(date_diff('month', cust.c0, om.mon) AS BIGINT) AS off,
+             sum(om.cents) AS cents
+      FROM om JOIN cust USING (custkey) GROUP BY 1, 2
+    ), grid AS (
+      SELECT c0, unnest(generate_series(
+               0, CAST(date_diff('month', c0, (SELECT m FROM mx)) AS BIGINT)
+             )) AS off
+      FROM coh
+    ), filled AS (
+      SELECT g.c0, g.off, coalesce(cells.cents, 0) AS cents
+      FROM grid g LEFT JOIN cells ON cells.c0 = g.c0 AND cells.off = g.off
+    )
+    SELECT strftime(f.c0, '%Y-%m') AS cohort_month,
+           f.off AS month_offset,
+           coh.n_users,
+           CAST(sum(f.cents) OVER (PARTITION BY f.c0 ORDER BY f.off) AS BIGINT)
+             AS cum_cents,
+           CAST(sum(f.cents) OVER (PARTITION BY f.c0 ORDER BY f.off)
+                // coh.n_users AS BIGINT) AS ltv_cents_per_user
+    FROM filled f JOIN coh ON coh.c0 = f.c0
+    """,
+    tags=("scale", "cohort", "window"),
+    gated=False,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: customers grouped by first-order month, average
+    CUMULATIVE spend per cohort member at each month offset (the
+    user_retention count matrix with money on it — what a growth team
+    actually plots). Dead months stay in the matrix (cumulative value is
+    flat, not missing): per cohort the offset axis runs to the corpus max
+    month via sequence(), the gap-fill discipline.
+
+    Scale: one orders scan folds to per-(customer, month) cents (one
+    custkey+month exchange); cohorts and cells roll up from it; the
+    cumulative window runs over the |months|²/2-bounded (cohort, offset)
+    grid, never over customers; per-user LTV is integer cents division
+    (all values non-negative, so truncating and flooring agree across
+    engines)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("month", F.to_date("o_orderdate")).alias("mon"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    om = o.groupBy("custkey", "mon").agg(F.sum("cents").alias("cents")).persist()
+    om.count()  # one scan feeds cohorts, cells, and the max-month scalar
+    cust = om.groupBy("custkey").agg(F.min("mon").alias("c0"))
+    coh = cust.groupBy("c0").agg(F.count(F.lit(1)).alias("n_users"))
+    mx = om.agg(F.max("mon").alias("m")).collect()[0]["m"]  # one scalar
+    cells = (
+        om.join(cust, "custkey")
+        .groupBy(
+            "c0",
+            F.months_between(F.col("mon"), F.col("c0"))
+            .cast("long")
+            .alias("off"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    grid = coh.select(
+        "c0",
+        "n_users",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.months_between(F.lit(mx), F.col("c0")).cast("long"),
+            )
+        ).alias("off"),
+    )
+    filled = grid.join(cells, ["c0", "off"], "left").select(
+        "c0",
+        "off",
+        "n_users",
+        F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("c0")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = filled.select(
+        F.date_format("c0", "yyyy-MM").alias("cohort_month"),
+        F.col("off").alias("month_offset"),
+        "n_users",
+        F.sum("cents").over(w).alias("cum_cents"),
+        (F.sum("cents").over(w) / F.col("n_users"))
+        .cast("long")
+        .alias("ltv_cents_per_user"),
+    )
+    rows = out.collect()  # |months|²/2-bounded matrix; frees the cache
+    om.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.n_name,
+             CAST(floor(CAST((b.y - a.y) AS DOUBLE) * 1000000.0
+                  / CAST(date_diff('day', a.day, b.day) AS DOUBLE))
+                  AS BIGINT) AS slope6,
+             a.day AS d1, b.day AS d2
+      FROM daily a JOIN daily b
+        ON a.n_name = b.n_name AND a.day < b.day
+    ), ranked AS (
+      SELECT n_name, slope6,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY slope6, d1, d2) AS rn,
+             count(*) OVER (PARTITION BY n_name) AS m
+      FROM slopes
+    )
+    SELECT n_name, CAST(m AS BIGINT) AS n_pairs,
+           slope6 AS median_slope6
+    FROM ranked WHERE rn = (m + 1) // 2
+    """,
+    tags=("scale", "regression", "robust"),
+    gated=False,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation: the MEDIAN of all pairwise
+    slopes of the daily-revenue series — the outlier-proof complement to
+    revenue_trend's least-squares slope (one corrupted day moves OLS
+    arbitrarily, Theil-Sen needs 29% contamination).
+
+    Scale: the fact table folds to the |nations|×|days|-bounded daily
+    frame first (one exchange); the pairwise self-join is quadratic only
+    in DAYS PER NATION, never in order count, and the rank window that
+    picks the lower median partitions by nation over that bounded pair
+    frame. Slopes are floor((Δy·1e6)/Δdays) — correctly-rounded double
+    steps shared with the oracle, floor toward −∞ agreeing on negative
+    slopes; the median rank orders (slope6, d1, d2), a total order."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(scaled_dim(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name", "day")
+        .agg(F.sum("cents").alias("y"))
+        .persist()
+    )
+    daily.count()  # materialize before the two-sided self-join
+    a = daily.select("n_name", F.col("day").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("n_name", F.col("day").alias("d2"), F.col("y").alias("y2"))
+    slopes = (
+        a.join(b, "n_name")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "n_name",
+            "d1",
+            "d2",
+            F.floor(
+                (F.col("y2") - F.col("y1")).cast("double")
+                * F.lit(1000000.0)
+                / F.datediff("d2", "d1").cast("double")
+            )
+            .cast("long")
+            .alias("slope6"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("n_name").orderBy("slope6", "d1", "d2")
+    wc = Window.partitionBy("n_name")
+    ranked = slopes.select(
+        "n_name",
+        "slope6",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    )
+    out = ranked.filter(
+        F.col("rn") == F.floor((F.col("m") + 1) / 2)
+    ).select(
+        "n_name",
+        F.col("m").alias("n_pairs"),
+        F.col("slope6").alias("median_slope6"),
+    )
+    rows = out.collect()  # |nations| rows; frees the daily cache
+    daily.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
+# First-digit Benford expectation, ppm: round(log10(1 + 1/d) * 1e6).
+# Literal table (sums to exactly 1,000,000) so neither engine evaluates
+# a transcendental at query time — the ln()-portability discipline.
+_BENFORD_PPM = (
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+)
+
+
+@register(
+    "benford_check",
+    oracle="""
+    WITH e(digit, expected_ppm) AS (VALUES
+      (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+      (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+    ), d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+    ), c AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY 1
+    ), t AS (SELECT sum(n) AS total FROM c)
+    SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(c.n, 0) * 1000000 // t.total AS BIGINT)
+             AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(coalesce(c.n, 0) * 1000000 // t.total
+                - e.expected_ppm AS BIGINT) AS dev_ppm
+    FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t
+    """,
+    tags=("scale", "quality", "audit"),
+    gated=False,
+)
+def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the classic
+    fraud/synthetic-data screen (organically-grown magnitudes put ~30.1%
+    of leading digits at 1; fabricated or truncated data doesn't).
+
+    The expected distribution is a 9-row LITERAL ppm table (no log10 at
+    query time on either engine); observed shares are exact integer
+    counts folded in one scan + one 9-row aggregate, compared in integral
+    ppm (floor division — counts are non-negative, so truncation and
+    floor agree). All nine digits report even at zero count."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n")).persist()
+    total = c.agg(F.sum("n").alias("t")).collect()[0]["t"]
+    e = spark.createDataFrame(
+        list(_BENFORD_PPM), "digit int, expected_ppm long"
+    )
+    out = (
+        e.join(c, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.expr(f"coalesce(n, 0) * 1000000L div {total}").alias(
+                "observed_ppm"
+            ),
+            "expected_ppm",
+            (
+                F.expr(f"coalesce(n, 0) * 1000000L div {total}")
+                - F.col("expected_ppm")
+            ).alias("dev_ppm"),
+        )
+    )
+    rows = out.collect()  # 9 rows; frees the digit-count cache
+    c.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "fd_check",
+    oracle="""
+    WITH a AS (
+      SELECT 'orders: o_custkey -> o_orderpriority' AS fd,
+             count(*) AS n_keys,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY 1)
+    ), b AS (
+      SELECT 'lineitem: l_orderkey -> l_suppkey' AS fd,
+             count(*) AS n_keys,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating
+      FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nd
+            FROM lineitem GROUP BY 1)
+    ), c AS (
+      SELECT 'part: p_brand -> p_type' AS fd,
+             count(*) AS n_keys,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating
+      FROM (SELECT p_brand, count(DISTINCT p_type) AS nd
+            FROM part GROUP BY 1)
+    ), d AS (
+      SELECT 'customer: c_custkey -> c_mktsegment' AS fd,
+             count(*) AS n_keys,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating
+      FROM (SELECT c_custkey, count(DISTINCT c_mktsegment) AS nd
+            FROM customer GROUP BY 1)
+    ), u AS (
+      SELECT * FROM a UNION ALL SELECT * FROM b
+      UNION ALL SELECT * FROM c UNION ALL SELECT * FROM d
+    )
+    SELECT fd, CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_violating AS BIGINT) AS n_violating,
+           CAST(n_violating * 1000000 // n_keys AS BIGINT)
+             AS violation_ppm,
+           n_violating = 0 AS holds
+    FROM u
+    """,
+    tags=("scale", "quality", "audit"),
+    gated=False,
+)
+def fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-functional-dependency audit: for each CANDIDATE rule
+    'lhs determines rhs' across the star schema, the number of lhs keys
+    whose rhs is not constant — the profiling step schema-inference and
+    data-contract tools run before declaring a dependency (fk_orphans
+    checks declared keys; this checks conjectured ones; expectations_
+    check checks row predicates).
+
+    One groupBy(lhs) count-distinct per candidate (partial-aggregated,
+    one exchange on the lhs key each), folded to a single audit row per
+    rule — output is |rules| rows at ANY scale. A true FD (the customer
+    PK rule) reports holds=true; the deliberately-false conjectures
+    quantify their violation rate in exact integer ppm."""
+
+    def audit(fd: str, df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+        per = df.groupBy(lhs).agg(F.count_distinct(F.col(rhs)).alias("nd"))
+        return per.agg(
+            F.lit(fd).alias("fd"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_violating"),
+        )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cu = load_table(spark, sf_dir, "customer")
+    u = (
+        audit("orders: o_custkey -> o_orderpriority", o,
+              "o_custkey", "o_orderpriority")
+        .unionByName(audit("lineitem: l_orderkey -> l_suppkey", li,
+                           "l_orderkey", "l_suppkey"))
+        .unionByName(audit("part: p_brand -> p_type", p,
+                           "p_brand", "p_type"))
+        .unionByName(audit("customer: c_custkey -> c_mktsegment", cu,
+                           "c_custkey", "c_mktsegment"))
+    )
+    return u.select(
+        "fd",
+        "n_keys",
+        "n_violating",
+        F.expr("n_violating * 1000000L div n_keys").alias("violation_ppm"),
+        (F.col("n_violating") == 0).alias("holds"),
+    )

@@ -1344,3 +1344,54 @@ def user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "duration_days long, n_risk long, n_events long, surv6 long"
     )
+
+
+@register(
+    "user_diversity",
+    oracle="""
+    WITH ct AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), per AS (
+      SELECT user_id, sum(c) AS n, count(*) AS n_types,
+             sum(c * c) AS sumc2
+      FROM ct GROUP BY 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST((n * n - sumc2) * 1000000 // (n * n) AS BIGINT)
+             AS simpson_ppm
+    FROM per
+    """,
+    tags=("temporal", "diversity", "profile"),
+    gated=False,
+)
+def user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: the Simpson diversity index
+    1 − Σp² over the user's event-type mix, in EXACT integral ppm —
+    (n² − Σc²)·10⁶ div n² is pure integer arithmetic, so unlike Shannon
+    entropy it carries a full cross-engine oracle with no ln() anywhere
+    (0 = one-note user, → 1 = uniform across types).
+
+    Scale: one events scan → (user, type) partial-aggregated counts →
+    per-user fold; both exchanges on the user key, result stays
+    distributed (user-proportional). n·n·10⁶ stays inside BIGINT up to
+    ~3M events per user; past that the cast discipline is DECIMAL(38,0)
+    (value_outliers' moments) — not needed at any bench SF."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ct = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = ct.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sumc2"),
+    )
+    return per.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        F.expr("(n * n - sumc2) * 1000000L div (n * n)").alias(
+            "simpson_ppm"
+        ),
+    )

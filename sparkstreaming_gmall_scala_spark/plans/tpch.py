@@ -1221,3 +1221,111 @@ def brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()  # |brands|²-bounded; frees the projection cache
     ob.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "assoc_rules",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+    f AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+    pairs AS (
+      SELECT a.b AS antecedent, c.b AS consequent, count(*) AS n_both
+      FROM ob a JOIN ob c ON a.o = c.o AND a.b <> c.b
+      GROUP BY 1, 2
+    )
+    SELECT antecedent, consequent, n_both,
+           CAST(n_both * 1000000 // fa.nb AS BIGINT) AS confidence_ppm,
+           CAST(n_both * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+           CAST(floor(CAST(n_both AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                / (CAST(fa.nb AS DOUBLE) * CAST(fb.nb AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) AS lift_ppm,
+           (n_both * 1000000 // fa.nb >= 250000
+            AND CAST(floor(CAST(n_both AS DOUBLE)
+                     * CAST(n.n_orders AS DOUBLE)
+                / (CAST(fa.nb AS DOUBLE) * CAST(fb.nb AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) > 1000000) AS actionable
+    FROM pairs
+    CROSS JOIN n
+    JOIN f fa ON fa.b = antecedent
+    JOIN f fb ON fb.b = consequent
+    """,
+    tags=("tpch", "affinity", "rules"),
+    gated=False,
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over the market baskets: for every
+    ordered brand pair a→b, support (share of all baskets holding both),
+    confidence (share of a-baskets also holding b — the cross-sell
+    trigger probability) and lift, plus the classic actionability cut
+    (confidence ≥ 25% AND lift > 1). brand_affinity gives the symmetric
+    matrix; rules are what a recommender actually serves, and confidence
+    is direction-dependent (a→b ≠ b→a whenever freq(a) ≠ freq(b)).
+
+    Same scale bound as brand_affinity: the fact table collapses to the
+    distinct (order, brand) projection, the self-join is quadratic only
+    in basket width, counts broadcast back; confidence/support are exact
+    integer ppm (floor div over non-negative counts), lift shares the
+    one IEEE double tree with the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(scaled_dim(pa), li["l_partkey"] == pa["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    n_orders = ob.select("o").distinct().count()
+    freq = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a = ob.select("o", F.col("b").alias("antecedent"))
+    c = ob.select("o", F.col("b").alias("consequent"))
+    pairs = (
+        a.join(c, "o")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    lift = F.floor(
+        F.col("n_both").cast("double")
+        * F.lit(float(n_orders))
+        / (F.col("na").cast("double") * F.col("nc").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    conf = F.expr("n_both * 1000000L div na")
+    out = (
+        pairs.join(
+            F.broadcast(
+                freq.withColumnRenamed("b", "antecedent")
+                .withColumnRenamed("nb", "na")
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                freq.withColumnRenamed("b", "consequent")
+                .withColumnRenamed("nb", "nc")
+            ),
+            "consequent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            conf.alias("confidence_ppm"),
+            F.expr(f"n_both * 1000000L div {n_orders}").alias(
+                "support_ppm"
+            ),
+            lift.alias("lift_ppm"),
+            ((conf >= 250000) & (lift > 1000000)).alias("actionable"),
+        )
+    )
+    rows = out.collect()  # |brands|²-bounded; frees the projection cache
+    ob.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
