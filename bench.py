@@ -295,6 +295,20 @@ HEADLINE = (
     # added r11: streaming market-basket twin (3-batch ingest through the
     # carry-based counter indexes + live fold — build-inclusive by design)
     "brand_affinity_stream",
+    # added r11: CRM/cohort analytics, robust trend, quality audits,
+    # behavioral profiles, concentration, corpus-geometry diagnostics
+    "rfm_segments",
+    "cohort_ltv",
+    "theil_sen_trend",
+    "benford_check",
+    "fd_check",
+    "assoc_rules",
+    "user_diversity",
+    "user_burstiness",
+    "seasonal_outliers",
+    "hhi_concentration",
+    "domain_unigram_cosine",
+    "ngram_novelty",
 )
 
 

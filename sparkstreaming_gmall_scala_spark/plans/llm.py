@@ -3653,3 +3653,165 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()  # |langs|²-bounded; frees the cells cache
     cells.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "domain_unigram_cosine",
+    oracle=f"""
+    WITH tw AS (
+      SELECT source, unnest({_TOKENS}) AS w FROM documents
+    ), c AS (
+      SELECT source, w, count(*) AS c FROM tw GROUP BY 1, 2
+    ), nrm AS (
+      SELECT source, sum(c * c) AS s2 FROM c GROUP BY 1
+    ), dots AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             sum(a.c * b.c) AS dot
+      FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(dot AS BIGINT) AS dot,
+           CAST(floor(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE)))
+                * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+    FROM dots
+    JOIN nrm na ON na.source = source_a
+    JOIN nrm nb ON nb.source = source_b
+    """,
+    tags=("llm", "mixing", "similarity"),
+    gated=False,
+)
+def domain_unigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between the SOURCES' unigram count
+    vectors — the data-mixing diagnostic that tells a curation pipeline
+    which domains are near-duplicates of each other in vocabulary terms
+    (merge candidates) and which add coverage, before any weights are
+    picked (domain_mix sets the proportions; this checks the geometry).
+
+    Scale: one token scan folds to (source, w) counts; the dot products
+    are a vocabulary-keyed self-join of that dimension×vocab aggregate
+    (never the corpus) and collapse to a |sources|²-bounded matrix; the
+    norms are one more |sources|-row fold. Exact integer dots/norms²
+    feed one IEEE tree (sqrt/division are correctly rounded, so both
+    engines agree bit-for-bit — the ln-free discipline)."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    c = (
+        d.select("source", F.explode(toks).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    c.count()  # one token scan feeds dots AND norms
+    nrm = c.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("s2")
+    )
+    a = c.select(F.col("source").alias("source_a"), "w", F.col("c").alias("ca"))
+    b = c.select(F.col("source").alias("source_b"), "w", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    out = (
+        dots.join(
+            F.broadcast(
+                nrm.withColumnRenamed("source", "source_a")
+                .withColumnRenamed("s2", "sa2")
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                nrm.withColumnRenamed("source", "source_b")
+                .withColumnRenamed("s2", "sb2")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            F.floor(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("sa2").cast("double"))
+                    * F.sqrt(F.col("sb2").cast("double"))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+    )
+    rows = out.collect()  # |sources|²-bounded; frees the count cache
+    c.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH ds AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle
+      FROM documents
+    ), df AS (
+      SELECT shingle, count(*) AS df FROM ds GROUP BY 1
+    )
+    SELECT ds.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS novelty_ppm
+    FROM ds JOIN df USING (shingle)
+    GROUP BY ds.doc_id
+    """,
+    tags=("llm", "dedup", "quality"),
+    gated=False,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    3-shingles that appear in NO other document — the continuous
+    uniqueness signal under the dedup family (exact dedup kills copies,
+    MinHash kills near-copies; novelty RANKS everything in between, and
+    low-novelty docs are the memorization risk a training-data pipeline
+    downweights).
+
+    Scale: the corpus shingles once (the dedup family's shared
+    projection), document frequency rolls up from that SAME distinct
+    (doc, shingle) aggregate, and the doc rollup joins the two on the
+    shingle key — every shuffle is on shingle or doc, no all-pairs
+    anything. Exact integer ppm (counts non-negative → floor = truncate
+    on both engines); docs whose every shingle repeats elsewhere report
+    0, fully-novel docs 1000000."""
+    from ..operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    ds = shingle_rows(d, "doc_id", "text", n=3).persist()
+    ds.count()  # one shingle projection feeds df AND the doc rollup
+    dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    out = (
+        ds.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.expr("n_unique * 1000000L div n_shingles").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+    # doc-proportional result: stays distributed; unpersisting lets the
+    # caller's action recompute the shingle lineage once (one scan)
+    ds.unpersist()
+    return out

@@ -2150,3 +2150,159 @@ def fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_violating * 1000000L div n_keys").alias("violation_ppm"),
         (F.col("n_violating") == 0).alias("holds"),
     )
+
+
+@register(
+    "hhi_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT n.n_name, o.o_custkey,
+             sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT n_name, count(*) AS n_customers, sum(v) AS tot,
+             sum(CAST(v AS HUGEINT) * v) AS sumsq
+      FROM cust GROUP BY 1
+    )
+    SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(tot AS BIGINT) AS revenue_cents,
+           CAST(sumsq * 1000000 // (CAST(tot AS HUGEINT) * tot) AS BIGINT)
+             AS hhi_ppm,
+           CAST(1000000 // n_customers AS BIGINT) AS uniform_hhi_ppm
+    FROM per
+    """,
+    tags=("scale", "concentration", "audit"),
+    gated=False,
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per nation: Σ share²
+    over the nation's customers, in EXACT integral ppm — Σv²·10⁶ div
+    (Σv)² is pure integer arithmetic over DECIMAL(38,0)/HUGEINT moments
+    (cents² at 100 TB pass BIGINT), so unlike the usual percentage-share
+    HHI it carries a bit-exact cross-engine oracle. 10⁶/n is the
+    uniform-market floor printed next to it: hhi >> floor means a few
+    whale customers carry the nation (revenue_gini ranks inequality;
+    HHI is the antitrust-style index over the same folds).
+
+    Scale: one orders scan folds to per-(nation, customer) cents (one
+    custkey exchange), then a |nations|-row moment fold; nothing ranks
+    or sorts customers."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.join(scaled_dim(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name", "o_custkey")
+        .agg(F.sum("cents").alias("v"))
+    )
+    per = cust.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("v").alias("tot"),
+        F.sum(
+            (F.col("v").cast("decimal(38,0)") * F.col("v")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sumsq"),
+    )
+    return per.select(
+        "n_name",
+        "n_customers",
+        F.col("tot").alias("revenue_cents"),
+        (
+            (F.col("sumsq") * F.lit(1000000))
+            / (F.col("tot").cast("decimal(38,0)") * F.col("tot"))
+        )
+        .cast("long")
+        .alias("hhi_ppm"),
+        F.expr("1000000L div n_customers").alias("uniform_hhi_ppm"),
+    )
+
+
+@register(
+    "seasonal_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s1,
+             sum(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2))) AS s2
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS INTEGER) AS hr,
+           CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+           floor(((CAST(e.value AS DOUBLE)
+                   - CAST(m.s1 AS DOUBLE) / m.n)
+                  / sqrt((CAST(m.s2 AS DOUBLE)
+                          - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n)
+                         / (m.n - 1))) * 1000000 + 0.5) / 1000000 AS zscore
+    FROM events e JOIN m ON e.event_type = m.event_type
+                        AND CAST(hour(e.ts) AS INTEGER) = m.hr
+    WHERE m.n > 1
+      AND CAST(m.s2 AS DOUBLE)
+          - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n > 0
+      AND abs((CAST(e.value AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
+              / sqrt((CAST(m.s2 AS DOUBLE)
+                      - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n)
+                     / (m.n - 1))) > 3.0
+    """,
+    tags=("scale", "stats", "seasonal", "quality"),
+    gated=False,
+)
+def seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outliers against a SEASONAL baseline — each event scored
+    vs its own (event_type, hour-of-day) stratum, so a value that is
+    normal at the daily peak but anomalous at 4am flags (value_outliers'
+    flat per-type baseline can't see it; this is the calendar-aware
+    anomaly screen monitoring pipelines actually run).
+
+    Same determinism discipline as value_outliers: exact DECIMAL moments
+    per stratum (|types|×24 rows, broadcast back), one fixed double tree
+    for the z-score, 6-dp-floored; degenerate strata emit nothing. Two
+    scans total — one builds the strata moments, one applies them; UTC
+    session timezone keeps hour() identical across engines."""
+    e = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    m = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var = (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value").cast("double") - s1d / F.col("n")) / F.sqrt(var)
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.hour("ts").cast("int").alias("hr"),
+            "value",
+            "ts",
+        )
+        .join(F.broadcast(m), ["event_type", "hr"])
+        .filter(
+            (F.col("n") > 1)
+            & (s2d - s1d * s1d / F.col("n") > 0)
+            & (F.abs(z) > 3.0)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            vdec.cast("double").alias("value"),
+            (F.floor(z * 1000000 + 0.5) / 1000000).alias("zscore"),
+        )
+    )

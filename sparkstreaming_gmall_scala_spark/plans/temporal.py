@@ -1395,3 +1395,90 @@ def user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simpson_ppm"
         ),
     )
+
+
+@register(
+    "user_burstiness",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    ), gaps AS (
+      SELECT user_id, nxt - t AS g FROM seq WHERE nxt IS NOT NULL
+    ), per AS (
+      SELECT user_id, count(*) AS n, sum(g) AS s1,
+             sum(CAST(g AS HUGEINT) * g) AS s2
+      FROM gaps GROUP BY 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           CAST(s1 // n AS BIGINT) AS mean_gap_us,
+           CAST(floor(
+             (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE))
+              - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                      * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n - 1 AS DOUBLE))
+                + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS burstiness_ppm
+    FROM per
+    WHERE n >= 2
+      AND CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+          / CAST(n AS DOUBLE) > 0
+    """,
+    tags=("temporal", "profile", "dispersion"),
+    gated=False,
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per user: B = (σ−μ)/(σ+μ) over the user's
+    inter-event gaps (Goh & Barabási) — −1 = metronome, 0 = Poisson,
+    → 1 = bursty; the behavioral-timing profile bot-detection and
+    engagement models consume next to user_diversity's type mix.
+
+    Scale: one events scan, one user-keyed window for the gaps, one
+    user-keyed fold for the EXACT integer moments (gap micros: s1, s2
+    inside BIGINT up to ~30-year spans); one shared IEEE tree turns them
+    into B (sqrt/division correctly rounded — cross-engine equal, the
+    Welch-t discipline). Users need ≥2 gaps with nonzero variance (a
+    2-event user has one gap, σ undefined); result stays distributed
+    (user-proportional)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = (
+        ev.select("user_id", (F.lead("t").over(w) - F.col("t")).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    per = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s1"),
+        # gap micros square past BIGINT (a 3-day gap² ~ 7e22): exact
+        # DECIMAL(38,0) moments, the value_outliers discipline (HUGEINT
+        # on the oracle side)
+        F.sum(
+            (F.col("g").cast("decimal(38,0)") * F.col("g")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    mu = s1d / nd
+    var = (s2d - s1d * s1d / nd) / (nd - F.lit(1.0))
+    sig = F.sqrt(var)
+    return per.filter(
+        (F.col("n") >= 2) & (s2d - s1d * s1d / nd > 0)
+    ).select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.expr("s1 div n").alias("mean_gap_us"),
+        F.floor((sig - mu) / (sig + mu) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("burstiness_ppm"),
+    )

@@ -315,7 +315,27 @@ def test_gate_budget(registry):
         "revenue_ewma",
         # round-11 streaming market-basket twin (carry counter indexes)
         "brand_affinity_stream",
-    )
+            # round-11 CRM scoring + cohort economics
+        "rfm_segments",
+        "cohort_ltv",
+        # round-11 robust regression (median pairwise slope)
+        "theil_sen_trend",
+        # round-11 data-quality audits (first-digit law, conjectured FDs)
+        "benford_check",
+        "fd_check",
+        # round-11 directional association rules over the baskets
+        "assoc_rules",
+        # round-11 behavioral profiles (Simpson diversity, Goh-Barabasi
+        # burstiness) and the seasonal-baseline anomaly screen
+        "user_diversity",
+        "user_burstiness",
+        "seasonal_outliers",
+        # round-11 revenue concentration (HHI next to Gini)
+        "hhi_concentration",
+        # round-11 corpus geometry + novelty (data-mixing diagnostics)
+        "domain_unigram_cosine",
+        "ngram_novelty",
+)
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
     for n in POOL:
