@@ -134,6 +134,34 @@ ITERATIVE = {
     "(collect + createDataFrame frees the as-of join cache); real shape "
     "is 1 events scan split into clicks/orders + the union-and-carry "
     "as-of join (1 user exchange) + the bounded band aggregate",
+    "assoc_rules": "zero counts are the 2·|brands|²-row rule-matrix "
+    "materialization (collect + createDataFrame frees the distinct "
+    "(order, brand) projection — the brand_affinity discipline); real "
+    "shape is 1 lineitem scan + the order-keyed self-join (quadratic "
+    "only in basket width) + two broadcast frequency joins",
+    "benford_check": "zero counts are the 9-row digit-audit "
+    "materialization (collect frees the digit-count cache); real shape "
+    "is 1 orders scan + one 9-row digit aggregate + the literal "
+    "expected-ppm join",
+    "cohort_ltv": "zero counts are the |months|²/2-row matrix "
+    "materialization (collect + createDataFrame frees the per-"
+    "(customer, month) cache); real shape is 1 orders scan + 1 "
+    "(custkey, month) exchange + the gap-filled grid's cumulative "
+    "window over the months²-bounded frame",
+    "domain_unigram_cosine": "zero counts are the |sources|²-row "
+    "materialization (collect frees the (source, word) count cache); "
+    "real shape is 1 documents token scan + the vocabulary-keyed "
+    "self-join of that aggregate + two broadcast norm joins",
+    "theil_sen_trend": "zero counts are the |nations|-row "
+    "materialization (collect frees the daily cache); real shape is 1 "
+    "orders scan + 1 (nation, day) exchange + the days-per-nation-"
+    "quadratic pair join + the nation-partitioned median rank window "
+    "over the bounded pair frame",
+    "rfm_segments": "the flat row is real but build-time work is "
+    "hidden: the 3×4 quintile boundaries come from three value-"
+    "histogram folds off the cached RFM aggregate (two-level prefix, "
+    "bounded collects) before the returned scoring pass recomputes the "
+    "per-customer aggregate once",
     "brand_affinity_stream": "zero counts are the |brands|²-row "
     "materialization after the /tmp 3-batch ingest (the cdc_refresh_"
     "totals discipline); real shape per batch is 1 anti-join against "
