@@ -309,6 +309,11 @@ HEADLINE = (
     "hhi_concentration",
     "domain_unigram_cosine",
     "ngram_novelty",
+    # added r11: exact two-sample KS, Kendall tau-b, runs test, DOW ANOVA
+    "ks_spend_by_status",
+    "kendall_tau_daily",
+    "revenue_runs_test",
+    "dow_anova",
 )
 
 

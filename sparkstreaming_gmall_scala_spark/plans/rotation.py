@@ -285,6 +285,12 @@ POOL: tuple[str, ...] = (
     # round-11 corpus geometry + novelty (data-mixing diagnostics)
     "domain_unigram_cosine",
     "ngram_novelty",
+    # round-11 statistical-test family: exact two-sample KS, Kendall
+    # tau-b, Wald-Wolfowitz runs, day-of-week ANOVA
+    "ks_spend_by_status",
+    "kendall_tau_daily",
+    "revenue_runs_test",
+    "dow_anova",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -2306,3 +2306,405 @@ def seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(z * 1000000 + 0.5) / 1000000).alias("zscore"),
         )
     )
+
+
+@register(
+    "ks_spend_by_status",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS s,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS c2
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+    ), cum AS (
+      SELECT s,
+             sum(c1) OVER (ORDER BY s) AS cum1,
+             sum(c2) OVER (ORDER BY s) AS cum2
+      FROM v
+    ), nn AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2 FROM v
+    ), d AS (
+      SELECT max(abs(cum1 * (SELECT n2 FROM nn)
+                     - cum2 * (SELECT n1 FROM nn))) AS d_num
+      FROM cum
+    )
+    SELECT CAST(nn.n1 AS BIGINT) AS n1, CAST(nn.n2 AS BIGINT) AS n2,
+           CAST(d.d_num AS BIGINT) AS d_num,
+           CAST(d.d_num * 1000000 // (nn.n1 * nn.n2) AS BIGINT) AS d_ppm,
+           CAST(d.d_num AS DOUBLE) / (CAST(nn.n1 AS DOUBLE)
+                                      * CAST(nn.n2 AS DOUBLE))
+             > 1.358 * sqrt((CAST(nn.n1 AS DOUBLE) + CAST(nn.n2 AS DOUBLE))
+                            / (CAST(nn.n1 AS DOUBLE)
+                               * CAST(nn.n2 AS DOUBLE)))
+             AS reject_05
+    FROM d CROSS JOIN nn
+    """,
+    tags=("scale", "stats", "test"),
+    gated=False,
+)
+def ks_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the order-value
+    distributions of fulfilled ('F') vs open ('O') orders — the
+    distribution-shift detector (did a release change the money mix?)
+    next to welch_t's mean test and ks is assumption-free.
+
+    Fully EXACT until the final ppm: the KS statistic sup|F1−F2| is
+    maximized as max|cum1·n2 − cum2·n1| over the merged value histogram —
+    integer cross-multiplication instead of comparing floating CDFs, so
+    the argmax can never flip on rounding. Cumulatives run the two-level
+    log2-bucket prefix (operators/skew.py) over the distinct-cents
+    histogram — no unpartitioned window ever touches a fact-sized frame;
+    the α=0.05 rejection line (1.358·√((n1+n2)/n1n2)) is the one double
+    tree, shared with the oracle."""
+    from ..operators.skew import size_histogram_cum
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    v = (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("s"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("is1"),
+            (F.col("o_orderstatus") == "O").cast("long").alias("is2"),
+        )
+        .groupBy("s")
+        .agg(F.sum("is1").alias("c1"), F.sum("is2").alias("c2"))
+        .persist()
+    )
+    v.count()  # one histogram feeds both cumulative walks + the totals
+    cum1 = size_histogram_cum(v.select("s", F.col("c1").alias("cnt"))).select(
+        "s", F.col("cum").alias("cum1")
+    )
+    cum2 = size_histogram_cum(v.select("s", F.col("c2").alias("cnt"))).select(
+        "s", F.col("cum").alias("cum2")
+    )
+    nn = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
+    n1, n2 = int(nn["n1"]), int(nn["n2"])
+    d_num = (
+        cum1.join(cum2, "s")
+        .agg(
+            F.max(
+                F.abs(F.col("cum1") * F.lit(n2) - F.col("cum2") * F.lit(n1))
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    v.unpersist()
+    reject = float(d_num) / (float(n1) * float(n2)) > 1.358 * (
+        (float(n1) + float(n2)) / (float(n1) * float(n2))
+    ) ** 0.5
+    return spark.createDataFrame(
+        [(n1, n2, int(d_num), d_num * 1000000 // (n1 * n2), bool(reject))],
+        "n1 long, n2 long, d_num long, d_ppm long, reject_05 boolean",
+    )
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS x,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                      THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                      THEN 1 ELSE 0 END) AS d,
+             count(*) AS t0
+      FROM daily a JOIN daily b ON a.d < b.d
+    ), tx AS (
+      SELECT sum(t * (t - 1) // 2) AS t1
+      FROM (SELECT count(*) AS t FROM daily GROUP BY x)
+    ), ty AS (
+      SELECT sum(t * (t - 1) // 2) AS t2
+      FROM (SELECT count(*) AS t FROM daily GROUP BY y)
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           CAST(floor(CAST(c - d AS DOUBLE)
+                / sqrt(CAST(t0 - tx.t1 AS DOUBLE)
+                       * CAST(t0 - ty.t2 AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) AS tau_b_ppm
+    FROM pairs CROSS JOIN tx CROSS JOIN ty
+    """,
+    tags=("scale", "stats", "correlation"),
+    gated=False,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between daily order COUNT and daily revenue — the
+    rank-concordance correlation that, unlike Spearman's average ranks,
+    is a plain count of agreeing vs disagreeing day pairs: EXACT
+    integers up to the final normalization (spend_orders_spearman and
+    this triangulate the same monotone-association question two ways).
+
+    Scale: the fact table folds to the calendar-bounded daily frame
+    first; the pair join is quadratic in DAYS (calendar-bounded, never
+    fact-bounded); concordant/discordant/tie counts are exact integer
+    aggregates, and the τ-b denominator √((T0−Tx)(T0−Ty)) is the one
+    shared double tree."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        o.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("x"), F.sum("cents").alias("y"))
+        .persist()
+    )
+    n_days = daily.count()  # materialize before the three-consumer fan-out
+    a = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    prod = (F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2"))
+    pr = (
+        a.crossJoin(b)
+        .filter(F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum((prod > 0).cast("long")).alias("c"),
+            F.sum((prod < 0).cast("long")).alias("d"),
+            F.count(F.lit(1)).alias("t0"),
+        )
+        .collect()[0]
+    )
+    t1 = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("t1"))
+        .collect()[0]["t1"]
+    )
+    t2 = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("t2"))
+        .collect()[0]["t2"]
+    )
+    daily.unpersist()
+    import math
+
+    c, dd, t0 = int(pr["c"]), int(pr["d"]), int(pr["t0"])
+    tau6 = math.floor(
+        float(c - dd)
+        / math.sqrt(float(t0 - t1) * float(t0 - t2))
+        * 1000000.0
+        + 0.5
+    )
+    return spark.createDataFrame(
+        [(n_days, c, dd, tau6)],
+        "n_days long, concordant long, discordant long, tau_b_ppm long",
+    )
+
+
+@register(
+    "revenue_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ), nn AS (SELECT count(*) AS n FROM daily),
+    med AS (
+      SELECT y AS m
+      FROM (SELECT y, row_number() OVER (ORDER BY y) AS rn FROM daily)
+      CROSS JOIN nn WHERE rn = (n + 1) // 2
+    ), signs AS (
+      SELECT d, CASE WHEN y > (SELECT m FROM med) THEN 1 ELSE -1 END AS sg
+      FROM daily WHERE y <> (SELECT m FROM med)
+    ), runs AS (
+      SELECT sum(CASE WHEN prev IS NULL OR sg <> prev THEN 1 ELSE 0 END)
+               AS r,
+             sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS n2
+      FROM (SELECT sg, lag(sg) OVER (ORDER BY d) AS prev FROM signs)
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           CAST(floor((CAST(r AS DOUBLE)
+                 - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                       / ((CAST(n1 + n2 AS DOUBLE))
+                          * (n1 + n2) * (n1 + n2 - 1)))
+                * 1000000.0 + 0.5) AS BIGINT) AS z_ppm
+    FROM runs
+    """,
+    tags=("scale", "stats", "test"),
+    gated=False,
+)
+def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily revenue: are above/below-median
+    days serially random, or do they clump (momentum/regime) or
+    alternate (overcorrection)? The serial-randomness audit next to
+    revenue_changepoint's single-break CUSUM — a market with clean CUSUM
+    can still fail runs.
+
+    Scale: the fact table folds to the calendar-bounded daily frame; the
+    exact lower median reads off the value histogram (value_bucket_
+    bounds, two-level prefix — no global sort); the run count is a
+    sequential fold over the COLLECTED day-ordered sign series (calendar-
+    bounded, the EWMA/KM driver-fold discipline) and the z-statistic is
+    one shared double tree over exact integer counts."""
+    from ..operators.analytics import value_bucket_bounds
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        o.groupBy("d").agg(F.sum("cents").alias("y")).persist()
+    )
+    daily.count()
+    med = value_bucket_bounds(daily, "y", 2)[0]  # value at rank ceil(n/2)
+    signs = (
+        daily.filter(F.col("y") != med)
+        .select("d", F.when(F.col("y") > med, 1).otherwise(-1).alias("sg"))
+        .orderBy("d")
+        .collect()  # calendar-bounded series; the EWMA fold discipline
+    )
+    daily.unpersist()
+    r, n1, n2, prev = 0, 0, 0, None
+    for row in signs:
+        if row["sg"] != prev:
+            r += 1
+        prev = row["sg"]
+        if row["sg"] == 1:
+            n1 += 1
+        else:
+            n2 += 1
+    import math
+
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (float(n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z6 = math.floor((float(r) - mu) / math.sqrt(var) * 1000000.0 + 0.5)
+    return spark.createDataFrame(
+        [(n1, n2, r, z6)],
+        "n_above long, n_below long, n_runs long, z_ppm long",
+    )
+
+
+def _dow_anova_sql() -> str:
+    """Generate the fixed-association ANOVA oracle: per-DOW moments as
+    EXACT integers pivoted to one row, then an EXPLICIT left-to-right
+    double tree (a bare SUM over doubles would associate in engine-
+    specific order — the welch_t two-group discipline, generated for
+    k=7)."""
+    cols = ", ".join(
+        f"sum(CASE WHEN dw = {d} THEN 1 ELSE 0 END) AS n{d}, "
+        f"sum(CASE WHEN dw = {d} THEN y ELSE 0 END) AS s{d}, "
+        f"sum(CASE WHEN dw = {d} THEN CAST(y AS HUGEINT) * y ELSE 0 END)"
+        f" AS q{d}"
+        for d in range(7)
+    )
+    term = lambda d: (  # noqa: E731
+        f"(CAST(q{d} AS DOUBLE) - CAST(s{d} AS DOUBLE)"
+        f" * CAST(s{d} AS DOUBLE) / CAST(n{d} AS DOUBLE))"
+    )
+    ssw = term(0)
+    for d in range(1, 7):
+        ssw = f"({ssw} + {term(d)})"
+    n_sum = " + ".join(f"n{d}" for d in range(7))
+    s_sum = " + ".join(f"s{d}" for d in range(7))
+    q_sum = " + ".join(f"q{d}" for d in range(7))
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dw,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      FROM orders GROUP BY 1, 2
+    ), piv AS (
+      SELECT {cols} FROM daily
+    ), calc AS (
+      SELECT CAST({n_sum} AS BIGINT) AS n,
+             CAST({s_sum} AS HUGEINT) AS s,
+             CAST({q_sum} AS HUGEINT) AS q,
+             {ssw} AS ssw
+      FROM piv
+    )
+    SELECT n AS n_days,
+           CAST(floor(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) - ssw)
+                / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                   * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) AS eta2_ppm,
+           CAST(floor((((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                         * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) - ssw)
+                       / 6.0) / (ssw / (CAST(n AS DOUBLE) - 7.0))
+                * 1000.0 + 0.5) AS BIGINT) AS f_milli
+    FROM calc
+    """
+
+
+@register(
+    "dow_anova",
+    oracle=_dow_anova_sql(),
+    tags=("scale", "stats", "seasonal"),
+    gated=False,
+)
+def dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily revenue by day-of-week: eta² (share of
+    daily-revenue variance explained by the weekly cycle) and the F
+    statistic — the k-group generalization of welch_t_nation, and the
+    seasonality-STRENGTH summary behind seasonal_outliers' per-stratum
+    screen (eta² ≈ 0 means hour/dow baselines buy nothing).
+
+    Determinism: per-DOW moments are EXACT integers (HUGEINT/DECIMAL
+    second moments — daily-cents² pass BIGINT at sf≥0.1) pivoted to ONE
+    row, and the within-group sum of squares is an EXPLICIT
+    left-to-right 7-term double tree generated identically for both
+    engines — a bare SUM over per-group doubles would associate in
+    engine-specific order. The fact table folds to the calendar-bounded
+    daily frame first; everything after is a 1-row fold."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").alias("y")).select(
+        (F.dayofweek("d")).cast("int").alias("dw"), "y"
+    )
+    piv = daily.agg(
+        *[
+            agg
+            for dd in range(1, 8)  # Spark dayofweek: 1=Sunday..7
+            for agg in (
+                F.sum(F.when(F.col("dw") == dd, 1).otherwise(0)).alias(
+                    f"n{dd}"
+                ),
+                F.sum(F.when(F.col("dw") == dd, F.col("y")).otherwise(0)).alias(
+                    f"s{dd}"
+                ),
+                F.sum(
+                    F.when(
+                        F.col("dw") == dd,
+                        (F.col("y").cast("decimal(38,0)") * F.col("y")).cast(
+                            "decimal(38,0)"
+                        ),
+                    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+                ).alias(f"q{dd}"),
+            )
+        ]
+    ).collect()[0]
+    n = sum(int(piv[f"n{d}"]) for d in range(1, 8))
+    s = sum(int(piv[f"s{d}"]) for d in range(1, 8))
+    q = sum(int(piv[f"q{d}"]) for d in range(1, 8))
+    ssw = 0.0
+    for dd in range(1, 8):
+        nd, sd, qd = int(piv[f"n{dd}"]), int(piv[f"s{dd}"]), int(piv[f"q{dd}"])
+        ssw = ssw + (float(qd) - float(sd) * float(sd) / float(nd))
+    import math
+
+    sst = float(q) - float(s) * float(s) / float(n)
+    eta2 = math.floor((sst - ssw) / sst * 1000000.0 + 0.5)
+    f_milli = math.floor(((sst - ssw) / 6.0) / (ssw / (float(n) - 7.0)) * 1000.0 + 0.5)
+    return spark.createDataFrame(
+        [(n, eta2, f_milli)], "n_days long, eta2_ppm long, f_milli long"
+    )

@@ -335,7 +335,13 @@ def test_gate_budget(registry):
         # round-11 corpus geometry + novelty (data-mixing diagnostics)
         "domain_unigram_cosine",
         "ngram_novelty",
-)
+        # round-11 statistical-test family: exact two-sample KS, Kendall
+        # tau-b, Wald-Wolfowitz runs, day-of-week ANOVA
+        "ks_spend_by_status",
+        "kendall_tau_daily",
+        "revenue_runs_test",
+        "dow_anova",
+    )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
     for n in POOL:

@@ -134,6 +134,22 @@ ITERATIVE = {
     "(collect + createDataFrame frees the as-of join cache); real shape "
     "is 1 events scan split into clicks/orders + the union-and-carry "
     "as-of join (1 user exchange) + the bounded band aggregate",
+    "ks_spend_by_status": "zero counts are the one-row test-result "
+    "materialization; real shape is 1 orders scan folded to the "
+    "distinct-cents two-group histogram + two two-level log2-bucket "
+    "prefix walks + a one-row integer cross-multiplied max",
+    "kendall_tau_daily": "zero counts are the one-row materialization; "
+    "real shape is 1 orders scan folded to the calendar-bounded daily "
+    "frame + the |days|²-bounded pair crossJoin (documented: days are "
+    "calendar-fixed, they do not scale with sf) + two tie rollups",
+    "revenue_runs_test": "zero counts are the one-row materialization; "
+    "real shape is 1 orders scan folded to the daily frame, the exact "
+    "median off the value histogram, and a calendar-bounded collected "
+    "sign series folded driver-side (the EWMA/KM discipline)",
+    "dow_anova": "zero counts are the one-row materialization; real "
+    "shape is 1 orders scan folded to the daily frame + ONE 21-column "
+    "conditional-moment pivot row; the 7-term SSW double tree folds "
+    "driver-side in the same fixed association as the oracle",
     "assoc_rules": "zero counts are the 2·|brands|²-row rule-matrix "
     "materialization (collect + createDataFrame frees the distinct "
     "(order, brand) projection — the brand_affinity discipline); real "
