@@ -314,6 +314,10 @@ HEADLINE = (
     "kendall_tau_daily",
     "revenue_runs_test",
     "dow_anova",
+    # added r11: corpus/embedding quality screens
+    "embedding_norm_audit",
+    "length_tail_docs",
+    "lang_id_margin",
 )
 
 

@@ -3815,3 +3815,207 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caller's action recompute the shingle lineage once (one scan)
     ds.unpersist()
     return out
+
+
+@register(
+    "embedding_norm_audit",
+    oracle="""
+    WITH per AS (
+      SELECT label,
+             -- explicit left fold (list_reduce over a prepended 0.0), the
+             -- same association as Spark's F.aggregate — list_sum's
+             -- summation order is not contractual
+             CAST(floor(list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (acc, x) -> acc + x)
+                  * 1000000.0 + 0.5) AS BIGINT) AS norm2_u
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(norm2_u) AS BIGINT) AS min_norm2_u,
+           CAST(max(norm2_u) AS BIGINT) AS max_norm2_u,
+           CAST(sum(norm2_u) // count(*) AS BIGINT) AS mean_norm2_u,
+           CAST(sum(CASE WHEN norm2_u = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero
+    FROM per GROUP BY label
+    """,
+    tags=("llm", "embeddings", "quality", "audit"),
+    gated=False,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label audit of embedding vector norms — the pre-index sanity
+    screen (zero vectors break cosine ANN silently; a label whose norm
+    range is wildly off signals a bad encoder batch or missing
+    normalization) run before any knn_* index build.
+
+    Determinism across engines despite float inputs: the squared norm is
+    folded per ROW over the array (fixed element order → fixed IEEE
+    association on both engines), floored into integral micro-units, and
+    only INTEGERS are aggregated across rows — a double SUM over rows
+    would associate in engine/partition-specific order (the same trick
+    as the cents discipline, applied to derived floats). One scan, one
+    |labels|-row aggregate, zero shuffle beyond it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    per = e.select(
+        "label",
+        F.floor(norm2 * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("norm2_u"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("norm2_u").alias("min_norm2_u"),
+        F.max("norm2_u").alias("max_norm2_u"),
+        F.expr("sum(norm2_u) div count(1)").alias("mean_norm2_u"),
+        F.sum((F.col("norm2_u") == 0).cast("long")).alias("n_zero"),
+    )
+
+
+@register(
+    "length_tail_docs",
+    oracle="""
+    WITH h AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, v, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM h
+    ), b AS (
+      SELECT source,
+             min(CASE WHEN cum >= (n + 9) // 10 THEN v END) AS b10,
+             min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS b90
+      FROM cum GROUP BY source
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+           CASE WHEN d.n_chars < b.b10 THEN 'low' ELSE 'high' END AS side
+    FROM documents d JOIN b ON d.source = b.source
+    WHERE d.n_chars < b.b10 OR d.n_chars > b.b90
+    """,
+    tags=("llm", "quality", "audit"),
+    gated=False,
+)
+def length_tail_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents outside their SOURCE's exact [p10, p90] length band —
+    the per-domain truncation/concatenation screen (a 100-char page is
+    normal for a chat dump and pathological for a book scan; a global
+    length filter can't see that, and a σ-based screen goes blind on
+    uniform-length sources where nothing is 3σ out).
+
+    Boundaries are EXACT order statistics — value at rank ceil(n/10)
+    and ceil(9n/10) per source (the inner-80% band: tails must stay
+    meaningful even for sources with a few dozen docs, where a 1%
+    tail rounds to nothing), read off the per-source length
+    histogram with a source-PARTITIONED cumulative window (distinct
+    lengths per source, never the doc rows) — so the flag set is
+    deterministic on both engines with no distributional assumption.
+    Two scans: one builds the |sources|×|distinct-lengths| boundary
+    table (broadcast back), one applies the band."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy(
+        "source", F.col("n_chars").cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("source")
+    cum = h.select(
+        "source",
+        "v",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    b = cum.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n + 9) div 10"), F.col("v")
+            )
+        ).alias("b10"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("v")
+            )
+        ).alias("b90"),
+    )
+    return (
+        d.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .join(F.broadcast(b), "source")
+        .filter((F.col("n_chars") < F.col("b10")) | (F.col("n_chars") > F.col("b90")))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.when(F.col("n_chars") < F.col("b10"), "low")
+            .otherwise("high")
+            .alias("side"),
+        )
+    )
+
+
+def _lang_margin_oracle() -> str:
+    """DuckDB mirror of lang_id_margin: sort the 5 marker-hit scores
+    descending, margin = best − runner-up."""
+    hit_exprs = [
+        f"len(list_filter({_TOKENS}, t -> t IN "
+        f"({', '.join(repr(m) for m in markers)})))"
+        for markers in LANG_MARKERS.values()
+    ]
+    arr = "list_reverse(list_sort([" + ", ".join(hit_exprs) + "]))"
+    return f"""
+    WITH s AS (SELECT doc_id, {arr} AS sc FROM documents)
+    SELECT doc_id, CAST(sc[1] AS BIGINT) AS best_hits,
+           CAST(sc[2] AS BIGINT) AS second_hits,
+           CAST(sc[1] - sc[2] AS BIGINT) AS margin,
+           sc[1] - sc[2] >= 2 AND sc[1] > 0 AS confident
+    FROM s
+    """
+
+
+@register(
+    "lang_id_margin",
+    oracle=_lang_margin_oracle(),
+    tags=("llm", "text", "quality"),
+    gated=False,
+)
+def lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFIDENCE: the margin between the best and runner-up
+    marker scores — lang_id emits an argmax label whatever the evidence;
+    downstream filters need to know whether that label stands on a
+    10-hit lead or a coin flip (lang_confusion audits labels post hoc;
+    the margin is the per-doc signal to route low-confidence docs to a
+    heavier classifier).
+
+    Pure Column arithmetic: the 5 per-language hit counts form a sorted
+    array per row (whole-stage codegen, no shuffle at all — the lang_id
+    scan shape), margin = top − second, with the 'confident' cut at
+    margin ≥ 2 actual marker words."""
+    from ..operators.textstats import LANG_MARKERS as _LM
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(list(markers))))
+        for markers in _LM.values()
+    ]
+    sc = F.sort_array(F.array(*scores), asc=False)
+    return d.select(
+        "doc_id",
+        sc.getItem(0).cast("long").alias("best_hits"),
+        sc.getItem(1).cast("long").alias("second_hits"),
+        (sc.getItem(0) - sc.getItem(1)).cast("long").alias("margin"),
+        (
+            (sc.getItem(0) - sc.getItem(1) >= 2) & (sc.getItem(0) > 0)
+        ).alias("confident"),
+    )

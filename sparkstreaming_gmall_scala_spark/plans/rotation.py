@@ -291,6 +291,10 @@ POOL: tuple[str, ...] = (
     "kendall_tau_daily",
     "revenue_runs_test",
     "dow_anova",
+    # round-11 corpus/embedding quality screens
+    "embedding_norm_audit",
+    "length_tail_docs",
+    "lang_id_margin",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

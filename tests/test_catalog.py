@@ -341,6 +341,10 @@ def test_gate_budget(registry):
         "kendall_tau_daily",
         "revenue_runs_test",
         "dow_anova",
+        # round-11 corpus/embedding quality screens
+        "embedding_norm_audit",
+        "length_tail_docs",
+        "lang_id_margin",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
