@@ -92,3 +92,103 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") ->
     out.count()
     e.unpersist()
     return out
+
+
+def core_decomposition(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 64,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Coreness per node over an undirected pair graph — the fourth graph
+    signal on dup pairs (triangles find cliques, CC finds reach,
+    PageRank finds hubs; CORENESS finds density shells: a node of
+    coreness k sits in a subgraph where EVERYONE keeps >= k neighbors,
+    the standard dense-duplication-community detector).
+
+    Algorithm: iterative k-peeling. For k = 1, 2, ...: repeatedly remove
+    nodes with degree < k until stable; nodes removed while peeling at
+    level k have coreness k−1. Each peel pass is one degree aggregate +
+    one semi-join on the edge endpoints — no all-pairs anything, and the
+    edge frame shrinks monotonically. Peeling runs until the graph
+    empties; total passes are bounded by the degeneracy (small for
+    near-dup graphs: dup communities are dense but low-diameter) and
+    hard-capped at ``max_rounds`` (raises rather than returning a wrong
+    partial). Lineage is CUT each pass with ``localCheckpoint`` (or a
+    reliable checkpoint under ``checkpoint_dir``) — the connected_
+    components discipline: persist alone leaves the LOGICAL plan
+    nesting pass-over-pass and Catalyst re-analysis time compounds to
+    minutes by round ~10 even on a toy graph (measured).
+
+    Returns (node, coreness) for every node that appears in ``pairs``
+    (isolated nodes never appear — a pair graph has no degree-0 rows),
+    as a checkpointed frame (no live lineage into the peel rounds).
+    """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        cut = lambda df: df.checkpoint()  # noqa: E731
+    else:
+        cut = lambda df: df.localCheckpoint()  # noqa: E731
+    edges = cut(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    # the live node set is tracked EXPLICITLY: a node whose last
+    # neighbor is doomed leaves the edge set without ever being doomed
+    # itself (degree drops to 0 silently) — it must still be peeled at
+    # the current level, not lost
+    nodes = cut(sym.select("a").distinct())
+    # node-proportional accumulator, checkpointed each round — coreness
+    # rows are NEVER collected to the driver
+    cores = spark.createDataFrame([], "node long, coreness int")
+    k = 1
+    rounds = 0
+    while True:
+        # peel at level k until stable
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"core_decomposition exceeded {max_rounds} peel passes"
+                )
+            deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+            survivors = deg.filter(F.col("deg") >= k).select("a")
+            doomed = cut(nodes.join(survivors, "a", "left_anti"))
+            n_doomed = doomed.count()  # one convergence scalar per pass
+            if n_doomed == 0:
+                break
+            # removed while peeling level k ⇒ coreness k−1
+            cores = cut(
+                cores.unionByName(
+                    doomed.select(
+                        F.col("a").alias("node"),
+                        F.lit(k - 1).cast("int").alias("coreness"),
+                    )
+                )
+            )
+            edges = cut(
+                edges.join(
+                    doomed.withColumnRenamed("a", "x"),
+                    edges["a"] == F.col("x"),
+                    "left_anti",
+                )
+                .join(
+                    doomed.withColumnRenamed("a", "y"),
+                    edges["b"] == F.col("y"),
+                    "left_anti",
+                )
+            )
+            sym = edges.select("a", "b").unionByName(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            nodes = cut(nodes.join(doomed, "a", "left_anti"))
+        if nodes.count() == 0:
+            break
+        k += 1
+    return cores

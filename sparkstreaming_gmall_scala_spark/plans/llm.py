@@ -4019,3 +4019,31 @@ def lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sc.getItem(0) - sc.getItem(1) >= 2) & (sc.getItem(0) > 0)
         ).alias("confident"),
     )
+
+
+@register(
+    "dup_cores",
+    oracle=None,  # iterative peeling (DuckDB recursive CTEs forbid
+    # aggregates in the recursive term, the dup_pagerank constraint);
+    # exact-equality pin against a pure local peeling reference in
+    # tests/test_graph.py instead.
+    tags=("llm", "dedup", "graph"),
+    gated=False,
+)
+def dup_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the near-dup pair graph: coreness per
+    document — the density-shell signal completing the graph family
+    (dup_clusters = membership, dup_triangles = local cohesion,
+    dup_pagerank = centrality; CORENESS separates documents embedded in
+    dense duplication communities, where every member keeps >= k
+    near-matches even after pruning, from chain/star peripheries that a
+    keep-policy can drop cheaply). Iterative degree-peeling with
+    per-round lineage cuts (operators/graph.py:core_decomposition)."""
+    from ..operators.graph import core_decomposition
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, dim=64
+    ).select("id_a", "id_b")
+    return core_decomposition(pairs)

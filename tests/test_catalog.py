@@ -56,6 +56,9 @@ def test_oracle_coverage(registry):
         # iterative PageRank: DuckDB recursive CTEs forbid aggregates in
         # the recursive term; exact integer-arithmetic pin in pytest
         "dup_pagerank",
+        # iterative k-core peeling (same recursive-CTE constraint);
+        # exact local-peeling-reference pin in tests/test_graph.py
+        "dup_cores",
     }, no_oracle
 
 
@@ -98,6 +101,8 @@ STATIC_UNGATED = {
     "knn_ivf_sq8",
     # rows-only iterative PageRank; exact local-reference pin in pytest
     "dup_pagerank",
+    # rows-only iterative k-core peeling; exact local-reference pin
+    "dup_cores",
 }
 
 

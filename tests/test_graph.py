@@ -47,3 +47,77 @@ def test_duplicate_and_both_order_edges_absorbed(spark):
     noisy = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2), (1, 3)]
     got = _counts(spark, noisy)
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def _local_coreness(edges):
+    """Trivially-correct reference: repeated peeling on dicts."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    core = {}
+    k = 1
+    while adj:
+        while True:
+            doomed = [n for n, nb in adj.items() if len(nb) < k]
+            if not doomed:
+                break
+            for n in doomed:
+                core[n] = k - 1
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+            adj = {n: nb for n, nb in adj.items() if True}
+        if not adj:
+            break
+        k += 1
+    return core
+
+
+def test_core_decomposition_matches_local_reference(spark):
+    """Mixed shapes: a 4-clique (coreness 3), a triangle glued to a tail
+    (triangle nodes 2, tail 1), a chain (all 1), plus duplicate and
+    reversed edge rows that must not inflate degrees."""
+    from sparkstreaming_gmall_scala_spark.operators.graph import (
+        core_decomposition,
+    )
+
+    edges = [
+        # 4-clique
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # triangle + tail
+        (10, 11), (11, 12), (10, 12), (12, 13),
+        # chain
+        (20, 21), (21, 22),
+        # noise: dup + reversed + self-loop
+        (2, 1), (1, 2), (20, 20),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = core_decomposition(df)
+    got = {r["node"]: r["coreness"] for r in out.collect()}
+    want = _local_coreness(edges)
+    assert got == want
+    assert got[1] == 3 and got[13] == 1 and got[10] == 2 and got[22] == 1
+
+
+def test_core_decomposition_randomized_vs_local(spark):
+    import random
+
+    from sparkstreaming_gmall_scala_spark.operators.graph import (
+        core_decomposition,
+    )
+
+    rng = random.Random(5)
+    edges = list(
+        {
+            (rng.randrange(30), rng.randrange(30))
+            for _ in range(120)
+        }
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = core_decomposition(df)
+    got = {r["node"]: r["coreness"] for r in out.collect()}
+    assert got == _local_coreness(edges)

@@ -134,6 +134,11 @@ ITERATIVE = {
     "(collect + createDataFrame frees the as-of join cache); real shape "
     "is 1 events scan split into clicks/orders + the union-and-carry "
     "as-of join (1 user exchange) + the bounded band aggregate",
+    "dup_cores": "iterative k-peeling with per-round localCheckpoint "
+    "lineage cuts: the returned frame is a checkpoint scan by design; "
+    "per pass: one degree aggregate over the symmetrized cached edges + "
+    "one anti-join node peel + one anti-join edge prune — guarded in "
+    "tests/test_graph.py against a local peeling reference",
     "ks_spend_by_status": "zero counts are the one-row test-result "
     "materialization; real shape is 1 orders scan folded to the "
     "distinct-cents two-group histogram + two two-level log2-bucket "
