@@ -318,6 +318,9 @@ HEADLINE = (
     "embedding_norm_audit",
     "length_tail_docs",
     "lang_id_margin",
+    # added r11: growth reporting + Lorenz curve
+    "revenue_mom",
+    "spend_lorenz",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -295,6 +295,9 @@ POOL: tuple[str, ...] = (
     "embedding_norm_audit",
     "length_tail_docs",
     "lang_id_margin",
+    # round-11 growth reporting + the Lorenz curve behind Gini
+    "revenue_mom",
+    "spend_lorenz",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

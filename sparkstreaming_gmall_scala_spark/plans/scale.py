@@ -2719,3 +2719,138 @@ def dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, eta2, f_milli)], "n_days long, eta2_ppm long, f_milli long"
     )
+
+
+@register(
+    "revenue_mom",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT mon, cents, n_orders,
+             lag(cents) OVER (ORDER BY mon) AS prev_cents
+      FROM m
+    )
+    SELECT strftime(mon, '%Y-%m') AS month,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(prev_cents AS BIGINT) AS prev_cents,
+           CAST(floor(CAST((cents - prev_cents) AS DOUBLE) * 1000000.0
+                / CAST(prev_cents AS DOUBLE)) AS BIGINT) AS growth_ppm
+    FROM w WHERE prev_cents IS NOT NULL
+    """,
+    tags=("scale", "window", "reporting"),
+    gated=False,
+)
+def revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the board-deck table (monthly
+    revenue, prior month, signed growth in integral ppm). Growth uses an
+    explicit double FLOOR — a bare integer division would diverge on
+    negative growth (Spark's `div` truncates toward zero, DuckDB's `//`
+    floors), the pmod class of cross-engine trap.
+
+    Scale: one orders scan folds to the calendar-bounded monthly frame
+    (≤ a few hundred rows at ANY sf); the lag window runs unpartitioned
+    over THAT frame only — the sanctioned bounded-domain case, never the
+    fact rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.to_date("o_orderdate")).alias("mon"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    m = o.groupBy("mon").agg(
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("mon")
+    out = m.select(
+        F.date_format("mon", "yyyy-MM").alias("month"),
+        "n_orders",
+        F.col("cents").alias("revenue_cents"),
+        F.lag("cents").over(w).alias("prev_cents"),
+    ).filter(F.col("prev_cents").isNotNull())
+    return out.withColumn(
+        "growth_ppm",
+        F.floor(
+            (F.col("revenue_cents") - F.col("prev_cents")).cast("double")
+            * F.lit(1000000.0)
+            / F.col("prev_cents").cast("double")
+        ).cast("long"),
+    )
+
+
+@register(
+    "spend_lorenz",
+    oracle="""
+    WITH v AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), h AS (SELECT c, count(*) AS cnt FROM v GROUP BY c),
+    ch AS (SELECT c, cnt, sum(cnt) OVER (ORDER BY c) AS cum FROM h),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+    b AS (
+      SELECT k, min(CASE WHEN cum >= (k * n + 9) // 10 THEN c END) AS bound
+      FROM ch CROSS JOIN t
+      CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) ks
+      GROUP BY k
+    ), d AS (
+      SELECT h.c, h.cnt,
+             1 + CAST(sum(CASE WHEN b.bound < h.c THEN 1 ELSE 0 END)
+                      AS INTEGER) AS decile
+      FROM h CROSS JOIN b GROUP BY h.c, h.cnt
+    ), per AS (
+      SELECT decile, CAST(sum(cnt) AS BIGINT) AS n_customers,
+             CAST(sum(c * cnt) AS BIGINT) AS decile_cents
+      FROM d GROUP BY decile
+    ), tot AS (SELECT sum(decile_cents) AS tc FROM per)
+    SELECT decile, n_customers, decile_cents,
+           CAST(sum(decile_cents) OVER (ORDER BY decile) * 1000000
+                // tot.tc AS BIGINT) AS cum_share_ppm
+    FROM per CROSS JOIN tot
+    """,
+    tags=("scale", "concentration", "percentile"),
+    gated=False,
+)
+def spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points of per-customer spend: cumulative revenue
+    share at each spend decile — the curve BEHIND revenue_gini's single
+    number and hhi_concentration's index (the 'bottom 50% of customers
+    hold X% of revenue' chart). Deciles are the exact value-bucketed
+    boundaries (decile_profile machinery — no global sort, ties share a
+    bucket); cumulative shares are exact integer ppm over the ≤10-row
+    decile frame."""
+    from ..operators.analytics import decile_profile
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("c")
+    )
+    per = decile_profile(o, "c").select(
+        "decile",
+        F.col("n_rows").alias("n_customers"),
+        F.col("sum_value").alias("decile_cents"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    out = per.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.sum("decile_cents").over(w).alias("cum_cents"),
+        F.sum("decile_cents").over(Window.partitionBy()).alias("tc"),
+    ).select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.expr("cum_cents * 1000000L div tc").alias("cum_share_ppm"),
+    )
+    rows = out.collect()  # <=10 rows
+    return spark.createDataFrame(rows, schema=out.schema)

@@ -350,6 +350,9 @@ def test_gate_budget(registry):
         "embedding_norm_audit",
         "length_tail_docs",
         "lang_id_margin",
+        # round-11 growth reporting + the Lorenz curve behind Gini
+        "revenue_mom",
+        "spend_lorenz",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

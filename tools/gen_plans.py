@@ -139,6 +139,11 @@ ITERATIVE = {
     "per pass: one degree aggregate over the symmetrized cached edges + "
     "one anti-join node peel + one anti-join edge prune — guarded in "
     "tests/test_graph.py against a local peeling reference",
+    "spend_lorenz": "zero counts are the <=10-row curve materialization "
+    "(decile_profile collects the bounded profile and frees its "
+    "histogram cache internally); real shape is 1 orders scan + 1 "
+    "custkey exchange + 1 cents exchange (histogram) + the two-level "
+    "cumulative prefix — the fact table is never rescanned",
     "ks_spend_by_status": "zero counts are the one-row test-result "
     "materialization; real shape is 1 orders scan folded to the "
     "distinct-cents two-group histogram + two two-level log2-bucket "
