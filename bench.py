@@ -440,7 +440,10 @@ def main() -> int:
     import shutil as _shutil
     import tempfile as _tempfile
 
-    for prefix in ("lshbuckets", "ivfcells", "sq8", "pqcodes", "ivfpq", "ivfsq8"):
+    for prefix in (
+        "lshbuckets", "ivfcells", "sq8", "pqcodes", "ivfpq", "ivfsq8",
+        "basketidx",
+    ):
         for d in _glob.glob(
             os.path.join(
                 _tempfile.gettempdir(),
@@ -457,6 +460,10 @@ def main() -> int:
         "knn_ivf_pq_persisted",
         "knn_sq8_persisted",
         "knn_ivf_sq8",
+        # r12 (r11 verdict #3): the streaming basket counter ingest moved
+        # to the same build-vs-probe convention — first call pays the
+        # 3-batch carry ingest here, the HEADLINE row is the live fold
+        "brand_affinity_stream",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()
@@ -510,12 +517,20 @@ def main() -> int:
     # (LocalLimit) plans that don't prime the full-size ones. The timed
     # run below is the steady-state per-ingest cost.
     bench_streaming_dedup(spark, sf_dir)
-    t0 = time.perf_counter()
-    n = bench_streaming_dedup(spark, sf_dir)
-    times["streaming_dedup_2batches"] = round(time.perf_counter() - t0, 3)
+    # r12 (r11 verdict #7): min-of-2 like every headline query — the
+    # single-pass figure swung 1911 -> 1593 -> 1681 across rounds on
+    # host noise alone; both runs are in the full record's "runs" pair.
+    stream_runs = []
+    n = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = bench_streaming_dedup(spark, sf_dir)
+        stream_runs.append(round(time.perf_counter() - t0, 3))
+    all_runs["streaming_dedup_2batches"] = stream_runs
+    times["streaming_dedup_2batches"] = min(stream_runs)
     print(
         f"# streaming_dedup_2batches: {n} rows in "
-        f"{times['streaming_dedup_2batches']:.2f}s",
+        f"{times['streaming_dedup_2batches']:.2f}s (runs: {stream_runs})",
         file=sys.stderr,
     )
     # BASELINE.md's streaming metric: rows/sec SUSTAINED through the
@@ -574,9 +589,11 @@ def main() -> int:
             "min (steady state); r<=10 records are single-pass and can "
             "read 2-4x higher on whichever queries that session hit "
             "cold — compare against the min of the 'runs' pair",
-            "streaming_rows_per_sec": "r10's 1593 (vs r9 1911) was host "
-            "noise, not a regression: an r11 re-measure on the same code "
-            "path read 2049 docs/s — no change to the ingest path",
+            "streaming_rows_per_sec": "r12+: min-of-2 ingest passes "
+            "(docs over the FASTER pass's wall time) — the single-pass "
+            "figure swung 1911 -> 1593 -> 1681 across r9-r11 purely on "
+            "host noise (an r11 same-path re-measure read 2049 docs/s); "
+            "both passes are in the runs pair",
             "knn_pq": "r8 step-up vs r7 is the deliberate 4->8-bit "
             "codebook upgrade (recall@5 0.48->0.94 clustered; RECALL.md)",
             "knn_sq8_persisted": "r9: single-parse expression chains "
@@ -585,11 +602,12 @@ def main() -> int:
             "cell->probes map + bounded driver-side refine (IN-pushdown "
             "point lookups replace the corpus scan under the broadcast "
             "rerank join)",
-            "brand_affinity_stream": "ingest-inclusive by design: the "
-            "number covers the full 3-batch carry-based counter ingest "
-            "(three carry-generation rewrites) plus the live fold — the "
-            "knn_ivf_pq build-included convention; the steady-state "
-            "read-side fold alone is sub-second",
+            "brand_affinity_stream": "r12+: headline = the steady-state "
+            "read-side fold over the persisted counter indexes; the "
+            "3-batch carry ingest is recorded separately under "
+            "brand_affinity_stream_build (the knn persisted build-vs-"
+            "probe convention, r11 verdict #3). The r11 headline number "
+            "(11.63s raw) was ingest-inclusive — not comparable",
             "theil_sen_trend": "r11: the series is the trailing 365 "
             "observed days — Theil-Sen is O(days^2) by definition and "
             "the full 7-year calendar was ~72M pairs (160s+) for a "

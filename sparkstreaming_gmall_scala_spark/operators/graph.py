@@ -98,7 +98,7 @@ def core_decomposition(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_rounds: int = 64,
+    max_rounds: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Coreness per node over an undirected pair graph — the fourth graph
@@ -112,10 +112,14 @@ def core_decomposition(
     level k have coreness k−1. Each peel pass is one degree aggregate +
     one semi-join on the edge endpoints — no all-pairs anything, and the
     edge frame shrinks monotonically. Peeling runs until the graph
-    empties; total passes are bounded by the degeneracy (small for
-    near-dup graphs: dup communities are dense but low-diameter) and
-    hard-capped at ``max_rounds`` (raises rather than returning a wrong
-    partial). Lineage is CUT each pass with ``localCheckpoint`` (or a
+    empties; total passes are bounded by removal passes (each removes
+    >= 1 node, so <= |V|) plus one stable-check pass per k level
+    (<= degeneracy + 1 <= |V|). ``max_rounds`` defaults to that sound
+    2·|V| + 2 bound derived from the INITIAL node count — a 64-member
+    duplicate clique or a long chain peels fine without tuning — and
+    raises rather than returning a wrong partial only if the monotone-
+    shrink invariant is somehow violated. Pass an int to cap tighter.
+    Lineage is CUT each pass with ``localCheckpoint`` (or a
     reliable checkpoint under ``checkpoint_dir``) — the connected_
     components discipline: persist alone leaves the LOGICAL plan
     nesting pass-over-pass and Catalyst re-analysis time compounds to
@@ -144,6 +148,10 @@ def core_decomposition(
     # itself (degree drops to 0 silently) — it must still be peeled at
     # the current level, not lost
     nodes = cut(sym.select("a").distinct())
+    if max_rounds is None:
+        # removal passes <= |V| (each removes >= 1 node) plus one
+        # stable-check pass per k level (<= degeneracy + 1 <= |V|)
+        max_rounds = 2 * nodes.count() + 2
     # node-proportional accumulator, checkpointed each round — coreness
     # rows are NEVER collected to the driver
     cores = spark.createDataFrame([], "node long, coreness int")

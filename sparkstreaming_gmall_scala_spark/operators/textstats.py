@@ -885,7 +885,11 @@ def skipgram_pairs(
         )
     )
     top = scored.orderBy(F.col("n_cooc").desc(), "pair").limit(top_n)
-    if not materialize:  # plan-inspection path: caller owns the caches
+    if not materialize:
+        # plan-inspection path: keep the pre-existing one-cache contract
+        # (caller owns `uni` only) — release the doc-proportional token
+        # cache here so lazy callers don't leak it for the session
+        d.unpersist()
         return top
     rows = top.collect()  # bounded: <= top_n rows
     uni.unpersist()

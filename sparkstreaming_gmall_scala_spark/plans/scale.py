@@ -1728,6 +1728,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     ref = o.agg(F.max("day").alias("m")).collect()[0]["m"]  # one scalar
+    if ref is None:  # empty orders: the decile_profile convention
+        return spark.createDataFrame(
+            [],
+            "custkey long, r_score int, f_score int, m_score int,"
+            " segment string",
+        )
     rfm = o.groupBy("custkey").agg(
         (F.datediff(F.lit(ref), F.max("day")) + 1)
         .cast("long")
@@ -1875,9 +1881,12 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("off").alias("month_offset"),
         "n_users",
         F.sum("cents").over(w).alias("cum_cents"),
-        (F.sum("cents").over(w) / F.col("n_users"))
-        .cast("long")
-        .alias("ltv_cents_per_user"),
+    ).withColumn(
+        # integer floor division matching the oracle's `//` exactly;
+        # long/long `/` is double division and can cross the integer
+        # boundary once cum_cents exceeds 2^53 or n_users > ~131k
+        "ltv_cents_per_user",
+        F.expr("cum_cents div n_users"),
     )
     rows = out.collect()  # |months|²/2-bounded matrix; frees the cache
     om.unpersist()
@@ -1946,6 +1955,10 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     mx = o.agg(F.max("day").alias("m")).collect()[0]["m"]  # one scalar
+    if mx is None:  # empty orders: the decile_profile convention
+        return spark.createDataFrame(
+            [], "n_name string, n_pairs long, median_slope6 long"
+        )
     o = o.filter(F.col("day") >= F.date_sub(F.lit(mx), 364))
     cu = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -2570,7 +2583,13 @@ def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("d").agg(F.sum("cents").alias("y")).persist()
     )
     daily.count()
-    med = value_bucket_bounds(daily, "y", 2)[0]  # value at rank ceil(n/2)
+    bounds = value_bucket_bounds(daily, "y", 2)
+    if not bounds:  # empty orders: the decile_profile convention
+        daily.unpersist()
+        return spark.createDataFrame(
+            [], "n_above long, n_below long, n_runs long, z_ppm long"
+        )
+    med = bounds[0]  # value at rank ceil(n/2)
     signs = (
         daily.filter(F.col("y") != med)
         .select("d", F.when(F.col("y") > med, 1).otherwise(-1).alias("sg"))
@@ -2587,6 +2606,12 @@ def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             n1 += 1
         else:
             n2 += 1
+    if n1 == 0 or n2 == 0 or n1 + n2 < 2:
+        # degenerate series (all days at the median, or one sign only):
+        # the z statistic is undefined — same empty-frame convention
+        return spark.createDataFrame(
+            [], "n_above long, n_below long, n_runs long, z_ppm long"
+        )
     import math
 
     mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0

@@ -121,3 +121,20 @@ def test_core_decomposition_randomized_vs_local(spark):
     out = core_decomposition(df)
     got = {r["node"]: r["coreness"] for r in out.collect()}
     assert got == _local_coreness(edges)
+
+
+def test_core_decomposition_large_clique_needs_no_cap_tuning(spark):
+    """r11 ADVICE: a 70-member duplicate clique (70 copies of one doc is
+    entirely plausible in a near-dup corpus) used to blow the fixed
+    max_rounds=64 cap — peeling visits every k level 1..69 with a
+    mandatory stable-check pass each. The default cap now derives from
+    the initial node count, so this peels clean without tuning."""
+    from sparkstreaming_gmall_scala_spark.operators.graph import (
+        core_decomposition,
+    )
+
+    n = 70
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["coreness"] for r in core_decomposition(df).collect()}
+    assert got == {v: n - 1 for v in range(n)}

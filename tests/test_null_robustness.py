@@ -75,3 +75,42 @@ def test_pagerank_empty_edges(spark):
         spark.createDataFrame([], "src long, dst long"), iters=2
     )
     assert out.count() == 0
+
+
+def _empty_sf_dir(spark, tmp_path):
+    """Write empty (schema-preserving) copies of the tables the guarded
+    builders read, so the empty-corpus path runs end to end."""
+    import os
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    d = str(tmp_path / "sf_empty")
+    for t in ("orders", "customer", "nation"):
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    return d
+
+
+def test_empty_orders_builders_return_typed_empty_frames(spark, tmp_path):
+    """r11 ADVICE: theil_sen_trend / revenue_runs_test / rfm_segments must
+    early-return a typed empty frame on an empty orders table (the
+    decile_profile convention), not raise IndexError/TypeError off the
+    scalar collect."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    d = _empty_sf_dir(spark, tmp_path)
+    reg = load_all()
+    for name, cols in [
+        ("theil_sen_trend", ["n_name", "n_pairs", "median_slope6"]),
+        (
+            "revenue_runs_test",
+            ["n_above", "n_below", "n_runs", "z_ppm"],
+        ),
+        (
+            "rfm_segments",
+            ["custkey", "r_score", "f_score", "m_score", "segment"],
+        ),
+    ]:
+        out = reg[name].builder(spark, d)
+        assert out.columns == cols, (name, out.columns)
+        assert out.count() == 0, name

@@ -529,9 +529,12 @@ _SCALED_SCAN_MARKERS = (
 )
 # Logical nodes that bound the cardinality of everything above them:
 # aggregates collapse to the (bounded) group domain, limits are explicit,
-# Deduplicate = distinct over a bounded domain, Window feeds the top-k
-# rank-filter pattern (WindowGroupLimit downstream).
-_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate", "Window")
+# Deduplicate = distinct over a bounded domain. Window is deliberately
+# NOT here (r11 ADVICE): a Window is row-preserving — the bounding in the
+# top-k pattern happens in the rank Filter / WindowGroupLimit ABOVE it,
+# which the ancestor walk sees on its own; listing Window would sanction
+# a pinned broadcast over any windowed projection of a scaled scan.
+_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
 
 
 def _tree_depths(plan_str):
