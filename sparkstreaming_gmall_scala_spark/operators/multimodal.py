@@ -40,9 +40,13 @@ def to_binary_payload(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _decode_png(payload: bytes) -> bytes:
     """Raw 8-bit pixel bytes from a PNG: zlib-inflate the IDAT stream and
     reverse the five standard scanline filters (None/Sub/Up/Average/
-    Paeth) — pure stdlib, no PIL. Greyscale (0), RGB (2), grey+alpha (4)
-    and RGBA (6) color types at bit depth 8; palette / 16-bit / Adam7
-    need a real imaging lib and raise."""
+    Paeth) — pure stdlib, no PIL. Greyscale (0), RGB (2), palette (3),
+    grey+alpha (4) and RGBA (6) color types at bit depth 8; palette
+    indices resolve through the PLTE table to RGB (RGBA when a tRNS
+    chunk supplies alpha — r11 verdict #4), so two files carrying the
+    same image as ctype 2 and ctype 3 decode to identical content
+    bytes. 16-bit / sub-byte palette depths / Adam7 interlace need a
+    real imaging lib and raise."""
     import struct
     import zlib
 
@@ -50,8 +54,10 @@ def _decode_png(payload: bytes) -> bytes:
         raise ValueError("not a PNG signature")
     pos, idat = 8, []
     width = height = None
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
     bpp = None
+    ctype = None
+    plte = trns = None
     while pos + 8 <= len(payload):
         (n,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -64,9 +70,15 @@ def _decode_png(payload: bytes) -> bytes:
                 raise NotImplementedError(
                     f"PNG depth={depth} color={ctype} interlace={interlace}"
                     " needs a real imaging lib (PIL) — stdlib path covers"
-                    " 8-bit grey/RGB/GA/RGBA non-interlaced"
+                    " 8-bit grey/RGB/palette/GA/RGBA non-interlaced"
                 )
             bpp = channels[ctype]
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -74,6 +86,8 @@ def _decode_png(payload: bytes) -> bytes:
         pos += 12 + n
     if bpp is None:
         raise ValueError("PNG missing IHDR")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(b"".join(idat))
     stride = width * bpp
     out = bytearray()
@@ -98,7 +112,20 @@ def _decode_png(payload: bytes) -> bytes:
                 data[i] = (data[i] + pred) & 0xFF
         prior = bytes(data)
         out += data
-    return bytes(out)
+    if ctype != 3:
+        return bytes(out)
+    # palette indexing: each defiltered byte is a PLTE index; emit RGB
+    # (RGBA when tRNS supplies per-index alpha, 255 past its end — the
+    # PNG spec default), so content matches the equivalent ctype-2/6 file
+    n_entries = len(plte) // 3
+    px = bytearray()
+    for idx in out:
+        if idx >= n_entries:
+            raise ValueError(f"palette index {idx} outside PLTE({n_entries})")
+        px += plte[idx * 3 : idx * 3 + 3]
+        if trns is not None:
+            px.append(trns[idx] if idx < len(trns) else 255)
+    return bytes(px)
 
 
 def _decode_wav(payload: bytes) -> bytes:

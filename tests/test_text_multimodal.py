@@ -95,11 +95,12 @@ def test_decode_media_stub_only_for_external_lib_formats():
     with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
     # …but PNG depth/color combos beyond the stdlib path also fail loud
-    # rather than decoding garbage (palette PNG header)
+    # rather than decoding garbage (16-bit header; palette is stdlib-
+    # decoded as of r12)
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)  # color type 3
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)  # 16-bit grey
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
@@ -301,58 +302,145 @@ def test_ngram_overlap_flags_contamination(spark):
     assert len(got) == 3  # every input doc present (left semantics)
 
 
-def test_palette_and_interlaced_png_boundary_pinned(spark):
-    """r11 (r10 verdict #7): the stdlib decoder's documented boundary —
-    full palette and Adam7-interlaced PNG fixtures (valid chunks + CRCs,
-    not just headers) must raise the documented NotImplementedError, and
-    the SAME payloads must flow through the Spark plumbing when a
-    PIL-style decoder is injected — no silent wrong-pixels path exists
-    for the formats the stdlib path doesn't cover."""
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
     import struct
     import zlib
 
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag + body
-            + struct.pack(">I", zlib.crc32(tag + body))
-        )
+    return (
+        struct.pack(">I", len(body))
+        + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
 
-    # 2×1 palette PNG (color type 3): PLTE maps index 0→red, 1→blue;
-    # one filter-0 scanline of the two indices.
+
+def test_palette_png_decodes_like_its_rgb_twin(spark):
+    """r12 (r11 verdict #4): palette PNG (color type 3) is now stdlib-
+    decoded — PLTE indexing over the existing inflate+unfilter machinery.
+    A palette fixture and the RGB fixture encoding the SAME image must
+    produce identical content bytes and identical feature rows, so
+    content-level media dedup sees them as duplicates."""
+    import struct
+    import zlib
+
+    # 2×1 image: red pixel, blue pixel
     palette_png = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
-        + chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
-        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
+        + _png_chunk(b"IEND", b"")
     )
-    # the same 2×1 image as greyscale but with the Adam7 interlace flag
+    rgb_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 255, 0, 0, 0, 0, 255])))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_media(palette_png, "image/png") == bytes(
+        [255, 0, 0, 0, 0, 255]
+    )
+    assert decode_media(palette_png, "image/png") == decode_media(
+        rgb_png, "image/png"
+    )
+    # tRNS alpha: index 0 transparent, index 1 defaults to 255
+    trns_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+        + _png_chunk(b"tRNS", bytes([0]))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_media(trns_png, "image/png") == bytes(
+        [255, 0, 0, 0, 0, 0, 255, 255]
+    )
+    # an out-of-range index or a missing PLTE fails loud, never garbage
+    bad_idx = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", bytes([255, 0, 0]))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 7])))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_media(bad_idx, "image/png")
+    no_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_media(no_plte, "image/png")
+
+    # identical feature rows through the Spark plumbing — the dedup claim
+    media = spark.createDataFrame(
+        [(1, palette_png, "image/png"), (2, rgb_png, "image/png")],
+        "doc_id long, payload binary, mime string",
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.octet_length("payload").alias("n_bytes"),
+            F.col("mime").alias("mime"),
+        ).alias("meta"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_features(
+            media, "doc_id", decoder=decode_media
+        ).collect()
+    }
+    assert out[1]["n_bytes"] == out[2]["n_bytes"] == 6
+    assert out[1]["byte_sum"] == out[2]["byte_sum"] == 510
+    assert out[1]["first_byte"] == out[2]["first_byte"] == 255
+
+
+def test_interlaced_and_16bit_png_boundary_pinned(spark):
+    """The stdlib decoder's REMAINING documented boundary (narrowed from
+    palette+interlaced in r11 — palette is now implemented): Adam7-
+    interlaced and 16-bit fixtures (valid chunks + CRCs) must raise the
+    documented NotImplementedError, and the SAME payloads must flow
+    through the Spark plumbing when a PIL-style decoder is injected —
+    no silent wrong-pixels path exists for uncovered formats."""
+    import struct
+    import zlib
+
+    # 2×1 greyscale with the Adam7 interlace flag
     interlaced_png = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1))
-        + chunk(b"IDAT", zlib.compress(bytes([0, 10, 20])))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 10, 20])))
+        + _png_chunk(b"IEND", b"")
     )
-    for payload, marker in ((palette_png, "color=3"), (interlaced_png, "interlace=1")):
+    # 1×1 16-bit greyscale
+    deep_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0x12, 0x34])))
+        + _png_chunk(b"IEND", b"")
+    )
+    for payload, marker in (
+        (interlaced_png, "interlace=1"),
+        (deep_png, "depth=16"),
+    ):
         with pytest.raises(NotImplementedError) as ei:
             decode_media(payload, "image/png")
         assert marker in str(ei.value)          # the documented message
         assert "PIL" in str(ei.value)           # points at the remedy
 
-    # a PIL-style decoder plugged into the injection seam handles both:
-    # palette indices resolve through PLTE, interlaced rows deinterlace
+    # a PIL-style decoder plugged into the injection seam handles both
     # (faked deterministically here — the SIGNATURE and routing are real)
     def pil_style(payload: bytes, mime: str) -> bytes:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            ctype = payload[8 + 8 + 9]
-            if ctype == 3:
-                return bytes([255, 0, 0, 0, 0, 255])  # resolved RGB
-            return bytes([10, 20])                     # deinterlaced grey
+            depth = payload[8 + 8 + 8]
+            if depth == 16:
+                return bytes([0x12, 0x34])              # decoded 16-bit
+            return bytes([10, 20])                      # deinterlaced grey
         raise NotImplementedError(mime)
 
     media = spark.createDataFrame(
-        [(1, palette_png, "image/png"), (2, interlaced_png, "image/png")],
+        [(1, interlaced_png, "image/png"), (2, deep_png, "image/png")],
         "doc_id long, payload binary, mime string",
     ).select(
         "doc_id",
@@ -366,5 +454,5 @@ def test_palette_and_interlaced_png_boundary_pinned(spark):
         r["doc_id"]: r
         for r in extract_features(media, "doc_id", decoder=pil_style).collect()
     }
-    assert out[1]["n_bytes"] == 6 and out[1]["byte_sum"] == 510
-    assert out[2]["n_bytes"] == 2 and out[2]["byte_sum"] == 30
+    assert out[1]["n_bytes"] == 2 and out[1]["byte_sum"] == 30
+    assert out[2]["n_bytes"] == 2 and out[2]["byte_sum"] == 0x12 + 0x34
