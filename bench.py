@@ -321,6 +321,9 @@ HEADLINE = (
     # added r11: growth reporting + Lorenz curve
     "revenue_mom",
     "spend_lorenz",
+    # added r12: live directional rules read off the persisted basket
+    # counter indexes (shares brand_affinity_stream's one-time ingest)
+    "assoc_rules_live",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

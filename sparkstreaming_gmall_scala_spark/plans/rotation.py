@@ -298,6 +298,8 @@ POOL: tuple[str, ...] = (
     # round-11 growth reporting + the Lorenz curve behind Gini
     "revenue_mom",
     "spend_lorenz",
+    # round-12 live directional rules off the basket counter indexes
+    "assoc_rules_live",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

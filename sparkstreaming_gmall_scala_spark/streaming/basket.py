@@ -188,3 +188,75 @@ def brand_affinity_live(
             ).cast("long").alias("lift_ppm"),
         )
     )
+
+
+def assoc_rules_live(
+    spark: SparkSession, pairs_dir: str, freq_dir: str, orders_dir: str
+) -> DataFrame:
+    """Directional association rules (plans/tpch.py:assoc_rules) served
+    from the SAME three counter indexes brand_affinity_live folds — no
+    new ingest state (r11 verdict #6): confidence/support/lift are all
+    functions of (pair count, brand frequencies, order total). The
+    unordered pair counter (brand_a < brand_b) expands to both
+    directions by a union with the swapped projection — n_both is
+    direction-independent, only confidence's denominator (the
+    antecedent's frequency) differs per direction. Arithmetic is the
+    batch query's verbatim: exact integer ppm floor-div for
+    confidence/support, the one shared IEEE double tree for lift."""
+    n_orders = (
+        _fold(AppendOnlyIndex(orders_dir).read(spark), [])
+        .collect()[0]["n"]
+        or 0
+    )
+    freq = _fold(
+        AppendOnlyIndex(freq_dir).read(spark), ["b"]
+    ).withColumnRenamed("n", "nb")
+    und = _fold(
+        AppendOnlyIndex(pairs_dir).read(spark), ["brand_a", "brand_b"]
+    ).withColumnRenamed("n", "n_both")
+    pairs = und.select(
+        F.col("brand_a").alias("antecedent"),
+        F.col("brand_b").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        und.select(
+            F.col("brand_b").alias("antecedent"),
+            F.col("brand_a").alias("consequent"),
+            "n_both",
+        )
+    )
+    lift = F.floor(
+        F.col("n_both").cast("double")
+        * F.lit(float(n_orders))
+        / (F.col("na").cast("double") * F.col("nc").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    conf = F.expr("n_both * 1000000L div na")
+    return (
+        pairs.join(
+            F.broadcast(
+                freq.withColumnRenamed("b", "antecedent")
+                .withColumnRenamed("nb", "na")
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                freq.withColumnRenamed("b", "consequent")
+                .withColumnRenamed("nb", "nc")
+            ),
+            "consequent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            conf.alias("confidence_ppm"),
+            F.expr(f"n_both * 1000000L div {n_orders}").alias(
+                "support_ppm"
+            ),
+            lift.alias("lift_ppm"),
+            ((conf >= 250000) & (lift > 1000000)).alias("actionable"),
+        )
+    )

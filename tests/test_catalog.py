@@ -353,6 +353,8 @@ def test_gate_budget(registry):
         # round-11 growth reporting + the Lorenz curve behind Gini
         "revenue_mom",
         "spend_lorenz",
+        # round-12 live directional rules off the basket counter indexes
+        "assoc_rules_live",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

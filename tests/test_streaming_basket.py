@@ -130,3 +130,88 @@ def test_random_split_matches_batch_with_compaction(spark, tmp_path):
     dirs = _dirs(tmp_path)
     _drive(spark, dirs, splits, compact_every=2)
     assert _live(spark, dirs) == want
+
+
+def _batch_rules(spark, rows):
+    """The batch definition (plans/tpch.py:assoc_rules) applied to an
+    (o, b) pair list in one shot — the oracle twin for the directional
+    rules fold."""
+    ob = spark.createDataFrame(rows, ["o", "b"]).distinct().persist()
+    n_orders = ob.select("o").distinct().count()
+    freq = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a = ob.select("o", F.col("b").alias("antecedent"))
+    c = ob.select("o", F.col("b").alias("consequent"))
+    pairs = (
+        a.join(c, "o")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    lift = F.floor(
+        F.col("n_both").cast("double")
+        * F.lit(float(n_orders))
+        / (F.col("na").cast("double") * F.col("nc").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    conf = F.expr("n_both * 1000000L div na")
+    out = pairs.join(
+        freq.withColumnRenamed("b", "antecedent").withColumnRenamed("nb", "na"),
+        "antecedent",
+    ).join(
+        freq.withColumnRenamed("b", "consequent").withColumnRenamed("nb", "nc"),
+        "consequent",
+    ).select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        conf.alias("confidence_ppm"),
+        F.expr(f"n_both * 1000000L div {n_orders}").alias("support_ppm"),
+        lift.alias("lift_ppm"),
+        ((conf >= 250000) & (lift > 1000000)).alias("actionable"),
+    )
+    res = {tuple(r) for r in out.collect()}
+    ob.unpersist()
+    return res
+
+
+def _rules_live(spark, dirs):
+    from sparkstreaming_gmall_scala_spark.streaming.basket import (
+        assoc_rules_live,
+    )
+
+    pairs, freq, orders, _ = dirs
+    return {
+        tuple(r)
+        for r in assoc_rules_live(spark, pairs, freq, orders).collect()
+    }
+
+
+def test_streamed_rules_equal_batch_across_splits_and_replay(spark, tmp_path):
+    """r12 (r11 verdict #6): the directional rules fold over the SAME
+    counter indexes equals the one-shot batch assoc_rules — across the
+    basket-spanning split AND with every batch replayed once."""
+    want = _batch_rules(spark, ALL)
+    dirs = _dirs(tmp_path)
+    _drive(spark, dirs, [ROWS, ROWS2, ROWS3], replay={0, 1, 2})
+    assert _rules_live(spark, dirs) == want
+    # both live folds read the same indexes — no second ingest needed
+    assert _live(spark, dirs) == _batch_affinity(spark, ALL)
+
+
+def test_streamed_rules_random_split(spark, tmp_path):
+    rng = random.Random(23)
+    rows = [
+        (o, b)
+        for o in range(1, 12)
+        for b in "ABCD"
+        if rng.random() < 0.55
+    ]
+    splits = [[], [], []]
+    for r in rows + rows[::4]:
+        splits[rng.randrange(3)].append(r)
+    splits = [s if s else [(999, "A")] for s in splits]
+    flat = [r for s in splits for r in s]
+    dirs = _dirs(tmp_path)
+    _drive(spark, dirs, splits, compact_every=2)
+    assert _rules_live(spark, dirs) == _batch_rules(spark, flat)

@@ -195,6 +195,12 @@ ITERATIVE = {
     "join (quadratic only in basket width) + three additive counter "
     "appends, then the read side folds partials and applies the batch "
     "query's broadcast lift joins",
+    "assoc_rules_live": "zero counts are the |brands|²-row "
+    "materialization after the SHARED /tmp basket ingest (one ingest "
+    "serves brand_affinity_stream and this fold); real read shape: fold "
+    "the three counter indexes, expand the unordered pair counter to "
+    "both rule directions via a swapped union, then the batch query's "
+    "broadcast confidence/support/lift joins",
     "knn_ivf_sq8": "zero counts are the k*|queries|-row materialization "
     "(collect + createDataFrame after the bounded refine); real shape "
     "is 1 cell-PRUNED codes read (partition filter from the literal "
