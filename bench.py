@@ -324,6 +324,17 @@ HEADLINE = (
     # added r12: live directional rules read off the persisted basket
     # counter indexes (shares brand_affinity_stream's one-time ingest)
     "assoc_rules_live",
+    # added r12: statistical tests (exact MWU, Mann-Kendall, Cramér's V,
+    # lag-k ACF), operational audits (SPC rules, invoice reconciliation),
+    # LLM mixing weights + tokenizer fertility
+    "mwu_spend_by_status",
+    "mann_kendall_trend",
+    "cramers_v_type_hour",
+    "revenue_acf",
+    "spc_violations",
+    "order_price_reconcile",
+    "domain_mixture_weights",
+    "token_fertility",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

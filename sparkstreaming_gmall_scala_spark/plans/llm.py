@@ -4047,3 +4047,143 @@ def dup_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", threshold=0.4, dim=64
     ).select("id_a", "id_b")
     return core_decomposition(pairs)
+
+
+@register(
+    "domain_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0)
+                  AS BIGINT) AS w_milli
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens, w_milli,
+           CAST(n_tokens * 1000000
+                // (SELECT sum(n_tokens) FROM w) AS BIGINT) AS raw_ppm,
+           CAST(w_milli * 1000000
+                // (SELECT sum(w_milli) FROM w) AS BIGINT) AS share_ppm
+    FROM w
+    """,
+    tags=("llm", "mixing", "sampling"),
+    gated=False,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened data-mixing weights per source domain — the
+    α=0.5 sampling-weight table every multilingual/multi-domain training
+    mix starts from (weights ∝ n_tokens^0.5 up-weight tail domains
+    against the head; raw_ppm vs share_ppm shows the flattening). The
+    serving half of dsir_select: DSIR picks documents, this sets the
+    per-domain rates.
+
+    Determinism without a pow() portability problem: α=0.5 is exactly
+    sqrt — IEEE correctly-rounded in both engines (the ln/log10 trap
+    doesn't apply) — and the weight integerizes (floor·1000) BEFORE
+    normalization, so the shares are exact integer ppm of an integer
+    sum, never a sum of doubles. Scale: one documents scan folds to
+    |sources| rows; the normalizing sums are unpartitioned windows over
+    that dimension-bounded frame."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).alias("n_tokens"),
+    )
+    w = per.withColumn(
+        "w_milli",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000.0).cast(
+            "long"
+        ),
+    )
+    tot = Window.partitionBy()
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_milli",
+        F.expr("n_tokens * 1000000L").cast("long").alias("_rn"),
+        F.sum("n_tokens").over(tot).alias("_ts"),
+        F.expr("w_milli * 1000000L").cast("long").alias("_wn"),
+        F.sum("w_milli").over(tot).alias("_ws"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_milli",
+        F.expr("_rn div _ts").alias("raw_ppm"),
+        F.expr("_wn div _ws").alias("share_ppm"),
+    )
+
+
+@register(
+    "token_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(sum(len({_TOKENS})) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(length(text)) * 1000000
+                // sum(len(regexp_extract_all(text,
+                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+             AS chars_per_bpe_ppm,
+           CAST(sum(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) * 1000000
+                // sum(len({_TOKENS})) AS BIGINT) AS bpe_per_ws_ppm
+    FROM documents GROUP BY lang
+    """,
+    tags=("llm", "tokenizer", "text"),
+    gated=False,
+)
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per BPE-ish token and
+    BPE tokens per whitespace word — the cross-lingual tokenizer-cost
+    table (a language whose fertility is 2× pays 2× the context budget
+    per character; the first thing a tokenizer evaluation reports).
+    Uses doc_token_stats' exact token definitions, rolled up by lang.
+
+    Exact integer ppm throughout (corpus sums are BIGINT, ratios are
+    floor div — no doubles at all). Scale: one documents scan, one
+    |langs|-row aggregate, zero joins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    bpe = F.size(
+        F.expr(
+            r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"
+        )
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text").cast("long")).alias("n_chars"),
+            F.sum(bpe.cast("long")).alias("n_bpe_tokens"),
+            F.sum(F.size(toks).cast("long")).alias("n_ws_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_bpe_tokens",
+            "n_ws_tokens",
+            F.expr("n_chars * 1000000L div n_bpe_tokens").alias(
+                "chars_per_bpe_ppm"
+            ),
+            F.expr("n_bpe_tokens * 1000000L div n_ws_tokens").alias(
+                "bpe_per_ws_ppm"
+            ),
+        )
+    )

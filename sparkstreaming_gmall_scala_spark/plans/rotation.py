@@ -300,6 +300,20 @@ POOL: tuple[str, ...] = (
     "spend_lorenz",
     # round-12 live directional rules off the basket counter indexes
     "assoc_rules_live",
+    # round-12 statistical tests: exact Mann-Whitney U (rank test off
+    # the value histogram), Mann-Kendall trend significance, Cramér's V
+    # effect size, lag-k autocorrelation
+    "mwu_spend_by_status",
+    "mann_kendall_trend",
+    "cramers_v_type_hour",
+    "revenue_acf",
+    # round-12 operational/data-quality audits: SPC control-chart rules,
+    # header-vs-lines invoice reconciliation
+    "spc_violations",
+    "order_price_reconcile",
+    # round-12 LLM data-mixing + tokenizer diagnostics
+    "domain_mixture_weights",
+    "token_fertility",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -2427,6 +2427,293 @@ def ks_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mwu_spend_by_status",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS s,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS c2
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+    ), cum AS (
+      SELECT s, c1, c2, c1 + c2 AS ct,
+             sum(c1 + c2) OVER (ORDER BY s) AS cumt
+      FROM v
+    ), agg AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             sum(CAST(c1 AS HUGEINT) * (2 * cumt - ct + 1)) AS r2,
+             sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS t
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(floor(
+             CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                  - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+             / (2.0 * sqrt(
+                 (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(t AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE)
+                         * CAST(n1 + n2 - 1 AS DOUBLE)))))
+             * 1000000.0 + 0.5) AS BIGINT) AS z_ppm
+    FROM agg
+    """,
+    tags=("scale", "stats", "test"),
+    gated=False,
+)
+def mwu_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) between fulfilled
+    ('F') and open ('O') order values — the RANK-based location test
+    next to welch_t (means, assumes normal-ish) and ks_spend_by_status
+    (whole-distribution shape): U detects a median/stochastic-dominance
+    shift and is outlier-proof.
+
+    Exact to the last integer before one final double tree: average
+    ranks over ties come off the merged value HISTOGRAM — for each
+    distinct cents value, the doubled rank-sum contribution of group 1
+    is c1·(2·cumt − ct + 1) (cumt = cumulative total count, so the
+    average tie rank (before + (ct+1)/2) doubles to an integer), giving
+    2R1 and 2U1 = 2R1 − n1(n1+1) with no fact-sized sort anywhere (the
+    ks discipline: cumulatives via the two-level log2-bucket prefix).
+    Doubled sums are DECIMAL(38,0)/HUGEINT (they reach N²; Σct³ reaches
+    N³). The tie-corrected normal z is the one shared IEEE tree:
+    (2U1 − n1n2) / (2√((n1n2/12)·(N+1 − T/(N(N−1))))), T = Σ(ct³−ct).
+    u1_x2 (=2·U1) is emitted instead of U1 so the gate compares exact
+    integers (U1 itself is a .5 rational under ties)."""
+    from ..operators.skew import size_histogram_cum
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    v = (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("s"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("is1"),
+            (F.col("o_orderstatus") == "O").cast("long").alias("is2"),
+        )
+        .groupBy("s")
+        .agg(F.sum("is1").alias("c1"), F.sum("is2").alias("c2"))
+        .persist()
+    )
+    v.count()  # one histogram feeds the cumulative walk + the fold
+    cumt = size_histogram_cum(
+        v.select("s", (F.col("c1") + F.col("c2")).alias("cnt"))
+    ).select("s", F.col("cum").alias("cumt"))
+    row = (
+        v.join(cumt, "s")
+        .select(
+            "c1",
+            "c2",
+            (F.col("c1") + F.col("c2")).alias("ct"),
+            "cumt",
+        )
+        .agg(
+            F.sum("c1").alias("n1"),
+            F.sum("c2").alias("n2"),
+            F.sum(
+                (
+                    F.col("c1").cast("decimal(38,0)")
+                    * (2 * F.col("cumt") - F.col("ct") + 1)
+                ).cast("decimal(38,0)")
+            ).alias("r2"),
+            F.sum(
+                (
+                    F.col("ct").cast("decimal(38,0)")
+                    * F.col("ct")
+                    * F.col("ct")
+                    - F.col("ct")
+                ).cast("decimal(38,0)")
+            ).alias("t"),
+        )
+        .collect()[0]
+    )
+    v.unpersist()
+    if row["n1"] is None or not row["n1"] or not row["n2"]:
+        return spark.createDataFrame(
+            [], "n1 long, n2 long, u1_x2 long, z_ppm long"
+        )
+    import math
+
+    n1, n2 = int(row["n1"]), int(row["n2"])
+    r2, t = int(row["r2"]), int(row["t"])
+    u1_x2 = r2 - n1 * (n1 + 1)
+    nn = n1 + n2
+    # the oracle's double tree, verbatim (exact ints in, one IEEE tree)
+    z = float(u1_x2 - n1 * n2) / (
+        2.0
+        * math.sqrt(
+            (float(n1) * float(n2) / 12.0)
+            * (float(nn + 1) - float(t) / (float(nn) * float(nn - 1)))
+        )
+    )
+    z_ppm = math.floor(z * 1000000.0 + 0.5)
+    return spark.createDataFrame(
+        [(n1, n2, u1_x2, z_ppm)],
+        "n1 long, n2 long, u1_x2 long, z_ppm long",
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders),
+    daily AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE CAST(o.o_orderdate AS DATE)
+            >= (SELECT m FROM mx) - INTERVAL 364 DAY
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT a.n_name,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b
+        ON a.n_name = b.n_name AND a.day < b.day
+      GROUP BY 1
+    ), nd AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_days FROM daily
+      GROUP BY 1
+    ), ties AS (
+      SELECT n_name,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS b
+      FROM (SELECT n_name, y, count(*) AS t FROM daily GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT nd.n_name, nd.n_days, coalesce(s.s_stat, 0) AS s_stat,
+           CASE
+             WHEN coalesce(s.s_stat, 0) > 0 THEN
+               CAST(floor(CAST(s.s_stat - 1 AS DOUBLE)
+                 / sqrt(CAST(nd.n_days * (nd.n_days - 1)
+                             * (2 * nd.n_days + 5) - ties.b AS DOUBLE)
+                        / 18.0)
+                 * 1000000.0 + 0.5) AS BIGINT)
+             WHEN coalesce(s.s_stat, 0) < 0 THEN
+               CAST(floor(CAST(s.s_stat + 1 AS DOUBLE)
+                 / sqrt(CAST(nd.n_days * (nd.n_days - 1)
+                             * (2 * nd.n_days + 5) - ties.b AS DOUBLE)
+                        / 18.0)
+                 * 1000000.0 + 0.5) AS BIGINT)
+             ELSE 0
+           END AS z_ppm
+    FROM nd JOIN ties USING (n_name) LEFT JOIN s USING (n_name)
+    WHERE nd.n_days >= 2
+    """,
+    tags=("scale", "stats", "trend"),
+    gated=False,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST per nation over the trailing-365-day
+    daily-revenue series — the significance companion to
+    theil_sen_trend's slope ESTIMATE (same pairing, same window: S
+    counts concordant minus discordant day pairs; MK answers "is there
+    a monotone trend at all", Theil-Sen answers "how steep").
+
+    Scale: identical bound to theil_sen_trend — the fact table folds to
+    the |nations|×365 daily frame first, the pairwise self-join is
+    quadratic only in days-per-nation (calendar-bounded at ANY sf), and
+    S / the tie term / n_days are three aggregates off that bounded
+    frame. All integers until the final z: S exact, the tie-corrected
+    variance (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 enters ONE shared IEEE
+    tree (sqrt of the exact integer difference over 18.0), with the
+    standard ±1 continuity correction branched by S's sign — the branch
+    is on an exact integer, so it can never flip on rounding. varS = 0
+    implies every pair is tied, which forces S = 0 and the z = 0 branch
+    (no division there — CASE is lazy in both engines)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = o.agg(F.max("day").alias("m")).collect()[0]["m"]  # one scalar
+    if mx is None:  # empty orders: the decile_profile convention
+        return spark.createDataFrame(
+            [], "n_name string, n_days long, s_stat long, z_ppm long"
+        )
+    o = o.filter(F.col("day") >= F.date_sub(F.lit(mx), 364))
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(scaled_dim(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name", "day")
+        .agg(F.sum("cents").alias("y"))
+        .persist()
+    )
+    daily.count()  # one fold feeds S, the tie term, and n_days
+    a = daily.select("n_name", F.col("day").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("n_name", F.col("day").alias("d2"), F.col("y").alias("y2"))
+    s = (
+        a.join(b, "n_name")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.when(F.col("y2") > F.col("y1"), 1)
+                .when(F.col("y2") < F.col("y1"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nd = daily.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("n_name", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("n_name")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("b")
+        )
+    )
+    var_int = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("b")
+    ).cast("double")
+    s0 = F.coalesce(F.col("s_stat"), F.lit(0))
+    z_of = lambda shift: F.floor(  # noqa: E731
+        (s0 + F.lit(shift)).cast("double")
+        / F.sqrt(var_int / F.lit(18.0))
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    out = (
+        nd.join(ties, "n_name")
+        .join(s, "n_name", "left")
+        .filter(F.col("n_days") >= 2)
+        .select(
+            "n_name",
+            "n_days",
+            s0.alias("s_stat"),
+            F.when(s0 > 0, z_of(-1))
+            .when(s0 < 0, z_of(1))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("z_ppm"),
+        )
+    )
+    rows = out.collect()  # |nations| rows; frees the daily cache
+    daily.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
     "kendall_tau_daily",
     oracle="""
     WITH daily AS (
@@ -2879,3 +3166,318 @@ def spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()  # <=10 rows
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "spc_violations",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS s,
+             sum(CAST(y AS HUGEINT) * y) AS q
+      FROM daily
+    ), sided AS (
+      SELECT d, y,
+             CASE WHEN CAST(y AS HUGEINT) * mom.n > mom.s THEN 1
+                  WHEN CAST(y AS HUGEINT) * mom.n < mom.s THEN -1
+                  ELSE 0 END AS side,
+             (CAST(y AS HUGEINT) * mom.n - mom.s)
+               * (CAST(y AS HUGEINT) * mom.n - mom.s)
+               > 9 * (mom.n * mom.q - mom.s * mom.s) AS rule1
+      FROM daily CROSS JOIN mom
+    ), runs AS (
+      SELECT d, y, side, rule1,
+             row_number() OVER (ORDER BY d)
+               - row_number() OVER (PARTITION BY side ORDER BY d) AS grp
+      FROM sided
+    ), runlen AS (
+      SELECT d, y, side, rule1,
+             count(*) OVER (PARTITION BY side, grp) AS run_len
+      FROM runs
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, y AS cents, side,
+           CAST(run_len AS BIGINT) AS run_len,
+           rule1, (side <> 0 AND run_len >= 8) AS rule2
+    FROM runlen
+    WHERE rule1 OR (side <> 0 AND run_len >= 8)
+    """,
+    tags=("scale", "quality", "monitoring"),
+    gated=False,
+)
+def spc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control violations on daily revenue — the two
+    classic Shewhart/Western-Electric rules: rule 1 (a day beyond the
+    ±3σ control limits) and rule 2 (8+ consecutive days strictly the
+    same side of the mean — a sustained shift 3σ never flags). The
+    operational monitoring layer next to seasonal_outliers (per-stratum)
+    and revenue_changepoint (single break).
+
+    FULLY exact — no floating point anywhere: |y−μ|>3σ over the
+    population moments rewrites to (y·n − S)² > 9(nQ − S²) in
+    DECIMAL(38,0)/HUGEINT (y·n reaches ~2.5e16 and its square ~6e32,
+    inside 38 digits at any sf), and the mean-side test is the exact
+    integer sign of y·n − S, so a borderline day can never flip engines.
+    Scale: the fact table folds to the calendar-bounded daily frame
+    first; the run-length windows (gaps-and-islands on the side sign)
+    are unpartitioned but run over <= |calendar| rows by construction —
+    the runs-test/EWMA bound, distributed result, no driver fold."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").alias("y")).persist()
+    daily.count()  # one fold feeds the moments and the run walk
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("y").cast("decimal(38,0)") * F.col("y")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("q"),
+    ).collect()[0]
+    n, s, q = int(mom["n"]), int(mom["s"]), int(mom["q"])
+    if n == 0:
+        daily.unpersist()
+        return spark.createDataFrame(
+            [],
+            "day string, cents long, side int, run_len long,"
+            " rule1 boolean, rule2 boolean",
+        )
+    # scalars exceed a JVM long at scale — thread them as DECIMAL(38,0)
+    # string literals, never F.lit(int)
+    s_lit = F.expr(f"CAST('{s}' AS DECIMAL(38,0))")
+    lim_lit = F.expr(f"CAST('{9 * (n * q - s * s)}' AS DECIMAL(38,0))")
+    yn = F.col("y").cast("decimal(38,0)") * F.lit(n)
+    dev = yn - s_lit
+    sided = daily.select(
+        "d",
+        "y",
+        F.when(dev > 0, 1).when(dev < 0, -1).otherwise(0).alias("side"),
+        ((dev * dev).cast("decimal(38,0)") > lim_lit).alias("rule1"),
+    )
+    w_all = Window.orderBy("d")
+    w_side = Window.partitionBy("side").orderBy("d")
+    runs = sided.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_side)
+    )
+    runlen = runs.withColumn(
+        "run_len",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("side", "grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    out = (
+        runlen.filter(
+            F.col("rule1") | ((F.col("side") != 0) & (F.col("run_len") >= 8))
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("y").alias("cents"),
+            "side",
+            F.col("run_len").cast("long").alias("run_len"),
+            "rule1",
+            ((F.col("side") != 0) & (F.col("run_len") >= 8)).alias("rule2"),
+        )
+    )
+    rows = out.collect()  # calendar-bounded; frees the daily cache
+    daily.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "cramers_v_type_hour",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1
+    ), ct AS (
+      SELECT hr, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1
+    ), n AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM o
+    ), cells AS (
+      SELECT o, rt * ct * 1000000 // n.n AS e6
+      FROM o JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN n
+    ), chi AS (
+      SELECT CAST(sum(CAST(floor(
+               ((CAST(o AS DOUBLE) - CAST(e6 AS DOUBLE) / 1000000.0)
+                * (CAST(o AS DOUBLE) - CAST(e6 AS DOUBLE) / 1000000.0)
+                / (CAST(e6 AS DOUBLE) / 1000000.0)) * 1000000 + 0.5)
+             AS BIGINT)) AS BIGINT) AS chi2_sum6
+      FROM cells WHERE e6 > 0
+    ), dims AS (
+      SELECT CAST(count(*) AS BIGINT) AS r FROM rt
+    ), dims2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS c FROM ct
+    )
+    SELECT n.n, dims.r, dims2.c, chi.chi2_sum6,
+           CAST(floor(sqrt(
+             CAST(chi.chi2_sum6 AS DOUBLE) / 1000000.0
+             / (CAST(n.n AS DOUBLE)
+                * CAST(least(dims.r - 1, dims2.c - 1) AS DOUBLE)))
+             * 1000000.0 + 0.5) AS BIGINT) AS v_ppm
+    FROM chi CROSS JOIN n CROSS JOIN dims CROSS JOIN dims2
+    """,
+    tags=("scale", "stats", "test"),
+    gated=False,
+)
+def cramers_v_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the 0..1 EFFECT SIZE for the event-type × hour
+    association whose significance type_hour_chi2 screens (chi² grows
+    with n, so at fact scale everything is "significant"; V answers
+    "how strongly coupled", invariant to sample size).
+
+    Defined over type_hour_chi2's own per-cell statistic verbatim: each
+    cell's floor-6dp chi² contribution (exact-integer expected counts
+    e6 = row·col·1e6 div n, one shared IEEE tree per cell) SUMS as an
+    exact integer — sidestepping the engine-order-of-addition problem a
+    bare SUM over doubles would have (the dow_anova discipline, solved
+    by integerizing per cell instead of generating a fold tree) — then
+    V = √(chi²/(n·min(r−1,c−1))) is one final double tree. Scale: one
+    events scan folds to the |types|×24 cell table; marginals broadcast
+    back; the result is a single row, computed distributed (no driver
+    fold)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", F.hour("ts").cast("long").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
+    )
+    cells.count()  # one scan feeds marginals + the chi fold
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("hr").agg(F.sum("o").alias("ct"))
+    scal = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("hr").alias("c"),
+    ).collect()[0]
+    n, r, c = int(scal["n"]), int(scal["r"]), int(scal["c"])
+    if n == 0:
+        cells.unpersist()
+        return spark.createDataFrame(
+            [], "n long, r long, c long, chi2_sum6 long, v_ppm long"
+        )
+    e6 = F.expr(f"rt * ct * 1000000 div {n}")
+    od = F.col("o").cast("double")
+    e6d = F.col("e6").cast("double") / 1000000.0
+    chi = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .withColumn("e6", e6)
+        .filter(F.col("e6") > 0)
+        .select(
+            F.floor(((od - e6d) * (od - e6d) / e6d) * 1000000 + 0.5)
+            .cast("long")
+            .alias("chi2_6")
+        )
+        .agg(F.sum("chi2_6").alias("chi2_sum6"))
+        .collect()[0]["chi2_sum6"]
+    )
+    cells.unpersist()
+    import math
+
+    chi = int(chi)
+    k = min(r - 1, c - 1)
+    v_ppm = math.floor(
+        math.sqrt(float(chi) / 1000000.0 / (float(n) * float(k)))
+        * 1000000.0
+        + 0.5
+    )
+    return spark.createDataFrame(
+        [(n, r, c, chi, v_ppm)],
+        "n long, r long, c long, chi2_sum6 long, v_ppm long",
+    )
+
+
+@register(
+    "order_price_reconcile",
+    oracle="""
+    WITH line AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS recon
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.o_orderstatus,
+             coalesce(line.recon, 0)
+               - CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+               AS drift
+      FROM orders o LEFT JOIN line ON o.o_orderkey = line.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN drift <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch,
+           CAST(max(abs(drift)) AS BIGINT) AS max_abs_drift_cents,
+           CAST(sum(abs(drift)) AS BIGINT) AS total_abs_drift_cents
+    FROM j GROUP BY 1
+    """,
+    tags=("scale", "quality", "audit"),
+    gated=False,
+)
+def order_price_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invoice reconciliation audit: recompute every order's total from
+    its line items (extendedprice·(1−discount)·(1+tax), the TPC-H
+    invariant) and reconcile against the order header's o_totalprice —
+    per status: order count, mismatch count, worst and total absolute
+    drift in cents. The referential money audit next to fk_orphans
+    (keys) and expectations_check (ranges): silent header/line drift is
+    the classic upstream-ETL defect.
+
+    Determinism: the per-line cents expression is ONE shared IEEE tree
+    (left-associated products of correctly-rounded double ops, floored
+    to exact cents), summed exactly per order; the drift and all four
+    aggregates are pure integers. Scale: one lineitem scan folds to
+    per-order cents (one orderkey exchange), the header join is
+    key-co-partitioned, the result is |statuses| rows — no driver
+    fold, no window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * (F.lit(1) + F.col("l_tax"))
+            * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("line_cents"),
+    )
+    recon = li.groupBy("l_orderkey").agg(F.sum("line_cents").alias("recon"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("listed"),
+    )
+    drift = (
+        o.join(recon, o["o_orderkey"] == recon["l_orderkey"], "left")
+        .select(
+            "o_orderstatus",
+            (F.coalesce(F.col("recon"), F.lit(0)) - F.col("listed")).alias(
+                "drift"
+            ),
+        )
+    )
+    return drift.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("drift") != 0).cast("long")).alias("n_mismatch"),
+        F.max(F.abs("drift")).alias("max_abs_drift_cents"),
+        F.sum(F.abs("drift")).alias("total_abs_drift_cents"),
+    )

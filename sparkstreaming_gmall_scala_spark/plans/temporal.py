@@ -1482,3 +1482,112 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("burstiness_ppm"),
     )
+
+
+@register(
+    "revenue_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT r.k AS lag, a.y AS x, b.y AS y
+      FROM range(1, 8) r(k)
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + r.k * INTERVAL 1 DAY
+    ), mom AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CAST(floor(
+             CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS acf6
+    FROM mom
+    WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+    """,
+    tags=("temporal", "stats", "timeseries"),
+    gated=False,
+)
+def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of daily revenue — the weekly-rhythm
+    fingerprint (a retail series shows the lag-7 spike; a random walk
+    decays smoothly): Pearson correlation between the daily series and
+    its calendar-shifted self at each lag, pairing only days where BOTH
+    ends were observed (missing days don't pair — no imputation).
+
+    The daily_value_corr double-tree discipline at a second time scale:
+    every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact integer —
+    DECIMAL(38,0)/HUGEINT, since daily-cents² sums overflow BIGINT at
+    fact scale — and the one IEEE tree is num/(√denx·√deny), floored at
+    6dp. Scale: one orders scan folds to the calendar-bounded daily
+    frame; the 7 lags materialize as one explode (7·|days| rows, still
+    calendar-bounded) hash-joined back to the daily frame on the
+    shifted day; zero-variance lags emit nothing rather than NaN."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").alias("y")).persist()
+    daily.count()  # one fold feeds both join sides
+    a = daily.select("d", F.col("y").alias("x")).withColumn(
+        "lag", F.explode(F.sequence(F.lit(1), F.lit(7)))
+    ).withColumn("d2", F.expr("date_add(d, lag)"))
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("yy"))
+    dec = "decimal(38,0)"
+    mom = (
+        a.join(b, "d2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("yy").cast(dec)).alias("sy"),
+            F.sum((F.col("x").cast(dec) * F.col("yy")).cast(dec)).alias(
+                "sxy"
+            ),
+            F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec)).alias(
+                "sxx"
+            ),
+            F.sum((F.col("yy").cast(dec) * F.col("yy")).cast(dec)).alias(
+                "syy"
+            ),
+        )
+    )
+    num = (
+        F.col("n_pairs").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    denx = (
+        F.col("n_pairs").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    deny = (
+        F.col("n_pairs").cast(dec) * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    out = (
+        mom.filter((denx > 0) & (deny > 0))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            F.floor(
+                num
+                / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("acf6"),
+        )
+    )
+    rows = out.collect()  # <= 7 rows; frees the daily cache
+    daily.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)

@@ -195,6 +195,26 @@ ITERATIVE = {
     "join (quadratic only in basket width) + three additive counter "
     "appends, then the read side folds partials and applies the batch "
     "query's broadcast lift joins",
+    "mwu_spend_by_status": "zero counts are the one-row materialization "
+    "(exact-integer rank sums collected, z computed driver-side through "
+    "the oracle's double tree); real shape: 1 orders scan -> distinct-"
+    "cents histogram + the two-level prefix walk, no fact-sized sort",
+    "mann_kendall_trend": "zero counts are the |nations|-row "
+    "materialization (theil_sen discipline); real shape: 1 orders scan "
+    "folds to the |nations|x365 daily frame, the day-pair self-join is "
+    "calendar-bounded, three aggregates off the cached fold",
+    "spc_violations": "zero counts are the calendar-bounded violation-"
+    "day materialization; real shape: 1 orders scan -> daily fold, one "
+    "exact DECIMAL moment row, gaps-and-islands run windows over "
+    "<= |calendar| rows",
+    "cramers_v_type_hour": "zero counts are the one-row materialization "
+    "(chi2 cell sum + dims collected, V computed driver-side); real "
+    "shape: 1 events scan -> |types|x24 cells, broadcast marginals, one "
+    "integer fold",
+    "revenue_acf": "zero counts are the <=7-row materialization; real "
+    "shape: 1 orders scan -> calendar-bounded daily fold, a 7-lag "
+    "explode hash-joined back on the shifted day, DECIMAL(38,0) moment "
+    "aggregate per lag",
     "assoc_rules_live": "zero counts are the |brands|²-row "
     "materialization after the SHARED /tmp basket ingest (one ingest "
     "serves brand_affinity_stream and this fold); real read shape: fold "
