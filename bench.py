@@ -335,6 +335,14 @@ HEADLINE = (
     "order_price_reconcile",
     "domain_mixture_weights",
     "token_fertility",
+    # added r12 batch 2: dedup savings report, exact quartile profiles,
+    # brand share drift, live SPC monitor (read-side fold; ingest under
+    # build_sec like the basket counters)
+    "dedup_savings",
+    "ship_lag_quantiles",
+    "dow_revenue_quartiles",
+    "share_drift",
+    "spc_violations_live",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan
@@ -456,7 +464,7 @@ def main() -> int:
 
     for prefix in (
         "lshbuckets", "ivfcells", "sq8", "pqcodes", "ivfpq", "ivfsq8",
-        "basketidx",
+        "basketidx", "spcidx",
     ):
         for d in _glob.glob(
             os.path.join(
@@ -478,6 +486,8 @@ def main() -> int:
         # to the same build-vs-probe convention — first call pays the
         # 3-batch carry ingest here, the HEADLINE row is the live fold
         "brand_affinity_stream",
+        # r12: the live SPC daily index, same convention
+        "spc_violations_live",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

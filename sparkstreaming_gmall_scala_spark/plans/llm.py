@@ -4187,3 +4187,96 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_savings",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN comp.doc_id IS NOT NULL
+                          AND comp.doc_id <> comp.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(length(d.text)) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN comp.doc_id IS NOT NULL
+                          AND comp.doc_id <> comp.cluster_id
+                         THEN length(d.text) ELSE 0 END) AS BIGINT)
+             AS chars_dropped,
+           CAST(sum(CASE WHEN comp.doc_id IS NOT NULL
+                          AND comp.doc_id <> comp.cluster_id
+                         THEN length(d.text) ELSE 0 END) * 1000000
+                // sum(length(d.text)) AS BIGINT) AS saved_ppm
+    FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup", "report"),
+    gated=False,
+)
+def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup BUSINESS CASE in one table: per source domain, how many
+    documents and how many characters near-dup deduplication would drop
+    (keep = the canonical min-id member of each >=0.5-Jaccard cluster,
+    dup_clusters' own rule) — the first number a data-pipeline review
+    asks for ("what does dedup buy us"), derived from the SAME cluster
+    machinery the dedup queries gate, so the report can never disagree
+    with the dedup itself.
+
+    Scale: the pair generation is the banded/df-capped jaccard_pairs
+    path (never all-pairs); components are the O(log n) star-contraction
+    CC; the documents scan joins the (sparse) non-canonical set with a
+    LEFT join so singleton docs — absent from the pair graph — count as
+    kept without materializing them into the graph. Integer chars and
+    exact ppm throughout."""
+    from ..operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_rows(d, "doc_id", "text", n=3),
+        "doc_id",
+        max_df=20,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    dropped = cc.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("is_dup")
+    )
+    return (
+        d.select("doc_id", "source", F.length("text").cast("long").alias("nc"))
+        .join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)).cast("long")).alias(
+                "n_dropped"
+            ),
+            F.sum("nc").alias("chars_total"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("nc")).otherwise(
+                    0
+                )
+            ).alias("chars_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            "chars_total",
+            "chars_dropped",
+            F.expr("chars_dropped * 1000000L div chars_total").alias(
+                "saved_ppm"
+            ),
+        )
+    )

@@ -314,6 +314,14 @@ POOL: tuple[str, ...] = (
     # round-12 LLM data-mixing + tokenizer diagnostics
     "domain_mixture_weights",
     "token_fertility",
+    # round-12 batch 2: dedup savings report, fulfillment-SLA and
+    # weekly-profile exact quartiles, brand share drift
+    "dedup_savings",
+    "ship_lag_quantiles",
+    "dow_revenue_quartiles",
+    "share_drift",
+    # round-12 live SPC monitor off the additive daily index
+    "spc_violations_live",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -3217,16 +3217,16 @@ def spc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     operational monitoring layer next to seasonal_outliers (per-stratum)
     and revenue_changepoint (single break).
 
-    FULLY exact — no floating point anywhere: |y−μ|>3σ over the
-    population moments rewrites to (y·n − S)² > 9(nQ − S²) in
-    DECIMAL(38,0)/HUGEINT (y·n reaches ~2.5e16 and its square ~6e32,
-    inside 38 digits at any sf), and the mean-side test is the exact
-    integer sign of y·n − S, so a borderline day can never flip engines.
-    Scale: the fact table folds to the calendar-bounded daily frame
-    first; the run-length windows (gaps-and-islands on the side sign)
-    are unpartitioned but run over <= |calendar| rows by construction —
-    the runs-test/EWMA bound, distributed result, no driver fold."""
-    from pyspark.sql import Window
+    FULLY exact — no floating point anywhere; the shared rule engine
+    (operators/spc.py:spc_eval, also behind spc_violations_live)
+    rewrites |y−μ|>3σ to (y·n − S)² > 9(nQ − S²) in DECIMAL(38,0)/
+    HUGEINT and takes the mean side as the exact integer sign of
+    y·n − S, so a borderline day can never flip engines. Scale: the
+    fact table folds to the calendar-bounded daily frame first; the
+    run-length windows (gaps-and-islands on the side sign) are
+    unpartitioned but run over <= |calendar| rows by construction —
+    the runs-test/EWMA bound."""
+    from ..operators.spc import spc_eval
 
     o = load_table(spark, sf_dir, "orders").select(
         F.to_date("o_orderdate").alias("d"),
@@ -3234,66 +3234,8 @@ def spc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    daily = o.groupBy("d").agg(F.sum("cents").alias("y")).persist()
-    daily.count()  # one fold feeds the moments and the run walk
-    mom = daily.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
-        F.sum(
-            (F.col("y").cast("decimal(38,0)") * F.col("y")).cast(
-                "decimal(38,0)"
-            )
-        ).alias("q"),
-    ).collect()[0]
-    n, s, q = int(mom["n"]), int(mom["s"]), int(mom["q"])
-    if n == 0:
-        daily.unpersist()
-        return spark.createDataFrame(
-            [],
-            "day string, cents long, side int, run_len long,"
-            " rule1 boolean, rule2 boolean",
-        )
-    # scalars exceed a JVM long at scale — thread them as DECIMAL(38,0)
-    # string literals, never F.lit(int)
-    s_lit = F.expr(f"CAST('{s}' AS DECIMAL(38,0))")
-    lim_lit = F.expr(f"CAST('{9 * (n * q - s * s)}' AS DECIMAL(38,0))")
-    yn = F.col("y").cast("decimal(38,0)") * F.lit(n)
-    dev = yn - s_lit
-    sided = daily.select(
-        "d",
-        "y",
-        F.when(dev > 0, 1).when(dev < 0, -1).otherwise(0).alias("side"),
-        ((dev * dev).cast("decimal(38,0)") > lim_lit).alias("rule1"),
-    )
-    w_all = Window.orderBy("d")
-    w_side = Window.partitionBy("side").orderBy("d")
-    runs = sided.withColumn(
-        "grp", F.row_number().over(w_all) - F.row_number().over(w_side)
-    )
-    runlen = runs.withColumn(
-        "run_len",
-        F.count(F.lit(1)).over(
-            Window.partitionBy("side", "grp").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
-    )
-    out = (
-        runlen.filter(
-            F.col("rule1") | ((F.col("side") != 0) & (F.col("run_len") >= 8))
-        )
-        .select(
-            F.date_format("d", "yyyy-MM-dd").alias("day"),
-            F.col("y").alias("cents"),
-            "side",
-            F.col("run_len").cast("long").alias("run_len"),
-            "rule1",
-            ((F.col("side") != 0) & (F.col("run_len") >= 8)).alias("rule2"),
-        )
-    )
-    rows = out.collect()  # calendar-bounded; frees the daily cache
-    daily.unpersist()
-    return spark.createDataFrame(rows, schema=out.schema)
+    return spc_eval(spark, o.groupBy("d").agg(F.sum("cents").alias("y")))
+
 
 
 @register(
@@ -3480,4 +3422,108 @@ def order_price_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("drift") != 0).cast("long")).alias("n_mismatch"),
         F.max(F.abs("drift")).alias("max_abs_drift_cents"),
         F.sum(F.abs("drift")).alias("total_abs_drift_cents"),
+    )
+
+
+@register(
+    "share_drift",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                        + 0.5) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), bounds AS (
+      SELECT min(d) AS lo,
+             min(d) + (date_diff('day', min(d), max(d)) // 2)
+               * INTERVAL 1 DAY AS mid
+      FROM rev
+    ), halves AS (
+      SELECT brand,
+             CAST(sum(CASE WHEN d < (SELECT mid FROM bounds)
+                           THEN cents ELSE 0 END) AS BIGINT) AS cents_h1,
+             CAST(sum(CASE WHEN d >= (SELECT mid FROM bounds)
+                           THEN cents ELSE 0 END) AS BIGINT) AS cents_h2
+      FROM rev GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cents_h1) AS BIGINT) AS t1,
+             CAST(sum(cents_h2) AS BIGINT) AS t2
+      FROM halves
+    )
+    SELECT brand, cents_h1, cents_h2,
+           CAST(cents_h1 * 1000000 // tot.t1 AS BIGINT) AS share1_ppm,
+           CAST(cents_h2 * 1000000 // tot.t2 AS BIGINT) AS share2_ppm,
+           CAST(cents_h2 * 1000000 // tot.t2
+                - cents_h1 * 1000000 // tot.t1 AS BIGINT) AS drift_ppm
+    FROM halves CROSS JOIN tot
+    """,
+    tags=("scale", "share", "drift"),
+    gated=False,
+)
+def share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-share drift per brand between the first and second half
+    of the shipping calendar — the mix-shift detector (a brand whose
+    absolute revenue grew can still be LOSING share; share drift is
+    what category management actually watches, and a big |drift| is the
+    lead for the ks/mwu distribution tests).
+
+    Exact integer ppm: per-line cents through the shared IEEE tree,
+    half-assignment by an exact date comparison against the integer
+    midpoint day (min + span div 2 — deterministic, data-derived, no
+    wall clock), shares as floor-div of exact BIGINT sums. Scale: one
+    lineitem scan (the part join broadcasts by runtime size at bench
+    SF), ONE brand exchange producing both halves as conditional sums,
+    the totals as an unpartitioned window over the |brands|-bounded
+    frame."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.to_date("l_shipdate").alias("d"),
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = li.join(scaled_dim(pa), li["l_partkey"] == pa["p_partkey"]).select(
+        F.col("p_brand").alias("brand"), "d", "cents"
+    )
+    b = rev.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).collect()[0]
+    if b["lo"] is None:  # empty lineitem: the decile_profile convention
+        return spark.createDataFrame(
+            [],
+            "brand string, cents_h1 long, cents_h2 long,"
+            " share1_ppm long, share2_ppm long, drift_ppm long",
+        )
+    import datetime
+
+    mid = b["lo"] + datetime.timedelta(
+        days=(b["hi"] - b["lo"]).days // 2
+    )
+    halves = rev.groupBy("brand").agg(
+        F.sum(F.when(F.col("d") < F.lit(mid), F.col("cents")).otherwise(0))
+        .alias("cents_h1"),
+        F.sum(F.when(F.col("d") >= F.lit(mid), F.col("cents")).otherwise(0))
+        .alias("cents_h2"),
+    )
+    tot = Window.partitionBy()
+    return halves.select(
+        "brand",
+        "cents_h1",
+        "cents_h2",
+        F.sum("cents_h1").over(tot).alias("_t1"),
+        F.sum("cents_h2").over(tot).alias("_t2"),
+    ).select(
+        "brand",
+        "cents_h1",
+        "cents_h2",
+        F.expr("cents_h1 * 1000000L div _t1").alias("share1_ppm"),
+        F.expr("cents_h2 * 1000000L div _t2").alias("share2_ppm"),
+        (
+            F.expr("cents_h2 * 1000000L div _t2")
+            - F.expr("cents_h1 * 1000000L div _t1")
+        ).alias("drift_ppm"),
     )

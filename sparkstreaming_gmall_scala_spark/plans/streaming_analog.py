@@ -558,3 +558,88 @@ def assoc_rules_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = assoc_rules_live(spark, *dirs[:3])
     rows = out.collect()  # |brands|²-bounded
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "spc_violations_live",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS s,
+             sum(CAST(y AS HUGEINT) * y) AS q
+      FROM daily
+    ), sided AS (
+      SELECT d, y,
+             CASE WHEN CAST(y AS HUGEINT) * mom.n > mom.s THEN 1
+                  WHEN CAST(y AS HUGEINT) * mom.n < mom.s THEN -1
+                  ELSE 0 END AS side,
+             (CAST(y AS HUGEINT) * mom.n - mom.s)
+               * (CAST(y AS HUGEINT) * mom.n - mom.s)
+               > 9 * (mom.n * mom.q - mom.s * mom.s) AS rule1
+      FROM daily CROSS JOIN mom
+    ), runs AS (
+      SELECT d, y, side, rule1,
+             row_number() OVER (ORDER BY d)
+               - row_number() OVER (PARTITION BY side ORDER BY d) AS grp
+      FROM sided
+    ), runlen AS (
+      SELECT d, y, side, rule1,
+             count(*) OVER (PARTITION BY side, grp) AS run_len
+      FROM runs
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, y AS cents, side,
+           CAST(run_len AS BIGINT) AS run_len,
+           rule1, (side <> 0 AND run_len >= 8) AS rule2
+    FROM runlen
+    WHERE rule1 OR (side <> 0 AND run_len >= 8)
+    """,
+    tags=("streaming", "quality", "monitoring"),
+    gated=False,
+)
+def spc_violations_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spc_violations answered from the STREAMING daily index
+    (streaming/spc.py): orders ingest in three micro-batches split so
+    days SPAN batches (hash of the order key), each batch appending its
+    exact per-day cents partial — day sums are additive monoids, so no
+    carry (the moment-mart discipline, NOT the basket carry); the read
+    side folds partials and hands the daily frame to the SAME exact
+    rule engine the batch query uses (operators/spc.py). Oracle:
+    identical SQL to spc_violations — streamed == batch is the whole
+    claim (pinned over random splits + replays in
+    tests/test_streaming_spc.py). The index persists under /tmp keyed
+    by data fingerprint (knn persisted discipline): first call ingests
+    (bench build_sec), steady-state calls fold + evaluate."""
+    import shutil
+    import tempfile
+
+    from ..streaming.spc import spc_ingest_batch, spc_violations_live
+    from .llm import _data_fingerprint, _params_key
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_spcidx_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('spc3', _data_fingerprint(sf_dir, 'orders'))}",
+    )
+    daily_dir = os.path.join(work, "daily")
+    marker = os.path.join(work, "_INGESTED")
+    if not os.path.exists(marker):
+        # a partial ingest (crash mid-batch) must rebuild, never serve
+        shutil.rmtree(work, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        body = spc_ingest_batch(spark, daily_dir)
+        for i in range(3):
+            body(o.filter(F.pmod(F.hash("o_orderkey"), F.lit(3)) == i), i)
+        with open(marker, "w") as fh:
+            fh.write("3")
+    return spc_violations_live(spark, daily_dir)

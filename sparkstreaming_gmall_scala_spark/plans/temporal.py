@@ -1591,3 +1591,155 @@ def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()  # <= 7 rows; frees the daily cache
     daily.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "ship_lag_quantiles",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), hist AS (
+      SELECT priority, lag, count(*) AS cnt FROM lag GROUP BY 1, 2
+    ), cum AS (
+      SELECT priority, lag, cnt,
+             sum(cnt) OVER (PARTITION BY priority ORDER BY lag) AS cum,
+             sum(cnt) OVER (PARTITION BY priority) AS n
+      FROM hist
+    )
+    SELECT priority, CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(CASE WHEN cum >= (1 * max_n + 3) // 4 THEN lag END)
+                AS BIGINT) AS p25,
+           CAST(min(CASE WHEN cum >= (2 * max_n + 3) // 4 THEN lag END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= (3 * max_n + 3) // 4 THEN lag END)
+                AS BIGINT) AS p75
+    FROM (SELECT *, n AS max_n FROM cum)
+    GROUP BY priority
+    """,
+    tags=("temporal", "quantiles", "ops"),
+    gated=False,
+)
+def ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle-time quartiles per order priority — the
+    fulfillment-SLA table (is '1-URGENT' actually shipping faster, and
+    by how much at the median and the p75 tail?).
+
+    EXACT lower order statistics (value at rank ceil(q·n), the
+    decile_profile convention — no interpolation, so ties and the exact
+    rank choice can never diverge cross-engine), computed off the
+    (priority, lag) count HISTOGRAM: the lag domain is calendar-bounded
+    (~122 distinct days in TPC-H, bounded at any sf), so the per-group
+    cumulative window runs over a dimension-bounded frame, never the
+    fact table. One lineitem scan + one orderkey join + one
+    (priority, lag) exchange."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    hist = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("priority", F.datediff("ship", "od").cast("long").alias("lag"))
+        .groupBy("priority", "lag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.partitionBy("priority").orderBy("lag")
+    w_all = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "lag",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    q = lambda k: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.expr(f"({k} * n + 3) div 4"), F.col("lag"))
+    ).cast("long")
+    return cum.groupBy("priority").agg(
+        F.max("n").alias("n_lines"),
+        q(1).alias("p25"),
+        q(2).alias("p50"),
+        q(3).alias("p75"),
+    )
+
+
+@register(
+    "dow_revenue_quartiles",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), hist AS (
+      SELECT CAST(dayofweek(d) AS BIGINT) AS dow, y, count(*) AS cnt
+      FROM daily GROUP BY 1, 2
+    ), cum AS (
+      SELECT dow, y, cnt,
+             sum(cnt) OVER (PARTITION BY dow ORDER BY y) AS cum,
+             sum(cnt) OVER (PARTITION BY dow) AS n
+      FROM hist
+    )
+    SELECT dow, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(min(CASE WHEN cum >= (1 * n + 3) // 4 THEN y END)
+                AS BIGINT) AS p25,
+           CAST(min(CASE WHEN cum >= (2 * n + 3) // 4 THEN y END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= (3 * n + 3) // 4 THEN y END)
+                AS BIGINT) AS p75
+    FROM cum GROUP BY dow
+    """,
+    tags=("temporal", "quantiles", "seasonal"),
+    gated=False,
+)
+def dow_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue quartiles per day of week (0=Sunday, the portable
+    numbering: Spark's dayofweek−1 == DuckDB's dayofweek) — the weekly
+    seasonality PROFILE next to dow_anova's single significance number
+    and revenue_acf's lag-7 spike: which weekdays run hot, and how wide
+    is each weekday's spread.
+
+    Exact lower order statistics at rank ceil(q·n) off the per-DOW
+    value histogram of the calendar-bounded daily frame (<= |calendar|
+    rows before the histogram, <= 7 groups after) — one orders scan,
+    one day fold, bounded windows, no driver fold."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").alias("y"))
+    hist = (
+        daily.select(
+            (F.dayofweek("d") - 1).cast("long").alias("dow"), "y"
+        )
+        .groupBy("dow", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.partitionBy("dow").orderBy("y")
+    w_all = Window.partitionBy("dow")
+    cum = hist.select(
+        "dow",
+        "y",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    q = lambda k: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.expr(f"({k} * n + 3) div 4"), F.col("y"))
+    ).cast("long")
+    return cum.groupBy("dow").agg(
+        F.max("n").alias("n_days"),
+        q(1).alias("p25"),
+        q(2).alias("p50"),
+        q(3).alias("p75"),
+    )

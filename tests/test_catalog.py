@@ -369,6 +369,14 @@ def test_gate_budget(registry):
         # round-12 LLM data-mixing + tokenizer diagnostics
         "domain_mixture_weights",
         "token_fertility",
+        # round-12 batch 2: dedup savings report, fulfillment-SLA and
+        # weekly-profile exact quartiles, brand share drift
+        "dedup_savings",
+        "ship_lag_quantiles",
+        "dow_revenue_quartiles",
+        "share_drift",
+        # round-12 live SPC monitor off the additive daily index
+        "spc_violations_live",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

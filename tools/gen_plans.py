@@ -207,6 +207,12 @@ ITERATIVE = {
     "day materialization; real shape: 1 orders scan -> daily fold, one "
     "exact DECIMAL moment row, gaps-and-islands run windows over "
     "<= |calendar| rows",
+    "spc_violations_live": "zero counts are the calendar-bounded "
+    "violation-day materialization after the SHARED /tmp daily-index "
+    "ingest; real read shape: fold the additive (d, y) partials (one "
+    "day exchange over |calendar| x generations rows), then the exact "
+    "integer rule engine (operators/spc.py) — identical to the batch "
+    "query above the fold",
     "cramers_v_type_hour": "zero counts are the one-row materialization "
     "(chi2 cell sum + dims collected, V computed driver-side); real "
     "shape: 1 events scan -> |types|x24 cells, broadcast marginals, one "
