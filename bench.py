@@ -343,6 +343,10 @@ HEADLINE = (
     "dow_revenue_quartiles",
     "share_drift",
     "spc_violations_live",
+    # added r12 batch 3
+    "lag_lead_xcorr",
+    "interorder_gap_quantiles",
+    "vocab_coverage_curve",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

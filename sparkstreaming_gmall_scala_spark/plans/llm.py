@@ -4280,3 +4280,116 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS}) AS w FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY 1
+    ), hist AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(c * count(*) AS BIGINT) AS n_tokens
+      FROM freq GROUP BY 1
+    ), cum AS (
+      SELECT c, n_types, n_tokens,
+             sum(n_types) OVER (ORDER BY c DESC) AS types_cum,
+             sum(n_tokens) OVER (ORDER BY c DESC) AS tokens_cum,
+             sum(n_tokens) OVER () AS total
+      FROM hist
+    ), ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(coalesce(max(CASE WHEN types_cum <= ks.k
+                                  THEN tokens_cum END), 0)
+                + coalesce(max(CASE WHEN types_cum - n_types < ks.k
+                                     AND types_cum > ks.k
+                                    THEN (ks.k - (types_cum - n_types)) * c
+                               END), 0) AS BIGINT) AS covered_tokens,
+           CAST((coalesce(max(CASE WHEN types_cum <= ks.k
+                                   THEN tokens_cum END), 0)
+                 + coalesce(max(CASE WHEN types_cum - n_types < ks.k
+                                      AND types_cum > ks.k
+                                     THEN (ks.k - (types_cum - n_types)) * c
+                                END), 0)) * 1000000
+                // max(total) AS BIGINT) AS coverage_ppm
+    FROM cum CROSS JOIN ks
+    GROUP BY ks.k
+    """,
+    tags=("llm", "tokenizer", "vocab"),
+    gated=False,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage of a top-k frequency vocabulary at k = 100 / 1k /
+    10k — the vocabulary-size design table (what fraction of all token
+    occurrences the k most frequent types absorb; the knee of this
+    curve is where a tokenizer stops earning its vocab slots).
+
+    EXACT at any scale with no vocabulary sort: types tied at the same
+    count are interchangeable for coverage, so the answer reads off the
+    count HISTOGRAM (distinct count values — <= √(2·total) rows, the
+    size_histogram_cum bound) with one count-descending cumulative
+    walk: coverage(k) = the full tie-runs that fit inside k plus the
+    straddling run's partial (k − types_before)·c. Pure integers
+    throughout; the fact-proportional type table is never ranked."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    freq = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hist = freq.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (F.col("c") * F.count(F.lit(1))).alias("n_tokens"),
+    )
+    w_cum = Window.orderBy(F.col("c").desc())
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "c",
+        "n_types",
+        "n_tokens",
+        F.sum("n_types").over(w_cum).alias("types_cum"),
+        F.sum("n_tokens").over(w_cum).alias("tokens_cum"),
+        F.sum("n_tokens").over(w_all).alias("total"),
+    )
+    ks = cum.sparkSession.createDataFrame(
+        [(100,), (1000,), (10000,)], "k long"
+    )
+    full = F.coalesce(
+        F.max(
+            F.when(F.col("types_cum") <= F.col("k"), F.col("tokens_cum"))
+        ),
+        F.lit(0),
+    )
+    partial = F.coalesce(
+        F.max(
+            F.when(
+                (F.col("types_cum") - F.col("n_types") < F.col("k"))
+                & (F.col("types_cum") > F.col("k")),
+                (F.col("k") - (F.col("types_cum") - F.col("n_types")))
+                * F.col("c"),
+            )
+        ),
+        F.lit(0),
+    )
+    return (
+        cum.join(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            (full + partial).cast("long").alias("covered_tokens"),
+            F.max("total").alias("_total"),
+        )
+        .select(
+            "k",
+            "covered_tokens",
+            F.expr("covered_tokens * 1000000L div _total").alias(
+                "coverage_ppm"
+            ),
+        )
+    )

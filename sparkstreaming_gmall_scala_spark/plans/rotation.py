@@ -322,6 +322,11 @@ POOL: tuple[str, ...] = (
     "share_drift",
     # round-12 live SPC monitor off the additive daily index
     "spc_violations_live",
+    # round-12 batch 3: lead-lag cross-correlation, repeat-purchase
+    # cadence, vocabulary coverage curve
+    "lag_lead_xcorr",
+    "interorder_gap_quantiles",
+    "vocab_coverage_curve",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -1743,3 +1743,199 @@ def dow_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(2).alias("p50"),
         q(3).alias("p75"),
     )
+
+
+@register(
+    "lag_lead_xcorr",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('day', ts) AS d, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), x AS (
+      SELECT d, CAST(sum(cents) AS BIGINT) AS x
+      FROM base WHERE event_type = 'purchase' GROUP BY 1
+    ), y AS (
+      SELECT d, count(*) AS y
+      FROM base WHERE event_type = 'click' GROUP BY 1
+    ), pairs AS (
+      SELECT r.k AS lag, x.x, y.y
+      FROM range(-7, 8) r(k)
+      JOIN x ON TRUE
+      JOIN y ON y.d = x.d + r.k * INTERVAL 1 DAY
+    ), mom AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CAST(floor(
+             CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS corr6
+    FROM mom
+    WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+    """,
+    tags=("temporal", "stats", "timeseries"),
+    gated=False,
+)
+def lag_lead_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily purchase revenue and
+    daily click count at lags −7..+7: each lag k pairs (revenue at d,
+    clicks at d+k), so the argmax lag answers "do clicks LEAD purchases
+    (negative k peaks) or LAG them" — the causal-direction screen next
+    to revenue_acf's single-series rhythm and daily_value_corr's
+    same-day coupling.
+
+    Same exactness contract as revenue_acf: both series fold to
+    calendar-bounded daily frames, the 15 lags materialize as one
+    explode hash-joined on the shifted day, every moment is an exact
+    DECIMAL(38,0)/HUGEINT integer, and the one IEEE tree is
+    num/(√denx·√deny) floored at 6dp; zero-variance lags emit
+    nothing."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    x = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+        .persist()
+    )
+    y = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    x.count()  # the explode side re-reads it 15× from cache, not the scan
+    a = x.withColumn(
+        "lag", F.explode(F.sequence(F.lit(-7), F.lit(7)))
+    ).withColumn("d2", F.expr("d + make_interval(0, 0, 0, lag)"))
+    b = y.select(F.col("d").alias("d2"), "y")
+    dec = "decimal(38,0)"
+    mom = (
+        a.join(b, "d2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum((F.col("x").cast(dec) * F.col("y")).cast(dec)).alias(
+                "sxy"
+            ),
+            F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec)).alias(
+                "sxx"
+            ),
+            F.sum((F.col("y").cast(dec) * F.col("y")).cast(dec)).alias(
+                "syy"
+            ),
+        )
+    )
+    num = (
+        F.col("n_pairs").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    denx = (
+        F.col("n_pairs").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    deny = (
+        F.col("n_pairs").cast(dec) * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    out = (
+        mom.filter((denx > 0) & (deny > 0))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            F.floor(
+                num
+                / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("corr6"),
+        )
+    )
+    rows = out.collect()  # <= 15 rows; frees the x cache
+    x.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
+@register(
+    "interorder_gap_quantiles",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+      FROM orders
+    ), hist AS (
+      SELECT gap, count(*) AS cnt FROM seq WHERE gap IS NOT NULL
+      GROUP BY 1
+    ), cum AS (
+      SELECT gap, cnt,
+             sum(cnt) OVER (ORDER BY gap) AS cum,
+             sum(cnt) OVER () AS n
+      FROM hist
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(min(CASE WHEN cum >= (1 * n + 3) // 4 THEN gap END)
+                AS BIGINT) AS p25,
+           CAST(min(CASE WHEN cum >= (2 * n + 3) // 4 THEN gap END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= (3 * n + 3) // 4 THEN gap END)
+                AS BIGINT) AS p75
+    FROM cum
+    """,
+    tags=("temporal", "quantiles", "retention"),
+    gated=False,
+)
+def interorder_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of the days-between-consecutive-orders distribution —
+    the repeat-purchase cadence (the input to "when is a customer
+    overdue": a customer whose gap exceeds their cohort's p75 is churn
+    risk; user_survival gives the hazard, this gives the rhythm).
+
+    The gap window is PARTITIONED by customer (fact-proportional frame,
+    never unpartitioned — the r9 rule) with the (day, orderkey) total
+    order making the lag deterministic under same-day orders; quartiles
+    are exact lower order statistics at rank ceil(q·n) off the gap
+    histogram (gap domain calendar-bounded, so the cumulative window is
+    over <= |calendar| rows)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = o.select(
+        F.datediff("day", F.lag("day").over(w)).cast("long").alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    hist = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("gap")
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "gap",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    q = lambda k: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.expr(f"({k} * n + 3) div 4"), F.col("gap"))
+    ).cast("long")
+    return cum.agg(
+        F.max("n").alias("n_gaps"),
+        q(1).alias("p25"),
+        q(2).alias("p50"),
+        q(3).alias("p75"),
+    )

@@ -377,6 +377,11 @@ def test_gate_budget(registry):
         "share_drift",
         # round-12 live SPC monitor off the additive daily index
         "spc_violations_live",
+        # round-12 batch 3: lead-lag cross-correlation, repeat-purchase
+        # cadence, vocabulary coverage curve
+        "lag_lead_xcorr",
+        "interorder_gap_quantiles",
+        "vocab_coverage_curve",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

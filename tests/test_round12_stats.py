@@ -261,3 +261,65 @@ def test_order_price_reconcile_matches_naive(spark, sf_dir):
         .collect()
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_interorder_gap_quantiles_matches_naive(spark, sf_dir):
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    by_cust = {}
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).collect()
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"].date(), r["o_orderkey"])
+        )
+    gaps = []
+    for seq in by_cust.values():
+        seq.sort()
+        for (d1, _), (d2, _) in zip(seq, seq[1:]):
+            gaps.append((d2 - d1).days)
+    gaps.sort()
+    n = len(gaps)
+    q = lambda k: gaps[(k * n + 3) // 4 - 1]  # noqa: E731
+    got = (
+        load_all()["interorder_gap_quantiles"]
+        .builder(spark, sf_dir)
+        .collect()[0]
+    )
+    assert (got["n_gaps"], got["p25"], got["p50"], got["p75"]) == (
+        n,
+        q(1),
+        q(2),
+        q(3),
+    )
+
+
+def test_vocab_coverage_matches_naive_sort(spark, sf_dir):
+    from collections import Counter
+
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    freq = Counter()
+    for t in texts:
+        if t:
+            freq.update(w for w in t.lower().split() if w)
+    counts = sorted(freq.values(), reverse=True)
+    total = sum(counts)
+    got = {
+        r["k"]: (r["covered_tokens"], r["coverage_ppm"])
+        for r in load_all()["vocab_coverage_curve"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    for k in (100, 1000, 10000):
+        covered = sum(counts[:k])
+        assert got[k] == (covered, covered * 1000000 // total), k

@@ -221,6 +221,10 @@ ITERATIVE = {
     "shape: 1 orders scan -> calendar-bounded daily fold, a 7-lag "
     "explode hash-joined back on the shifted day, DECIMAL(38,0) moment "
     "aggregate per lag",
+    "lag_lead_xcorr": "zero counts are the <=15-row materialization; "
+    "real shape: 1 events scan -> two calendar-bounded daily folds, a "
+    "15-lag explode over the cached purchase side hash-joined on the "
+    "shifted day, DECIMAL(38,0) moment aggregate per lag",
     "assoc_rules_live": "zero counts are the |brands|²-row "
     "materialization after the SHARED /tmp basket ingest (one ingest "
     "serves brand_affinity_stream and this fold); real read shape: fold "
