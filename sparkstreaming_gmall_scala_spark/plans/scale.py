@@ -2448,7 +2448,9 @@ def ks_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n1, n2,
            CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
-           CAST(floor(
+           CASE WHEN r2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                     - CAST(n1 AS HUGEINT) * n2 = 0 THEN 0
+           ELSE CAST(floor(
              CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1)
                   - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
              / (2.0 * sqrt(
@@ -2457,7 +2459,7 @@ def ks_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - CAST(t AS DOUBLE)
                       / (CAST(n1 + n2 AS DOUBLE)
                          * CAST(n1 + n2 - 1 AS DOUBLE)))))
-             * 1000000.0 + 0.5) AS BIGINT) AS z_ppm
+             * 1000000.0 + 0.5) AS BIGINT) END AS z_ppm
     FROM agg
     """,
     tags=("scale", "stats", "test"),
@@ -2542,15 +2544,22 @@ def mwu_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2, t = int(row["r2"]), int(row["t"])
     u1_x2 = r2 - n1 * (n1 + 1)
     nn = n1 + n2
-    # the oracle's double tree, verbatim (exact ints in, one IEEE tree)
-    z = float(u1_x2 - n1 * n2) / (
-        2.0
-        * math.sqrt(
-            (float(n1) * float(n2) / 12.0)
-            * (float(nn + 1) - float(t) / (float(nn) * float(nn - 1)))
+    if u1_x2 - n1 * n2 == 0:
+        # exact-zero numerator short-circuits BEFORE the variance: when
+        # every value is one tie run the variance is also 0 and the
+        # quotient would be 0/0 — the exact-integer branch (shared with
+        # the oracle's CASE) makes z identically 0 instead
+        z_ppm = 0
+    else:
+        # the oracle's double tree, verbatim (exact ints in, one IEEE tree)
+        z = float(u1_x2 - n1 * n2) / (
+            2.0
+            * math.sqrt(
+                (float(n1) * float(n2) / 12.0)
+                * (float(nn + 1) - float(t) / (float(nn) * float(nn - 1)))
+            )
         )
-    )
-    z_ppm = math.floor(z * 1000000.0 + 0.5)
+        z_ppm = math.floor(z * 1000000.0 + 0.5)
     return spark.createDataFrame(
         [(n1, n2, u1_x2, z_ppm)],
         "n1 long, n2 long, u1_x2 long, z_ppm long",
