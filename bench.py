@@ -347,6 +347,11 @@ HEADLINE = (
     "lag_lead_xcorr",
     "interorder_gap_quantiles",
     "vocab_coverage_curve",
+    # added r12 batch 4
+    "dow_seasonal_factors",
+    "dup_cross_source",
+    "basket_size_dist",
+    "dow_seasonal_factors_live",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

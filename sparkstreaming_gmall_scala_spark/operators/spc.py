@@ -26,6 +26,31 @@ SPC_SCHEMA = (
 )
 
 
+def dow_factors(daily: DataFrame) -> DataFrame:
+    """Detrended weekly seasonal factors over a ``(d date, y long)``
+    daily frame — the shared evaluator behind dow_seasonal_factors and
+    its live twin (both folds produce the same daily frame, so batch ≡
+    streaming holds by construction above the fold). Fully integer:
+    dev7 = y·7 − centered-7-row-sum (no rational mean), incomplete edge
+    windows excluded, factor = exact floor division."""
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "y",
+        F.sum("y").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    dev = ma.filter(F.col("n7") == 7).select(
+        (F.dayofweek("d") - 1).cast("long").alias("dow"),
+        (F.col("y") * 7 - F.col("sum7")).alias("dev7"),
+    )
+    return dev.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dev7").alias("sum_dev7"),
+        F.expr("sum(dev7) div (7 * count(1))").alias("mean_dev_cents"),
+    )
+
+
 def spc_eval(spark: SparkSession, daily: DataFrame) -> DataFrame:
     """Evaluate both rules over a ``(d date, y long)`` daily frame and
     return the violation days, driver-materialized (calendar-bounded).

@@ -4393,3 +4393,88 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dup_cross_source",
+    oracle=f"""
+    WITH {_PAIR_CTES},
+    srcs AS (
+      SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    ), norm AS (
+      SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b
+      FROM srcs
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (source_a <> source_b) AS cross_source,
+           CAST(count(*) * 1000000
+                // (SELECT count(*) FROM norm) AS BIGINT) AS share_ppm
+    FROM norm GROUP BY 1, 2
+    """,
+    tags=("llm", "dedup", "provenance"),
+    gated=False,
+)
+def dup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance structure of the near-dup pair graph: for every
+    (source, source) domain pair, how many >=0.5-Jaccard duplicate
+    pairs connect them — WITHIN-source pairs are ordinary re-posts;
+    CROSS-source pairs are syndication/mirroring and the leading
+    indicator of train/eval contamination when one source feeds an
+    eval set (the pair-level view under bloom_decontaminate's
+    document-level verdicts).
+
+    Scale: the pair generation is the banded/df-capped jaccard_pairs
+    path (never all-pairs); the two provenance joins hit documents on
+    its key; the (source, source) matrix is |sources|²-bounded and the
+    normalizing total is one window over it. Exact integer ppm."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_rows(d, "doc_id", "text", n=3),
+        "doc_id",
+        max_df=20,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    src = d.select("doc_id", "source")
+    norm = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "source", "sa"
+            ),
+            "id_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "source", "sb"
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    tot = Window.partitionBy()
+    return (
+        norm.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (F.col("source_a") != F.col("source_b")).alias("cross_source"),
+            F.sum("n_pairs").over(tot).alias("_t"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "cross_source",
+            F.expr("n_pairs * 1000000L div _t").alias("share_ppm"),
+        )
+    )

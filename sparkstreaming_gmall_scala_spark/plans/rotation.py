@@ -327,6 +327,12 @@ POOL: tuple[str, ...] = (
     "lag_lead_xcorr",
     "interorder_gap_quantiles",
     "vocab_coverage_curve",
+    # round-12 batch 4: detrended weekly factors, dup provenance matrix,
+    # basket-width certificate
+    "dow_seasonal_factors",
+    "dup_cross_source",
+    "basket_size_dist",
+    "dow_seasonal_factors_live",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

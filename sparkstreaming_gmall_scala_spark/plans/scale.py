@@ -3536,3 +3536,57 @@ def share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("cents_h1 * 1000000L div _t1")
         ).alias("drift_ppm"),
     )
+
+
+@register(
+    "basket_size_dist",
+    oracle="""
+    WITH widths AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ), hist AS (
+      SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+      FROM widths GROUP BY 1
+    )
+    SELECT n_lines, n_orders,
+           CAST(n_orders * 1000000
+                // (SELECT sum(n_orders) FROM hist) AS BIGINT) AS share_ppm,
+           CAST(sum(n_orders) OVER (ORDER BY n_lines) * 1000000
+                // (SELECT sum(n_orders) FROM hist) AS BIGINT)
+             AS cum_share_ppm
+    FROM hist
+    """,
+    tags=("scale", "profile", "basket"),
+    gated=False,
+)
+def basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-width distribution: how many orders have k line items, with
+    exact ppm share and cumulative share — the basket-width profile that
+    bounds every within-order quadratic in the engine (brand_affinity /
+    assoc_rules pair joins are O(width²) per order; this table is the
+    measured certificate that width is a small constant, and the first
+    thing to re-check if fact-data drift ever breaks that assumption).
+
+    One lineitem scan, one orderkey fold, then a |widths|-bounded
+    histogram (TPC-H: 7 rows at any sf) with bounded windows. Exact
+    integers throughout."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    widths = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    hist = widths.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+    w_cum = Window.orderBy("n_lines")
+    w_all = Window.partitionBy()
+    return hist.select(
+        "n_lines",
+        "n_orders",
+        F.sum("n_orders").over(w_all).alias("_t"),
+        F.sum("n_orders").over(w_cum).alias("_c"),
+    ).select(
+        "n_lines",
+        "n_orders",
+        F.expr("n_orders * 1000000L div _t").alias("share_ppm"),
+        F.expr("_c * 1000000L div _t").alias("cum_share_ppm"),
+    )

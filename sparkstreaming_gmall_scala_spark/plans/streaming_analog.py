@@ -614,10 +614,22 @@ def spc_violations_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_spc.py). The index persists under /tmp keyed
     by data fingerprint (knn persisted discipline): first call ingests
     (bench build_sec), steady-state calls fold + evaluate."""
+    from ..streaming.spc import spc_violations_live
+
+    daily_dir = _spc_index_dirs(spark, sf_dir)
+    return spc_violations_live(spark, daily_dir)
+
+
+def _spc_index_dirs(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the 3-batch daily-revenue ingest exists under /tmp for
+    this corpus (keyed by params + data fingerprint — the knn persisted
+    discipline) and return the daily index dir. ONE ingest serves every
+    read-side monitor over the daily partials (spc_violations_live,
+    dow_seasonal_factors_live)."""
     import shutil
     import tempfile
 
-    from ..streaming.spc import spc_ingest_batch, spc_violations_live
+    from ..streaming.spc import spc_ingest_batch
     from .llm import _data_fingerprint, _params_key
 
     work = os.path.join(
@@ -642,4 +654,46 @@ def spc_violations_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             body(o.filter(F.pmod(F.hash("o_orderkey"), F.lit(3)) == i), i)
         with open(marker, "w") as fh:
             fh.write("3")
-    return spc_violations_live(spark, daily_dir)
+    return daily_dir
+
+
+@register(
+    "dow_seasonal_factors_live",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ma AS (
+      SELECT d, y,
+             CAST(sum(y) OVER w AS BIGINT) AS sum7,
+             count(*) OVER w AS n7
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), dev AS (
+      SELECT CAST(dayofweek(d) AS BIGINT) AS dow,
+             CAST(y * 7 - sum7 AS BIGINT) AS dev7
+      FROM ma WHERE n7 = 7
+    )
+    SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(dev7) AS BIGINT) AS sum_dev7,
+           CAST(sum(dev7) // (7 * count(*)) AS BIGINT) AS mean_dev_cents
+    FROM dev GROUP BY dow
+    """,
+    tags=("streaming", "seasonal", "decompose"),
+    gated=False,
+)
+def dow_seasonal_factors_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dow_seasonal_factors answered from the STREAMING daily index —
+    the THIRD consumer of the additive (d, y) partials the SPC mart
+    maintains (spc_violations_live shares the identical /tmp ingest,
+    keyed by the same fingerprint): fold the partials, hand the daily
+    frame to the SAME integer evaluator (operators/spc.py:dow_factors).
+    One mart, two live monitors — the read-side-fold pattern composing.
+    Oracle: identical SQL to dow_seasonal_factors."""
+    from ..operators.spc import dow_factors
+    from ..streaming.spc import fold_daily
+
+    daily_dir = _spc_index_dirs(spark, sf_dir)
+    return dow_factors(fold_daily(spark, daily_dir))

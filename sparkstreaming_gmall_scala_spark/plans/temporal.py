@@ -1939,3 +1939,57 @@ def interorder_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(2).alias("p50"),
         q(3).alias("p75"),
     )
+
+
+@register(
+    "dow_seasonal_factors",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ma AS (
+      SELECT d, y,
+             CAST(sum(y) OVER w AS BIGINT) AS sum7,
+             count(*) OVER w AS n7
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), dev AS (
+      SELECT CAST(dayofweek(d) AS BIGINT) AS dow,
+             CAST(y * 7 - sum7 AS BIGINT) AS dev7
+      FROM ma WHERE n7 = 7
+    )
+    SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(dev7) AS BIGINT) AS sum_dev7,
+           CAST(sum(dev7) // (7 * count(*)) AS BIGINT) AS mean_dev_cents
+    FROM dev GROUP BY dow
+    """,
+    tags=("temporal", "seasonal", "decompose"),
+    gated=False,
+)
+def dow_seasonal_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended weekly seasonal factors — the decomposition companion to
+    dow_revenue_quartiles (raw spread) and dow_anova (significance):
+    each day's revenue deviates from its CENTERED 7-day moving average
+    (the trend), and the per-DOW mean deviation is the additive seasonal
+    factor a forecaster would subtract. Rows with an incomplete ±3-day
+    window are excluded (the classic STL edge rule), so the factor is
+    never contaminated by one-sided trend estimates.
+
+    FULLY integer: the MA is kept as the exact window SUM (dev7 =
+    y·7 − sum7 avoids the rational mean), the factor is an exact floor
+    division of integer sums. The ±3-row window is unpartitioned but
+    runs over the calendar-bounded daily frame (the runs-test/EWMA
+    bound); dayofweek uses the portable 0=Sunday numbering. Shared
+    evaluator: operators/spc.py:dow_factors (also behind the live
+    twin)."""
+    from ..operators.spc import dow_factors
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    return dow_factors(o.groupBy("d").agg(F.sum("cents").alias("y")))

@@ -382,6 +382,12 @@ def test_gate_budget(registry):
         "lag_lead_xcorr",
         "interorder_gap_quantiles",
         "vocab_coverage_curve",
+        # round-12 batch 4: detrended weekly factors, dup provenance
+        # matrix, basket-width certificate
+        "dow_seasonal_factors",
+        "dup_cross_source",
+        "basket_size_dist",
+        "dow_seasonal_factors_live",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -91,3 +91,30 @@ def test_streamed_spc_replay_idempotent_with_compaction(spark, tmp_path):
     d = str(tmp_path / "daily")
     _drive(spark, d, splits, replay={0, 1, 2, 3}, compact_every=2)
     assert _live(spark, d) == want
+
+
+def test_streamed_dow_factors_equal_batch(spark, tmp_path):
+    """The second consumer of the same daily index: dow_factors over the
+    streamed fold equals dow_factors over the one-shot daily frame —
+    across a random split WITH replays."""
+    from sparkstreaming_gmall_scala_spark.operators.spc import dow_factors
+    from sparkstreaming_gmall_scala_spark.streaming.spc import fold_daily
+
+    rows = _mk_rows(17)
+    df = spark.createDataFrame(rows, "d date, cents long")
+    want = {
+        tuple(r)
+        for r in dow_factors(
+            df.groupBy("d").agg(F.sum("cents").alias("y"))
+        ).collect()
+    }
+    rng = random.Random(9)
+    splits = [[], [], []]
+    for r in rows:
+        splits[rng.randrange(3)].append(r)
+    d = str(tmp_path / "daily")
+    _drive(spark, d, splits, replay={1})
+    got = {
+        tuple(r) for r in dow_factors(fold_daily(spark, d)).collect()
+    }
+    assert got == want

@@ -213,6 +213,11 @@ ITERATIVE = {
     "day exchange over |calendar| x generations rows), then the exact "
     "integer rule engine (operators/spc.py) — identical to the batch "
     "query above the fold",
+    "dow_seasonal_factors_live": "reads the SHARED /tmp daily index "
+    "(one ingest serves spc_violations_live and this); real read shape: "
+    "fold the additive (d, y) partials, then dow_factors' bounded "
+    "centered-MA window over the calendar-bounded fold — identical to "
+    "the batch query above the fold",
     "cramers_v_type_hour": "zero counts are the one-row materialization "
     "(chi2 cell sum + dims collected, V computed driver-side); real "
     "shape: 1 events scan -> |types|x24 cells, broadcast marginals, one "
