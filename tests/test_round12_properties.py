@@ -82,3 +82,65 @@ def test_detector_sees_the_known_materialized_builders():
     # scalar-collect but distributed result — must stay unflagged
     for name in ("rfm_segments", "knn_ivf_pq", "knn_ivf_pq_persisted"):
         assert name not in flagged, name
+
+
+def test_quartile_queries_window_only_over_histograms(spark, sf_dir):
+    """r12 scale pin: the exact-quartile queries' windows (cumulative
+    count walks) must sit ABOVE an aggregate — i.e. run over the bounded
+    (group, value) count histogram, never over a fact-proportional
+    frame. In the ANALYZED logical plan every Window node's direct
+    subtree must contain an Aggregate before any relation scan."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    reg = load_all()
+    n_unpartitioned = 0
+    for name in (
+        "ship_lag_quantiles",
+        "dow_revenue_quartiles",
+        "interorder_gap_quantiles",
+        "vocab_coverage_curve",
+        "basket_size_dist",
+    ):
+        df = reg[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        lines = plan.split("\n")
+
+        def depth(ln):
+            i = 0
+            while i < len(ln) and ln[i] in " :+-":
+                i += 1
+            return i, ln[i:]
+
+        import re
+
+        nodes = [depth(ln) for ln in lines]
+
+        def has_unpartitioned_spec(txt):
+            # windowspecdefinition(<partition cols,> <col ASC|DESC ...>,
+            # specifiedwindowframe(...)) — unpartitioned iff the FIRST
+            # argument already carries a sort direction
+            return bool(
+                re.search(r"windowspecdefinition\(\S+ (ASC|DESC)", txt)
+            )
+
+        for i, (d, txt) in enumerate(nodes):
+            if not txt.startswith("Window"):
+                continue
+            if not has_unpartitioned_spec(txt):
+                continue  # partitioned windows may run over facts
+            n_unpartitioned += 1
+            # walk the subtree: an Aggregate must appear before any
+            # Relation at deeper level
+            j = i + 1
+            ok = False
+            while j < len(nodes) and nodes[j][0] > d:
+                if nodes[j][1].startswith("Aggregate"):
+                    ok = True
+                    break
+                if nodes[j][1].startswith("Relation"):
+                    break
+                j += 1
+            assert ok, (name, txt, plan[:3000])
+    # the guard must not be vacuous: these queries DO carry
+    # unpartitioned cumulative walks (over histograms)
+    assert n_unpartitioned >= 3, n_unpartitioned
