@@ -352,6 +352,11 @@ HEADLINE = (
     "dup_cross_source",
     "basket_size_dist",
     "dow_seasonal_factors_live",
+    # added r12 batch 5: deterministic KMV sketch, Brown-Forsythe,
+    # Holt level+trend smoothing
+    "kmv_distinct_daily",
+    "levene_bf_status",
+    "holt_forecast",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -333,6 +333,11 @@ POOL: tuple[str, ...] = (
     "dup_cross_source",
     "basket_size_dist",
     "dow_seasonal_factors_live",
+    # round-12 batch 5: full-oracle deterministic KMV distinct sketch,
+    # Brown-Forsythe variance-homogeneity test, Holt level+trend smoothing
+    "kmv_distinct_daily",
+    "levene_bf_status",
+    "holt_forecast",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -1638,6 +1638,103 @@ def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "holt_forecast",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT n_name, y,
+             row_number() OVER (PARTITION BY n_name ORDER BY day) AS rn
+      FROM d
+    ), f(n_name, rn, l, b, abserr) AS (
+      SELECT n_name, rn, y, CAST(0 AS BIGINT), CAST(0 AS HUGEINT)
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.n_name, r.rn,
+             (2 * r.y + 8 * (f.l + f.b)) // 10,
+             (2 * ((2 * r.y + 8 * (f.l + f.b)) // 10 - f.l) + 8 * f.b)
+               // 10,
+             f.abserr + abs(r.y - (f.l + f.b))
+      FROM ranked r
+      JOIN f ON r.n_name = f.n_name AND r.rn = f.rn + 1
+    ), last AS (
+      SELECT n_name, max(rn) AS n FROM f GROUP BY n_name
+    )
+    SELECT f.n_name, CAST(last.n AS BIGINT) AS n_days,
+           CAST(f.l AS BIGINT) AS level_cents,
+           CAST(f.b AS BIGINT) AS trend_cents,
+           CAST(f.l + f.b AS BIGINT) AS forecast_cents,
+           CAST(f.abserr // greatest(last.n - 1, 1) AS BIGINT) AS mae_cents
+    FROM f JOIN last ON f.n_name = last.n_name AND f.rn = last.n
+    """,
+    tags=("scale", "stats", "forecast"),
+    gated=False,
+)
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of per-nation daily revenue
+    (α = β = 0.2) with the one-step-ahead forecast and its MAE — the
+    TREND-AWARE upgrade of revenue_ewma: a drifting series makes plain
+    EWMA lag systematically; Holt's coupled level+trend recurrences
+    track the drift and forecast l + b instead of l.
+
+    Determinism: the recurrence is integer fixed-point —
+    l ← (2y + 8(l+b)) div 10, b ← (2(l − l_prev) + 8b) div 10 — and the
+    trend term CAN go negative, where DuckDB's // TRUNCATES toward zero
+    while Python's // floors; the driver fold therefore uses explicit
+    truncating division (sign · (|a| div d)) so both engines land on
+    identical integers (the repo's floor-vs-truncate discipline). The
+    facts fold distributed into the |nations|×|days| daily frame; the
+    sequential fold walks that bounded table driver-side, exactly what
+    the oracle's recursive CTE does."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(scaled_dim(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name", "day")
+        .agg(F.sum("v").alias("y"))
+        .orderBy("n_name", "day")
+    )
+
+    def tdiv(a: int, d: int) -> int:
+        # truncating integer division, matching DuckDB's // on negatives
+        return -((-a) // d) if a < 0 else a // d
+
+    rows = daily.collect()  # dimension-sized: |nations| x |days|
+    out, state = [], {}
+    for r in rows:  # already (n_name, day)-ordered
+        k, y = r["n_name"], r["y"]
+        if k not in state:
+            state[k] = [y, 0, 0, 1]  # l, b, abserr, n
+        else:
+            l, b, err, n = state[k]
+            l_new = tdiv(2 * y + 8 * (l + b), 10)
+            b_new = tdiv(2 * (l_new - l) + 8 * b, 10)
+            state[k] = [l_new, b_new, err + abs(y - (l + b)), n + 1]
+    for k in sorted(state):
+        l, b, err, n = state[k]
+        out.append((k, n, l, b, l + b, err // max(n - 1, 1)))
+    return daily.sparkSession.createDataFrame(
+        out,
+        "n_name string, n_days long, level_cents long, trend_cents long,"
+        " forecast_cents long, mae_cents long",
+    )
+
+
+@register(
     "rfm_segments",
     oracle="""
     WITH rfm AS (
@@ -3039,6 +3136,165 @@ def dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_milli = math.floor(((sst - ssw) / 6.0) / (ssw / (float(n) - 7.0)) * 1000.0 + 0.5)
     return spark.createDataFrame(
         [(n, eta2, f_milli)], "n_days long, eta2_ppm long, f_milli long"
+    )
+
+
+@register(
+    "levene_bf_status",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderstatus AS st,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), med AS (
+      SELECT st, CAST(2 * median(cents) AS BIGINT) AS med2x
+      FROM v GROUP BY 1
+    ), z AS (
+      SELECT v.st, abs(2 * v.cents - med.med2x) AS z2
+      FROM v JOIN med USING (st)
+    ), piv AS (
+      SELECT
+        sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS n_o,
+        sum(CASE WHEN st = 'O' THEN z2 ELSE 0 END) AS s_o,
+        sum(CASE WHEN st = 'O' THEN CAST(z2 AS HUGEINT) * z2 ELSE 0 END)
+          AS q_o,
+        sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS n_f,
+        sum(CASE WHEN st = 'F' THEN z2 ELSE 0 END) AS s_f,
+        sum(CASE WHEN st = 'F' THEN CAST(z2 AS HUGEINT) * z2 ELSE 0 END)
+          AS q_f,
+        sum(CASE WHEN st = 'P' THEN 1 ELSE 0 END) AS n_p,
+        sum(CASE WHEN st = 'P' THEN z2 ELSE 0 END) AS s_p,
+        sum(CASE WHEN st = 'P' THEN CAST(z2 AS HUGEINT) * z2 ELSE 0 END)
+          AS q_p
+      FROM z
+    ), calc AS (
+      SELECT *,
+        CAST(n_o + n_f + n_p AS BIGINT) AS n,
+        (CAST(s_o AS DOUBLE) / CAST(n_o AS DOUBLE)) AS zb_o,
+        (CAST(s_f AS DOUBLE) / CAST(n_f AS DOUBLE)) AS zb_f,
+        (CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE)) AS zb_p,
+        (CAST(s_o + s_f + s_p AS DOUBLE)
+           / CAST(n_o + n_f + n_p AS DOUBLE)) AS zb
+      FROM piv
+    ), stat AS (
+      SELECT n, n_o, n_f, n_p,
+        (((CAST(n_o AS DOUBLE) * (zb_o - zb)) * (zb_o - zb)
+          + (CAST(n_f AS DOUBLE) * (zb_f - zb)) * (zb_f - zb))
+          + (CAST(n_p AS DOUBLE) * (zb_p - zb)) * (zb_p - zb)) AS between_ss,
+        (((CAST(q_o AS DOUBLE)
+             - (CAST(s_o AS DOUBLE) * CAST(s_o AS DOUBLE))
+               / CAST(n_o AS DOUBLE))
+          + (CAST(q_f AS DOUBLE)
+             - (CAST(s_f AS DOUBLE) * CAST(s_f AS DOUBLE))
+               / CAST(n_f AS DOUBLE)))
+          + (CAST(q_p AS DOUBLE)
+             - (CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+               / CAST(n_p AS DOUBLE))) AS within_ss,
+        s_o, s_f, s_p
+      FROM calc
+    )
+    SELECT n,
+           CAST(n_o AS BIGINT) AS n_o,
+           CAST(n_f AS BIGINT) AS n_f,
+           CAST(n_p AS BIGINT) AS n_p,
+           CAST(s_o AS BIGINT) AS s_o,
+           CAST(s_f AS BIGINT) AS s_f,
+           CAST(s_p AS BIGINT) AS s_p,
+           CAST(CASE WHEN n_o = 0 OR n_f = 0 OR n_p = 0
+                       OR within_ss <= 0.0 THEN NULL
+                ELSE floor((CAST(n - 3 AS DOUBLE) / 2.0)
+                           * (between_ss / within_ss) * 1000.0 + 0.5)
+                END AS BIGINT) AS w_milli
+    FROM stat
+    WHERE n_o IS NOT NULL
+    """,
+    tags=("scale", "stats", "test"),
+    gated=False,
+)
+def levene_bf_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test of order value across
+    the three order statuses — the VARIANCE sibling of dow_anova (which
+    tests means): are O/F/P equally dispersed, or does one status carry
+    a wider spread than the pooled model assumes? Classic Levene with
+    the median center (Brown-Forsythe), the robust variant.
+
+    Determinism: deviations are exact integers via the doubled-median
+    trick (z2 = |2·cents − med2x|, the mad_outliers discipline), pivoted
+    to ONE row of exact (n, Σz2, Σz2² as DECIMAL(38,0)) per status, and
+    the W statistic is an explicit fixed-association double tree written
+    identically in both engines, emitted as w_milli. Two distributed
+    passes (median, then the deviation pivot); the driver fold touches
+    one 9-column row. Statuses with no rows or a zero within-SS NULL the
+    statistic rather than diverging on inf/nan semantics."""
+    import math
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    med = o.groupBy("st").agg(
+        (F.lit(2) * F.median("cents")).cast("long").alias("med2x")
+    )
+    z = o.join(F.broadcast(med), "st").select(
+        "st", F.abs(F.lit(2) * F.col("cents") - F.col("med2x")).alias("z2")
+    )
+    piv = z.agg(
+        *[
+            agg
+            for st in ("o", "f", "p")
+            for agg in (
+                F.sum(
+                    F.when(F.col("st") == st.upper(), 1).otherwise(0)
+                ).alias(f"n_{st}"),
+                F.sum(
+                    F.when(F.col("st") == st.upper(), F.col("z2")).otherwise(
+                        0
+                    )
+                ).alias(f"s_{st}"),
+                F.sum(
+                    F.when(
+                        F.col("st") == st.upper(),
+                        (
+                            F.col("z2").cast("decimal(38,0)") * F.col("z2")
+                        ).cast("decimal(38,0)"),
+                    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+                ).alias(f"q_{st}"),
+            )
+        ]
+    ).collect()[0]
+    schema = (
+        "n long, n_o long, n_f long, n_p long,"
+        " s_o long, s_f long, s_p long, w_milli long"
+    )
+    if piv["n_o"] is None:  # empty orders: the oracle's WHERE drops the row
+        return spark.createDataFrame([], schema)
+    n_o, n_f, n_p = int(piv["n_o"]), int(piv["n_f"]), int(piv["n_p"])
+    s_o, s_f, s_p = int(piv["s_o"]), int(piv["s_f"]), int(piv["s_p"])
+    n = n_o + n_f + n_p
+    w_milli = None
+    if n_o > 0 and n_f > 0 and n_p > 0:
+        q_o, q_f, q_p = int(piv["q_o"]), int(piv["q_f"]), int(piv["q_p"])
+        zb_o = float(s_o) / float(n_o)
+        zb_f = float(s_f) / float(n_f)
+        zb_p = float(s_p) / float(n_p)
+        zb = float(s_o + s_f + s_p) / float(n)
+        between_ss = (
+            (float(n_o) * (zb_o - zb)) * (zb_o - zb)
+            + (float(n_f) * (zb_f - zb)) * (zb_f - zb)
+        ) + (float(n_p) * (zb_p - zb)) * (zb_p - zb)
+        within_ss = (
+            (float(q_o) - (float(s_o) * float(s_o)) / float(n_o))
+            + (float(q_f) - (float(s_f) * float(s_f)) / float(n_f))
+        ) + (float(q_p) - (float(s_p) * float(s_p)) / float(n_p))
+        if within_ss > 0.0:
+            w_milli = math.floor(
+                (float(n - 3) / 2.0) * (between_ss / within_ss) * 1000.0
+                + 0.5
+            )
+    return spark.createDataFrame(
+        [(n, n_o, n_f, n_p, s_o, s_f, s_p, w_milli)], schema
     )
 
 

@@ -65,6 +65,93 @@ def dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_distinct_daily",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt,
+             (user_id * 2654435761) % 4294967296 AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+      SELECT dt, h, row_number() OVER (PARTITION BY dt ORDER BY h) AS rn
+      FROM du
+    ), agg AS (
+      SELECT dt, CAST(count(*) AS BIGINT) AS exact_distinct,
+             max(CASE WHEN rn = 64 THEN h END) AS h_k
+      FROM r GROUP BY dt
+    )
+    SELECT dt, exact_distinct,
+           CAST(CASE WHEN exact_distinct < 64 THEN exact_distinct
+                     ELSE 270582939648 // h_k END AS BIGINT) AS kmv_estimate,
+           CAST(abs(CASE WHEN exact_distinct < 64 THEN exact_distinct
+                         ELSE 270582939648 // h_k END - exact_distinct)
+                * 1000000 // exact_distinct AS BIGINT) AS err_ppm
+    FROM agg
+    """,
+    tags=("streaming-analog", "sketch", "distinct"),
+    gated=False,
+)
+def kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users via a K-Minimum-Values sketch (k = 64) —
+    the FULL-ORACLE deterministic sibling of dau_approx's HLL: both
+    engines hash with the same Knuth multiplicative map
+    h = (user_id * 2654435761) mod 2^32 (a bijection on [0, 2^32) since
+    the multiplier is odd, so no collisions below 2^32 ids; beyond that
+    collisions only merge — the estimator degrades, never crashes), keep
+    each day's k smallest hashes, and read the classic estimate
+    (k-1)·2^32 div h_(k) in exact integer division. Unlike every other
+    approx-distinct entry this one hash-matches cross-engine, so the
+    sketch itself sits under the correctness gate; err_ppm audits it
+    against the exact count in the same row.
+
+    Scale shape: the rank filter rn <= k compiles to WindowGroupLimit —
+    per-task partial top-k then a k-row-per-day merge, which IS the KMV
+    merge operator (union, re-take k smallest): the sketch is a monoid
+    and the plan is its map-side partial aggregation. The distinct
+    (dt, h) frame computes twice (exact-count branch + sketch branch) —
+    deliberate: it is fact-proportional, so recomputing two
+    column-pruned pipelines beats pinning it in memory; at 100 TB the
+    exact_distinct audit column (which exists to grade the sketch)
+    drops and only the top-k branch runs."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    du = ev.select(
+        dt_of(F.col("ts")).alias("dt"),
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+            "h"
+        ),
+    ).distinct()
+    exact = du.groupBy("dt").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    w = Window.partitionBy("dt").orderBy("h")
+    hk = (
+        du.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 64)  # WindowGroupLimit: per-task top-k
+        .groupBy("dt")
+        .agg(F.max(F.when(F.col("rn") == 64, F.col("h"))).alias("h_k"))
+    )
+    return (
+        exact.join(hk, "dt", "left")
+        .select(
+            "dt",
+            "exact_distinct",
+            F.expr(
+                "CAST(CASE WHEN exact_distinct < 64 THEN exact_distinct"
+                " ELSE 270582939648L div h_k END AS BIGINT)"
+            ).alias("kmv_estimate"),
+        )
+        .select(
+            "dt",
+            "exact_distinct",
+            "kmv_estimate",
+            F.expr(
+                "abs(kmv_estimate - exact_distinct) * 1000000L"
+                " div exact_distinct"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+@register(
     "dau_first_visit",
     oracle="""
     SELECT dt, user_id, event_id, hr FROM (

@@ -388,6 +388,11 @@ def test_gate_budget(registry):
         "dup_cross_source",
         "basket_size_dist",
         "dow_seasonal_factors_live",
+        # round-12 batch 5: deterministic KMV sketch, Brown-Forsythe,
+        # Holt level+trend smoothing
+        "kmv_distinct_daily",
+        "levene_bf_status",
+        "holt_forecast",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

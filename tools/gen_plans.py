@@ -83,6 +83,17 @@ ITERATIVE = {
     "collected |nations|x|days| daily frame — the KM discipline); real "
     "shape is 1 orders scan + 2 dim broadcasts + 1 (nation, day) "
     "exchange",
+    "holt_forecast": "zero counts are the dimension-bounded sequential "
+    "fold (the coupled level+trend integer recurrence runs driver-side "
+    "over the collected |nations|x|days| daily frame — the revenue_ewma "
+    "discipline, with explicit truncating division because the trend "
+    "term goes negative); real shape is 1 orders scan + 2 dim "
+    "broadcasts + 1 (nation, day) exchange",
+    "levene_bf_status": "zero counts are the one-row materialization "
+    "(dow_anova discipline); real shape is 1 orders scan + the 3-status "
+    "median agg broadcast back + ONE 9-column conditional-moment pivot "
+    "row; the Brown-Forsythe W double tree folds driver-side in the "
+    "same fixed association as the oracle",
     "brand_affinity": "zero counts are the |brands|²-row matrix "
     "materialization (collect + createDataFrame frees the distinct "
     "(order, brand) projection); real shape is 1 lineitem scan + 1 part "
