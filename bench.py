@@ -357,6 +357,8 @@ HEADLINE = (
     "kmv_distinct_daily",
     "levene_bf_status",
     "holt_forecast",
+    # live KMV read (ingest under build_sec, the live-mart convention)
+    "kmv_distinct_stream",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan
@@ -502,6 +504,8 @@ def main() -> int:
         "brand_affinity_stream",
         # r12: the live SPC daily index, same convention
         "spc_violations_live",
+        # r12 batch 5: the live KMV k-min index, same convention
+        "kmv_distinct_stream",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

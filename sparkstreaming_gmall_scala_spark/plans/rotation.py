@@ -338,6 +338,7 @@ POOL: tuple[str, ...] = (
     "kmv_distinct_daily",
     "levene_bf_status",
     "holt_forecast",
+    "kmv_distinct_stream",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -151,6 +151,73 @@ def kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the 3-batch KMV ingest exists under /tmp for this corpus
+    (keyed by params + data fingerprint — the knn persisted discipline)
+    and return the index dir."""
+    import shutil
+    import tempfile
+
+    from ..streaming.kmv import kmv_ingest_batch
+    from .llm import _data_fingerprint, _params_key
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_kmvidx_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('kmv3', _data_fingerprint(sf_dir, 'events'))}",
+    )
+    index_dir = os.path.join(work, "kmins")
+    marker = os.path.join(work, "_INGESTED")
+    if not os.path.exists(marker):
+        # a partial ingest (crash mid-batch) must rebuild, never serve
+        shutil.rmtree(work, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+        body = kmv_ingest_batch(spark, index_dir)
+        for i in range(3):
+            body(ev.filter(F.pmod(F.hash("user_id"), F.lit(3)) == i), i)
+        with open(marker, "w") as fh:
+            fh.write("3")
+    return index_dir
+
+
+@register(
+    "kmv_distinct_stream",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt,
+             (user_id * 2654435761) % 4294967296 AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+      SELECT dt, h, row_number() OVER (PARTITION BY dt ORDER BY h) AS rn
+      FROM du
+    ), agg AS (
+      SELECT dt, CAST(count(*) AS BIGINT) AS exact_distinct,
+             max(CASE WHEN rn = 64 THEN h END) AS h_k
+      FROM r GROUP BY dt
+    )
+    SELECT dt,
+           CAST(CASE WHEN exact_distinct < 64 THEN exact_distinct
+                     ELSE 270582939648 // h_k END AS BIGINT) AS kmv_estimate
+    FROM agg
+    """,
+    tags=("streaming", "sketch", "distinct"),
+    gated=False,
+)
+def kmv_distinct_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmv_distinct_daily's estimate answered from the STREAMING k-min
+    index: 3 micro-batches (split by user hash, so every batch sees
+    every day — the worst case for a merge bug) append per-day k-min
+    partials; the read side unions and re-takes k. K-min lists are a
+    merge monoid, so the live estimate equals the batch estimate
+    EXACTLY — the oracle is the batch query's own SQL minus the exact
+    audit column (which a production sketch, the whole point of bounded
+    state, does not have). Replay + split-invariance pinned in
+    tests/test_streaming_kmv.py."""
+    from ..streaming.kmv import fold_kmv
+
+    return fold_kmv(spark, _kmv_index_dir(spark, sf_dir))
+
+
 @register(
     "dau_first_visit",
     oracle="""

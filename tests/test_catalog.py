@@ -393,6 +393,7 @@ def test_gate_budget(registry):
         "kmv_distinct_daily",
         "levene_bf_status",
         "holt_forecast",
+        "kmv_distinct_stream",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

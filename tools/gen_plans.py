@@ -229,6 +229,12 @@ ITERATIVE = {
     "fold the additive (d, y) partials, then dow_factors' bounded "
     "centered-MA window over the calendar-bounded fold — identical to "
     "the batch query above the fold",
+    "kmv_distinct_stream": "reads the /tmp k-min index its own 3-batch "
+    "ingest maintains; real read shape: union the per-batch k-min "
+    "partials, re-take the k smallest distinct hashes per day "
+    "(WindowGroupLimit over |days| x k x generations rows), read the "
+    "estimator — the KMV merge monoid, identical estimate to the batch "
+    "query by construction",
     "cramers_v_type_hour": "zero counts are the one-row materialization "
     "(chi2 cell sum + dims collected, V computed driver-side); real "
     "shape: 1 events scan -> |types|x24 cells, broadcast marginals, one "
