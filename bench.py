@@ -359,6 +359,8 @@ HEADLINE = (
     "holt_forecast",
     # live KMV read (ingest under build_sec, the live-mart convention)
     "kmv_distinct_stream",
+    # JL random-sign projection audit (hash-derived sign matrix, no UDF)
+    "jl_projection_audit",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -3879,6 +3879,112 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jl_projection_audit",
+    oracle="""
+    WITH per AS (
+      SELECT label,
+        CAST(floor(list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (acc, x) -> acc + x) * 1000000.0 + 0.5) AS BIGINT) AS orig2_u,
+        CAST(floor(list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(
+              list_transform(range(0, 16), j ->
+                list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(0, 64), i ->
+                      (CASE WHEN ((i * 16 + j) * 2654435761) % 4294967296
+                              < 2147483648
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(-1.0 AS DOUBLE) END)
+                      * CAST(embedding[i + 1] AS DOUBLE))),
+                  (acc, x) -> acc + x)),
+              p -> p * p)),
+          (acc, x) -> acc + x) * 1000000.0 + 0.5) AS BIGINT) AS proj2_u
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(orig2_u) AS BIGINT) AS sum_orig2_u,
+           CAST(sum(proj2_u) AS BIGINT) AS sum_proj2_u,
+           CAST(sum(proj2_u) * 1000000 // (16 * sum(orig2_u)) AS BIGINT)
+             AS ratio_ppm
+    FROM per GROUP BY label
+    """,
+    tags=("llm", "embedding", "projection"),
+    gated=False,
+)
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-sign projection 64 → 16 dims with a
+    per-label norm-preservation audit — the dimensionality-reduction
+    primitive for cheap pre-filtering in ANN / near-dup pipelines: with
+    ±1 sign projections E[‖Px‖²] = d_out·‖x‖², so ratio_ppm =
+    Σ‖Px‖² / (16·Σ‖x‖²) should sit near 10⁶; a label drifting far off
+    signals a degenerate encoder batch (constant dims, rank collapse)
+    BEFORE an index gets built on it.
+
+    The sign matrix is never materialized: s(i,j) = top bit of the Knuth
+    multiplicative hash of cell i·16+j, computed identically inside both
+    engines' lambda expressions — deterministic, shippable to any
+    executor count, and zero-storage (the 100 TB property: a broadcast
+    matrix is state to manage; a hash is not). All folds are explicit
+    left folds over ascending indices (fixed IEEE association, the
+    embedding_norm_audit discipline), floored to micro-units per ROW, so
+    only integers cross rows. One scan, |labels|-row aggregate; the
+    nested fold is 16×64 multiply-adds per row inside whole-stage
+    codegen — no UDF."""
+
+    def sign(i, j):
+        k = (i * F.lit(16) + j).cast("long") * F.lit(2654435761)
+        return F.when(
+            k % F.lit(4294967296) < F.lit(2147483648), F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    def pj(j):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + sign(i, j)
+            * F.element_at(F.col("embedding"), (i + F.lit(1)).cast("int"))
+            .cast("double"),
+        )
+
+    orig2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    proj2 = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(15)), pj),
+        F.lit(0.0),
+        lambda acc, p: acc + p * p,
+    )
+    per = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select(
+            "label",
+            F.floor(orig2 * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("orig2_u"),
+            F.floor(proj2 * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("proj2_u"),
+        )
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("orig2_u").alias("sum_orig2_u"),
+        F.sum("proj2_u").alias("sum_proj2_u"),
+        F.expr("sum(proj2_u) * 1000000L div (16 * sum(orig2_u))").alias(
+            "ratio_ppm"
+        ),
+    )
+
+
+@register(
     "length_tail_docs",
     oracle="""
     WITH h AS (

@@ -339,6 +339,7 @@ POOL: tuple[str, ...] = (
     "levene_bf_status",
     "holt_forecast",
     "kmv_distinct_stream",
+    "jl_projection_audit",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

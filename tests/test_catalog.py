@@ -394,6 +394,7 @@ def test_gate_budget(registry):
         "levene_bf_status",
         "holt_forecast",
         "kmv_distinct_stream",
+        "jl_projection_audit",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

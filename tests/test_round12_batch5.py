@@ -236,3 +236,52 @@ def test_batch5_builders_survive_empty_inputs(spark, empty_sf_dir):
         out = reg[name].builder(spark, empty_sf_dir)
         assert out.columns == cols, (name, out.columns)
         assert out.count() == 0, name
+
+
+def test_jl_projection_matches_naive(spark, sf_dir):
+    """The hash-sign JL audit vs a plain-Python recompute: Python floats
+    ARE IEEE doubles and the folds share one left-to-right association,
+    so the match is exact, not approximate."""
+    import math as _math
+
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", "embedding")
+        .where("embedding IS NOT NULL")
+        .collect()
+    )
+
+    def sign(i, j):
+        return (
+            1.0
+            if ((i * 16 + j) * 2654435761) % 4294967296 < 2147483648
+            else -1.0
+        )
+
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        x = [float(v) for v in r["embedding"]]
+        orig2 = 0.0
+        for v in x:
+            orig2 = orig2 + v * v
+        proj2 = 0.0
+        for j in range(16):
+            p = 0.0
+            for i in range(64):
+                p = p + sign(i, j) * x[i]
+            proj2 = proj2 + p * p
+        a = agg.setdefault(r["label"], [0, 0, 0])
+        a[0] += 1
+        a[1] += int(_math.floor(orig2 * 1000000.0 + 0.5))
+        a[2] += int(_math.floor(proj2 * 1000000.0 + 0.5))
+    got = load_all()["jl_projection_audit"].builder(spark, sf_dir).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        n, so, sp = agg[r["label"]]
+        assert (r["n"], r["sum_orig2_u"], r["sum_proj2_u"]) == (n, so, sp)
+        assert r["ratio_ppm"] == sp * 1000000 // (16 * so)
+        # and the JL property itself: norms preserved within 25% per label
+        assert abs(r["ratio_ppm"] - 1000000) < 250000
