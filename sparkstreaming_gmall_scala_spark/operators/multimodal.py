@@ -3,10 +3,12 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so the (external) media libraries would touch whole
-batches, never rows. The media libs are NOT in this container, so the
-actual decoders are stubbed behind ``NotImplementedError`` with a
-deterministic fake path used by tests — the Spark-side plumbing (schema,
-batch shape, partitioning) is real and tested.
+batches, never rows. Two formats decode stdlib-REAL in this container —
+the full PNG spec (every legal depth/ctype/interlace combination) and
+uncompressed-PCM WAV; formats that genuinely need PIL/librosa/av (JPEG,
+MP3, MP4, …) stay behind a loud ``NotImplementedError`` with an
+injected-decoder seam, and a deterministic fake path keeps the plumbing
+(schema, batch shape, partitioning) testable end to end.
 """
 
 from __future__ import annotations
@@ -37,64 +39,32 @@ def to_binary_payload(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _decode_png(payload: bytes) -> bytes:
-    """Raw 8-bit pixel bytes from a PNG: zlib-inflate the IDAT stream and
-    reverse the five standard scanline filters (None/Sub/Up/Average/
-    Paeth) — pure stdlib, no PIL. Greyscale (0), RGB (2), palette (3),
-    grey+alpha (4) and RGBA (6) color types at bit depth 8; palette
-    indices resolve through the PLTE table to RGB (RGBA when a tRNS
-    chunk supplies alpha — r11 verdict #4), so two files carrying the
-    same image as ctype 2 and ctype 3 decode to identical content
-    bytes. 16-bit / sub-byte palette depths / Adam7 interlace need a
-    real imaging lib and raise."""
-    import struct
-    import zlib
+#: Adam7 interlace pass geometry: (x_start, y_start, x_step, y_step).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG signature")
-    pos, idat = 8, []
-    width = height = None
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-    bpp = None
-    ctype = None
-    plte = trns = None
-    while pos + 8 <= len(payload):
-        (n,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + n]
-        if tag == b"IHDR":
-            width, height, depth, ctype, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or ctype not in channels or interlace:
-                raise NotImplementedError(
-                    f"PNG depth={depth} color={ctype} interlace={interlace}"
-                    " needs a real imaging lib (PIL) — stdlib path covers"
-                    " 8-bit grey/RGB/palette/GA/RGBA non-interlaced"
-                )
-            bpp = channels[ctype]
-        elif tag == b"PLTE":
-            if len(body) % 3 or not body:
-                raise ValueError("PNG PLTE length not a multiple of 3")
-            plte = body
-        elif tag == b"tRNS":
-            trns = body
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + n
-    if bpp is None:
-        raise ValueError("PNG missing IHDR")
-    if ctype == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE")
-    raw = zlib.decompress(b"".join(idat))
-    stride = width * bpp
-    out = bytearray()
+#: Sample scaling for sub-byte greyscale depths: v * (255 // (2^d − 1))
+#: is exact (the PNG-spec bit-replication), so a depth-1 white pixel is
+#: 255, a depth-4 0xF is 255 — content comparable across depth twins.
+_SUBBYTE_SCALE = {1: 255, 2: 85, 4: 17}
+
+
+def _unfilter(raw: bytes, pos: int, ph: int, stride: int, bpp: int):
+    """Reverse the five standard scanline filters over one (sub-)image of
+    ``ph`` rows × ``stride`` bytes starting at ``raw[pos]`` (each row is
+    prefixed by its filter-type byte). Returns (rows, new_pos)."""
+    rows = []
     prior = bytes(stride)
-    for y in range(height):
-        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-        f, data = row[0], bytearray(row[1:])
+    for _ in range(ph):
+        f, data = raw[pos], bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
         for i in range(stride):
             a = data[i - bpp] if i >= bpp else 0
             b = prior[i]
@@ -111,7 +81,120 @@ def _decode_png(payload: bytes) -> bytes:
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 data[i] = (data[i] + pred) & 0xFF
         prior = bytes(data)
-        out += data
+        rows.append(bytes(data))
+    return rows, pos
+
+
+def _row_pixels(
+    data: bytes, pw: int, depth: int, n_ch: int, ctype: int
+) -> list[bytes]:
+    """One defiltered scanline → per-pixel 8-bit sample bytes. 16-bit
+    samples keep their high byte (the PIL I;16→L convention — exact for
+    files that bit-replicated 8-bit content); sub-byte samples unpack
+    MSB-first and greyscale ones scale by the spec's bit replication
+    (palette indices stay raw)."""
+    if depth == 8:
+        return [data[px * n_ch : (px + 1) * n_ch] for px in range(pw)]
+    if depth == 16:
+        return [
+            bytes(
+                data[(px * n_ch + c) * 2] for c in range(n_ch)
+            )
+            for px in range(pw)
+        ]
+    scale = 1 if ctype == 3 else _SUBBYTE_SCALE[depth]
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    out = []
+    for px in range(pw):
+        byte = data[px // per_byte]
+        shift = 8 - depth * (px % per_byte + 1)
+        out.append(bytes([((byte >> shift) & mask) * scale]))
+    return out
+
+
+def _decode_png(payload: bytes) -> bytes:
+    """Raw 8-bit pixel bytes from a PNG: zlib-inflate the IDAT stream,
+    reverse the five standard scanline filters (None/Sub/Up/Average/
+    Paeth) per (sub-)image, and normalize samples to 8-bit — pure
+    stdlib, no PIL. Full spec coverage as of r12: greyscale (0), RGB
+    (2), palette (3), grey+alpha (4) and RGBA (6) at every legal bit
+    depth (1/2/4/8/16 grey, 8/16 color, 1/2/4/8 palette), Adam7
+    interlace deinterleaved into scan order. Palette indices resolve
+    through the PLTE table to RGB (RGBA when a tRNS chunk supplies
+    alpha), sub-byte greys bit-replicate to 8-bit and 16-bit samples
+    keep their high byte — so files carrying the same image at any
+    depth/ctype/interlace combination decode to identical content
+    bytes (pinned in tests/test_text_multimodal.py)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat = 8, []
+    width = height = None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    legal_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    n_ch = None
+    depth = ctype = interlace = None
+    plte = trns = None
+    while pos + 8 <= len(payload):
+        (n,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + n]
+        if tag == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if ctype not in channels or depth not in legal_depths[ctype] \
+                    or interlace not in (0, 1):
+                raise ValueError(
+                    f"illegal PNG depth={depth} color={ctype} "
+                    f"interlace={interlace} combination (spec 11.2.2)"
+                )
+            n_ch = channels[ctype]
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + n
+    if n_ch is None:
+        raise ValueError("PNG missing IHDR")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    raw = zlib.decompress(b"".join(idat))
+    img: list[list[bytes | None]] = [
+        [None] * width for _ in range(height)
+    ]
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    rpos = 0
+    bits_pp = depth * n_ch
+    bpp = max(1, bits_pp // 8)
+    for x0, y0, xs, ys in passes:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * bits_pp + 7) // 8
+        rows, rpos = _unfilter(raw, rpos, ph, stride, bpp)
+        for ri, data in enumerate(rows):
+            for pi, px in enumerate(
+                _row_pixels(data, pw, depth, n_ch, ctype)
+            ):
+                img[y0 + ri * ys][x0 + pi * xs] = px
+    out = bytearray()
+    for row_px in img:
+        for px in row_px:
+            if px is None:  # truncated IDAT left holes
+                raise ValueError("PNG pixel data incomplete")
+            out += px
     if ctype != 3:
         return bytes(out)
     # palette indexing: each defiltered byte is a PLTE index; emit RGB

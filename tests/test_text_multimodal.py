@@ -91,24 +91,12 @@ def test_multimodal_features_deterministic_fake(spark):
 
 
 def test_decode_media_stub_only_for_external_lib_formats():
-    # JPEG/MP3/… genuinely need PIL/librosa — explicit, loud stub
+    # JPEG/MP3/… genuinely need PIL/librosa — explicit, loud stub.
+    # (PNG no longer appears here: as of r12 the stdlib decoder covers
+    # every legal depth/ctype/interlace combination — see
+    # test_16bit_and_interlaced_png_decode_like_their_8bit_twins.)
     with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
-    # …but PNG depth/color combos beyond the stdlib path also fail loud
-    # rather than decoding garbage (16-bit header; palette is stdlib-
-    # decoded as of r12)
-    import struct
-    import zlib
-
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)  # 16-bit grey
-    chunk = (
-        struct.pack(">I", len(ihdr))
-        + b"IHDR"
-        + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
-    )
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n\x1a\n" + chunk, "image/png")
 
 
 # --- real-codec plumbing (r9 verdict #8): deterministic PNG/WAV byte
@@ -396,51 +384,75 @@ def test_palette_png_decodes_like_its_rgb_twin(spark):
     assert out[1]["first_byte"] == out[2]["first_byte"] == 255
 
 
-def test_interlaced_and_16bit_png_boundary_pinned(spark):
-    """The stdlib decoder's REMAINING documented boundary (narrowed from
-    palette+interlaced in r11 — palette is now implemented): Adam7-
-    interlaced and 16-bit fixtures (valid chunks + CRCs) must raise the
-    documented NotImplementedError, and the SAME payloads must flow
-    through the Spark plumbing when a PIL-style decoder is injected —
-    no silent wrong-pixels path exists for uncovered formats."""
+def test_16bit_and_interlaced_png_decode_like_their_8bit_twins(spark):
+    """r12: the stdlib decoder's LAST documented PNG boundary is gone —
+    16-bit samples (high byte kept, exact for bit-replicated content)
+    and Adam7 interlace (deinterleaved into scan order) now decode, so
+    every legal depth/ctype/interlace combination of the same image
+    lands on identical content bytes through the DEFAULT decoder."""
     import struct
     import zlib
 
-    # 2×1 greyscale with the Adam7 interlace flag
-    interlaced_png = (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1))
-        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 10, 20])))
-        + _png_chunk(b"IEND", b"")
-    )
-    # 1×1 16-bit greyscale
-    deep_png = (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0x12, 0x34])))
-        + _png_chunk(b"IEND", b"")
-    )
-    for payload, marker in (
-        (interlaced_png, "interlace=1"),
-        (deep_png, "depth=16"),
-    ):
-        with pytest.raises(NotImplementedError) as ei:
-            decode_media(payload, "image/png")
-        assert marker in str(ei.value)          # the documented message
-        assert "PIL" in str(ei.value)           # points at the remedy
+    def png(w, h, depth, ctype, interlace, idat, extra=b""):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace),
+            )
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(idat))
+            + _png_chunk(b"IEND", b"")
+        )
 
-    # a PIL-style decoder plugged into the injection seam handles both
-    # (faked deterministically here — the SIGNATURE and routing are real)
-    def pil_style(payload: bytes, mime: str) -> bytes:
-        if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            depth = payload[8 + 8 + 8]
-            if depth == 16:
-                return bytes([0x12, 0x34])              # decoded 16-bit
-            return bytes([10, 20])                      # deinterlaced grey
-        raise NotImplementedError(mime)
+    # 2×2 greyscale, 8-bit vs 16-bit (samples bit-replicated v -> v,v)
+    vals = [10, 200, 30, 255]
+    png8 = png(2, 2, 8, 0, 0,
+               bytes([0, vals[0], vals[1], 0, vals[2], vals[3]]))
+    png16 = png(
+        2, 2, 16, 0, 0,
+        bytes([0]) + b"".join(bytes([v, v]) for v in vals[:2])
+        + bytes([0]) + b"".join(bytes([v, v]) for v in vals[2:]),
+    )
+    assert decode_media(png8, "image/png") == bytes(vals)
+    assert decode_media(png16, "image/png") == bytes(vals)
 
+    # 8×3 greyscale gradient, sequential vs Adam7-interlaced
+    w, h = 8, 3
+    imgv = [[(y * 40 + x * 7) % 251 for x in range(w)] for y in range(h)]
+    seq_idat = b"".join(bytes([0]) + bytes(r) for r in imgv)
+    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    il_idat = b""
+    for x0, y0, xs, ys in adam7:
+        pw, ph = (w - x0 + xs - 1) // xs, (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        for r in range(ph):
+            il_idat += bytes([0]) + bytes(
+                imgv[y0 + r * ys][x0 + c * xs] for c in range(pw)
+            )
+    flat = bytes(v for row in imgv for v in row)
+    assert decode_media(png(w, h, 8, 0, 0, seq_idat), "image/png") == flat
+    assert decode_media(png(w, h, 8, 0, 1, il_idat), "image/png") == flat
+
+    # sub-byte depths: depth-1 grey bit-replicates to 0/255; depth-4
+    # palette indices pack two per byte and resolve through PLTE
+    assert decode_media(
+        png(10, 1, 1, 0, 0, bytes([0, 0b10101010, 0b10000000])),
+        "image/png",
+    ) == bytes([255, 0] * 5)
+    plte = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    assert decode_media(
+        png(3, 1, 4, 3, 0, bytes([0, 0x10, 0x20]), extra=plte),
+        "image/png",
+    ) == bytes([0, 255, 0, 255, 0, 0, 0, 0, 255])
+
+    # and the full Spark plumbing runs these through the DEFAULT stdlib
+    # decoder — no injection needed anymore
     media = spark.createDataFrame(
-        [(1, interlaced_png, "image/png"), (2, deep_png, "image/png")],
+        [(1, png16, "image/png"), (2, png(w, h, 8, 0, 1, il_idat),
+          "image/png")],
         "doc_id long, payload binary, mime string",
     ).select(
         "doc_id",
@@ -452,7 +464,30 @@ def test_interlaced_and_16bit_png_boundary_pinned(spark):
     )
     out = {
         r["doc_id"]: r
-        for r in extract_features(media, "doc_id", decoder=pil_style).collect()
+        for r in extract_features(
+            media, "doc_id", deterministic_fake=False
+        ).collect()
     }
-    assert out[1]["n_bytes"] == 2 and out[1]["byte_sum"] == 30
-    assert out[2]["n_bytes"] == 2 and out[2]["byte_sum"] == 0x12 + 0x34
+    assert out[1]["n_bytes"] == 4 and out[1]["byte_sum"] == sum(vals)
+    assert out[2]["n_bytes"] == w * h and out[2]["byte_sum"] == sum(flat)
+
+
+def test_spec_illegal_png_combos_raise_value_error():
+    """Depth/ctype combinations the PNG spec forbids (16-bit palette,
+    2-bit RGB) are data corruption, not missing features — ValueError,
+    not NotImplementedError."""
+    import struct
+    import zlib
+
+    for depth, ctype in ((16, 3), (2, 2), (4, 6)):
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, 0),
+            )
+            + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
+            + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="illegal"):
+            decode_media(bad, "image/png")
+
