@@ -361,6 +361,10 @@ HEADLINE = (
     "kmv_distinct_stream",
     # JL random-sign projection audit (hash-derived sign matrix, no UDF)
     "jl_projection_audit",
+    # live smoothing monitors off the shared nation-daily mart (ingest
+    # under build_sec via revenue_ewma_live; holt shares the index)
+    "revenue_ewma_live",
+    "holt_forecast_live",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan
@@ -508,6 +512,8 @@ def main() -> int:
         "spc_violations_live",
         # r12 batch 5: the live KMV k-min index, same convention
         "kmv_distinct_stream",
+        # r12 batch 6: the nation-daily mart (holt_forecast_live shares it)
+        "revenue_ewma_live",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

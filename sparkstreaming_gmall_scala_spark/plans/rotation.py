@@ -340,6 +340,9 @@ POOL: tuple[str, ...] = (
     "holt_forecast",
     "kmv_distinct_stream",
     "jl_projection_audit",
+    # round-12 batch 6: live smoothing monitors off the nation-daily mart
+    "revenue_ewma_live",
+    "holt_forecast_live",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -1618,23 +1618,12 @@ def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
         .groupBy("n_name", "day")
         .agg(F.sum("v").alias("y"))
-        .orderBy("n_name", "day")
     )
-    rows = daily.collect()  # dimension-sized: |nations| x |days|
-    out, state = [], {}
-    for r in rows:  # already (n_name, day)-ordered
-        k, y = r["n_name"], r["y"]
-        if k not in state:
-            state[k] = [y, 0, 1]  # s, abserr, n
-        else:
-            s, err, n = state[k]
-            state[k] = [(2 * y + 8 * s) // 10, err + abs(y - s), n + 1]
-    for k in sorted(state):
-        s, err, n = state[k]
-        out.append((k, n, s, err // max(n - 1, 1)))
-    return daily.sparkSession.createDataFrame(
-        out, "n_name string, n_days long, ewma_cents long, mae_cents long"
-    )
+    from ..operators.smoothing import ewma_fold
+
+    # the collect inside the fold is dimension-sized: |nations| x |days|;
+    # the fold is shared verbatim with the live twin (revenue_ewma_live)
+    return ewma_fold(daily)
 
 
 @register(
@@ -1706,32 +1695,12 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
         .groupBy("n_name", "day")
         .agg(F.sum("v").alias("y"))
-        .orderBy("n_name", "day")
     )
+    from ..operators.smoothing import holt_fold
 
-    def tdiv(a: int, d: int) -> int:
-        # truncating integer division, matching DuckDB's // on negatives
-        return -((-a) // d) if a < 0 else a // d
-
-    rows = daily.collect()  # dimension-sized: |nations| x |days|
-    out, state = [], {}
-    for r in rows:  # already (n_name, day)-ordered
-        k, y = r["n_name"], r["y"]
-        if k not in state:
-            state[k] = [y, 0, 0, 1]  # l, b, abserr, n
-        else:
-            l, b, err, n = state[k]
-            l_new = tdiv(2 * y + 8 * (l + b), 10)
-            b_new = tdiv(2 * (l_new - l) + 8 * b, 10)
-            state[k] = [l_new, b_new, err + abs(y - (l + b)), n + 1]
-    for k in sorted(state):
-        l, b, err, n = state[k]
-        out.append((k, n, l, b, l + b, err // max(n - 1, 1)))
-    return daily.sparkSession.createDataFrame(
-        out,
-        "n_name string, n_days long, level_cents long, trend_cents long,"
-        " forecast_cents long, mae_cents long",
-    )
+    # the collect inside the fold is dimension-sized: |nations| x |days|;
+    # the fold is shared verbatim with the live twin (holt_forecast_live)
+    return holt_fold(daily)
 
 
 @register(

@@ -218,6 +218,164 @@ def kmv_distinct_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fold_kmv(spark, _kmv_index_dir(spark, sf_dir))
 
 
+def _nation_daily_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the 3-batch nation-daily ingest exists under /tmp for this
+    corpus (keyed by params + data fingerprint — the knn persisted
+    discipline) and return the daily index dir. ONE ingest serves every
+    read-side smoothing monitor (revenue_ewma_live, holt_forecast_live)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.nationdaily import nation_daily_ingest_batch
+    from .llm import _data_fingerprint, _params_key
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_natdayidx_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('natday3', _data_fingerprint(sf_dir, 'orders'))}",
+    )
+    daily_dir = os.path.join(work, "daily")
+    marker = os.path.join(work, "_INGESTED")
+    if not os.path.exists(marker):
+        # a partial ingest (crash mid-batch) must rebuild, never serve
+        shutil.rmtree(work, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("v"),
+        )
+        cu = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        na = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        enriched = o.join(cu, o["o_custkey"] == cu["c_custkey"]).join(
+            F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"]
+        )
+        body = nation_daily_ingest_batch(spark, daily_dir)
+        for i in range(3):
+            body(
+                enriched.filter(
+                    F.pmod(F.hash("o_orderkey"), F.lit(3)) == i
+                ),
+                i,
+            )
+        with open(marker, "w") as fh:
+            fh.write("3")
+    return daily_dir
+
+
+_EWMA_ORACLE = """
+    WITH RECURSIVE d AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT n_name, y,
+             row_number() OVER (PARTITION BY n_name ORDER BY day) AS rn
+      FROM d
+    ), f(n_name, rn, s, abserr) AS (
+      SELECT n_name, rn, y, CAST(0 AS HUGEINT)
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.n_name, r.rn,
+             (2 * r.y + 8 * f.s) // 10,
+             f.abserr + abs(r.y - f.s)
+      FROM ranked r
+      JOIN f ON r.n_name = f.n_name AND r.rn = f.rn + 1
+    ), last AS (
+      SELECT n_name, max(rn) AS n FROM f GROUP BY n_name
+    )
+    SELECT f.n_name, last.n AS n_days,
+           CAST(f.s AS BIGINT) AS ewma_cents,
+           CAST(f.abserr // greatest(last.n - 1, 1) AS BIGINT)
+             AS mae_cents
+    FROM f JOIN last ON f.n_name = last.n_name AND f.rn = last.n
+"""
+
+_HOLT_ORACLE = """
+    WITH RECURSIVE d AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT n_name, y,
+             row_number() OVER (PARTITION BY n_name ORDER BY day) AS rn
+      FROM d
+    ), f(n_name, rn, l, b, abserr) AS (
+      SELECT n_name, rn, y, CAST(0 AS BIGINT), CAST(0 AS HUGEINT)
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.n_name, r.rn,
+             (2 * r.y + 8 * (f.l + f.b)) // 10,
+             (2 * ((2 * r.y + 8 * (f.l + f.b)) // 10 - f.l) + 8 * f.b)
+               // 10,
+             f.abserr + abs(r.y - (f.l + f.b))
+      FROM ranked r
+      JOIN f ON r.n_name = f.n_name AND r.rn = f.rn + 1
+    ), last AS (
+      SELECT n_name, max(rn) AS n FROM f GROUP BY n_name
+    )
+    SELECT f.n_name, CAST(last.n AS BIGINT) AS n_days,
+           CAST(f.l AS BIGINT) AS level_cents,
+           CAST(f.b AS BIGINT) AS trend_cents,
+           CAST(f.l + f.b AS BIGINT) AS forecast_cents,
+           CAST(f.abserr // greatest(last.n - 1, 1) AS BIGINT) AS mae_cents
+    FROM f JOIN last ON f.n_name = last.n_name AND f.rn = last.n
+"""
+
+
+@register(
+    "revenue_ewma_live",
+    oracle=_EWMA_ORACLE,
+    tags=("streaming", "stats", "forecast"),
+    gated=False,
+)
+def revenue_ewma_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """revenue_ewma answered from the STREAMING nation-daily index: the
+    mart folds additive (n_name, day, cents) partials and hands the
+    daily frame to the SAME sequential evaluator the batch query runs
+    (operators/smoothing.py:ewma_fold) — one mart, two live forecast
+    monitors (holt_forecast_live shares the identical /tmp ingest).
+    Oracle: identical SQL to revenue_ewma."""
+    from ..operators.smoothing import ewma_fold
+    from ..streaming.nationdaily import fold_nation_daily
+
+    daily_dir = _nation_daily_index_dir(spark, sf_dir)
+    return ewma_fold(fold_nation_daily(spark, daily_dir))
+
+
+@register(
+    "holt_forecast_live",
+    oracle=_HOLT_ORACLE,
+    tags=("streaming", "stats", "forecast"),
+    gated=False,
+)
+def holt_forecast_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """holt_forecast answered from the STREAMING nation-daily index —
+    the SECOND consumer of the additive (n_name, day, cents) partials
+    (revenue_ewma_live shares the identical /tmp ingest): fold, then the
+    SAME level+trend evaluator (operators/smoothing.py:holt_fold).
+    Oracle: identical SQL to holt_forecast."""
+    from ..operators.smoothing import holt_fold
+    from ..streaming.nationdaily import fold_nation_daily
+
+    daily_dir = _nation_daily_index_dir(spark, sf_dir)
+    return holt_fold(fold_nation_daily(spark, daily_dir))
+
+
 @register(
     "dau_first_visit",
     oracle="""

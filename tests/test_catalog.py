@@ -395,6 +395,9 @@ def test_gate_budget(registry):
         "holt_forecast",
         "kmv_distinct_stream",
         "jl_projection_audit",
+        # round-12 batch 6: live smoothing monitors (nation-daily mart)
+        "revenue_ewma_live",
+        "holt_forecast_live",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -229,6 +229,16 @@ ITERATIVE = {
     "fold the additive (d, y) partials, then dow_factors' bounded "
     "centered-MA window over the calendar-bounded fold — identical to "
     "the batch query above the fold",
+    "revenue_ewma_live": "reads the SHARED /tmp nation-daily index (one "
+    "ingest serves holt_forecast_live and this); real read shape: fold "
+    "the additive (n_name, day, y) partials, then the SAME driver-side "
+    "sequential evaluator as the batch query (operators/smoothing.py) "
+    "over the dimension-bounded fold",
+    "holt_forecast_live": "reads the SHARED /tmp nation-daily index (one "
+    "ingest serves revenue_ewma_live and this); real read shape: fold "
+    "the additive (n_name, day, y) partials, then the SAME level+trend "
+    "evaluator as the batch query (operators/smoothing.py) over the "
+    "dimension-bounded fold",
     "kmv_distinct_stream": "reads the /tmp k-min index its own 3-batch "
     "ingest maintains; real read shape: union the per-batch k-min "
     "partials, re-take the k smallest distinct hashes per day "
