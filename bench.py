@@ -365,6 +365,8 @@ HEADLINE = (
     # under build_sec via revenue_ewma_live; holt shares the index)
     "revenue_ewma_live",
     "holt_forecast_live",
+    # KMV sketch set algebra (union + intersection from bounded sketches)
+    "kmv_set_ops",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -343,6 +343,8 @@ POOL: tuple[str, ...] = (
     # round-12 batch 6: live smoothing monitors off the nation-daily mart
     "revenue_ewma_live",
     "holt_forecast_live",
+    # round-12 batch 7: KMV sketch set algebra (union + intersection)
+    "kmv_set_ops",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

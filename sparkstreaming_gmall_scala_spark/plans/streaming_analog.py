@@ -218,6 +218,176 @@ def kmv_distinct_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fold_kmv(spark, _kmv_index_dir(spark, sf_dir))
 
 
+@register(
+    "kmv_set_ops",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(strftime(ts, '%Y-%m-%d')) AS d0,
+             max(strftime(ts, '%Y-%m-%d')) AS d1 FROM events
+    ), ua AS (
+      SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS h
+      FROM events, bounds
+      WHERE user_id IS NOT NULL AND strftime(ts, '%Y-%m-%d') = bounds.d0
+    ), ub AS (
+      SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS h
+      FROM events, bounds
+      WHERE user_id IS NOT NULL AND strftime(ts, '%Y-%m-%d') = bounds.d1
+    ), ka AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ua
+    ), kb AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ub
+    ), kmin_a AS (SELECT h, rn FROM ka WHERE rn <= 64),
+       kmin_b AS (SELECT h, rn FROM kb WHERE rn <= 64),
+       uu AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT h FROM kmin_a UNION SELECT h FROM kmin_b)
+    ), kmin_u AS (SELECT h, rn FROM uu WHERE rn <= 64),
+       stats AS (
+      SELECT
+        (SELECT count(*) FROM ua) AS exact_a,
+        (SELECT count(*) FROM ub) AS exact_b,
+        (SELECT count(*) FROM ua WHERE h IN (SELECT h FROM ub))
+          AS exact_inter,
+        (SELECT count(*) FROM kmin_a) AS cnt_a,
+        (SELECT max(CASE WHEN rn = 64 THEN h END) FROM kmin_a) AS hk_a,
+        (SELECT count(*) FROM kmin_b) AS cnt_b,
+        (SELECT max(CASE WHEN rn = 64 THEN h END) FROM kmin_b) AS hk_b,
+        (SELECT count(*) FROM kmin_u) AS cnt_u,
+        (SELECT max(CASE WHEN rn = 64 THEN h END) FROM kmin_u) AS hk_u,
+        (SELECT count(*) FROM kmin_u
+          WHERE h IN (SELECT h FROM kmin_a)
+            AND h IN (SELECT h FROM kmin_b)) AS m_both
+    ), est AS (
+      SELECT *,
+        CASE WHEN cnt_a < 64 THEN cnt_a
+             ELSE 270582939648 // hk_a END AS kmv_a,
+        CASE WHEN cnt_b < 64 THEN cnt_b
+             ELSE 270582939648 // hk_b END AS kmv_b,
+        CASE WHEN cnt_u < 64 THEN cnt_u
+             ELSE 270582939648 // hk_u END AS kmv_union
+      FROM stats
+    )
+    SELECT CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           CAST(kmv_a AS BIGINT) AS kmv_a,
+           CAST(kmv_b AS BIGINT) AS kmv_b,
+           CAST(kmv_union AS BIGINT) AS kmv_union,
+           CAST(CASE WHEN cnt_u < 64 THEN m_both
+                ELSE m_both * kmv_union // 64 END AS BIGINT) AS kmv_inter,
+           CAST(abs(CASE WHEN cnt_u < 64 THEN m_both
+                    ELSE m_both * kmv_union // 64 END - exact_inter)
+                * 1000000 // greatest(exact_inter, 1) AS BIGINT)
+             AS inter_err_ppm
+    FROM est
+    """,
+    tags=("streaming-analog", "sketch", "setops"),
+    gated=False,
+)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: estimate |A|, |B|, |A∪B| and |A∩B| for
+    two audiences (users active on the corpus's first vs last day) from
+    three 64-element sketches — the union sketch is re-take-k over the
+    two k-min lists (the kmv_distinct_stream merge), and intersection
+    uses the classic inclusion trick: any union-k-min element h that
+    belongs to A necessarily sits inside A's own k-mins (h ≤ the union's
+    k-th min ≤ A's k-th min), so membership is decidable FROM THE
+    SKETCHES ALONE and |A∩B| ≈ m·|A∪B|_est/k. Everything is the shared
+    deterministic Knuth hash + integer division, so the whole estimator
+    carries a full value-hash oracle; the exact_* columns audit it and
+    drop at 100 TB (they are the only fact-proportional consumers — the
+    sketch branches prune to k rows per task via WindowGroupLimit; the
+    unpartitioned rank windows sit above per-day distincts and carry
+    only the pruned k-min lists into their single-partition sort)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    ).select(
+        dt_of(F.col("ts")).alias("dt"),
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+            "h"
+        ),
+    )
+    bounds = ev.agg(F.min("dt").alias("d0"), F.max("dt").alias("d1"))
+
+    def audience(day_col: str) -> DataFrame:
+        return (
+            ev.join(
+                F.broadcast(bounds), ev["dt"] == F.col(day_col), "inner"
+            )
+            .select("h")
+            .distinct()
+        )
+
+    def kmin(df: DataFrame) -> DataFrame:
+        w = Window.orderBy("h")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 64)
+        )
+
+    ua, ub = audience("d0"), audience("d1")
+    ka, kb = kmin(ua), kmin(ub)
+    uu = kmin(ka.select("h").union(kb.select("h")).distinct())
+
+    def sketch_stats(df: DataFrame, pfx: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(f"cnt_{pfx}"),
+            F.max(F.when(F.col("rn") == 64, F.col("h"))).alias(
+                f"hk_{pfx}"
+            ),
+        )
+
+    row = (
+        ua.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(ub.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            ua.join(ub, "h", "left_semi").agg(
+                F.count(F.lit(1)).alias("exact_inter")
+            )
+        )
+        .crossJoin(sketch_stats(ka, "a"))
+        .crossJoin(sketch_stats(kb, "b"))
+        .crossJoin(sketch_stats(uu, "u"))
+        .crossJoin(
+            uu.join(ka.select("h"), "h", "left_semi")
+            .join(kb.select("h"), "h", "left_semi")
+            .agg(F.count(F.lit(1)).alias("m_both"))
+        )
+    )
+    est = row.select(
+        "*",
+        F.expr(
+            "CASE WHEN cnt_a < 64 THEN cnt_a"
+            " ELSE 270582939648L div hk_a END"
+        ).alias("kmv_a"),
+        F.expr(
+            "CASE WHEN cnt_b < 64 THEN cnt_b"
+            " ELSE 270582939648L div hk_b END"
+        ).alias("kmv_b"),
+        F.expr(
+            "CASE WHEN cnt_u < 64 THEN cnt_u"
+            " ELSE 270582939648L div hk_u END"
+        ).alias("kmv_union"),
+    )
+    return est.select(
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        "kmv_a",
+        "kmv_b",
+        "kmv_union",
+        F.expr(
+            "CAST(CASE WHEN cnt_u < 64 THEN m_both"
+            " ELSE m_both * kmv_union div 64 END AS BIGINT)"
+        ).alias("kmv_inter"),
+        F.expr(
+            "abs(CASE WHEN cnt_u < 64 THEN m_both"
+            " ELSE m_both * kmv_union div 64 END - exact_inter)"
+            " * 1000000L div greatest(exact_inter, 1L)"
+        ).alias("inter_err_ppm"),
+    )
+
+
 def _nation_daily_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Ensure the 3-batch nation-daily ingest exists under /tmp for this
     corpus (keyed by params + data fingerprint — the knn persisted

@@ -398,6 +398,8 @@ def test_gate_budget(registry):
         # round-12 batch 6: live smoothing monitors (nation-daily mart)
         "revenue_ewma_live",
         "holt_forecast_live",
+        # round-12 batch 7: KMV sketch set algebra
+        "kmv_set_ops",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -285,3 +285,52 @@ def test_jl_projection_matches_naive(spark, sf_dir):
         assert r["ratio_ppm"] == sp * 1000000 // (16 * so)
         # and the JL property itself: norms preserved within 25% per label
         assert abs(r["ratio_ppm"] - 1000000) < 250000
+
+
+def test_kmv_set_ops_matches_naive(spark, sf_dir):
+    """Sketch set algebra vs a plain-Python recompute: build both
+    audiences' hash sets from the raw events, walk the k-min/union/
+    inclusion logic with sorted lists, compare every column exactly."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+    from sparkstreaming_gmall_scala_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("date_format(ts, 'yyyy-MM-dd') AS dt", "user_id")
+        .where("user_id IS NOT NULL")
+        .collect()
+    )
+    d0 = min(r["dt"] for r in rows)
+    d1 = max(r["dt"] for r in rows)
+    a = {(r["user_id"] * KMV_A) % KMV_M for r in rows if r["dt"] == d0}
+    b = {(r["user_id"] * KMV_A) % KMV_M for r in rows if r["dt"] == d1}
+
+    def est(hashes: set[int]) -> int:
+        s = sorted(hashes)
+        return (
+            len(s)
+            if len(s) < KMV_K
+            else (KMV_K - 1) * KMV_M // s[KMV_K - 1]
+        )
+
+    ka = set(sorted(a)[:KMV_K])
+    kb = set(sorted(b)[:KMV_K])
+    ku = sorted(ka | kb)[:KMV_K]
+    kmv_union = (
+        len(ku) if len(ka | kb) < KMV_K else (KMV_K - 1) * KMV_M // ku[-1]
+    )
+    m_both = sum(1 for h in ku if h in ka and h in kb)
+    kmv_inter = (
+        m_both if len(ka | kb) < KMV_K else m_both * kmv_union // KMV_K
+    )
+    got = load_all()["kmv_set_ops"].builder(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["exact_a"], r["exact_b"], r["exact_inter"]) == (
+        len(a), len(b), len(a & b),
+    )
+    assert (r["kmv_a"], r["kmv_b"]) == (est(a), est(b))
+    assert (r["kmv_union"], r["kmv_inter"]) == (kmv_union, kmv_inter)
+    assert r["inter_err_ppm"] == abs(kmv_inter - len(a & b)) * 1000000 // max(
+        len(a & b), 1
+    )
