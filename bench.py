@@ -367,6 +367,8 @@ HEADLINE = (
     "holt_forecast_live",
     # KMV sketch set algebra (union + intersection from bounded sketches)
     "kmv_set_ops",
+    # live BM25 search read off the postings index (ingest under build_sec)
+    "bm25_search_live",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan
@@ -516,6 +518,8 @@ def main() -> int:
         "kmv_distinct_stream",
         # r12 batch 6: the nation-daily mart (holt_forecast_live shares it)
         "revenue_ewma_live",
+        # r12 batch 8: the BM25 postings index, same convention
+        "bm25_search_live",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

@@ -122,8 +122,27 @@ def bm25_rank(
     libm), so a score6 within one ulp of the 1e-6 floor or a rank
     boundary could differ on another platform/libm — observed identical
     on this host."""
-    from pyspark.sql import Window
+    return bm25_score_per_doc(
+        bm25_per_doc(docs, id_col, text_col, query_terms),
+        id_col,
+        query_terms,
+        top_n=top_n,
+        materialize=materialize,
+    )
 
+
+def bm25_per_doc(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+) -> DataFrame:
+    """The per-doc half of BM25: one token scan folded to
+    (id, dl, _tf0.._tfk) — one conditional sum per query term. These
+    rows are PER-DOC CONSTANTS (a document's length and term counts
+    never change after arrival), which is what makes the live search
+    index possible: streaming/search.py appends each batch's rows to an
+    AppendOnlyIndex and the corpus statistics re-fold additively."""
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
     text = F.col(text_col)
@@ -133,13 +152,31 @@ def bm25_rank(
             F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
         ).alias("term"),
     )
-    per_doc = toks.groupBy(id_col).agg(
+    return toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dl"),
         *[
             F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
             for i, t in enumerate(query_terms)
         ],
-    ).persist()
+    )
+
+
+def bm25_score_per_doc(
+    per_doc: DataFrame,
+    id_col: str,
+    query_terms: tuple[str, ...],
+    top_n: int = 10,
+    materialize: bool = True,
+) -> DataFrame:
+    """The scoring half of BM25 over a (id, dl, _tf0.._tfk) frame —
+    shared verbatim between bm25_rank (batch) and the live index read
+    (streaming/search.py), so batch ≡ live holds by construction above
+    the postings fold. Corpus stats collapse to ONE collected row; the
+    scoring pass reads the cached per-doc frame with the stats as
+    literals; top-n is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    per_doc = per_doc.persist()
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sum_dl"),
@@ -151,12 +188,9 @@ def bm25_rank(
     n = stats["n"]
     if not n:  # empty corpus: no avgdl to divide by (round-9 advice)
         per_doc.unpersist()
-        return docs.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("dl"),
-            F.lit(0).cast("long").alias("score6"),
-            F.lit(0).alias("rank"),
-        ).limit(0)
+        return per_doc.sparkSession.createDataFrame(
+            [], f"{id_col} long, dl long, score6 long, rank int"
+        )
     avgdl = stats["sum_dl"] / n  # exact ints -> one double division
     score = None
     for i in range(len(query_terms)):
@@ -191,7 +225,7 @@ def bm25_rank(
     # across the bench session (round-9 advice)
     rows = ranked.collect()
     per_doc.unpersist()
-    return docs.sparkSession.createDataFrame(rows, schema=ranked.schema)
+    return per_doc.sparkSession.createDataFrame(rows, schema=ranked.schema)
 
 
 def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

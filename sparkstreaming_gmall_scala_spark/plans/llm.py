@@ -429,6 +429,82 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the 3-batch BM25 postings ingest exists under /tmp for
+    this corpus (keyed by params + data fingerprint — the knn persisted
+    discipline) and return the index dir."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.search import bm25_ingest_batch
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bm25idx_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('bm25q3', _data_fingerprint(sf_dir, 'documents'))}",
+    )
+    index_dir = os.path.join(work, "postings")
+    marker = os.path.join(work, "_INGESTED")
+    if not os.path.exists(marker):
+        # a partial ingest (crash mid-batch) must rebuild, never serve
+        shutil.rmtree(work, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        body = bm25_ingest_batch(spark, index_dir, _BM25_QUERY)
+        for i in range(3):
+            body(docs.filter(F.pmod(F.hash("doc_id"), F.lit(3)) == i), i)
+        with open(marker, "w") as fh:
+            fh.write("3")
+    return index_dir
+
+
+@register(
+    "bm25_search_live",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS dl,
+      {_BM25_TFS}
+      FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+      {_BM25_DFS}
+      FROM per_doc
+    ), scored AS (
+      SELECT doc_id, dl,
+             CAST(floor(({_BM25_SCORE}) * 1000000 + 0.5) AS BIGINT) AS score6
+      FROM per_doc CROSS JOIN stats
+    )
+    SELECT doc_id, dl, score6, rank FROM (
+      SELECT doc_id, dl, score6,
+             row_number() OVER (ORDER BY score6 DESC, doc_id) AS rank
+      FROM scored WHERE score6 > 0
+    ) WHERE rank <= 10
+    """,
+    tags=("streaming", "text", "search"),
+    gated=False,
+)
+def bm25_search_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_search answered from the STREAMING postings index: 3
+    micro-batches tokenize only their own documents and append per-doc
+    (dl, tf…) constants; the read side folds the index, re-derives
+    N/avgdl/df over everything ingested so far, and scores with the
+    batch query's own scoring stage (operators/textstats.py:
+    bm25_score_per_doc) — batch ≡ live by construction above the fold,
+    the incremental-search-index shape (per-batch cost = one token scan
+    of the NEW docs; a query = a fold + TakeOrderedAndProject). Oracle:
+    identical SQL to bm25_search. Split/replay pinned in
+    tests/test_streaming_search.py."""
+    from ..streaming.search import bm25_search_live
+
+    return bm25_search_live(
+        spark, _bm25_index_dir(spark, sf_dir), _BM25_QUERY
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

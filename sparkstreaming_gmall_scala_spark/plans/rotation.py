@@ -345,6 +345,8 @@ POOL: tuple[str, ...] = (
     "holt_forecast_live",
     # round-12 batch 7: KMV sketch set algebra (union + intersection)
     "kmv_set_ops",
+    # round-12 batch 8: live BM25 search served from a postings index
+    "bm25_search_live",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

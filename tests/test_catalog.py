@@ -400,6 +400,8 @@ def test_gate_budget(registry):
         "holt_forecast_live",
         # round-12 batch 7: KMV sketch set algebra
         "kmv_set_ops",
+        # round-12 batch 8: live BM25 search (postings index)
+        "bm25_search_live",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

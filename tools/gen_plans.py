@@ -229,6 +229,11 @@ ITERATIVE = {
     "fold the additive (d, y) partials, then dow_factors' bounded "
     "centered-MA window over the calendar-bounded fold — identical to "
     "the batch query above the fold",
+    "bm25_search_live": "reads the /tmp postings index its own 3-batch "
+    "ingest maintains (per-doc (dl, tf…) constants); real read shape: "
+    "fold the index (dedup on doc_id), re-derive N/avgdl/df in one "
+    "bounded row, then the batch query's own scoring stage + "
+    "TakeOrderedAndProject",
     "revenue_ewma_live": "reads the SHARED /tmp nation-daily index (one "
     "ingest serves holt_forecast_live and this); real read shape: fold "
     "the additive (n_name, day, y) partials, then the SAME driver-side "
