@@ -369,6 +369,8 @@ HEADLINE = (
     "kmv_set_ops",
     # live BM25 search read off the postings index (ingest under build_sec)
     "bm25_search_live",
+    # hybrid lexical+dense retrieval (RRF fusion of BM25 + cosine top-k)
+    "hybrid_search_rrf",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -347,6 +347,8 @@ POOL: tuple[str, ...] = (
     "kmv_set_ops",
     # round-12 batch 8: live BM25 search served from a postings index
     "bm25_search_live",
+    # round-12 batch 9: hybrid lexical+dense retrieval (RRF fusion)
+    "hybrid_search_rrf",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -402,6 +402,8 @@ def test_gate_budget(registry):
         "kmv_set_ops",
         # round-12 batch 8: live BM25 search (postings index)
         "bm25_search_live",
+        # round-12 batch 9: hybrid lexical+dense retrieval (RRF)
+        "hybrid_search_rrf",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

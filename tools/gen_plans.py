@@ -229,6 +229,11 @@ ITERATIVE = {
     "fold the additive (d, y) partials, then dow_factors' bounded "
     "centered-MA window over the calendar-bounded fold — identical to "
     "the batch query above the fold",
+    "hybrid_search_rrf": "zero counts are the bounded fused-ranking "
+    "materialization (bm25_rank materializes its top-20 — the "
+    "bm25_search discipline); real shape: the two retrieval primitives "
+    "(one token scan + TakeOrderedAndProject; one broadcast cosine scan "
+    "+ WindowGroupLimit) then a <= 40-row full-outer fusion join",
     "bm25_search_live": "reads the /tmp postings index its own 3-batch "
     "ingest maintains (per-doc (dl, tf…) constants); real read shape: "
     "fold the index (dedup on doc_id), re-derive N/avgdl/df in one "
