@@ -371,6 +371,8 @@ HEADLINE = (
     "bm25_search_live",
     # hybrid lexical+dense retrieval (RRF fusion of BM25 + cosine top-k)
     "hybrid_search_rrf",
+    # MMR diversified re-ranking of the dense top-20
+    "mmr_rerank",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -631,6 +631,157 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle() -> str:
+    """The MMR greedy unrolled into 10 chained MATERIALIZED CTEs (the
+    generated-SQL discipline of the fixed-association ANOVA): DuckDB
+    inlines plain CTEs, so a chain where sel_t references sel_1..sel_{t-1}
+    re-evaluates exponentially without MATERIALIZED."""
+    cos = (
+        lambda q, c: f"""(
+        list_reduce(
+          list_transform(generate_series(1, len({q}.embedding)),
+                         i -> CAST({q}.embedding[i] AS DOUBLE)
+                              * CAST({c}.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y)
+     / (
+        sqrt(list_reduce(
+          list_transform(generate_series(1, len({q}.embedding)),
+                         i -> CAST({q}.embedding[i] AS DOUBLE)
+                              * CAST({q}.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y))
+     *
+        sqrt(list_reduce(
+          list_transform(generate_series(1, len({c}.embedding)),
+                         i -> CAST({c}.embedding[i] AS DOUBLE)
+                              * CAST({c}.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y))
+    ))"""
+    )
+    steps = []
+    for t in range(2, 11):
+        prev = " UNION ALL ".join(
+            f"SELECT doc_id FROM sel{j}" for j in range(1, t)
+        )
+        steps.append(f"""sel{t} AS MATERIALIZED (
+          SELECT c.doc_id, c.rel6, max(p.sim6) AS pen6,
+                 CAST({t} AS BIGINT) AS mmr_rank
+          FROM cand c
+          JOIN pairs p ON p.a = c.doc_id AND p.b IN ({prev})
+          WHERE c.doc_id NOT IN ({prev})
+          GROUP BY c.doc_id, c.rel6
+          ORDER BY c.rel6 - max(p.sim6) DESC, c.doc_id
+          LIMIT 1
+        )""")
+    final = " UNION ALL ".join(
+        ["SELECT doc_id, rel6, pen6, mmr_rank FROM sel1"]
+        + [
+            f"SELECT doc_id, rel6, pen6, mmr_rank FROM sel{t}"
+            for t in range(2, 11)
+        ]
+    )
+    return f"""
+    WITH dense_scored AS (
+      SELECT c.vec_id AS doc_id,
+             CAST(floor({cos('q', 'c')} * 1000000 + 0.5) AS BIGINT) AS rel6
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id = 0
+    ), cand AS MATERIALIZED (
+      SELECT doc_id, rel6 FROM (
+        SELECT doc_id, rel6,
+               row_number() OVER (ORDER BY rel6 DESC, doc_id) AS rank
+        FROM dense_scored
+      ) WHERE rank <= 20
+    ), pairs AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(floor({cos('a', 'b')} * 1000000 + 0.5) AS BIGINT) AS sim6
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id IN (SELECT doc_id FROM cand)
+        AND b.vec_id IN (SELECT doc_id FROM cand)
+    ), sel1 AS MATERIALIZED (
+      SELECT doc_id, rel6, CAST(NULL AS BIGINT) AS pen6,
+             CAST(1 AS BIGINT) AS mmr_rank
+      FROM cand ORDER BY rel6 DESC, doc_id LIMIT 1
+    ), {", ".join(steps)}
+    {final}
+    """
+
+
+@register(
+    "mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("llm", "search", "diversify"),
+    gated=False,
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking of the dense top-20
+    (query = vec_id 0) down to a DIVERSIFIED top-10 — the retrieval
+    post-processor that stops a RAG context window filling with ten
+    paraphrases of one document: greedily pick
+    argmax(rel6 − max_sim6_to_already_picked) (λ = 0.5; argmax is
+    invariant under the common scale so the statistic stays exact
+    integer micro-cosines), ties to the smaller doc id.
+
+    The candidate frame and its pairwise-similarity matrix are BOUNDED
+    (20 rows, ≤ 380 pairs) however large the corpus — both come out of
+    the already-pinned brute_force_topk machinery — so the greedy walks
+    driver-side over a constant-size collect, exactly what the oracle's
+    10 unrolled MATERIALIZED CTE steps do."""
+    import math
+
+    from ..operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cand_rows = brute_force_topk(
+        e,
+        e.filter(F.col("vec_id") == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=20,
+        dim=64,
+    ).collect()  # bounded: 20 rows
+    schema = "doc_id long, rel6 long, pen6 long, mmr_rank long"
+    if not cand_rows:
+        return spark.createDataFrame([], schema)
+    rel6 = {
+        r["neighbor_id"]: int(math.floor(r["score"] * 1e6 + 0.5))
+        for r in cand_rows
+    }
+    cand_ids = sorted(rel6)
+    cand_emb = e.filter(F.col("vec_id").isin(cand_ids))
+    sim6 = {
+        (r["query_id"], r["neighbor_id"]): int(
+            math.floor(r["score"] * 1e6 + 0.5)
+        )
+        for r in brute_force_topk(
+            cand_emb,
+            cand_emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            k=len(cand_ids) - 1,
+            dim=64,
+        ).collect()  # bounded: <= 20*19 rows
+    }
+    first = sorted(cand_ids, key=lambda d: (-rel6[d], d))[0]
+    out = [(first, rel6[first], None, 1)]
+    picked, remaining = [first], [d for d in cand_ids if d != first]
+    for rank in range(2, 11):
+        if not remaining:
+            break
+        scored = sorted(
+            remaining,
+            key=lambda d: (
+                -(rel6[d] - max(sim6[(d, s)] for s in picked)),
+                d,
+            ),
+        )
+        d = scored[0]
+        pen = max(sim6[(d, s)] for s in picked)
+        out.append((d, rel6[d], pen, rank))
+        picked.append(d)
+        remaining.remove(d)
+    return spark.createDataFrame(out, schema)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

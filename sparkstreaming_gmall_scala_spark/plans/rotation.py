@@ -349,6 +349,7 @@ POOL: tuple[str, ...] = (
     "bm25_search_live",
     # round-12 batch 9: hybrid lexical+dense retrieval (RRF fusion)
     "hybrid_search_rrf",
+    "mmr_rerank",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

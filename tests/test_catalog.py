@@ -404,6 +404,7 @@ def test_gate_budget(registry):
         "bm25_search_live",
         # round-12 batch 9: hybrid lexical+dense retrieval (RRF)
         "hybrid_search_rrf",
+        "mmr_rerank",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

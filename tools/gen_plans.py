@@ -229,6 +229,11 @@ ITERATIVE = {
     "fold the additive (d, y) partials, then dow_factors' bounded "
     "centered-MA window over the calendar-bounded fold — identical to "
     "the batch query above the fold",
+    "mmr_rerank": "zero counts are the bounded diversified-ranking "
+    "materialization (the greedy walks a constant-size collect: 20 "
+    "candidates + <= 380 pairwise sims, both from brute_force_topk); "
+    "real shape: one broadcast cosine scan + WindowGroupLimit for the "
+    "candidates, then a 20-vector pairwise pass",
     "hybrid_search_rrf": "zero counts are the bounded fused-ranking "
     "materialization (bm25_rank materializes its top-20 — the "
     "bm25_search discipline); real shape: the two retrieval primitives "
