@@ -373,6 +373,8 @@ HEADLINE = (
     "hybrid_search_rrf",
     # MMR diversified re-ranking of the dense top-20
     "mmr_rerank",
+    # live hybrid: RRF over the live BM25 index + the dense scan
+    "hybrid_search_rrf_live",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

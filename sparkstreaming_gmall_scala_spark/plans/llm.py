@@ -631,6 +631,119 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hybrid_search_rrf_live",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS dl,
+      {_BM25_TFS}
+      FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+      {_BM25_DFS}
+      FROM per_doc
+    ), lex_scored AS (
+      SELECT doc_id, CAST(floor(({_BM25_SCORE}) * 1000000 + 0.5) AS BIGINT)
+               AS score6
+      FROM per_doc CROSS JOIN stats
+    ), lex AS (
+      SELECT doc_id, CAST(rank AS BIGINT) AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score6 DESC, doc_id) AS rank
+        FROM lex_scored WHERE score6 > 0
+      ) WHERE rank <= 20
+    ), dense_scored AS (
+      SELECT c.vec_id AS doc_id,
+             floor((
+        list_reduce(
+          list_transform(generate_series(1, len(q.embedding)),
+                         i -> CAST(q.embedding[i] AS DOUBLE)
+                              * CAST(c.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y)
+     / (
+        sqrt(list_reduce(
+          list_transform(generate_series(1, len(q.embedding)),
+                         i -> CAST(q.embedding[i] AS DOUBLE)
+                              * CAST(q.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y))
+     *
+        sqrt(list_reduce(
+          list_transform(generate_series(1, len(c.embedding)),
+                         i -> CAST(c.embedding[i] AS DOUBLE)
+                              * CAST(c.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y))
+    )) * 1000000 + 0.5) / 1000000 AS score
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id = 0
+    ), dense AS (
+      SELECT doc_id, CAST(rank AS BIGINT) AS dense_rank FROM (
+        SELECT doc_id, row_number() OVER (
+                 ORDER BY score DESC, doc_id) AS rank
+        FROM dense_scored
+      ) WHERE rank <= 20
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             CAST(COALESCE(1000000000 // (60 + l.lex_rank), 0)
+                  + COALESCE(1000000000 // (60 + d.dense_rank), 0)
+                  AS BIGINT) AS rrf_points
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_points, fused_rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               ORDER BY rrf_points DESC, doc_id) AS BIGINT) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+    """,
+    tags=("streaming", "search", "hybrid"),
+    gated=False,
+)
+def hybrid_search_rrf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_search_rrf with the LEXICAL side answered from the
+    STREAMING postings index (bm25_search_live's /tmp ingest, shared by
+    fingerprint — the live RAG stack composing: incremental index →
+    BM25 top-20 → RRF fusion with the dense top-20). The dense side is
+    stateless (one broadcast cosine scan); the fusion is the identical
+    ≤ 40-row exact-integer join. Oracle: identical SQL to
+    hybrid_search_rrf — live ≡ batch because the postings fold
+    reproduces the batch per-doc frame exactly."""
+    from ..operators.similarity import brute_force_topk
+    from ..streaming.search import bm25_search_live
+
+    lex = bm25_search_live(
+        spark, _bm25_index_dir(spark, sf_dir), _BM25_QUERY, top_n=20
+    ).select("doc_id", F.col("rank").cast("long").alias("lex_rank"))
+    e = load_table(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(
+        e,
+        e.filter(F.col("vec_id") == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=20,
+        dim=64,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(F.expr("1000000000L div (60 + lex_rank)"), F.lit(0))
+            + F.coalesce(
+                F.expr("1000000000L div (60 + dense_rank)"), F.lit(0)
+            )
+        ).alias("rrf_points"),
+    )
+    w = Window.orderBy(F.col("rrf_points").desc(), F.col("doc_id"))
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    ).where(F.col("fused_rank") <= 10)
+
+
 def _mmr_oracle() -> str:
     """The MMR greedy unrolled into 10 chained MATERIALIZED CTEs (the
     generated-SQL discipline of the fixed-association ANOVA): DuckDB

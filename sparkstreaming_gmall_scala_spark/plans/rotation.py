@@ -350,6 +350,7 @@ POOL: tuple[str, ...] = (
     # round-12 batch 9: hybrid lexical+dense retrieval (RRF fusion)
     "hybrid_search_rrf",
     "mmr_rerank",
+    "hybrid_search_rrf_live",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -405,6 +405,7 @@ def test_gate_budget(registry):
         # round-12 batch 9: hybrid lexical+dense retrieval (RRF)
         "hybrid_search_rrf",
         "mmr_rerank",
+        "hybrid_search_rrf_live",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -229,6 +229,11 @@ ITERATIVE = {
     "fold the additive (d, y) partials, then dow_factors' bounded "
     "centered-MA window over the calendar-bounded fold — identical to "
     "the batch query above the fold",
+    "hybrid_search_rrf_live": "zero counts are the bounded fused-ranking "
+    "materialization (the live BM25 stage materializes its top-20 off "
+    "the SHARED /tmp postings index — bm25_search_live's ingest); real "
+    "shape: postings fold + scoring, one broadcast cosine scan, then "
+    "the <= 40-row full-outer fusion join",
     "mmr_rerank": "zero counts are the bounded diversified-ranking "
     "materialization (the greedy walks a constant-size collect: 20 "
     "candidates + <= 380 pairwise sims, both from brute_force_topk); "
