@@ -618,6 +618,9 @@ def test_no_broadcast_hint_on_scaled_scan(spark, sf_dir, registry):
     query_set_ok = {
         n for n in registry if n.startswith("knn_") or n == "hard_negatives"
     }
+    # the hybrid retrievers' dense side is the same fixed-ID query slice
+    # (vec_id = 0: exactly one row at EVERY sf) through brute_force_topk
+    query_set_ok |= {"hybrid_search_rrf", "hybrid_search_rrf_live"}
     failures = {}
     for name, q in sorted(registry.items()):
         try:
