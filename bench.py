@@ -526,6 +526,8 @@ def main() -> int:
         "revenue_ewma_live",
         # r12 batch 8: the BM25 postings index, same convention
         "bm25_search_live",
+        # r12 batch 10: the one-time bucketed-table write
+        "bucketed_customer_orders",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

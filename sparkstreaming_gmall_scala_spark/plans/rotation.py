@@ -351,6 +351,8 @@ POOL: tuple[str, ...] = (
     "hybrid_search_rrf",
     "mmr_rerank",
     "hybrid_search_rrf_live",
+    # round-12 batch 10: storage-level co-located (bucketed) join
+    "bucketed_customer_orders",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -56,6 +56,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the bucketed-table demo registers external tables (explicit
+        # LOCATION under /tmp); pointing the warehouse at /tmp keeps the
+        # empty spark-warehouse/ dir out of the repo root
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                os.environ.get("TMPDIR", "/tmp"), "spark_graft_warehouse"
+            ),
+        )
         # The driver's events table carries TIMESTAMP(NANOS) parquet columns,
         # which Spark only reads as raw longs; sources/tables.py converts.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

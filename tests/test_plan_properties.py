@@ -635,3 +635,35 @@ def test_no_broadcast_hint_on_scaled_scan(spark, sf_dir, registry):
         if bad:
             failures[name] = bad
     assert not failures, failures
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """bucketed_customer_orders' claim is physical: with auto-broadcast
+    disabled (the 100 TB situation — a ~2.5 TB customer side cannot
+    broadcast), the sort-merge join over the bucketed tables must read
+    matching buckets directly. The ONLY exchange in the executed plan is
+    the post-join group-by; the join subtree has none."""
+    from sparkstreaming_gmall_scala_spark.plans.scale import (
+        _bucketed_tables,
+    )
+
+    tbl_o, tbl_c = _bucketed_tables(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, cb = spark.table(tbl_o), spark.table(tbl_c)
+        j = ob.join(cb, ob["o_custkey"] == cb["c_custkey"]).groupBy(
+            cb["c_nationkey"]
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan[:2000]
+    # exactly one exchange: the c_nationkey aggregation ABOVE the join
+    assert plan.count("Exchange") == 1, plan[:3000]
+    join_subtree = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_subtree, join_subtree[:2000]
+    # and the scans really are bucket-pruned reads of the bucketed files
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, (
+        plan[:3000]
+    )
