@@ -377,6 +377,8 @@ HEADLINE = (
     "hybrid_search_rrf_live",
     # storage-level co-located join (one-time bucket write under build_sec)
     "bucketed_customer_orders",
+    # isotonic PAVA smoother (rows-only; calendar-bounded driver fold)
+    "isotonic_revenue",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -3502,6 +3502,74 @@ def spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=out.schema)
 
 
+def pava_fit(ys: list[int]) -> list[tuple[int, int]]:
+    """Pool-Adjacent-Violators over an integer sequence: returns one
+    (sum, count) pool per input position (the L2 projection onto the
+    non-decreasing cone). Exact integer state; pool means compare by
+    cross-multiplication so no float ever forms. Kept module-level so
+    the two-implementation pytest pin (vs the Fraction minimax formula
+    fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k])) can call it
+    directly."""
+    pools: list[list[int]] = []  # [sum, count]
+    for y in ys:
+        pools.append([y, 1])
+        # merge while the last pool's mean < the previous pool's mean
+        while len(pools) >= 2 and (
+            pools[-1][0] * pools[-2][1] < pools[-2][0] * pools[-1][1]
+        ):
+            s, n = pools.pop()
+            pools[-1][0] += s
+            pools[-1][1] += n
+    out = []
+    for s, n in pools:
+        out.extend([(s, n)] * n)
+    return out
+
+
+@register(
+    "isotonic_revenue",
+    # Pool means are rationals; an exact cross-engine ORDER over them
+    # needs per-pair cross-multiplication, which SQL min/max can't
+    # express — the same class of constraint as the iterative graph
+    # entries, so this is rows-only with a TWO-IMPLEMENTATION pytest pin:
+    # PAVA (above) must equal the independent minimax formula
+    # fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k]) computed with exact
+    # Fractions (tests/test_isotonic.py).
+    oracle=None,
+    tags=("scale", "stats", "calibration"),
+    gated=False,
+)
+def isotonic_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of daily revenue
+    over the calendar — the shape-constrained smoother, and THE
+    classifier-calibration primitive (isotonic calibration maps raw
+    model scores to probabilities; here it extracts the monotone trend
+    a drifting revenue series carries without assuming linearity like
+    revenue_trend or a window like revenue_ewma).
+
+    Exact arithmetic end-to-end: PAVA pools are integer (sum, count)
+    pairs, violator detection compares pool means by CROSS-MULTIPLICATION
+    (s1·n2 < s2·n1 — no float ever forms, the KS discipline), and the
+    emitted fit is floor-div micro-cents. The fact table folds
+    distributed to the calendar-bounded daily frame; the sequential pool
+    merge walks that bounded series driver-side (the EWMA/KM
+    discipline)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    daily = o.groupBy("d").agg(F.sum("v").alias("y")).orderBy("d")
+    rows = daily.collect()  # calendar-bounded: |days|
+    fit = pava_fit([r["y"] for r in rows])
+    out = [
+        (str(r["d"]), r["y"], s * 1000000 // n)
+        for r, (s, n) in zip(rows, fit)
+    ]
+    return spark.createDataFrame(
+        out, "d string, y_cents long, fit_microcents long"
+    )
+
+
 @register(
     "spc_violations",
     oracle="""

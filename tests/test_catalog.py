@@ -59,6 +59,10 @@ def test_oracle_coverage(registry):
         # iterative k-core peeling (same recursive-CTE constraint);
         # exact local-peeling-reference pin in tests/test_graph.py
         "dup_cores",
+        # isotonic PAVA: exact rational pool-mean ORDERING has no SQL
+        # form (min/max can't cross-multiply); two-implementation pin
+        # (PAVA vs Fraction minimax) in tests/test_isotonic.py
+        "isotonic_revenue",
     }, no_oracle
 
 
@@ -103,6 +107,8 @@ STATIC_UNGATED = {
     "dup_pagerank",
     # rows-only iterative k-core peeling; exact local-reference pin
     "dup_cores",
+    # rows-only isotonic PAVA; two-implementation pin in pytest
+    "isotonic_revenue",
 }
 
 
