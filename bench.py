@@ -379,6 +379,8 @@ HEADLINE = (
     "bucketed_customer_orders",
     # isotonic PAVA smoother (rows-only; calendar-bounded driver fold)
     "isotonic_revenue",
+    # live isotonic off the shared SPC daily mart (ingest already warmed)
+    "isotonic_revenue_live",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -3558,14 +3558,22 @@ def isotonic_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("d"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
     )
-    daily = o.groupBy("d").agg(F.sum("v").alias("y")).orderBy("d")
-    rows = daily.collect()  # calendar-bounded: |days|
+    daily = o.groupBy("d").agg(F.sum("v").alias("y"))
+    return isotonic_eval(daily)
+
+
+def isotonic_eval(daily: DataFrame) -> DataFrame:
+    """PAVA over a (d, y) daily frame — shared verbatim between the
+    batch query and the live twin (isotonic_revenue_live, fed by the SPC
+    mart's daily fold), so batch ≡ live holds by construction above the
+    fold. The collect is calendar-bounded: |days| rows."""
+    rows = daily.orderBy("d").collect()
     fit = pava_fit([r["y"] for r in rows])
     out = [
         (str(r["d"]), r["y"], s * 1000000 // n)
         for r, (s, n) in zip(rows, fit)
     ]
-    return spark.createDataFrame(
+    return daily.sparkSession.createDataFrame(
         out, "d string, y_cents long, fit_microcents long"
     )
 

@@ -1179,3 +1179,29 @@ def dow_seasonal_factors_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily_dir = _spc_index_dirs(spark, sf_dir)
     return dow_factors(fold_daily(spark, daily_dir))
+
+
+@register(
+    "isotonic_revenue_live",
+    # rows-only for the same reason as isotonic_revenue: exact rational
+    # pool-mean ordering has no SQL form. The live pin is pytest
+    # equality with the batch query (tests/test_isotonic.py) — batch ≡
+    # live by construction: both run plans/scale.py:isotonic_eval, the
+    # mart fold is exact integer addition.
+    oracle=None,
+    tags=("streaming", "stats", "calibration"),
+    gated=False,
+)
+def isotonic_revenue_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isotonic_revenue answered from the STREAMING daily index — the
+    FOURTH consumer of the additive (d, y) partials the SPC mart
+    maintains (spc_violations_live / dow_seasonal_factors_live share
+    the identical /tmp ingest): fold the partials, hand the daily frame
+    to the SAME exact-integer PAVA evaluator
+    (plans/scale.py:isotonic_eval). One mart, three live monitors plus
+    the live calibration curve."""
+    from ..streaming.spc import fold_daily
+    from .scale import isotonic_eval
+
+    daily_dir = _spc_index_dirs(spark, sf_dir)
+    return isotonic_eval(fold_daily(spark, daily_dir))

@@ -63,6 +63,8 @@ def test_oracle_coverage(registry):
         # form (min/max can't cross-multiply); two-implementation pin
         # (PAVA vs Fraction minimax) in tests/test_isotonic.py
         "isotonic_revenue",
+        # live twin off the SPC mart; pytest equality with the batch
+        "isotonic_revenue_live",
     }, no_oracle
 
 
@@ -109,6 +111,8 @@ STATIC_UNGATED = {
     "dup_cores",
     # rows-only isotonic PAVA; two-implementation pin in pytest
     "isotonic_revenue",
+    # live isotonic off the SPC mart; batch-equality pin in pytest
+    "isotonic_revenue_live",
 }
 
 

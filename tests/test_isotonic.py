@@ -94,3 +94,22 @@ def test_catalog_query_matches_direct_pava(spark, sf_dir):
         r["fit_microcents"] for r in sorted(got, key=lambda r: r["d"])
     ]
     assert all(a <= b for a, b in zip(fits, fits[1:]))
+
+
+def test_live_twin_equals_batch(spark, sf_dir):
+    """isotonic_revenue_live folds the SPC mart's additive (d, y)
+    partials into the daily frame and runs the identical evaluator —
+    the result must equal the batch query's exactly."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    reg = load_all()
+    batch = sorted(
+        map(tuple, reg["isotonic_revenue"].builder(spark, sf_dir).collect())
+    )
+    live = sorted(
+        map(
+            tuple,
+            reg["isotonic_revenue_live"].builder(spark, sf_dir).collect(),
+        )
+    )
+    assert live == batch

@@ -229,6 +229,7 @@ ITERATIVE = {
     "fold the additive (d, y) partials, then dow_factors' bounded "
     "centered-MA window over the calendar-bounded fold — identical to "
     "the batch query above the fold",
+    "isotonic_revenue_live": "reads the SHARED /tmp daily index (one ingest serves spc_violations_live, dow_seasonal_factors_live and this); real read shape: fold the additive (d, y) partials, then the SAME calendar-bounded PAVA evaluator as the batch query",
     "isotonic_revenue": "zero counts are the calendar-bounded materialization (the PAVA pool merge walks the collected |days| daily frame driver-side — the EWMA/KM discipline); real shape is 1 orders scan + 1 day exchange folding to the daily frame",
     "hybrid_search_rrf_live": "zero counts are the bounded fused-ranking "
     "materialization (the live BM25 stage materializes its top-20 off "
