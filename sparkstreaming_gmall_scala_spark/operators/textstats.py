@@ -187,10 +187,17 @@ def bm25_score_per_doc(
     ).collect()[0]  # one bounded row; also materializes the cache
     n = stats["n"]
     if not n:  # empty corpus: no avgdl to divide by (round-9 advice)
+        # Derive the id type from per_doc itself (round-12 advice): a
+        # string-id caller must get the same schema on the empty path
+        # as the non-empty path (which keeps the real type via ranked).
+        empty = per_doc.select(
+            F.col(id_col),
+            F.col("dl").cast("long").alias("dl"),
+            F.lit(None).cast("long").alias("score6"),
+            F.lit(None).cast("int").alias("rank"),
+        ).limit(0)
         per_doc.unpersist()
-        return per_doc.sparkSession.createDataFrame(
-            [], f"{id_col} long, dl long, score6 long, rank int"
-        )
+        return empty
     avgdl = stats["sum_dl"] / n  # exact ints -> one double division
     score = None
     for i in range(len(query_terms)):

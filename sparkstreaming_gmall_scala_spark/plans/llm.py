@@ -4444,9 +4444,14 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("orig2_u").alias("sum_orig2_u"),
         F.sum("proj2_u").alias("sum_proj2_u"),
-        F.expr("sum(proj2_u) * 1000000L div (16 * sum(orig2_u))").alias(
-            "ratio_ppm"
-        ),
+        # DECIMAL(38,0) numerator (round-12 advice): BIGINT would wrap
+        # silently once a label's Σproj2_u exceeds ~9.2e12 (ANSI off),
+        # while the DuckDB oracle promotes sum() to HUGEINT — mirror the
+        # levene_bf_status discipline so the engines agree at any scale.
+        F.expr(
+            "cast(cast(sum(proj2_u) as decimal(38,0)) * 1000000"
+            " div (16 * cast(sum(orig2_u) as decimal(38,0))) as long)"
+        ).alias("ratio_ppm"),
     )
 
 

@@ -224,6 +224,7 @@ def kmv_distinct_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bounds AS (
       SELECT min(strftime(ts, '%Y-%m-%d')) AS d0,
              max(strftime(ts, '%Y-%m-%d')) AS d1 FROM events
+      WHERE user_id IS NOT NULL
     ), ua AS (
       SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS h
       FROM events, bounds
