@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hints import scaled_dim
+from ..operators.series import bounded_series_eval, series_entry
 from ..operators.skew import salted_agg, salted_join
 from ..sources import load_table
 from .catalog import register
@@ -3034,6 +3035,7 @@ def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, the EWMA/KM driver-fold discipline) and the z-statistic is
     one shared double tree over exact integer counts."""
     from ..operators.analytics import value_bucket_bounds
+    from ..operators.series import runs_eval
 
     o = load_table(spark, sf_dir, "orders").select(
         F.to_date("o_orderdate").alias("d"),
@@ -3052,40 +3054,14 @@ def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "n_above long, n_below long, n_runs long, z_ppm long"
         )
     med = bounds[0]  # value at rank ceil(n/2)
-    signs = (
-        daily.filter(F.col("y") != med)
-        .select("d", F.when(F.col("y") > med, 1).otherwise(-1).alias("sg"))
-        .orderBy("d")
-        .collect()  # calendar-bounded series; the EWMA fold discipline
+    signs = daily.filter(F.col("y") != med).select(
+        "d", F.when(F.col("y") > med, 1).otherwise(-1).alias("sg")
     )
+    # runs_eval owns the calendar-bounded collect + run-count walk + the
+    # degenerate-series empty-frame convention (operators/series.py)
+    res = runs_eval(signs)
     daily.unpersist()
-    r, n1, n2, prev = 0, 0, 0, None
-    for row in signs:
-        if row["sg"] != prev:
-            r += 1
-        prev = row["sg"]
-        if row["sg"] == 1:
-            n1 += 1
-        else:
-            n2 += 1
-    if n1 == 0 or n2 == 0 or n1 + n2 < 2:
-        # degenerate series (all days at the median, or one sign only):
-        # the z statistic is undefined — same empty-frame convention
-        return spark.createDataFrame(
-            [], "n_above long, n_below long, n_runs long, z_ppm long"
-        )
-    import math
-
-    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
-    var = (
-        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
-        / (float(n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
-    )
-    z6 = math.floor((float(r) - mu) / math.sqrt(var) * 1000000.0 + 0.5)
-    return spark.createDataFrame(
-        [(n1, n2, r, z6)],
-        "n_above long, n_below long, n_runs long, z_ppm long",
-    )
+    return res
 
 
 def _dow_anova_sql() -> str:
@@ -3562,19 +3538,27 @@ def isotonic_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_eval(daily)
 
 
+@series_entry("|days| daily fold (calendar bounded)")
 def isotonic_eval(daily: DataFrame) -> DataFrame:
     """PAVA over a (d, y) daily frame — shared verbatim between the
     batch query and the live twin (isotonic_revenue_live, fed by the SPC
     mart's daily fold), so batch ≡ live holds by construction above the
-    fold. The collect is calendar-bounded: |days| rows."""
-    rows = daily.orderBy("d").collect()
-    fit = pava_fit([r["y"] for r in rows])
-    out = [
-        (str(r["d"]), r["y"], s * 1000000 // n)
-        for r, (s, n) in zip(rows, fit)
-    ]
-    return daily.sparkSession.createDataFrame(
-        out, "d string, y_cents long, fit_microcents long"
+    fold. The collect is calendar-bounded: |days| rows (the ordering,
+    bound assert and ITERATIVE guard live in bounded_series_eval)."""
+
+    def pava_walk(rows: list) -> list[tuple]:
+        fit = pava_fit([r["y"] for r in rows])
+        return [
+            (str(r["d"]), r["y"], s * 1000000 // n)
+            for r, (s, n) in zip(rows, fit)
+        ]
+
+    return bounded_series_eval(
+        daily,
+        ("d",),
+        pava_walk,
+        "d string, y_cents long, fit_microcents long",
+        bound=20_000,
     )
 
 

@@ -1312,6 +1312,8 @@ def user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's day span) and as a recursive CTE in the oracle. The risk
     sets and event counts per duration fold distributed from one
     (user) aggregate."""
+    from ..operators.series import km_eval
+
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("f"), F.max(F.to_date("ts")).alias("l")
@@ -1331,19 +1333,12 @@ def user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("dur")
         .agg(F.count(F.lit(1)).alias("n_all"), F.sum("e").alias("d"))
-        .orderBy("dur")
     )
-    rows = tbl.collect()  # bounded by the corpus day span
+    # km_eval owns the day-span-bounded collect + the integer KM walk
+    # (operators/series.py — the shared sequential-evaluator home)
+    res = km_eval(tbl, n_users=m["n_users"])
     per.unpersist()
-    out, n_risk, s6 = [], m["n_users"], 1_000_000
-    for r in rows:
-        s6 = s6 * (n_risk - r["d"]) // n_risk
-        if r["d"] > 0:
-            out.append((r["dur"], n_risk, r["d"], s6))
-        n_risk -= r["n_all"]
-    return spark.createDataFrame(
-        out, "duration_days long, n_risk long, n_events long, surv6 long"
-    )
+    return res
 
 
 @register(

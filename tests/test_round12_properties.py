@@ -76,8 +76,11 @@ def test_detector_sees_the_known_materialized_builders():
         for name, q in load_all().items()
         if _returns_materialized_frame(q.builder)
     }
-    # canonical materialized queries (bounded driver folds)
-    for name in ("theil_sen_trend", "cohort_ltv", "revenue_runs_test"):
+    # canonical materialized queries (bounded driver folds).
+    # revenue_runs_test left this list at round 13: it now routes
+    # through operators/series.py:runs_eval, whose own guard
+    # (tests/test_round13_properties.py) enforces the ITERATIVE note.
+    for name in ("theil_sen_trend", "cohort_ltv", "brand_affinity"):
         assert name in flagged, name
     # scalar-collect but distributed result — must stay unflagged
     for name in ("rfm_segments", "knn_ivf_pq", "knn_ivf_pq_persisted"):
