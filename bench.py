@@ -377,6 +377,8 @@ HEADLINE = (
     "hybrid_search_rrf_live",
     # storage-level co-located join (one-time bucket write under build_sec)
     "bucketed_customer_orders",
+    # co-bucketed order header x detail — the reference's J1 join shape
+    "bucketed_order_lineitem",
     # isotonic PAVA smoother (rows-only; calendar-bounded driver fold)
     "isotonic_revenue",
     # live isotonic off the shared SPC daily mart (ingest already warmed)
@@ -534,6 +536,8 @@ def main() -> int:
         "bm25_search_live",
         # r12 batch 10: the one-time bucketed-table write
         "bucketed_customer_orders",
+        # r13: the one-time order-key co-bucketed write (orders+lineitem)
+        "bucketed_order_lineitem",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

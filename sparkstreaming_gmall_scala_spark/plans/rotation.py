@@ -353,6 +353,7 @@ POOL: tuple[str, ...] = (
     "hybrid_search_rrf_live",
     # round-12 batch 10: storage-level co-located (bucketed) join
     "bucketed_customer_orders",
+    "bucketed_order_lineitem",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -359,6 +359,118 @@ def bucketed_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_ol_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Ensure bucketed external copies of orders/lineitem co-bucketed on
+    the ORDER key (8 buckets, bucket-sorted) exist under /tmp for this
+    corpus — the reference's own J1 join shape (order header × order
+    detail, dws/OrderWideApp.scala:98-111) served by the storage layout
+    instead of a per-batch shuffle. Same fingerprint/marker discipline
+    as :func:`_bucketed_tables`."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm import _data_fingerprint, _params_key
+
+    key = _params_key("bktol8", _data_fingerprint(sf_dir, "lineitem"))
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bktolidx_{os.path.basename(sf_dir.rstrip('/'))}_{key}",
+    )
+    tbl_o, tbl_l = f"bktol_orders_{key}", f"bktol_lineitem_{key}"
+    marker = os.path.join(work, "_WRITTEN")
+    if not os.path.exists(marker):
+        # a partial write (crash mid-table) must rebuild, never serve
+        shutil.rmtree(work, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_l}")
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+            "path", os.path.join(work, "orders")
+        ).saveAsTable(tbl_o)
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+            "path", os.path.join(work, "lineitem")
+        ).saveAsTable(tbl_l)
+        with open(marker, "w") as fh:
+            fh.write("1")
+    else:
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl_o} "
+            "(o_orderkey BIGINT, o_orderpriority STRING) "
+            "USING parquet CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) "
+            f"INTO 8 BUCKETS LOCATION '{work}/orders'"
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl_l} "
+            "(l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE) "
+            "USING parquet CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) "
+            f"INTO 8 BUCKETS LOCATION '{work}/lineitem'"
+        )
+    return tbl_o, tbl_l
+
+
+from .parity import _REV_SQL as _REV_SQL_OL  # noqa: E402
+
+
+@register(
+    "bucketed_order_lineitem",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             sum({_REV_SQL_OL}) AS rev, count(*) AS n_lines
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+    FROM per_order GROUP BY 1
+    """,
+    tags=("scale", "layout", "join"),
+    gated=False,
+)
+def bucketed_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located FACT × FACT join on the reference's own J1 shape —
+    order header × order detail (dws/OrderWideApp.scala:98-111), the
+    join the reference re-keys and re-shuffles EVERY micro-batch.
+    Lake-first, both tables live co-bucketed on the order key, so at
+    100 TB the two heaviest tables in the warehouse join with ZERO
+    exchange on either side AND the per-order rollup reuses the same
+    scan partitioning (HashPartitioning(o_orderkey) satisfies the
+    (o_orderkey, o_orderpriority) clustering), leaving exactly ONE
+    exchange in the whole plan: the final |priorities|-row rollup of
+    already-partial-aggregated rows (plan-guarded in
+    tests/test_bucketed.py with auto-broadcast disabled). Money stays
+    DECIMAL(18,2) end-to-end (the trademark_stat discipline), so the
+    double cast at the very end is exact cross-engine."""
+    from .parity import _revenue_dec
+
+    tbl_o, tbl_l = _bucketed_ol_tables(spark, sf_dir)
+    ob, lb = spark.table(tbl_o), spark.table(tbl_l)
+    per_order = (
+        ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy(ob["o_orderkey"], ob["o_orderpriority"])
+        .agg(
+            F.sum(_revenue_dec()).alias("rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").alias("n_lines"),
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        "n_lines",
+        "revenue",
+    )
+
+
 from ..operators.zorder import z_expr_sql as _z_expr_sql
 
 _ZEXPR = _z_expr_sql(("l_partkey", "l_suppkey"), bits=16)

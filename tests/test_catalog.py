@@ -418,6 +418,8 @@ def test_gate_budget(registry):
         "hybrid_search_rrf_live",
         # round-12 batch 10: bucketed co-located join
         "bucketed_customer_orders",
+        # round-13: co-bucketed order header x detail (the reference J1 shape)
+        "bucketed_order_lineitem",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
