@@ -379,6 +379,8 @@ HEADLINE = (
     "bucketed_customer_orders",
     # co-bucketed order header x detail — the reference's J1 join shape
     "bucketed_order_lineitem",
+    # isotonic calibration applied: quality score -> calibrated P(keep)
+    "calibrated_quality_scores",
     # isotonic PAVA smoother (rows-only; calendar-bounded driver fold)
     "isotonic_revenue",
     # live isotonic off the shared SPC daily mart (ingest already warmed)

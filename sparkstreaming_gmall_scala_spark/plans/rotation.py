@@ -354,6 +354,7 @@ POOL: tuple[str, ...] = (
     # round-12 batch 10: storage-level co-located (bucketed) join
     "bucketed_customer_orders",
     "bucketed_order_lineitem",
+    "calibrated_quality_scores",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -3590,28 +3590,40 @@ def spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=out.schema)
 
 
-def pava_fit(ys: list[int]) -> list[tuple[int, int]]:
-    """Pool-Adjacent-Violators over an integer sequence: returns one
-    (sum, count) pool per input position (the L2 projection onto the
-    non-decreasing cone). Exact integer state; pool means compare by
-    cross-multiplication so no float ever forms. Kept module-level so
-    the two-implementation pytest pin (vs the Fraction minimax formula
-    fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k])) can call it
-    directly."""
-    pools: list[list[int]] = []  # [sum, count]
-    for y in ys:
-        pools.append([y, 1])
+def pava_fit_pools(sn: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """WEIGHTED Pool-Adjacent-Violators over (sum, count) observations:
+    position i carries ``count_i`` points totalling ``sum_i`` (the
+    grouped form — what a calibration bin is). Returns one merged
+    (sum, count) pool per INPUT POSITION (the L2 projection onto the
+    non-decreasing cone under those weights). Exact integer state; pool
+    means compare by cross-multiplication so no float ever forms."""
+    pools: list[list[int]] = []  # [sum, count, n_positions]
+    for s0, n0 in sn:
+        pools.append([s0, n0, 1])
         # merge while the last pool's mean < the previous pool's mean
         while len(pools) >= 2 and (
             pools[-1][0] * pools[-2][1] < pools[-2][0] * pools[-1][1]
         ):
-            s, n = pools.pop()
+            s, n, k = pools.pop()
             pools[-1][0] += s
             pools[-1][1] += n
+            pools[-1][2] += k
     out = []
-    for s, n in pools:
-        out.extend([(s, n)] * n)
+    for s, n, k in pools:
+        out.extend([(s, n)] * k)
     return out
+
+
+def pava_fit(ys: list[int]) -> list[tuple[int, int]]:
+    """Pool-Adjacent-Violators over an integer sequence: returns one
+    (sum, count) pool per input position (the L2 projection onto the
+    non-decreasing cone). The unit-weight case of
+    :func:`pava_fit_pools` (for unit weights n_positions == count, so
+    the expansions coincide). Kept module-level so the
+    two-implementation pytest pin (vs the Fraction minimax formula
+    fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k])) can call it
+    directly."""
+    return pava_fit_pools([(y, 1) for y in ys])
 
 
 @register(
@@ -3671,6 +3683,31 @@ def isotonic_eval(daily: DataFrame) -> DataFrame:
         pava_walk,
         "d string, y_cents long, fit_microcents long",
         bound=20_000,
+    )
+
+
+@series_entry("score-bin calibration table (<= 21 quality bins)")
+def isotonic_calibration_eval(bins: DataFrame) -> DataFrame:
+    """Weighted PAVA over a (bin, s, n) frame — s successes out of n
+    trials per ascending score bin — returning the monotone calibrated
+    probability per bin in exact ppm (pool_sum · 10⁶ div pool_count).
+    THE isotonic-calibration application step: the consumer broadcasts
+    this ≤|bins|-row table back onto the per-row frame. Shares
+    :func:`pava_fit_pools` with isotonic_revenue's pin."""
+
+    def calib_walk(rows: list) -> list[tuple]:
+        fit = pava_fit_pools([(r["s"], r["n"]) for r in rows])
+        return [
+            (r["bin"], r["s"], r["n"], s * 1000000 // n)
+            for r, (s, n) in zip(rows, fit)
+        ]
+
+    return bounded_series_eval(
+        bins,
+        ("bin",),
+        calib_walk,
+        "bin long, s long, n long, cal_ppm long",
+        bound=1_000,
     )
 
 

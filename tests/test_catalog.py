@@ -420,6 +420,8 @@ def test_gate_budget(registry):
         "bucketed_customer_orders",
         # round-13: co-bucketed order header x detail (the reference J1 shape)
         "bucketed_order_lineitem",
+        # round-13: isotonic calibration applied (quality -> P(keep))
+        "calibrated_quality_scores",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -113,3 +113,72 @@ def test_live_twin_equals_batch(spark, sf_dir):
         )
     )
     assert live == batch
+
+
+# ---------------------------------------------------------------------------
+# Round 13: the WEIGHTED case (calibrated_quality_scores' fit) pinned the
+# same way — pava_fit_pools vs the weighted minimax with exact Fractions,
+# fitted_i = max_{j<=i} min_{k>=i} (sum s[j..k]) / (sum n[j..k]).
+# ---------------------------------------------------------------------------
+def _minimax_weighted(sn):
+    n = len(sn)
+    ps, pn = [0], [0]
+    for s, w in sn:
+        ps.append(ps[-1] + s)
+        pn.append(pn[-1] + w)
+    out = []
+    for i in range(n):
+        best = None
+        for j in range(i + 1):
+            worst = None
+            for k in range(i, n):
+                m = Fraction(ps[k + 1] - ps[j], pn[k + 1] - pn[j])
+                if worst is None or m < worst:
+                    worst = m
+            if best is None or worst > best:
+                best = worst
+        out.append(best)
+    return out
+
+
+def _check_weighted(sn):
+    from sparkstreaming_gmall_scala_spark.plans.scale import pava_fit_pools
+
+    fit = pava_fit_pools(sn)
+    mm = _minimax_weighted(sn)
+    assert len(fit) == len(sn)
+    for (s, c), m in zip(fit, mm):
+        assert Fraction(s, c) == m, (sn, fit, mm)
+    # monotone non-decreasing, and pool ppm matches the minimax floor
+    # (the application step calibrated_quality_scores broadcasts)
+    means = [Fraction(s, c) for s, c in fit]
+    assert all(a <= b for a, b in zip(means, means[1:]))
+    for (s, c), m in zip(fit, mm):
+        assert s * 1000000 // c == (m.numerator * 1000000) // m.denominator
+
+
+def test_weighted_pava_equals_weighted_minimax_random():
+    rng = random.Random(13)
+    for _ in range(60):
+        n = rng.randint(1, 12)
+        sn = []
+        for _ in range(n):
+            w = rng.randint(1, 9)
+            sn.append((rng.randint(0, w), w))  # s <= w: a success count
+        _check_weighted(sn)
+
+
+def test_weighted_pava_edges():
+    _check_weighted([(3, 5)])
+    _check_weighted([(5, 5), (0, 5)])  # one violator pair pools
+    _check_weighted([(0, 1), (1, 1), (2, 2), (3, 3)])  # already isotone
+    _check_weighted([(9, 9), (4, 8), (1, 7), (0, 6)])  # fully decreasing
+
+
+def test_unit_weight_pools_match_pava_fit():
+    rng = random.Random(7)
+    from sparkstreaming_gmall_scala_spark.plans.scale import pava_fit_pools
+
+    for _ in range(40):
+        ys = [rng.randint(-20, 20) for _ in range(rng.randint(1, 30))]
+        assert pava_fit(ys) == pava_fit_pools([(y, 1) for y in ys])

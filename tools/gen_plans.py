@@ -285,6 +285,13 @@ ITERATIVE = {
     "the three counter indexes, expand the unordered pair counter to "
     "both rule directions via a swapped union, then the batch query's "
     "broadcast confidence/support/lift joins",
+    "calibrated_quality_scores": "flat counts are cache-reprints: the "
+    "per-doc (q6, bin, keep) frame (materialized ONCE — persist+count) "
+    "re-prints its quality-score + fingerprint-window lineage for the "
+    "<=21-row bin aggregate (collected for the driver-side weighted PAVA "
+    "via bounded_series_eval) and the final broadcast application join; "
+    "real shape is 1 documents scan + 1 fp exchange (keep window) + 1 "
+    "doc_id join + the <=21-row calibration broadcast",
     "knn_ivf_sq8": "zero counts are the k*|queries|-row materialization "
     "(collect + createDataFrame after the bounded refine); real shape "
     "is 1 cell-PRUNED codes read (partition filter from the literal "
