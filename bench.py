@@ -438,6 +438,36 @@ def bench_streaming_dedup(spark, sf_dir: str) -> int:
 REF_CALIBRATION_MEDIAN = 0.278
 REF_CALIBRATION_MIN = 0.256
 
+# r13 (r12 verdict #3): the synthetic probe's min itself swung 1.38×
+# between the r11 and r12 hosts (0.589 → 0.427 s) while the five most
+# stable REAL queries moved ±1.2% in aggregate — a CPU-only md5 kernel
+# doesn't track the scan/shuffle/join mix the actual workload pays, so
+# probe normalization manufactured a phantom 84.9 → 125.4 s "regression"
+# on a round whose raw per-query time IMPROVED. New convention:
+# normalize by a pinned pool of five headline queries whose code has
+# been frozen since ≤r9 and whose min-of-2 times were the flattest
+# across r10-r12 (pool sums 10.68 / 10.93 / 10.74 s — ±1.2% across
+# three different hosts, vs the probe's ±38%). The pool spans the real
+# cost centers: an aggregate-then-join TPC-H shape (important_stock), a
+# window-hash substring scan (dup_spans), a multi-join top-k report
+# (returned_item_report), the single-scan curation pipeline
+# (corpus_curate_fast), and a banded-LSH dedup join (containment_pairs).
+# REF_POOL_SEC pins the r12 record's pool sum, so normalized_total_pool
+# is directly comparable to r12's RAW total (same host-speed unit).
+# These five implementations are calibration-frozen: changing one
+# invalidates cross-round comparability, so optimize a twin instead.
+# The probe-based normalized_total is still recorded (one round of
+# both-convention continuity, and any round can be recomputed either
+# way from its full record).
+PINNED_POOL = (
+    "important_stock",
+    "dup_spans",
+    "returned_item_report",
+    "corpus_curate_fast",
+    "containment_pairs",
+)
+REF_POOL_SEC = 10.74  # sum of the five in BENCH_FULL_r12.json
+
 
 def calibrate(spark, k: int = 5) -> dict:
     """Host-speed calibration probe (round-5 verdict #5): BENCH totals
@@ -627,6 +657,35 @@ def main() -> int:
     normalized_total = round(
         total * REF_CALIBRATION_MIN / calibration["min_sec"], 3
     )
+    # r13+ headline normalization (r12 verdict #3): pinned-pool — see the
+    # PINNED_POOL comment. The unit is "seconds on the r12 host", so this
+    # number compares directly against r12's RAW total (209.108 s) and
+    # against every later round's normalized_total_pool.
+    pool_sec = round(sum(times[q] for q in PINNED_POOL), 3)
+    normalized_total_pool = round(total * REF_POOL_SEC / pool_sec, 3)
+
+    # r13 (r12 verdict #7): carry recall next to speed. recall@5 of every
+    # ANN headline row against the exact knn_bruteforce frame at the same
+    # SF — each frame is ≤(10 queries × 5 rows), so this is bounded driver
+    # work by construction. A reader of BENCH_r{N} sees the speed/accuracy
+    # frontier (e.g. a future quantizer change that buys 2× speed by
+    # dropping recall) without leaving the record.
+    exact_nbrs: dict = {}
+    for row in registry["knn_bruteforce"].builder(spark, sf_dir).collect():
+        exact_nbrs.setdefault(row["query_id"], set()).add(row["neighbor_id"])
+    recall_at_5: dict[str, float] = {}
+    for name in sorted(t for t in times if t.startswith("knn_")):
+        if name == "knn_bruteforce":
+            continue
+        got: dict = {}
+        for row in registry[name].builder(spark, sf_dir).collect():
+            got.setdefault(row["query_id"], set()).add(row["neighbor_id"])
+        per_q = [
+            len(got.get(q, set()) & nbrs) / len(nbrs)
+            for q, nbrs in exact_nbrs.items()
+        ]
+        recall_at_5[name] = round(sum(per_q) / len(per_q), 3)
+    print(f"# recall@5 vs bruteforce: {recall_at_5}", file=sys.stderr)
 
     # Round number for the full-record filename: the driver writes
     # BENCH_r{N}.json and CORRECTNESS_r{N}.json in some order relative to
@@ -648,6 +707,14 @@ def main() -> int:
         "calibration": calibration,
         "build_sec": build_sec,
         "normalized_total": normalized_total,
+        "normalized_total_pool": normalized_total_pool,
+        "pool_calibration": {
+            "names": list(PINNED_POOL),
+            "pool_sec": pool_sec,
+            "ref_pool_sec": REF_POOL_SEC,
+            "ref_round": 12,
+        },
+        "recall_at_5": recall_at_5,
         "ref_calibration_min": REF_CALIBRATION_MIN,
         "ref_calibration_median": REF_CALIBRATION_MEDIAN,
         "streaming_rows_per_sec": streaming_rows_per_sec,
@@ -665,11 +732,31 @@ def main() -> int:
             "min (steady state); r<=10 records are single-pass and can "
             "read 2-4x higher on whichever queries that session hit "
             "cold — compare against the min of the 'runs' pair",
+            "normalization": "r13+ (r12 verdict #3): cross-round "
+            "comparisons use normalized_total_pool — total scaled by a "
+            "pinned 5-query pool (code-frozen since <=r9; pool sums "
+            "moved +-1.2% across the r10-r12 hosts while the synthetic "
+            "probe's min swung 38%, whipsawing the old normalized_total "
+            "84.9 -> 125.4 on a round whose raw per-query time "
+            "improved). Unit = seconds-on-the-r12-host, so r13's pool "
+            "number compares directly to r12's RAW 209.108 s. The "
+            "probe-based normalized_total stays recorded for "
+            "continuity; recompute any round either way from its "
+            "calibration runs",
             "streaming_rows_per_sec": "r12+: min-of-2 ingest passes "
             "(docs over the FASTER pass's wall time) — the single-pass "
             "figure swung 1911 -> 1593 -> 1681 across r9-r11 purely on "
             "host noise (an r11 same-path re-measure read 2049 docs/s); "
             "both passes are in the runs pair",
+            "corpus_to_shards": "r12 step-up (3.36 -> 4.45) triaged at "
+            "r13: NOT a regression — physical plans are identical "
+            "between the r11 and r13 trees (diffed node-by-node) and an "
+            "interleaved min-of-5 A/B on one host read r11-tree "
+            "3.42/3.62 vs r13-tree 3.39/3.43. The 20-codegen-stage "
+            "pipeline only reaches JIT steady state around run 4, so "
+            "min-of-2 samples its warm-up ramp: r11's pair landed warm "
+            "(3.92/3.36), r12's cold (4.46/4.45). Runs 1-5 in one "
+            "session: ~8-9 -> 4.5 -> 4.3 -> 3.8 -> 3.4 s",
             "knn_pq": "r8 step-up vs r7 is the deliberate 4->8-bit "
             "codebook upgrade (recall@5 0.48->0.94 clustered; RECALL.md)",
             "knn_sq8_persisted": "r9: single-parse expression chains "
@@ -702,8 +789,11 @@ def main() -> int:
 
     # The printed line stays under ~2 KB: totals + calibration +
     # build_sec + the 10 slowest queries only.
+    # top-8 (was 10 through r12): the r13 line adds the pool-calibration
+    # and recall fields, so two slowest-list slots move to the full record
+    # to keep the printed line inside the driver's tail capture.
     slowest = dict(
-        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:8]
     )
     print(
         json.dumps(
@@ -711,7 +801,7 @@ def main() -> int:
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
-                # top-10 slowest only — full map in BENCH_FULL_r{N}.json
+                # top-8 slowest only — full map in BENCH_FULL_r{N}.json
                 "queries": slowest,
                 "n_queries": len(times),
                 "sf": sf,
@@ -725,6 +815,15 @@ def main() -> int:
                 # min-to-min (r8+); r7 used median-to-min — recompute
                 # either way from the recorded calibration runs
                 "normalized_total": normalized_total,
+                # r13+ headline normalization: pinned 5-query pool, unit
+                # = seconds-on-the-r12-host (see notes.normalization in
+                # the full record) — the cross-round comparable number
+                "normalized_total_pool": normalized_total_pool,
+                "pool_sec": pool_sec,
+                "ref_pool_sec": REF_POOL_SEC,
+                # recall@5 vs the exact knn_bruteforce frame at this SF —
+                # the speed column's accuracy twin (r12 verdict #7)
+                "recall_at_5": recall_at_5,
                 "ref_calibration_min": REF_CALIBRATION_MIN,
                 "ref_calibration_median": REF_CALIBRATION_MEDIAN,
                 # BASELINE.md streaming envelope: docs/sec sustained
