@@ -355,6 +355,11 @@ POOL: tuple[str, ...] = (
     "bucketed_customer_orders",
     "bucketed_order_lineitem",
     "calibrated_quality_scores",
+    # round-13: rows-only → full-oracle upgrades (exact scaled-integer
+    # minimax key for isotonic; unrolled fixed-iteration PageRank)
+    "isotonic_revenue",
+    "isotonic_revenue_live",
+    "dup_pagerank",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -3626,16 +3626,60 @@ def pava_fit(ys: list[int]) -> list[tuple[int, int]]:
     return pava_fit_pools([(y, 1) for y in ys])
 
 
+# Full cross-engine oracle for the isotonic fit (r13 — upgrading the
+# rows-only entry): the minimax characterization
+#   fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k])
+# needs an exact ORDER over rational segment means, which SQL min/max
+# can't cross-multiply pairwise — but it doesn't have to: with n =
+# |days| positions, two DISTINCT means s1/n1 ≠ s2/n2 (n's ≤ n) differ by
+# at least 1/(n1·n2) ≥ 1/n², so the scaled-integer key
+#   meankey = (segment_sum · 10¹⁵) // segment_len      (HUGEINT floor)
+# is an EXACT total order: equal rationals floor to the same key (the
+# floor of q·10¹⁵ depends only on q), and distinct ones differ by
+# ≥ 10¹⁵/n² ≫ 1 for any n up to ~30M days. min/max over the keys is
+# then exact, and the engine's emitted floor survives un-flooring:
+#   fit_microcents = floor(q·10⁶) = floor(floor(q·10¹⁵) / 10⁹) = key//10⁹
+# (the floor-of-floor identity for integer 10⁹). Cost: the O(n²)
+# segment frame (~3M rows at the 2,400-day TPC-H calendar) with one
+# suffix-min window per start position — B(j,i) = min_{k≥i} mean(j..k)
+# — and one GROUP BY for the outer max; HUGEINT headroom holds to
+# ~10²³ total cents. The PAVA↔minimax equivalence itself stays pinned
+# by the two-implementation Fraction test (tests/test_isotonic.py).
+_ISOTONIC_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ord AS (
+      SELECT d, y,
+             row_number() OVER (ORDER BY d) AS i,
+             sum(CAST(y AS HUGEINT)) OVER (ORDER BY d) AS s
+      FROM daily
+    ), seg AS (
+      SELECT j.i AS j, k.i AS k,
+             ((k.s - j.s + j.y) * CAST(1000000000000000 AS HUGEINT))
+               // (k.i - j.i + 1) AS meankey
+      FROM ord j JOIN ord k ON k.i >= j.i
+    ), sfx AS (
+      SELECT j, k,
+             min(meankey) OVER (
+               PARTITION BY j ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS bmin
+      FROM seg
+    ), fit AS (
+      SELECT k AS i, max(bmin) AS fitkey FROM sfx GROUP BY k
+    )
+    SELECT CAST(o.d AS VARCHAR) AS d, o.y AS y_cents,
+           CAST(f.fitkey // 1000000000 AS BIGINT) AS fit_microcents
+    FROM ord o JOIN fit f ON f.i = o.i
+"""
+
+
 @register(
     "isotonic_revenue",
-    # Pool means are rationals; an exact cross-engine ORDER over them
-    # needs per-pair cross-multiplication, which SQL min/max can't
-    # express — the same class of constraint as the iterative graph
-    # entries, so this is rows-only with a TWO-IMPLEMENTATION pytest pin:
-    # PAVA (above) must equal the independent minimax formula
-    # fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k]) computed with exact
-    # Fractions (tests/test_isotonic.py).
-    oracle=None,
+    oracle=_ISOTONIC_ORACLE,
     tags=("scale", "stats", "calibration"),
     gated=False,
 )

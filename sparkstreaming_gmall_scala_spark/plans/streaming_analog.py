@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.dates import dt_of, hr_of
 from ..sources import load_table
 from .catalog import register
+from .scale import _ISOTONIC_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1184,12 +1185,12 @@ def dow_seasonal_factors_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "isotonic_revenue_live",
-    # rows-only for the same reason as isotonic_revenue: exact rational
-    # pool-mean ordering has no SQL form. The live pin is pytest
-    # equality with the batch query (tests/test_isotonic.py) — batch ≡
-    # live by construction: both run plans/scale.py:isotonic_eval, the
-    # mart fold is exact integer addition.
-    oracle=None,
+    # Full oracle (r13): identical SQL to isotonic_revenue — the exact
+    # scaled-integer minimax key (see plans/scale.py:_ISOTONIC_ORACLE)
+    # made the rational pool-mean ordering SQL-expressible after all;
+    # batch ≡ live additionally stays pinned in pytest
+    # (tests/test_isotonic.py), the mart fold is exact integer addition.
+    oracle=_ISOTONIC_ORACLE,
     tags=("streaming", "stats", "calibration"),
     gated=False,
 )

@@ -53,18 +53,11 @@ def test_oracle_coverage(registry):
         # k-means cells again (SemDeDup); soundness/within-cell
         # completeness pinned against the exact pair set in pytest
         "semantic_dedup",
-        # iterative PageRank: DuckDB recursive CTEs forbid aggregates in
-        # the recursive term; exact integer-arithmetic pin in pytest
-        "dup_pagerank",
-        # iterative k-core peeling (same recursive-CTE constraint);
-        # exact local-peeling-reference pin in tests/test_graph.py
+        # iterative k-core peeling with a DATA-DEPENDENT round count —
+        # the one genuinely un-unrollable recursive-CTE constraint
+        # (dup_pagerank's fixed 6 iterations unrolled at r13; peeling
+        # can't); exact local-peeling-reference pin in tests/test_graph.py
         "dup_cores",
-        # isotonic PAVA: exact rational pool-mean ORDERING has no SQL
-        # form (min/max can't cross-multiply); two-implementation pin
-        # (PAVA vs Fraction minimax) in tests/test_isotonic.py
-        "isotonic_revenue",
-        # live twin off the SPC mart; pytest equality with the batch
-        "isotonic_revenue_live",
     }, no_oracle
 
 
@@ -105,14 +98,8 @@ STATIC_UNGATED = {
     # rows-only IVF-SQ8 (trained coarse cells); recall floors + pruning
     # plan guard in tests/test_sq.py
     "knn_ivf_sq8",
-    # rows-only iterative PageRank; exact local-reference pin in pytest
-    "dup_pagerank",
     # rows-only iterative k-core peeling; exact local-reference pin
     "dup_cores",
-    # rows-only isotonic PAVA; two-implementation pin in pytest
-    "isotonic_revenue",
-    # live isotonic off the SPC mart; batch-equality pin in pytest
-    "isotonic_revenue_live",
 }
 
 
@@ -422,6 +409,11 @@ def test_gate_budget(registry):
         "bucketed_order_lineitem",
         # round-13: isotonic calibration applied (quality -> P(keep))
         "calibrated_quality_scores",
+        # round-13: rows-only → full-oracle upgrades (exact scaled-integer
+        # minimax key for isotonic; unrolled fixed-iteration PageRank)
+        "isotonic_revenue",
+        "isotonic_revenue_live",
+        "dup_pagerank",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
