@@ -381,10 +381,15 @@ HEADLINE = (
     "bucketed_order_lineitem",
     # isotonic calibration applied: quality score -> calibrated P(keep)
     "calibrated_quality_scores",
-    # isotonic PAVA smoother (rows-only; calendar-bounded driver fold)
+    # isotonic PAVA smoother (full oracle since r13; calendar-bounded fold)
     "isotonic_revenue",
     # live isotonic off the shared SPC daily mart (ingest already warmed)
     "isotonic_revenue_live",
+    # r13: dt-partitioned layout — static prune (one-day hourly profile)
+    # and dynamic partition pruning (runtime top-5-days dim join); the
+    # one-time partitioned write lands under build_sec
+    "events_day_prune",
+    "events_dpp_join",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan
@@ -537,6 +542,10 @@ def main() -> int:
     for prefix in (
         "lshbuckets", "ivfcells", "sq8", "pqcodes", "ivfpq", "ivfsq8",
         "basketidx", "spcidx",
+        # r13: the layout families join the same honesty rule — without
+        # clearing, every run after the first would record a cache-hit
+        # re-register under the "build" label
+        "bktidx", "bktolidx", "dtpart",
     ):
         for d in _glob.glob(
             os.path.join(
@@ -570,6 +579,8 @@ def main() -> int:
         "bucketed_customer_orders",
         # r13: the one-time order-key co-bucketed write (orders+lineitem)
         "bucketed_order_lineitem",
+        # r13: the one-time dt-partitioned events write (pruning family)
+        "events_day_prune",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

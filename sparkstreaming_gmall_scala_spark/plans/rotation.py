@@ -360,6 +360,9 @@ POOL: tuple[str, ...] = (
     "isotonic_revenue",
     "isotonic_revenue_live",
     "dup_pagerank",
+    # round-13: dt-partitioned layout — static + dynamic partition pruning
+    "events_day_prune",
+    "events_dpp_join",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

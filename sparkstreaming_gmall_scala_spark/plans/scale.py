@@ -9,7 +9,7 @@ the skew-safe plans are semantics-preserving rewrites.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hints import scaled_dim
@@ -468,6 +468,115 @@ def bucketed_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "n_lines",
         "revenue",
+    )
+
+
+@register(
+    "events_day_prune",
+    oracle="""
+    SELECT event_type,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY 1, 2
+    """,
+    tags=("scale", "layout", "prune"),
+    gated=False,
+)
+def events_day_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC partition pruning — the time-slice read every operational
+    dashboard runs: one day's per-type hourly profile off the
+    dt-partitioned events copy (sources/partitioned.py). The literal dt
+    predicate lands in the scan's PartitionFilters, so every other day's
+    directory is dropped at PLANNING time — zero bytes read outside the
+    slice (plan-guarded in tests/test_partitioned.py: exactly one
+    partition directory survives). At 100 TB (~3 years of ~90 GB days)
+    this query reads 0.1% of the table no matter how big the table
+    gets; the unpartitioned layout reads all of it to throw 99.9% away
+    at the filter. Completes the storage-layout trio: bucketing kills
+    the join shuffle, z-order packs multi-dimensional locality, dt
+    partitioning kills the time-slice scan."""
+    from ..sources.partitioned import read_partitioned_events
+
+    ev = read_partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("dt") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type", F.hour("ts").cast("long").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "events_dpp_join",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS purchase_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), top5 AS (
+      SELECT d, purchase_cents FROM (
+        SELECT d, purchase_cents,
+               row_number() OVER (ORDER BY purchase_cents DESC, d) AS rn
+        FROM daily
+      ) WHERE rn <= 5
+    )
+    SELECT CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN top5 t ON CAST(e.ts AS DATE) = t.d
+    GROUP BY 1, 2
+    """,
+    tags=("scale", "layout", "prune", "dpp"),
+    gated=False,
+)
+def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the star-schema scan killer: full
+    per-type activity on the 5 busiest purchase days, where "busiest"
+    is only known at RUNTIME. The dim side (top-5 days by purchase
+    cents, deterministic tie-break on day) executes first; Spark reuses
+    its broadcast as a runtime partition filter on the dt-partitioned
+    fact scan (``dynamicpruning`` subquery in PartitionFilters,
+    plan-guarded in tests/test_partitioned.py), so the fact read touches
+    5 of |days| directories even though no literal date appears anywhere
+    in the query. At 100 TB this is the difference between scanning the
+    full fact table under a dim-filtered join (the plain star-join plan)
+    and reading only the qualifying partitions — DPP is free once the
+    layout pays the dt partitioning, and composes with the broadcast
+    join AQE already picks for the 5-row dim."""
+    from ..sources.partitioned import read_partitioned_events
+
+    ev = read_partitioned_events(spark, sf_dir)
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("dt").alias("d"))
+        .agg(F.sum(cents("value")).alias("purchase_cents"))
+    )
+    w = Window.orderBy(F.col("purchase_cents").desc(), F.col("d"))
+    top5 = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("d")
+    )
+    return (
+        ev.join(top5, ev["dt"] == top5["d"])
+        .groupBy(
+            F.col("dt").cast("string").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
     )
 
 

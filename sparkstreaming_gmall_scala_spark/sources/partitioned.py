@@ -1,0 +1,80 @@
+"""Date-partitioned storage: the partition-pruning path for 100 TB facts.
+
+Completes the storage-layout trio next to bucketing (sources/bucketed.py
+— pays the JOIN shuffle at ingest) and Z-order keys (zorder_keys — packs
+multi-dimensional locality into one sort key): Hive-style ``dt=...``
+partitioning pays the TIME-slice cost at ingest, after which
+
+* a literal date predicate prunes at PLANNING time — the scan's
+  ``PartitionFilters`` drop every non-matching directory before a single
+  byte is read (``events_day_prune``), and
+* a JOIN against a filtered dimension prunes at RUNTIME via dynamic
+  partition pruning — Spark executes the dim side first and reuses its
+  broadcast as a partition filter on the fact scan
+  (``events_dpp_join``), the star-schema scan killer.
+
+At 100 TB an events table is ~3 years × ~90 GB/day; a one-day query
+reads 0.1% of the files and a five-day DPP join 0.5%, independent of
+cluster size. The reference has no analog — its events live in Kafka
+topics and every consumer replays the full retention window.
+
+The one-time partitioned write follows the knn persisted-index
+discipline: cached under /tmp keyed by params + data fingerprint, with a
+_WRITTEN marker so a partial (crashed) write rebuilds instead of
+serving. No catalog table is needed — ``spark.read.parquet`` discovers
+``dt=...`` directories and exposes ``dt`` as a DATE partition column,
+which is exactly what both pruning forms key on.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure a dt-partitioned copy of the events table exists under
+    /tmp for this corpus and return its root path. ``dt`` is the event
+    date (UTC); everything else is carried as-is."""
+    from ..plans.llm import _data_fingerprint, _params_key
+    from . import load_table
+
+    key = _params_key("dtpart", _data_fingerprint(sf_dir, "events"))
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dtpart_{os.path.basename(sf_dir.rstrip('/'))}_{key}",
+    )
+    marker = os.path.join(work, "_WRITTEN")
+    if not os.path.exists(marker):
+        # a partial write (crash mid-job) must rebuild, never serve
+        shutil.rmtree(work, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("dt", F.to_date("ts"))
+            .repartition("dt")  # one shuffle at ingest -> one file per
+            # day instead of |input partitions| × |days| small files
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(work)
+        )
+        with open(marker, "w") as fh:
+            fh.write("1")
+    return work
+
+
+def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the dt-partitioned events copy (building it on first use).
+    Filters on ``dt`` prune directories at planning time; joins on ``dt``
+    against filtered dims prune at runtime (DPP)."""
+    # The files were written by the engine as TIMESTAMP; keep the
+    # read-back type session-stable even when the cache-hit path skips
+    # load_table (which sets this for the raw events read).
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
+    return spark.read.parquet(partitioned_events_path(spark, sf_dir))

@@ -414,6 +414,9 @@ def test_gate_budget(registry):
         "isotonic_revenue",
         "isotonic_revenue_live",
         "dup_pagerank",
+        # round-13: dt-partitioned layout — static + dynamic pruning
+        "events_day_prune",
+        "events_dpp_join",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

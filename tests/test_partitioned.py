@@ -1,0 +1,115 @@
+"""Date-partitioned layout: the partition-pruning path for 100 TB facts.
+
+Asserts the two physical properties the layout exists for (the
+storage-layout discipline of tests/test_bucketed.py, applied to time):
+
+* a literal dt predicate lands in the scan's PartitionFilters — pruning
+  happens at PLANNING time, not as a post-scan filter;
+* a join against a runtime-computed dim puts a dynamicpruningexpression
+  in the fact scan's PartitionFilters — DPP fires with no literal date
+  anywhere in the query;
+
+and the semantic property that makes the layout safe to adopt: both
+queries return exactly what the same logical query computes over the
+raw (unpartitioned) events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+from sparkstreaming_gmall_scala_spark.sources import load_table
+from sparkstreaming_gmall_scala_spark.sources.partitioned import (
+    read_partitioned_events,
+)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_read_exposes_dt_and_matches_raw(spark, sf_dir):
+    ev = read_partitioned_events(spark, sf_dir)
+    assert dict(ev.dtypes)["dt"] == "date"
+    raw = load_table(spark, sf_dir, "events")
+    assert ev.count() == raw.count()
+    # spot-check one day's membership survives the rewrite exactly
+    day = "2024-01-15"
+    got = {
+        r["event_id"]
+        for r in ev.filter(F.col("dt") == F.lit(day).cast("date"))
+        .select("event_id")
+        .collect()
+    }
+    expect = {
+        r["event_id"]
+        for r in raw.filter(F.to_date("ts") == F.lit(day).cast("date"))
+        .select("event_id")
+        .collect()
+    }
+    assert got == expect and got
+
+
+def test_static_prune_plan_and_result(spark, sf_dir):
+    q = load_all()["events_day_prune"].builder(spark, sf_dir)
+    plan = _executed_plan(q)
+    # the date predicate must be a PARTITION filter (planning-time prune),
+    # not a data filter evaluated after reading every directory
+    import re
+
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf, plan[:2000]
+    assert "= 2024-01-15" in pf.group(0), pf.group(0)
+
+    raw = load_table(spark, sf_dir, "events")
+    expect = (
+        raw.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type", F.hour("ts").cast("long").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("value_cents"),
+        )
+    )
+    assert {tuple(r) for r in q.collect()} == {
+        tuple(r) for r in expect.collect()
+    }
+
+
+def test_dpp_fires_and_result_is_layout_independent(spark, sf_dir):
+    q = load_all()["events_dpp_join"].builder(spark, sf_dir)
+    plan = _executed_plan(q)
+    assert "dynamicpruningexpression" in plan, plan[:3000]
+
+    # the same logical query over the RAW table (no partition column
+    # anywhere) must agree row-for-row — the layout changes only the plan
+    raw = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
+    daily = (
+        raw.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("dt").alias("d"))
+        .agg(F.sum(cents("value")).alias("purchase_cents"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("purchase_cents").desc(), F.col("d"))
+    top5 = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("d")
+    )
+    expect = (
+        raw.join(top5, raw["dt"] == top5["d"])
+        .groupBy(F.col("dt").cast("string").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+    assert {tuple(r) for r in q.collect()} == {
+        tuple(r) for r in expect.collect()
+    }
