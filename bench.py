@@ -390,6 +390,9 @@ HEADLINE = (
     # one-time partitioned write lands under build_sec
     "events_day_prune",
     "events_dpp_join",
+    # r13: partition-grained idempotent ingest (3 batches + a replayed
+    # batch under build_sec); headline = the read-side rollup
+    "events_ingest_rollup",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan
@@ -545,7 +548,7 @@ def main() -> int:
         # r13: the layout families join the same honesty rule — without
         # clearing, every run after the first would record a cache-hit
         # re-register under the "build" label
-        "bktidx", "bktolidx", "dtpart",
+        "bktidx", "bktolidx", "dtpart", "dtingest",
     ):
         for d in _glob.glob(
             os.path.join(
@@ -581,6 +584,8 @@ def main() -> int:
         "bucketed_order_lineitem",
         # r13: the one-time dt-partitioned events write (pruning family)
         "events_day_prune",
+        # r13: the 3-batch + replay idempotent partition ingest
+        "events_ingest_rollup",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

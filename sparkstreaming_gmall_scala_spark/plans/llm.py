@@ -1490,9 +1490,9 @@ _SQ8_NORM_DEC = """
 """
 
 
-@register(
-    "knn_sq8",
-    oracle=f"""
+# shared by knn_sq8 and knn_sq8_persisted — identical semantics, the
+# persisted entry only changes WHERE the codes live
+_SQ8_TOPK_ORACLE = f"""
     WITH ex AS (
       SELECT u.i AS pos, CAST(u.x AS DOUBLE) AS x
       FROM embeddings,
@@ -1544,7 +1544,12 @@ _SQ8_NORM_DEC = """
         JOIN embeddings c ON c.vec_id = s.neighbor_id
       )
     ) WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "knn_sq8",
+    oracle=_SQ8_TOPK_ORACLE,
     tags=("llm", "similarity", "sq8"),
     # Full-oracle POOL entry: rotates into the driver gate (the first
     # compressed-ANN entry with a hash-checked oracle — SQ8's bounds are
@@ -1575,11 +1580,12 @@ def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_sq8_persisted",
-    oracle=None,  # identical result to knn_sq8 (pytest pins persisted ≡
-    # in-memory exactly), but the driver's oracle runner would re-derive
-    # bounds + codes per run anyway — the gated signal lives on knn_sq8;
-    # this entry's value is the steady-state probe number and the
-    # persisted-artifact contract.
+    # r13 (was rows-only): knn_sq8's oracle verbatim — persisted ≡
+    # in-memory was always pytest-pinned, but a hash-checked driver row
+    # additionally exercises the PERSISTED artifact path cross-process
+    # (stale-cache or sidecar-decode drift would hash-mismatch here even
+    # with the in-memory twin green).
+    oracle=_SQ8_TOPK_ORACLE,
     tags=("llm", "similarity", "sq8", "persisted"),
     gated=False,
 )

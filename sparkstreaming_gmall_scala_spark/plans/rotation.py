@@ -363,6 +363,12 @@ POOL: tuple[str, ...] = (
     # round-13: dt-partitioned layout — static + dynamic partition pruning
     "events_day_prune",
     "events_dpp_join",
+    # round-13: partition-grained idempotent ingest (replay inside the
+    # builder, so the hash-match IS the exactly-once proof)
+    "events_ingest_rollup",
+    # round-13: persisted SQ8 probe now shares knn_sq8's oracle — the
+    # driver row hash-checks the persisted-artifact path cross-process
+    "knn_sq8_persisted",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -1,0 +1,99 @@
+"""Partition-grained idempotent ingest: the lake answer to the
+reference's exactly-once machinery.
+
+The reference gets exactly-once by committing results and Kafka offsets
+in one transaction against external stores (reference:
+util/OffsetManagerUtil.scala:21-64 saves offsets to Redis after each
+batch; ads/TrademarkStatApp.scala:114-151 writes results + offsets in
+one MySQL transaction). The lake-first equivalent needs no external
+store: an event stream arrives TIME-ORDERED, so each micro-batch owns
+whole ``dt=...`` partitions, and writing with dynamic partition
+overwrite makes redelivery idempotent by construction — a replayed
+batch overwrites exactly its own partitions with identical content,
+and partitions owned by other batches are untouched. Crash recovery is
+the same move: re-run the last batch, no read-modify-write, no
+dedup-by-key pass, no transaction log.
+
+``ingest_events_partitioned`` simulates the 3-batch time-ordered feed
+and then REPLAYS the middle batch (duplicate delivery), so every
+consumer of the resulting table is checking idempotence, not just
+ingestion: the gated query ``events_ingest_rollup`` folds the table and
+its DuckDB oracle is the rollup of the RAW events table — they can only
+hash-match if the replay changed nothing.
+
+At 100 TB the per-batch cost is one write of the arriving day(s); the
+table never rewrites history. Late data inside a still-open partition
+is the one case that re-delivers a partition — exactly what the
+overwrite handles.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# time-ordered batch boundaries over the events month (2024-01-01..30):
+# each batch owns complete days, like a nightly ingest owns its dates
+_BATCH_BOUNDS = (("2024-01-01", "2024-01-10"), ("2024-01-11", "2024-01-20"),
+                 ("2024-01-21", "2024-01-31"))
+
+
+def _write_batch(df: DataFrame, path: str) -> None:
+    """One micro-batch write: dynamic partition overwrite, so only the
+    partitions THIS batch carries are replaced — the idempotence lever."""
+    (
+        df.repartition("dt")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
+def ingest_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Run the 3-batch time-ordered ingest of the events table into a
+    dt-partitioned /tmp table, then replay batch 2 (duplicate delivery).
+    Returns the table path. Cached by corpus fingerprint + marker (the
+    knn persisted-index discipline); a partial write rebuilds."""
+    from ..plans.llm import _data_fingerprint, _params_key
+    from ..sources import load_table
+
+    key = _params_key("dtingest", _data_fingerprint(sf_dir, "events"))
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dtingest_{os.path.basename(sf_dir.rstrip('/'))}_{key}",
+    )
+    marker = os.path.join(work, "_WRITTEN")
+    if not os.path.exists(marker):
+        shutil.rmtree(work, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "dt", F.to_date("ts")
+        )
+        batches = [
+            ev.filter(
+                (F.col("dt") >= F.lit(lo).cast("date"))
+                & (F.col("dt") <= F.lit(hi).cast("date"))
+            )
+            for lo, hi in _BATCH_BOUNDS
+        ]
+        for b in batches:
+            _write_batch(b, work)
+        # duplicate delivery of the middle batch: the overwrite must
+        # leave the table byte-identical in content
+        _write_batch(batches[1], work)
+        with open(marker, "w") as fh:
+            fh.write("1")
+    return work
+
+
+def read_ingested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the ingested (and replay-exercised) partitioned table."""
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
+    return spark.read.parquet(ingest_events_partitioned(spark, sf_dir))

@@ -27,9 +27,6 @@ def test_oracle_coverage(registry):
         # k-means seeds order by Spark's Murmur3 hash — not reproducible
         # in DuckDB SQL, so the IVF family stays rows-only + recall tests
         "knn_ivf",
-        # persisted twin of the full-oracle knn_sq8 — pytest pins exact
-        # equality; re-deriving the oracle per run adds no signal
-        "knn_sq8_persisted",
         "knn_ivf_persisted",
         # float64-matmul summation order differs from the fold in the
         # last ulp — pair-set equality is tested instead
@@ -93,8 +90,6 @@ STATIC_UNGATED = {
     "knn_ivf_pq_persisted",
     # rows-only; SemDeDup soundness/completeness pytest vs exact pairs
     "semantic_dedup",
-    # persisted twin of knn_sq8 (full-oracle, pool); exact-equality pytest
-    "knn_sq8_persisted",
     # rows-only IVF-SQ8 (trained coarse cells); recall floors + pruning
     # plan guard in tests/test_sq.py
     "knn_ivf_sq8",
@@ -417,6 +412,11 @@ def test_gate_budget(registry):
         # round-13: dt-partitioned layout — static + dynamic pruning
         "events_day_prune",
         "events_dpp_join",
+        # round-13: partition-grained idempotent ingest (replay inside
+        # the builder — the hash-match is the exactly-once proof)
+        "events_ingest_rollup",
+        # round-13: persisted SQ8 probe (now sharing knn_sq8's oracle)
+        "knn_sq8_persisted",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
