@@ -200,3 +200,83 @@ def core_decomposition(
             break
         k += 1
     return cores
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rounds: int = 3,
+) -> DataFrame:
+    """(node, community, community_size) by synchronous label propagation
+    over an undirected pair graph — the fifth graph signal next to
+    connected components (membership), triangles (local cohesion),
+    PageRank (centrality) and coreness (density shells): LPA splits a
+    component along its internal density structure, so two dup clusters
+    bridged by one accidental near-match get DIFFERENT communities where
+    CC fuses them.
+
+    Semantics (fixed, so a SQL oracle can unroll them): every node
+    starts labeled with its own id; each round, a node adopts the label
+    with the highest count among its NEIGHBORS' current labels, ties
+    broken by the smallest label; ``rounds`` is a fixed parameter (the
+    synchronous variant — deterministic under any partitioning, unlike
+    the asynchronous coin-flip LPA in the original paper).
+
+    Scale shape: NO driver loop state — exactly ``rounds`` repetitions
+    of (edge⋈label hash join, groupBy(node, label) count, one
+    row_number window PARTITIONED BY node over ≤deg(node) rows). Label
+    frames are |V| rows; each round is persisted and the previous
+    round's cache released (the pagerank discipline), so lineage stays
+    O(1) deep per round."""
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    e.count()
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).persist()
+    labels.count()
+
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        counted = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(sym["u"].alias("n2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("n2").orderBy(
+            F.col("c").desc(), F.col("lbl")
+        )
+        nxt = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n2").alias("node"), "lbl")
+            .persist()
+        )
+        nxt.count()
+        labels.unpersist()
+        labels = nxt
+
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    out = labels.join(sizes, "lbl").select(
+        "node",
+        F.col("lbl").alias("community"),
+        F.col("community_size").cast("long"),
+    ).persist()
+    out.count()
+    labels.unpersist()
+    e.unpersist()
+    return out

@@ -2045,6 +2045,81 @@ def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=6)
 
 
+def _lp_oracle(rounds: int = 3) -> str:
+    """Full oracle for dup_communities: synchronous label propagation
+    with a FIXED round count unrolls into ``rounds`` plain CTEs (the
+    dup_pagerank move). Each round is pure integer counting plus a
+    deterministic (count DESC, label ASC) argmax — exactly the engine's
+    row_number window — so the label frames match value-for-value. The
+    edge derivation is embed_near_dup's hash-gated oracle verbatim."""
+    base = f"""
+    WITH scored AS (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+             floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5) / 1000000 AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM scored WHERE score >= 0.4
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM edges
+    )"""
+    steps = []
+    for it in range(1, rounds + 1):
+        prev = f"l{it - 1}"
+        steps.append(f""", l{it} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM (
+          SELECT e.src AS node, l.lbl, count(*) AS c
+          FROM edges e JOIN {prev} l ON l.node = e.dst
+          GROUP BY e.src, l.lbl
+        )
+      ) WHERE rn = 1
+    )""")
+    return (
+        base
+        + "".join(steps)
+        + f""", sizes AS (
+      SELECT lbl, count(*) AS sz FROM l{rounds} GROUP BY lbl
+    )
+    SELECT f.node, f.lbl AS community, CAST(s.sz AS BIGINT) AS community_size
+    FROM l{rounds} f JOIN sizes s ON s.lbl = f.lbl
+    """
+    )
+
+
+@register(
+    "dup_communities",
+    oracle=_lp_oracle(),
+    tags=("llm", "dedup", "graph"),
+    gated=False,
+)
+def dup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the near-dup pair
+    graph (3 fixed rounds, ties to the smallest label) — the density
+    split CC can't make: two dup clusters bridged by one accidental
+    near-match are ONE connected component but different LPA
+    communities, which is the granularity a keep-policy actually wants
+    (canonicalize per community, not per component). Fully distributed:
+    no driver loop state, each round one edge⋈label join + a count + a
+    per-node window (operators/graph.py:label_propagation); the fixed
+    round count is what makes the exact SQL oracle possible
+    (unrolled CTEs, the dup_pagerank move)."""
+    from ..operators.graph import label_propagation
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, dim=64
+    ).select("id_a", "id_b")
+    return label_propagation(pairs, rounds=3)
+
+
 @register(
     "embed_near_dup",
     oracle=f"""

@@ -369,6 +369,8 @@ POOL: tuple[str, ...] = (
     # round-13: persisted SQ8 probe now shares knn_sq8's oracle — the
     # driver row hash-checks the persisted-artifact path cross-process
     "knn_sq8_persisted",
+    # round-13: label-propagation communities (3 unrolled rounds)
+    "dup_communities",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

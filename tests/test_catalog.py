@@ -417,6 +417,8 @@ def test_gate_budget(registry):
         "events_ingest_rollup",
         # round-13: persisted SQ8 probe (now sharing knn_sq8's oracle)
         "knn_sq8_persisted",
+        # round-13: label-propagation communities (3 unrolled rounds)
+        "dup_communities",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

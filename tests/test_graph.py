@@ -138,3 +138,83 @@ def test_core_decomposition_large_clique_needs_no_cap_tuning(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["node"]: r["coreness"] for r in core_decomposition(df).collect()}
     assert got == {v: n - 1 for v in range(n)}
+
+
+# ---------------------------------------------------------------------------
+# label propagation (r13): the density split CC can't make
+# ---------------------------------------------------------------------------
+def _local_lpa(edges, rounds=3):
+    """Pure-Python reference of the synchronous min-tie-break LPA."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lbl = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v in adj:
+            cnt = Counter(lbl[u] for u in adj[v])
+            best = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == best)
+        lbl = nxt
+    return lbl
+
+
+def test_lpa_splits_bridged_cliques_where_cc_fuses_them(spark):
+    from sparkstreaming_gmall_scala_spark.operators.dedup import (
+        connected_components,
+    )
+    from sparkstreaming_gmall_scala_spark.operators.graph import (
+        label_propagation,
+    )
+
+    tri = lambda base: [  # noqa: E731
+        (base, base + 1), (base, base + 2), (base + 1, base + 2)
+    ]
+    edges = tri(0) + tri(10) + [(2, 10)]  # one accidental bridge
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    cc = connected_components(df.selectExpr("id_a", "id_b"))
+    assert cc.select("label").distinct().count() == 1  # CC fuses
+
+    out = label_propagation(df).collect()
+    got = {r["node"]: r["community"] for r in out}
+    assert got == _local_lpa(edges)
+    assert len(set(got.values())) >= 2  # LPA splits
+    # the two cliques land in different communities
+    assert got[0] == got[1] and got[10] == got[11]
+    assert got[0] != got[11]
+    # community_size is consistent with membership
+    sizes = {r["node"]: r["community_size"] for r in out}
+    from collections import Counter
+
+    true_sizes = Counter(got.values())
+    assert all(sizes[v] == true_sizes[got[v]] for v in got)
+
+
+def test_lpa_matches_local_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(13)
+    nodes = list(range(40))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    from sparkstreaming_gmall_scala_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["community"] for r in label_propagation(df).collect()
+    }
+    assert got == _local_lpa(edges)
