@@ -78,3 +78,69 @@ def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     return spark.read.parquet(partitioned_events_path(spark, sf_dir))
+
+
+def partition_file_counts(path: str) -> dict[str, int]:
+    """{partition dir name: parquet file count} for a dt-partitioned
+    table — pure filesystem metadata, the signal a compaction scheduler
+    keys on (at lake scale: the manifest/snapshot file listing)."""
+    import glob as _glob
+
+    out = {}
+    for d in sorted(_glob.glob(os.path.join(path, "dt=*"))):
+        out[os.path.basename(d)] = len(
+            _glob.glob(os.path.join(d, "*.parquet"))
+        )
+    return out
+
+
+def compact_partitions(
+    spark: SparkSession, path: str, max_files: int = 1
+) -> list[str]:
+    """Small-file compaction for a dt-partitioned table: rewrite every
+    partition holding more than ``max_files`` parquet files into one
+    file, leaving healthy partitions byte-untouched. Returns the list of
+    compacted partition dir names.
+
+    The operational problem this kills at 100 TB: a streaming ingest
+    with many executors writes |tasks| files per partition per batch;
+    after a day a hot partition holds thousands of KB-sized files and
+    every scan pays file-open + footer-read per file (NameNode/S3
+    LIST pressure included). Compaction is the standard nightly job
+    (Delta OPTIMIZE / Iceberg rewrite_data_files); here it is a plain
+    Spark job over the open layout:
+
+    * only FRAGMENTED partitions are read (a dt IN (...) partition
+      filter — planning-time pruned, never a full-table scan),
+    * ``repartition(1, "dt")``-equivalent coalescing writes one file
+      per partition,
+    * the write is dynamic partition overwrite, so it replaces exactly
+      the partitions it read — the same idempotence lever as the
+      ingest path (streaming/partition_ingest.py): a crashed compaction
+      re-runs with no cleanup, and concurrent readers of other
+      partitions never see a partial table.
+    """
+    fragmented = [
+        d for d, n in partition_file_counts(path).items() if n > max_files
+    ]
+    if not fragmented:
+        return []
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, d) for d in fragmented]
+    )
+    (
+        # hash-partition by dt into |fragmented| tasks: a collision only
+        # means one task carries two days — partitionBy still emits one
+        # file per day, because each dt hashes to exactly one task
+        df.repartition(len(fragmented), "dt")
+        .sortWithinPartitions("dt")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt")
+        .parquet(path)
+    )
+    return fragmented

@@ -113,3 +113,58 @@ def test_dpp_fires_and_result_is_layout_independent(spark, sf_dir):
     assert {tuple(r) for r in q.collect()} == {
         tuple(r) for r in expect.collect()
     }
+
+
+def test_compaction_collapses_fragmented_partitions_only(
+    spark, sf_dir, tmp_path
+):
+    """Small-file compaction: fragmented partitions collapse to one file
+    with identical content; healthy partitions are byte-untouched."""
+    import glob
+    import os
+
+    from sparkstreaming_gmall_scala_spark.sources.partitioned import (
+        compact_partitions,
+        partition_file_counts,
+    )
+
+    path = str(tmp_path / "frag")
+    raw = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    # fragment HALF the month: many tasks per day -> many files per day;
+    # write the other half one-file-per-day (healthy)
+    first = raw.filter(F.dayofmonth("dt") <= 15).repartition(8)
+    rest = raw.filter(F.dayofmonth("dt") > 15).repartition("dt")
+    first.write.partitionBy("dt").parquet(path)
+    rest.write.mode("append").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("dt").parquet(path)
+
+    before = partition_file_counts(path)
+    frag_dirs = {d for d, n in before.items() if n > 1}
+    assert frag_dirs, before  # the setup really fragmented something
+    healthy = sorted(set(before) - frag_dirs)
+    assert healthy, before
+    snap = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for d in healthy
+        for p in glob.glob(os.path.join(path, d, "*.parquet"))
+    }
+    rows_before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    compacted = compact_partitions(spark, path, max_files=1)
+    assert sorted(compacted) == sorted(frag_dirs)
+
+    after = partition_file_counts(path)
+    assert all(n == 1 for n in after.values()), after
+    # healthy partitions were never rewritten
+    assert snap == {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for d in healthy
+        for p in glob.glob(os.path.join(path, d, "*.parquet"))
+    }
+    # content identical
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows_before
+    # second run is a no-op
+    assert compact_partitions(spark, path, max_files=1) == []
