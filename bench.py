@@ -381,6 +381,9 @@ HEADLINE = (
     "bucketed_order_lineitem",
     # isotonic calibration applied: quality score -> calibrated P(keep)
     "calibrated_quality_scores",
+    # r13: the live calibration curve off the streaming per-doc mart
+    # (3-batch ingest under build_sec; headline = the read-side fold)
+    "calibrated_quality_scores_live",
     # isotonic PAVA smoother (full oracle since r13; calendar-bounded fold)
     "isotonic_revenue",
     # live isotonic off the shared SPC daily mart (ingest already warmed)
@@ -553,7 +556,7 @@ def main() -> int:
         # r13: the layout families join the same honesty rule — without
         # clearing, every run after the first would record a cache-hit
         # re-register under the "build" label
-        "bktidx", "bktolidx", "dtpart", "dtingest",
+        "bktidx", "bktolidx", "dtpart", "dtingest", "calibidx",
     ):
         for d in _glob.glob(
             os.path.join(
@@ -591,6 +594,8 @@ def main() -> int:
         "events_day_prune",
         # r13: the 3-batch + replay idempotent partition ingest
         "events_ingest_rollup",
+        # r13: the 3-batch calibration-mart ingest
+        "calibrated_quality_scores_live",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

@@ -5204,9 +5204,10 @@ def dup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Isotonic calibration applied: quality score -> P(survives exact dedup)
 # ---------------------------------------------------------------------------
-@register(
-    "calibrated_quality_scores",
-    oracle=f"""
+# shared by calibrated_quality_scores and its live twin — the live mart
+# ingests the full corpus, so the fitted curve and per-doc emissions are
+# identical by definition
+_CALIB_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, text,
              len({_TOKENS}) AS n_tokens,
@@ -5276,7 +5277,12 @@ def dup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT per.doc_id, per.q6 AS quality_ppm, per.bin, per.keep,
            fit.cal_keep_ppm
     FROM per JOIN fit ON per.bin = fit.bin
-    """,
+    """
+
+
+@register(
+    "calibrated_quality_scores",
+    oracle=_CALIB_ORACLE,
     tags=("llm", "quality", "calibration", "dedup"),
     gated=False,
 )
@@ -5305,35 +5311,34 @@ def calibrated_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join — the per-doc frame is never rescanned for the fit.
     Reference: no counterpart (north-star LLM-pipeline op; the dedup
     label reuses ads-layer keep semantics, dedup.py:32)."""
-    from ..functions.text import fingerprint
-    from ..operators.textstats import quality_score
-    from .scale import isotonic_calibration_eval
+    from ..streaming.calibration import calib_per_doc
 
     d = load_table(spark, sf_dir, "documents")
-    q = quality_score(d, "doc_id", "text").select(
-        "doc_id",
-        F.floor(F.col("quality") * 1e6 + F.lit(0.5))
-        .cast("long")
-        .alias("q6"),
-    )
-    lab = d.select(
-        "doc_id",
-        (
-            F.col("doc_id")
-            == F.min("doc_id").over(
-                Window.partitionBy(fingerprint(F.col("text")))
-            )
-        )
-        .cast("long")
-        .alias("keep"),
-    )
+    return _calibrate_per_fp(calib_per_doc(d, "doc_id", "text"))
+
+
+def _calibrate_per_fp(per_fp: DataFrame) -> DataFrame:
+    """The read-side calibration over a (doc_id, q6, fp) frame — shared
+    verbatim between the batch query and the live twin
+    (calibrated_quality_scores_live, fed by the streaming mart's fold),
+    so batch ≡ live holds by construction above the fold: derive the
+    exact-dedup survival label (keep = min doc_id of the fp group — one
+    fp-keyed exchange), fold to ≤|bins| rows, fit weighted PAVA
+    driver-side (bounded_series_eval), broadcast the step function back
+    onto the per-doc frame."""
+    from .scale import isotonic_calibration_eval
+
     per = (
-        q.join(lab, "doc_id")
-        .select(
+        per_fp.select(
             "doc_id",
             "q6",
             F.expr("q6 div 50000").alias("bin"),
-            "keep",
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(Window.partitionBy("fp"))
+            )
+            .cast("long")
+            .alias("keep"),
         )
         .persist()
     )
@@ -5350,4 +5355,67 @@ def calibrated_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "keep",
         F.col("cal_ppm").alias("cal_keep_ppm"),
+    )
+
+
+def _calib_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the 3-batch calibration-mart ingest exists under /tmp for
+    this corpus (keyed by params + data fingerprint — the knn persisted
+    discipline) and return the index dir. Batches split by a hash of the
+    doc id, so fingerprint groups SPAN batches — the label monoid, not
+    batch-local luck, is what the live pin exercises."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.calibration import calib_ingest_batch
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_calibidx_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('calib3', _data_fingerprint(sf_dir, 'documents'))}",
+    )
+    index_dir = os.path.join(work, "perdoc")
+    marker = os.path.join(work, "_INGESTED")
+    if not os.path.exists(marker):
+        # a partial ingest (crash mid-batch) must rebuild, never serve
+        shutil.rmtree(work, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        body = calib_ingest_batch(spark, index_dir)
+        for i in range(3):
+            body(docs.filter(F.pmod(F.hash("doc_id"), F.lit(3)) == i), i)
+        with open(marker, "w") as fh:
+            fh.write("3")
+    return index_dir
+
+
+@register(
+    "calibrated_quality_scores_live",
+    # identical SQL to the batch query: the mart ingests the full corpus
+    # and min-per-fingerprint is an order-insensitive monoid, so the
+    # re-derived labels — and everything downstream — match exactly
+    oracle=_CALIB_ORACLE,
+    tags=("streaming", "quality", "calibration", "dedup"),
+    gated=False,
+)
+def calibrated_quality_scores_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """calibrated_quality_scores answered from the STREAMING calibration
+    mart (streaming/calibration.py): three micro-batches append only
+    their own documents' constant (doc_id, q6, fp) rows; the read side
+    folds the index, re-derives the exact-dedup survival label (keep =
+    min doc_id per fingerprint group — ``min`` is an associative monoid,
+    so a late-arriving smaller-id duplicate flips the old
+    representative's label on the next read with no ingest-time state
+    rewrite), and hands the frame to the batch query's OWN calibration
+    stage (_calibrate_per_fp). The live-curve shape for quality screens:
+    per-batch cost is one scan of the new docs; the monotone calibrated
+    P(keep) curve updates with the corpus."""
+    from ..streaming.calibration import fold_calib
+
+    return _calibrate_per_fp(
+        fold_calib(spark, _calib_index_dir(spark, sf_dir))
     )

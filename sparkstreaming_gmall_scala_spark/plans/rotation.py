@@ -371,6 +371,9 @@ POOL: tuple[str, ...] = (
     "knn_sq8_persisted",
     # round-13: label-propagation communities (3 unrolled rounds)
     "dup_communities",
+    # round-13: live calibration curve off the streaming per-doc mart
+    # (min-per-fingerprint label monoid)
+    "calibrated_quality_scores_live",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -419,6 +419,9 @@ def test_gate_budget(registry):
         "knn_sq8_persisted",
         # round-13: label-propagation communities (3 unrolled rounds)
         "dup_communities",
+        # round-13: live calibration curve off the streaming per-doc
+        # mart (min-per-fingerprint label monoid)
+        "calibrated_quality_scores_live",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
