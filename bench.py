@@ -396,11 +396,12 @@ HEADLINE = (
     # r13: partition-grained idempotent ingest (3 batches + a replayed
     # batch under build_sec); headline = the read-side rollup
     "events_ingest_rollup",
-    # r13: label-propagation communities — FIXED 3 rounds (unlike the
-    # unbenched data-dependent dup_cores peel / dup_pagerank 6-round
-    # loop, this is the bounded-cost community splitter a keep-policy
-    # runs per corpus refresh)
-    "dup_communities",
+    # dup_communities (r13, LPA over the near-dup graph) is
+    # catalog+oracle only, same boundary as dup_pagerank: its cost is
+    # ~90% the exact cosine PAIR GENERATION shared with the other
+    # unbenched graph entries (measured 83.5s of a 90s run at sf0.1 —
+    # the 3 LPA rounds themselves are ~7s), so a headline row would
+    # re-measure that shared upstream, not the operator
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan
