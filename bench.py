@@ -688,8 +688,29 @@ def main() -> int:
     # PINNED_POOL comment. The unit is "seconds on the r12 host", so this
     # number compares directly against r12's RAW total (209.108 s) and
     # against every later round's normalized_total_pool.
-    pool_sec = round(sum(times[q] for q in PINNED_POOL), 3)
+    #
+    # The pool is timed TWICE — its headline rows ran inside the main
+    # loop above; this second pass re-times the five at the END of the
+    # run and the denominator takes the per-query min across the two
+    # windows. Measured same-session: this host shows multi-minute noise
+    # bursts (a contiguous block of queries 5-10× slower in one run; the
+    # pool block itself +27% in another) — two windows ~15 minutes apart
+    # are never both inside one burst, so the denominator reads the
+    # host's true floor even when one window was hit.
+    pool_end: dict[str, float] = {}
+    for name in PINNED_POOL:
+        t0 = time.perf_counter()
+        registry[name].builder(spark, sf_dir).count()
+        pool_end[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    pool_min = {q: min(times[q], pool_end[q]) for q in PINNED_POOL}
+    pool_sec = round(sum(pool_min.values()), 3)
     normalized_total_pool = round(total * REF_POOL_SEC / pool_sec, 3)
+    print(
+        f"# pool windows: main={ {q: times[q] for q in PINNED_POOL} } "
+        f"end={pool_end}",
+        file=sys.stderr,
+    )
 
     # r13 (r12 verdict #7): carry recall next to speed. recall@5 of every
     # ANN headline row against the exact knn_bruteforce frame at the same
@@ -740,6 +761,11 @@ def main() -> int:
             "pool_sec": pool_sec,
             "ref_pool_sec": REF_POOL_SEC,
             "ref_round": 12,
+            # both timing windows (each itself a min-of-2 in the main
+            # loop; the end pass is single-shot on a warm session) —
+            # the denominator is the per-query min across them
+            "main_window": {q: times[q] for q in PINNED_POOL},
+            "end_window": pool_end,
         },
         "recall_at_5": recall_at_5,
         "ref_calibration_min": REF_CALIBRATION_MIN,
@@ -767,9 +793,15 @@ def main() -> int:
             "84.9 -> 125.4 on a round whose raw per-query time "
             "improved). Unit = seconds-on-the-r12-host, so r13's pool "
             "number compares directly to r12's RAW 209.108 s. The "
-            "probe-based normalized_total stays recorded for "
-            "continuity; recompute any round either way from its "
-            "calibration runs",
+            "denominator is the per-query min over TWO timing windows "
+            "(main loop + an end-of-run re-pass ~15 min later) because "
+            "this session measured multi-minute noise bursts that can "
+            "swallow any single window; REF_POOL_SEC is r12's "
+            "single-window sum, so the two-window min biases r13+ "
+            "normalized totals slightly LOW (a few %, conservative "
+            "direction for a regression check). The probe-based "
+            "normalized_total stays recorded for continuity; recompute "
+            "any round either way from its calibration runs",
             "streaming_rows_per_sec": "r12+: min-of-2 ingest passes "
             "(docs over the FASTER pass's wall time) — the single-pass "
             "figure swung 1911 -> 1593 -> 1681 across r9-r11 purely on "
