@@ -36,6 +36,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def require_utc_session(spark: SparkSession, what: str) -> None:
+    """load_table's UTC session-timezone guard, replicated for the
+    cache-HIT read paths that never call load_table (r13 advice): the
+    dt directories were baked under UTC, so ``hour(ts)`` and to_date
+    comparisons in a non-UTC session would silently diverge from the
+    DuckDB oracle's naive values. Fail loud instead."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"{what} must run under a UTC session timezone "
+            f"(spark.sql.session.timeZone={tz!r}): the dt partitions "
+            "were derived under UTC, so timestamp functions over this "
+            "table would shift relative to the oracle. Set "
+            'spark.conf.set("spark.sql.session.timeZone", "UTC").'
+        )
+
+
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Ensure a dt-partitioned copy of the events table exists under
     /tmp for this corpus and return its root path. ``dt`` is the event
@@ -70,6 +87,7 @@ def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan the dt-partitioned events copy (building it on first use).
     Filters on ``dt`` prune directories at planning time; joins on ``dt``
     against filtered dims prune at runtime (DPP)."""
+    require_utc_session(spark, "read_partitioned_events")
     # The files were written by the engine as TIMESTAMP; keep the
     # read-back type session-stable even when the cache-hit path skips
     # load_table (which sets this for the raw events read).

@@ -36,10 +36,26 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# time-ordered batch boundaries over the events month (2024-01-01..30):
-# each batch owns complete days, like a nightly ingest owns its dates
-_BATCH_BOUNDS = (("2024-01-01", "2024-01-10"), ("2024-01-11", "2024-01-20"),
-                 ("2024-01-21", "2024-01-31"))
+def _batch_bounds(ev: DataFrame, n_batches: int = 3) -> list[tuple]:
+    """Time-ordered batch boundaries derived from the DATA (r13 advice:
+    a hardcoded calendar window silently drops events outside it): split
+    [min(dt), max(dt)] into ``n_batches`` contiguous day ranges, each
+    batch owning complete days like a nightly ingest owns its dates.
+    One tiny min/max agg collect — partition-prunable metadata at lake
+    scale."""
+    import datetime
+
+    lo, hi = ev.agg(F.min("dt"), F.max("dt")).first()
+    n_days = (hi - lo).days + 1
+    step = max(1, -(-n_days // n_batches))  # ceil
+    bounds = []
+    for i in range(n_batches):
+        b_lo = lo + datetime.timedelta(days=i * step)
+        b_hi = min(lo + datetime.timedelta(days=(i + 1) * step - 1), hi)
+        if b_lo > hi:
+            break
+        bounds.append((b_lo, b_hi))
+    return bounds
 
 
 def _write_batch(df: DataFrame, path: str) -> None:
@@ -72,19 +88,31 @@ def ingest_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(work, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").withColumn(
             "dt", F.to_date("ts")
-        )
+        ).persist()
+        n_raw = ev.count()
         batches = [
             ev.filter(
-                (F.col("dt") >= F.lit(lo).cast("date"))
-                & (F.col("dt") <= F.lit(hi).cast("date"))
+                (F.col("dt") >= F.lit(lo)) & (F.col("dt") <= F.lit(hi))
             )
-            for lo, hi in _BATCH_BOUNDS
+            for lo, hi in _batch_bounds(ev)
         ]
         for b in batches:
             _write_batch(b, work)
         # duplicate delivery of the middle batch: the overwrite must
         # leave the table byte-identical in content
-        _write_batch(batches[1], work)
+        if len(batches) > 1:
+            _write_batch(batches[1], work)
+        ev.unpersist()
+        # LOUD completeness gate before the marker (r13 advice): the
+        # derived bounds cover [min(dt), max(dt)] by construction, so a
+        # shortfall here is a real ingest bug — fail the build instead
+        # of surfacing as a downstream count/oracle mismatch.
+        n_ingested = spark.read.parquet(work).count()
+        if n_ingested != n_raw:
+            raise AssertionError(
+                f"partition ingest dropped rows: raw={n_raw} "
+                f"ingested={n_ingested} at {work}"
+            )
         with open(marker, "w") as fh:
             fh.write("1")
     return work
@@ -92,6 +120,9 @@ def ingest_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
 
 def read_ingested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan the ingested (and replay-exercised) partitioned table."""
+    from ..sources.partitioned import require_utc_session
+
+    require_utc_session(spark, "read_ingested_events")
     try:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:

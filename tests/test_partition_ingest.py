@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from sparkstreaming_gmall_scala_spark.sources import load_table
 from sparkstreaming_gmall_scala_spark.streaming.partition_ingest import (
-    _BATCH_BOUNDS,
+    _batch_bounds,
     _write_batch,
     ingest_events_partitioned,
     read_ingested_events,
@@ -46,8 +46,12 @@ def test_replaying_one_batch_leaves_other_partitions_untouched(
     """Dynamic partition overwrite scope: re-delivering batch 0 must not
     rewrite (or even touch) a partition owned by batch 2."""
     work = ingest_events_partitioned(spark, sf_dir)
-    # a partition owned by the LAST batch (2024-01-21..): snapshot files
-    lo = _BATCH_BOUNDS[2][0]
+    raw_b = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    bounds = _batch_bounds(raw_b)
+    # a partition owned by the LAST batch: snapshot its files
+    lo = bounds[-1][0]
     victim = os.path.join(work, f"dt={lo}")
     before = {
         (os.path.basename(p), os.path.getsize(p), os.path.getmtime(p))
@@ -55,13 +59,10 @@ def test_replaying_one_batch_leaves_other_partitions_untouched(
     }
     assert before, f"no parquet files under {victim}"
 
-    raw = load_table(spark, sf_dir, "events").withColumn(
-        "dt", F.to_date("ts")
-    )
-    b0_lo, b0_hi = _BATCH_BOUNDS[0]
+    raw = raw_b
+    b0_lo, b0_hi = bounds[0]
     batch0 = raw.filter(
-        (F.col("dt") >= F.lit(b0_lo).cast("date"))
-        & (F.col("dt") <= F.lit(b0_hi).cast("date"))
+        (F.col("dt") >= F.lit(b0_lo)) & (F.col("dt") <= F.lit(b0_hi))
     )
     _write_batch(batch0, work)
 
@@ -73,3 +74,41 @@ def test_replaying_one_batch_leaves_other_partitions_untouched(
 
     # and the table as a whole is still exactly the raw table
     assert read_ingested_events(spark, sf_dir).count() == raw.count()
+
+
+def test_batch_bounds_cover_data_contiguously(spark, sf_dir):
+    """r13 advice: bounds are DERIVED from min/max(dt), so no event can
+    fall outside any batch — contiguous day ranges, first/last pinned to
+    the data's own extremes."""
+    import datetime
+
+    raw = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    lo, hi = raw.agg(F.min("dt"), F.max("dt")).first()
+    bounds = _batch_bounds(raw)
+    assert bounds[0][0] == lo and bounds[-1][1] == hi
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(bounds, bounds[1:]):
+        assert a_lo <= a_hi and b_lo == a_hi + datetime.timedelta(days=1)
+
+
+def test_read_paths_fail_loud_outside_utc(spark, sf_dir):
+    """r13 advice: the cache-HIT read paths replicate load_table's UTC
+    session-timezone guard instead of silently shifting hour(ts)."""
+    import pytest
+
+    from sparkstreaming_gmall_scala_spark.sources.partitioned import (
+        read_partitioned_events,
+    )
+
+    # warm both caches under UTC so the non-UTC call is a pure cache hit
+    read_ingested_events(spark, sf_dir).count()
+    read_partitioned_events(spark, sf_dir).count()
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    try:
+        with pytest.raises(ValueError, match="UTC session timezone"):
+            read_ingested_events(spark, sf_dir)
+        with pytest.raises(ValueError, match="UTC session timezone"):
+            read_partitioned_events(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
