@@ -112,6 +112,50 @@ def partition_file_counts(path: str) -> dict[str, int]:
     return out
 
 
+def _compact_stage_root(path: str) -> str:
+    """Sibling staging-generation dir for ``compact_partitions`` —
+    OUTSIDE the table root, so partition discovery over ``path`` never
+    lists a half-written generation."""
+    return path.rstrip("/") + ".compacting"
+
+
+def recover_compaction(path: str) -> None:
+    """Roll a crashed ``compact_partitions`` forward or back (the
+    recover_dir crash-matrix discipline, sinks/batch.py:81).
+
+    * stage exists WITHOUT ``_STAGED``: the compacted rewrite never
+      finished — the live table was never touched; drop the stage.
+    * stage exists WITH ``_STAGED``: every staged partition is
+      authoritative — finish the swap (idempotent: a partition already
+      swapped in is absent from the stage, a crash between the two
+      renames of one partition leaves its staged dir present and its
+      live dir already moved aside, which this replays cleanly).
+    """
+    stage = _compact_stage_root(path)
+    trash = stage + ".old"
+    if os.path.exists(os.path.join(stage, "_STAGED")):
+        for d in sorted(_glob_dt(stage)):
+            name = os.path.basename(d)
+            dst = os.path.join(path, name)
+            os.makedirs(trash, exist_ok=True)
+            t = os.path.join(trash, name)
+            if os.path.isdir(dst):
+                if os.path.isdir(t):
+                    shutil.rmtree(t)
+                os.rename(dst, t)
+            os.rename(d, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+    elif os.path.isdir(stage):
+        shutil.rmtree(stage)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _glob_dt(root: str) -> list[str]:
+    import glob as _glob
+
+    return _glob.glob(os.path.join(root, "dt=*"))
+
+
 def compact_partitions(
     spark: SparkSession, path: str, max_files: int = 1
 ) -> list[str]:
@@ -128,16 +172,28 @@ def compact_partitions(
     (Delta OPTIMIZE / Iceberg rewrite_data_files); here it is a plain
     Spark job over the open layout:
 
-    * only FRAGMENTED partitions are read (a dt IN (...) partition
-      filter — planning-time pruned, never a full-table scan),
-    * ``repartition(1, "dt")``-equivalent coalescing writes one file
+    * only FRAGMENTED partitions are read (explicit partition dirs under
+      a basePath — planning-time pruned, never a full-table scan),
+    * hash-partitioning by dt into |fragmented| tasks writes one file
       per partition,
-    * the write is dynamic partition overwrite, so it replaces exactly
-      the partitions it read — the same idempotence lever as the
-      ingest path (streaming/partition_ingest.py): a crashed compaction
-      re-runs with no cleanup, and concurrent readers of other
-      partitions never see a partial table.
+    * the rewrite is STAGED to a sibling generation dir and swapped in
+      with the recover_dir two-rename discipline (r13 advice: Spark's
+      in-place dynamic-partition overwrite deletes each old partition
+      dir before renaming the staged one in, so a crash in that window
+      lost the partition's only copy and a re-run saw nothing to
+      repair). Here the live table is untouched until the stage is
+      complete and ``_STAGED``-marked; ``recover_compaction`` (called on
+      entry) rolls a crash at any point forward or back.
+
+    Commit-window honesty: the swap is two directory renames per
+    partition — atomic-in-effect on a local FS / HDFS; on an object
+    store with non-atomic "rename" a reader could glimpse a partition
+    mid-swap, which is exactly why lake table formats (Delta/Iceberg)
+    commit via a manifest pointer instead of directory layout. The
+    staged-generation + marker structure here is the same commit shape;
+    only the pointer flip differs.
     """
+    recover_compaction(path)
     fragmented = [
         d for d, n in partition_file_counts(path).items() if n > max_files
     ]
@@ -150,6 +206,7 @@ def compact_partitions(
     df = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, d) for d in fragmented]
     )
+    stage = _compact_stage_root(path)
     (
         # hash-partition by dt into |fragmented| tasks: a collision only
         # means one task carries two days — partitionBy still emits one
@@ -157,8 +214,18 @@ def compact_partitions(
         df.repartition(len(fragmented), "dt")
         .sortWithinPartitions("dt")
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("dt")
-        .parquet(path)
+        .parquet(stage)
     )
+    staged = {os.path.basename(d) for d in _glob_dt(stage)}
+    if staged != set(fragmented):
+        # never mark a wrong-shaped stage authoritative
+        shutil.rmtree(stage, ignore_errors=True)
+        raise AssertionError(
+            f"compaction staged {sorted(staged)} != fragmented "
+            f"{sorted(fragmented)} at {path}"
+        )
+    with open(os.path.join(stage, "_STAGED"), "w") as fh:
+        fh.write("1")
+    recover_compaction(path)  # the roll-forward IS the swap
     return fragmented

@@ -168,3 +168,89 @@ def test_compaction_collapses_fragmented_partitions_only(
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows_before
     # second run is a no-op
     assert compact_partitions(spark, path, max_files=1) == []
+
+
+def _fragmented_table(spark, sf_dir, path: str):
+    raw = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    raw.repartition(8).write.partitionBy("dt").parquet(path)
+    return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+
+def test_compaction_crash_before_staged_marker_rolls_back(
+    spark, sf_dir, tmp_path
+):
+    """Crash matrix, window 1 (r13 advice): a stage WITHOUT the _STAGED
+    marker is a partial rewrite — the live table was never touched, so a
+    re-run drops the stage and compacts from scratch."""
+    import os
+
+    from sparkstreaming_gmall_scala_spark.sources.partitioned import (
+        _compact_stage_root,
+        compact_partitions,
+        partition_file_counts,
+    )
+
+    path = str(tmp_path / "t")
+    rows = _fragmented_table(spark, sf_dir, path)
+    # simulate a crash mid-stage: stage dir exists, marker absent
+    stage = _compact_stage_root(path)
+    os.makedirs(os.path.join(stage, "dt=2024-01-01"))
+    with open(os.path.join(stage, "dt=2024-01-01", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+
+    compacted = compact_partitions(spark, path, max_files=1)
+    assert compacted  # the real fragmentation was found and fixed
+    assert not os.path.isdir(stage)
+    assert all(n == 1 for n in partition_file_counts(path).values())
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows
+
+
+def test_compaction_crash_mid_swap_rolls_forward(spark, sf_dir, tmp_path):
+    """Crash matrix, window 2: _STAGED exists and the swap died midway —
+    one partition's live dir already moved aside, the rest untouched. A
+    re-run (recover_compaction on entry) finishes the swap; no partition
+    is ever lost and the table equals the pre-compaction content."""
+    import os
+    import shutil
+
+    from sparkstreaming_gmall_scala_spark.sources.partitioned import (
+        _compact_stage_root,
+        compact_partitions,
+        partition_file_counts,
+    )
+
+    path = str(tmp_path / "t")
+    rows = _fragmented_table(spark, sf_dir, path)
+    fragmented = sorted(partition_file_counts(path))
+
+    # build a REAL staged generation the way compact_partitions does
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, d) for d in fragmented]
+    )
+    stage = _compact_stage_root(path)
+    (
+        df.repartition(len(fragmented), "dt")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(stage)
+    )
+    with open(os.path.join(stage, "_STAGED"), "w") as fh:
+        fh.write("1")
+    # simulate dying between the two renames of ONE partition: live dir
+    # moved to trash, staged dir not yet renamed in
+    victim = fragmented[0]
+    trash = stage + ".old"
+    os.makedirs(trash)
+    os.rename(os.path.join(path, victim), os.path.join(trash, victim))
+    assert not os.path.isdir(os.path.join(path, victim))
+
+    # re-run: recovery must finish the swap before looking for work,
+    # after which every partition holds exactly the compacted single file
+    compacted = compact_partitions(spark, path, max_files=1)
+    assert compacted == []  # recovery completed the old run; no new work
+    assert all(n == 1 for n in partition_file_counts(path).values())
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows
+    assert not os.path.isdir(stage) and not os.path.isdir(trash)
+    shutil.rmtree(path, ignore_errors=True)
