@@ -15,9 +15,13 @@ full file's.
 Each query is built and then fully materialized via a count-style action
 (no driver collect of the payload — the action drains the plan the way a
 sink write would). Times include plan + execution, not session startup.
-Every headline query runs twice and the recorded number is the min (r10
-verdict #3): steady state is what predicts scale behavior; both runs are
-kept in the full record's "runs" map so the cold-call cost stays visible.
+Every headline query runs twice back-to-back in the main loop AND once
+more in an end-of-run second timing window; the recorded number is the
+min of the three (r13 verdict #3: this host shows multi-minute noise
+bursts and 10-20-codegen-stage queries ramp over ~4 runs of JIT warm-up
+— a single back-to-back min-of-2 sampled knn_pq at 6.01 s when its warm
+steady state reads 2.37 s). All runs are kept in the full record's
+"runs" map so the cold-call cost stays visible.
 """
 
 from __future__ import annotations
@@ -381,6 +385,9 @@ HEADLINE = (
     "bucketed_order_lineitem",
     # isotonic calibration applied: quality score -> calibrated P(keep)
     "calibrated_quality_scores",
+    # r14: the calibration->curation loop closed — single-scan curation
+    # with a floor on the CALIBRATED keep probability
+    "corpus_curate_calibrated",
     # r13: the live calibration curve off the streaming per-doc mart
     # (3-batch ingest under build_sec; headline = the read-side fold)
     "calibrated_quality_scores_live",
@@ -612,12 +619,14 @@ def main() -> int:
     calibration = calibrate(spark)
     print(f"# calibration: {calibration}", file=sys.stderr)
 
-    # r11 (r10 verdict #3): every headline query runs TWICE and the
-    # recorded number is the min. The driver's single-pass session hit a
-    # handful of queries cold each round (first-run codegen / GC spikes of
-    # 2-4×) and every round's triage re-litigated the same noise — the
-    # steady-state number is the one that predicts 100 TB behavior, and
-    # the cold first call is visible in the full record's "runs" pairs.
+    # r11 (r10 verdict #3): every headline query runs TWICE in the main
+    # loop. The driver's single-pass session hit a handful of queries
+    # cold each round (first-run codegen / GC spikes of 2-4×) and every
+    # round's triage re-litigated the same noise — the steady-state
+    # number is the one that predicts 100 TB behavior, and the cold
+    # first call is visible in the full record's "runs" lists. The
+    # recorded headline number also folds in the END-of-run second
+    # timing window below (r13 verdict #3).
     times: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -666,9 +675,44 @@ def main() -> int:
         f"{times['streaming_dedup_2batches']:.2f}s (runs: {stream_runs})",
         file=sys.stderr,
     )
+
+    # r14 (r13 verdict #3): the END-of-run second timing window now
+    # covers EVERY headline row, not just the pinned pool. Measured on
+    # the r13 host: multi-minute noise bursts can swallow a min-of-2
+    # pair entirely (knn_pq recorded 6.01 s against a 2.37 s isolated
+    # warm re-time), and 10-20-codegen-stage families only reach JIT
+    # steady state around run 3-4. Two windows tens of minutes apart are
+    # never both inside one burst, and the end-window sample is run #3
+    # — past the warm-up ramp for the heavy-codegen families. Headline
+    # number = min across both windows (three samples, all recorded).
+    main_window = dict(times)
+    end_window: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].builder(spark, sf_dir).count()
+        end_window[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        all_runs[name] = all_runs[name] + [end_window[name]]
+        times[name] = min(times[name], end_window[name])
+    # the streaming probe joins the same convention (r13 verdict #7):
+    # one more ingest pass in the end window, envelope = min of three
+    t0 = time.perf_counter()
+    bench_streaming_dedup(spark, sf_dir)
+    end_window["streaming_dedup_2batches"] = round(
+        time.perf_counter() - t0, 3
+    )
+    all_runs["streaming_dedup_2batches"].append(
+        end_window["streaming_dedup_2batches"]
+    )
+    times["streaming_dedup_2batches"] = min(
+        all_runs["streaming_dedup_2batches"]
+    )
+    print(f"# end window: {end_window}", file=sys.stderr)
+
     # BASELINE.md's streaming metric: rows/sec SUSTAINED through the
-    # foreachBatch ingest path (input docs over the two-batch wall time —
-    # the unit the reference's 5 s micro-batch envelope is judged in).
+    # foreachBatch ingest path (input docs over the fastest two-batch
+    # wall time across both windows — the unit the reference's 5 s
+    # micro-batch envelope is judged in).
     from sparkstreaming_gmall_scala_spark.sources import load_table
 
     n_docs = load_table(spark, sf_dir, "documents").count()
@@ -687,27 +731,16 @@ def main() -> int:
     # r13+ headline normalization (r12 verdict #3): pinned-pool — see the
     # PINNED_POOL comment. The unit is "seconds on the r12 host", so this
     # number compares directly against r12's RAW total (209.108 s) and
-    # against every later round's normalized_total_pool.
-    #
-    # The pool is timed TWICE — its headline rows ran inside the main
-    # loop above; this second pass re-times the five at the END of the
-    # run and the denominator takes the per-query min across the two
-    # windows. Measured same-session: this host shows multi-minute noise
-    # bursts (a contiguous block of queries 5-10× slower in one run; the
-    # pool block itself +27% in another) — two windows ~15 minutes apart
-    # are never both inside one burst, so the denominator reads the
-    # host's true floor even when one window was hit.
-    pool_end: dict[str, float] = {}
-    for name in PINNED_POOL:
-        t0 = time.perf_counter()
-        registry[name].builder(spark, sf_dir).count()
-        pool_end[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-    pool_min = {q: min(times[q], pool_end[q]) for q in PINNED_POOL}
+    # against every later round's normalized_total_pool. The pool's
+    # per-query times are the same cross-window mins as every headline
+    # row (the pool rode the r13-only second pass; r14 extends that
+    # window to everything, so the denominator convention is unchanged).
+    pool_end = {q: end_window[q] for q in PINNED_POOL}
+    pool_min = {q: times[q] for q in PINNED_POOL}
     pool_sec = round(sum(pool_min.values()), 3)
     normalized_total_pool = round(total * REF_POOL_SEC / pool_sec, 3)
     print(
-        f"# pool windows: main={ {q: times[q] for q in PINNED_POOL} } "
+        f"# pool windows: main={ {q: main_window[q] for q in PINNED_POOL} } "
         f"end={pool_end}",
         file=sys.stderr,
     )
@@ -761,30 +794,38 @@ def main() -> int:
             "pool_sec": pool_sec,
             "ref_pool_sec": REF_POOL_SEC,
             "ref_round": 12,
-            # both timing windows (each itself a min-of-2 in the main
-            # loop; the end pass is single-shot on a warm session) —
-            # the denominator is the per-query min across them
-            "main_window": {q: times[q] for q in PINNED_POOL},
+            # both timing windows (min-of-2 in the main loop; the end
+            # pass is single-shot on a warm session) — the denominator
+            # is the per-query min across them
+            "main_window": {q: main_window[q] for q in PINNED_POOL},
             "end_window": pool_end,
         },
         "recall_at_5": recall_at_5,
         "ref_calibration_min": REF_CALIBRATION_MIN,
         "ref_calibration_median": REF_CALIBRATION_MEDIAN,
         "streaming_rows_per_sec": streaming_rows_per_sec,
-        # both timed runs per query (headline number = min); the cold/warm
-        # gap is answerable from the record itself instead of via static
-        # notes about specific hosts (r10 verdict #2/#3)
+        # every timed run per query — [main run 1, main run 2, end-window
+        # run]; headline number = min. The cold/warm gap AND the burst/
+        # JIT-ramp exposure are answerable from the record itself
+        # (r10 verdict #2/#3; r13 verdict #3)
         "runs": all_runs,
+        "end_window": end_window,
         # cross-round triage notes (round-8 verdict #5): deltas with a
         # known, accepted, HOST-INDEPENDENT cause, so tooling doesn't
         # re-flag them. Session-noise notes are gone: min-of-2 timing
         # (r11) removes first-run codegen/GC spikes from the headline
         # numbers entirely.
         "notes": {
-            "timing": "r11+: each headline query runs twice, headline = "
-            "min (steady state); r<=10 records are single-pass and can "
-            "read 2-4x higher on whichever queries that session hit "
-            "cold — compare against the min of the 'runs' pair",
+            "timing": "r14+ (r13 verdict #3): each headline query runs "
+            "twice in the main loop AND once in an end-of-run second "
+            "window; headline = min of the three. Protects every row "
+            "from the multi-minute host noise bursts and the 10-20-"
+            "codegen-stage JIT warm-up ramp that min-of-2 sampled "
+            "(r13's knn_pq recorded 6.01s vs a 2.37s isolated warm "
+            "re-time). r11-r13 records are back-to-back min-of-2; "
+            "r<=10 are single-pass and can read 2-4x higher on "
+            "whichever queries that session hit cold — compare against "
+            "the min of the 'runs' list",
             "normalization": "r13+ (r12 verdict #3): cross-round "
             "comparisons use normalized_total_pool — total scaled by a "
             "pinned 5-query pool (code-frozen since <=r9; pool sums "
@@ -797,16 +838,22 @@ def main() -> int:
             "(main loop + an end-of-run re-pass ~15 min later) because "
             "this session measured multi-minute noise bursts that can "
             "swallow any single window; REF_POOL_SEC is r12's "
-            "single-window sum, so the two-window min biases r13+ "
-            "normalized totals slightly LOW (a few %, conservative "
-            "direction for a regression check). The probe-based "
-            "normalized_total stays recorded for continuity; recompute "
-            "any round either way from its calibration runs",
-            "streaming_rows_per_sec": "r12+: min-of-2 ingest passes "
-            "(docs over the FASTER pass's wall time) — the single-pass "
-            "figure swung 1911 -> 1593 -> 1681 across r9-r11 purely on "
-            "host noise (an r11 same-path re-measure read 2049 docs/s); "
-            "both passes are in the runs pair",
+            "single-window sum, so the two-window min makes pool_sec "
+            "(the DENOMINATOR) slightly smaller than the r12 "
+            "convention would read it, biasing r13+ normalized totals "
+            "slightly HIGH — i.e. slower-looking by a few %, the "
+            "conservative direction for a regression check (r13's "
+            "record stated the direction inverted; fixed r14 per "
+            "ADVICE). The probe-based normalized_total stays recorded "
+            "for continuity; recompute any round either way from its "
+            "calibration runs",
+            "streaming_rows_per_sec": "r14+ (r13 verdict #7): the "
+            "ingest probe runs in BOTH timing windows (two main-loop "
+            "passes + one end-window pass; envelope = docs over the "
+            "fastest), so the number stops inheriting single-window "
+            "host bursts — the single-pass figure swung 1911 -> 1593 "
+            "-> 1681 across r9-r11 and min-of-2 still read -9% at r13 "
+            "purely on burst exposure; all passes are in the runs list",
             "corpus_to_shards": "r12 step-up (3.36 -> 4.45) triaged at "
             "r13: NOT a regression — physical plans are identical "
             "between the r11 and r13 trees (diffed node-by-node) and an "
