@@ -5419,3 +5419,78 @@ def calibrated_quality_scores_live(
     return _calibrate_per_fp(
         fold_calib(spark, _calib_index_dir(spark, sf_dir))
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration -> curation: threshold on the CALIBRATED keep probability
+# ---------------------------------------------------------------------------
+# The calibrated-P(keep) floor for the curation gate, in ppm. On the
+# sf0.1 corpus the fitted curve spans 997884..1000000 ppm across quality
+# bins, so 998000 cuts the lowest-quality bin band; on corpora with no
+# exact-dup signal the fit is constantly 1.0 and the gate passes
+# everything (the honest behavior: calibration found no evidence that
+# low quality predicts duplication).
+CAL_KEEP_MIN_PPM = 998_000
+
+_CURATE_CALIB_SQL = f"""
+    WITH curated AS ({_CURATE_SQL}),
+    calib AS ({_CALIB_ORACLE})
+    SELECT c.doc_id, c.source, calib.cal_keep_ppm
+    FROM curated c JOIN calib ON calib.doc_id = c.doc_id
+    WHERE calib.cal_keep_ppm >= {CAL_KEEP_MIN_PPM}
+    """
+
+
+@register(
+    "corpus_curate_calibrated",
+    oracle=_CURATE_CALIB_SQL,
+    tags=("llm", "pipeline", "quality", "calibration", "dedup"),
+    gated=False,
+)
+def corpus_curate_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibration loop CLOSED into curation (r13 verdict #5):
+    corpus_curate_fast's stage conjunction plus a floor on the
+    CALIBRATED keep probability — curation thresholds what the isotonic
+    fit says the quality score MEANS (P(survives exact dedup)), not the
+    raw score. One corpus scan feeds everything: the shared persisted
+    base serves both the calibration frame (score + fingerprint label →
+    weighted PAVA fit → ≤21-row broadcast step function, exactly
+    calibrated_quality_scores' own stages via _calibrate_per_fp) and
+    the single-scan feature table (corpus_features); the calibrated
+    filter is a broadcast-step equi-join, so no stage rescans the
+    corpus. Full cross-engine oracle by composing _CURATE_SQL with
+    _CALIB_ORACLE. Pinned in tests/test_round14_properties.py: the
+    selected set equals corpus_curate_fast ∩ (calibrated_quality_scores
+    where cal_keep_ppm ≥ floor) row-for-row.
+    Reference: no counterpart (north-star LLM-pipeline op)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.curation import corpus_features, curate_filter
+    from ..streaming.calibration import calib_per_doc
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # calibration first: _calibrate_per_fp materializes its per-doc frame
+    # (one count), which is the single parquet read — corpus_features
+    # then assembles off the same cache
+    caldoc = _calibrate_per_fp(calib_per_doc(base, "doc_id", "text"))
+    feats = corpus_features(
+        base,
+        weights=_MIX_WEIGHTS,
+        budget_frac=_MIX_BUDGET_FRAC,
+        default_weight=_MIX_DEFAULT_W,
+    )
+    out = (
+        curate_filter(feats)
+        .select("doc_id", "source")
+        .join(
+            caldoc.filter(
+                F.col("cal_keep_ppm") >= F.lit(CAL_KEEP_MIN_PPM)
+            ).select("doc_id", "cal_keep_ppm"),
+            "doc_id",
+        )
+    )
+    base.unpersist()
+    return out

@@ -374,6 +374,9 @@ POOL: tuple[str, ...] = (
     # round-13: live calibration curve off the streaming per-doc mart
     # (min-per-fingerprint label monoid)
     "calibrated_quality_scores_live",
+    # round-14: the calibration->curation loop closed (threshold on the
+    # calibrated P(keep) inside the single-scan curation)
+    "corpus_curate_calibrated",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -422,6 +422,9 @@ def test_gate_budget(registry):
         # round-13: live calibration curve off the streaming per-doc
         # mart (min-per-fingerprint label monoid)
         "calibrated_quality_scores_live",
+        # round-14: the calibration->curation loop closed (threshold on
+        # the calibrated P(keep) inside the single-scan curation)
+        "corpus_curate_calibrated",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
