@@ -403,6 +403,10 @@ HEADLINE = (
     # r13: partition-grained idempotent ingest (3 batches + a replayed
     # batch under build_sec); headline = the read-side rollup
     "events_ingest_rollup",
+    # r14: the compaction lifecycle (fragmented ingest + replay +
+    # staged compaction under build_sec); headline = the read-side
+    # one-day rollup off the compacted table
+    "events_compacted_rollup",
     # dup_communities (r13, LPA over the near-dup graph) is
     # catalog+oracle only, same boundary as dup_pagerank: its cost is
     # ~90% the exact cosine PAIR GENERATION shared with the other
@@ -564,7 +568,7 @@ def main() -> int:
         # r13: the layout families join the same honesty rule — without
         # clearing, every run after the first would record a cache-hit
         # re-register under the "build" label
-        "bktidx", "bktolidx", "dtpart", "dtingest", "calibidx",
+        "bktidx", "bktolidx", "dtpart", "dtingest", "dtcompact", "calibidx",
     ):
         for d in _glob.glob(
             os.path.join(
@@ -604,6 +608,8 @@ def main() -> int:
         "events_ingest_rollup",
         # r13: the 3-batch calibration-mart ingest
         "calibrated_quality_scores_live",
+        # r14: the fragmented ingest + compaction lifecycle
+        "events_compacted_rollup",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

@@ -377,6 +377,9 @@ POOL: tuple[str, ...] = (
     # round-14: the calibration->curation loop closed (threshold on the
     # calibrated P(keep) inside the single-scan curation)
     "corpus_curate_calibrated",
+    # round-14: the compaction lifecycle end-to-end (fragmented ingest +
+    # replay + staged compaction, rollup vs the raw-events oracle)
+    "events_compacted_rollup",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -794,6 +794,51 @@ def events_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_compacted_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "layout", "compaction", "ingest"),
+    gated=False,
+)
+def events_compacted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction LIFECYCLE gated end-to-end (r13 verdict #6): a
+    deliberately FRAGMENTED 3-batch partition ingest (8 files per dt dir
+    per batch — what a multi-executor streaming writer leaves), a
+    replayed middle batch, then small-file compaction to one file per
+    partition (asserted loudly in the builder,
+    streaming/partition_ingest.py:ingest_events_compacted), and finally
+    events_day_prune's one-day hourly rollup answered off the COMPACTED
+    table against the SAME raw-events oracle — a hash match proves the
+    whole lifecycle (fragmented write → duplicate delivery → staged
+    compaction swap) is invisible to results while the file count drops
+    ~8×. At 100 TB this is the nightly OPTIMIZE job's correctness
+    contract: scans get fewer file opens, answers don't move. The day
+    filter still partition-prunes: compaction preserves the dt layout,
+    so PartitionFilters work unchanged on the rewritten table."""
+    from ..streaming.partition_ingest import read_compacted_events
+
+    ev = read_compacted_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("dt") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type", F.hour("ts").cast("long").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("value_cents"),
+        )
+    )
+
+
+@register(
     "rolling_mau_hll",
     oracle=None,  # Datasketches HLL has no DuckDB twin; pytest pins the
     # ≤5% error vs exact rolling distinct and the lossless merge

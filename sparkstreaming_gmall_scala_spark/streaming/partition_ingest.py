@@ -118,6 +118,98 @@ def ingest_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     return work
 
 
+def ingest_events_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """The full compaction LIFECYCLE (r13 verdict #6): a FRAGMENTED
+    3-batch ingest (each batch written from 8 hash-partitioned tasks, so
+    every dt dir collects multiple small files — the shape a real
+    multi-executor streaming ingest leaves), a replayed middle batch
+    (idempotence under fragmentation), then ``compact_partitions`` down
+    to one file per partition. Returns the compacted table path.
+
+    Both post-conditions are asserted LOUDLY before the cache marker
+    lands: (a) the ingest really fragmented (else the entry would prove
+    nothing), and (b) after compaction every partition holds exactly one
+    file. Content invisibility is what the catalog entry's oracle
+    checks: ``events_compacted_rollup`` answers a rollup off this table
+    against the RAW events oracle — one row lost or duplicated anywhere
+    in ingest→replay→compact and the value hash diverges."""
+    from ..plans.llm import _data_fingerprint, _params_key
+    from ..sources import load_table
+    from ..sources.partitioned import (
+        compact_partitions,
+        partition_file_counts,
+    )
+
+    key = _params_key("dtcompact", _data_fingerprint(sf_dir, "events"))
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dtcompact_{os.path.basename(sf_dir.rstrip('/'))}_{key}",
+    )
+    marker = os.path.join(work, "_WRITTEN")
+    if not os.path.exists(marker):
+        shutil.rmtree(work, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "dt", F.to_date("ts")
+        ).persist()
+        n_raw = ev.count()
+        batches = [
+            ev.filter(
+                (F.col("dt") >= F.lit(lo)) & (F.col("dt") <= F.lit(hi))
+            )
+            for lo, hi in _batch_bounds(ev)
+        ]
+
+        def _write_fragmented(df: DataFrame) -> None:
+            (
+                df.repartition(8)  # many tasks per partition — the
+                # small-file problem, deliberately
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("dt")
+                .parquet(work)
+            )
+
+        for b in batches:
+            _write_fragmented(b)
+        if len(batches) > 1:
+            _write_fragmented(batches[1])  # duplicate delivery
+        ev.unpersist()
+        before = partition_file_counts(work)
+        if not any(n > 1 for n in before.values()):
+            raise AssertionError(
+                f"fragmented ingest produced no fragmentation: {before}"
+            )
+        compacted = compact_partitions(spark, work, max_files=1)
+        if not compacted:
+            raise AssertionError("compaction found nothing to rewrite")
+        after = partition_file_counts(work)
+        if any(n != 1 for n in after.values()):
+            raise AssertionError(
+                f"post-compaction file counts not 1/partition: {after}"
+            )
+        n_final = spark.read.parquet(work).count()
+        if n_final != n_raw:
+            raise AssertionError(
+                f"ingest+compact changed row count: raw={n_raw} "
+                f"final={n_final} at {work}"
+            )
+        with open(marker, "w") as fh:
+            fh.write("1")
+    return work
+
+
+def read_compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the fragmented-ingested-then-compacted table."""
+    from ..sources.partitioned import require_utc_session
+
+    require_utc_session(spark, "read_compacted_events")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
+    return spark.read.parquet(ingest_events_compacted(spark, sf_dir))
+
+
 def read_ingested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan the ingested (and replay-exercised) partitioned table."""
     from ..sources.partitioned import require_utc_session

@@ -425,6 +425,8 @@ def test_gate_budget(registry):
         # round-14: the calibration->curation loop closed (threshold on
         # the calibrated P(keep) inside the single-scan curation)
         "corpus_curate_calibrated",
+        # round-14: the compaction lifecycle end-to-end
+        "events_compacted_rollup",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -76,6 +76,30 @@ def test_replaying_one_batch_leaves_other_partitions_untouched(
     assert read_ingested_events(spark, sf_dir).count() == raw.count()
 
 
+def test_compaction_lifecycle_invisible_and_single_file(spark, sf_dir):
+    """events_compacted_rollup's builder: fragmented ingest + replay +
+    compaction leaves exactly one file per partition AND the table is
+    row-identical to the raw events table (layout independence — the
+    compaction-lifecycle contract the catalog entry hash-checks)."""
+    from sparkstreaming_gmall_scala_spark.sources.partitioned import (
+        partition_file_counts,
+    )
+    from sparkstreaming_gmall_scala_spark.streaming.partition_ingest import (
+        ingest_events_compacted,
+        read_compacted_events,
+    )
+
+    work = ingest_events_compacted(spark, sf_dir)
+    counts = partition_file_counts(work)
+    assert counts and all(n == 1 for n in counts.values()), counts
+    ev = read_compacted_events(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    assert ev.count() == raw.count()
+    assert _rollup(ev) == _rollup(raw)
+
+
 def test_batch_bounds_cover_data_contiguously(spark, sf_dir):
     """r13 advice: bounds are DERIVED from min/max(dt), so no event can
     fall outside any batch — contiguous day ranges, first/last pinned to
