@@ -2045,6 +2045,36 @@ def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=6)
 
 
+def _lp_rounds_and_final(rounds: int) -> str:
+    """The unrolled LPA rounds + final community/size projection,
+    shared by the exact-pair and LSH-candidate oracles (both feed it
+    the same ``edges`` CTE shape)."""
+    steps = []
+    for it in range(1, rounds + 1):
+        prev = f"l{it - 1}"
+        steps.append(f""", l{it} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM (
+          SELECT e.src AS node, l.lbl, count(*) AS c
+          FROM edges e JOIN {prev} l ON l.node = e.dst
+          GROUP BY e.src, l.lbl
+        )
+      ) WHERE rn = 1
+    )""")
+    return (
+        "".join(steps)
+        + f""", sizes AS (
+      SELECT lbl, count(*) AS sz FROM l{rounds} GROUP BY lbl
+    )
+    SELECT f.node, f.lbl AS community, CAST(s.sz AS BIGINT) AS community_size
+    FROM l{rounds} f JOIN sizes s ON s.lbl = f.lbl
+    """
+    )
+
+
 def _lp_oracle(rounds: int = 3) -> str:
     """Full oracle for dup_communities: synchronous label propagation
     with a FIXED round count unrolls into ``rounds`` plain CTEs (the
@@ -2066,31 +2096,7 @@ def _lp_oracle(rounds: int = 3) -> str:
     ), l0 AS (
       SELECT DISTINCT src AS node, src AS lbl FROM edges
     )"""
-    steps = []
-    for it in range(1, rounds + 1):
-        prev = f"l{it - 1}"
-        steps.append(f""", l{it} AS (
-      SELECT node, lbl FROM (
-        SELECT node, lbl,
-               row_number() OVER (
-                 PARTITION BY node ORDER BY c DESC, lbl) AS rn
-        FROM (
-          SELECT e.src AS node, l.lbl, count(*) AS c
-          FROM edges e JOIN {prev} l ON l.node = e.dst
-          GROUP BY e.src, l.lbl
-        )
-      ) WHERE rn = 1
-    )""")
-    return (
-        base
-        + "".join(steps)
-        + f""", sizes AS (
-      SELECT lbl, count(*) AS sz FROM l{rounds} GROUP BY lbl
-    )
-    SELECT f.node, f.lbl AS community, CAST(s.sz AS BIGINT) AS community_size
-    FROM l{rounds} f JOIN sizes s ON s.lbl = f.lbl
-    """
-    )
+    return base + _lp_rounds_and_final(rounds)
 
 
 @register(
@@ -2116,6 +2122,70 @@ def dup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_near_dup_pairs(
         e, "vec_id", "embedding", threshold=0.4, dim=64
+    ).select("id_a", "id_b")
+    return label_propagation(pairs, rounds=3)
+
+
+def _lp_oracle_lsh(rounds: int = 3) -> str:
+    """dup_communities_lsh's full oracle: the SAME unrolled synchronous
+    LPA, but the edge derivation is embed_near_dup_lsh's banded-LSH
+    candidate space (bucket collisions under the closed-form _PLANES,
+    then exact-cosine verify) — deterministic given the plane literals,
+    so it oracles exactly even though recall vs the exact graph is < 1
+    by construction."""
+    buckets = ", ".join(
+        f"(CAST(({_plane_dot_sql('embedding', _PLANES[2 * b])} >= 0) AS BIGINT)"
+        f" + (CAST(({_plane_dot_sql('embedding', _PLANES[2 * b + 1])} >= 0) AS BIGINT) * 2))"
+        f" AS b{b}"
+        for b in range(4)
+    )
+    collide = " OR ".join(f"q.b{b} = c.b{b}" for b in range(4))
+    base = f"""
+    WITH cb AS (
+      SELECT vec_id, embedding, {buckets} FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+             floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5) / 1000000 AS score
+      FROM cb q JOIN cb c ON q.vec_id < c.vec_id AND ({collide})
+    ), pairs AS (
+      SELECT id_a, id_b FROM scored WHERE score >= 0.4
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM edges
+    )"""
+    return base + _lp_rounds_and_final(rounds)
+
+
+@register(
+    "dup_communities_lsh",
+    oracle=_lp_oracle_lsh(),
+    tags=("llm", "dedup", "graph", "lsh"),
+    gated=False,
+)
+def dup_communities_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_communities' documented 100 TB twin (r13 verdict #4): the
+    same 3-round synchronous label propagation, but the edge derivation
+    rides the banded-LSH candidate path (cosine_near_dup_pairs with
+    ``planes`` — candidates are bucket collisions, O(Σ bucket²) instead
+    of the exact O(n²) pair join, then exact-cosine verified). This is
+    the form the whole dup-graph family (pagerank / communities /
+    triangles / clusters) runs at corpus scale: the LSH edge set is a
+    SUBSET of the exact edges (pruned, never invented — pinned in
+    tests/test_graph.py together with a community co-membership
+    agreement floor vs the exact graph on the clustered fixture), and
+    everything downstream is unchanged distributed LPA. Full oracle:
+    the plane literals make the candidate space deterministic, so the
+    unrolled-CTE oracle composes the LSH pair SQL with the same LPA
+    rounds."""
+    from ..operators.graph import label_propagation
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, planes=_PLANES, dim=64
     ).select("id_a", "id_b")
     return label_propagation(pairs, rounds=3)
 

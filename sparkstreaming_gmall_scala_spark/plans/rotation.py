@@ -380,6 +380,9 @@ POOL: tuple[str, ...] = (
     # round-14: the compaction lifecycle end-to-end (fragmented ingest +
     # replay + staged compaction, rollup vs the raw-events oracle)
     "events_compacted_rollup",
+    # round-14: the dup-graph family's banded-LSH scale twin (LPA over
+    # the LSH candidate edges; deterministic planes -> full oracle)
+    "dup_communities_lsh",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

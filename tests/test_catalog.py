@@ -427,6 +427,8 @@ def test_gate_budget(registry):
         "corpus_curate_calibrated",
         # round-14: the compaction lifecycle end-to-end
         "events_compacted_rollup",
+        # round-14: the dup-graph family's banded-LSH scale twin
+        "dup_communities_lsh",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -32,6 +32,20 @@ from sparkstreaming_gmall_scala_spark.session import get_spark  # noqa: E402
 ITERATIVE = {
     "dup_pagerank": "iterative (10 rounds); per-iteration: 1 exchange on "
     "dst + 1 broadcast of dangling mass — guarded in tests/test_pagerank.py",
+    "dup_communities": "flat counts are the 3 unrolled LPA rounds "
+    "re-printing the exact all-pairs edge lineage per consumer; real "
+    "shape per round: 1 edge-dst join + 1 (node,lbl) count exchange + a "
+    "per-node <=deg-row argmax window. The exact O(n^2) pair derivation "
+    "is the ORACLE BASELINE; the 100 TB form is dup_communities_lsh "
+    "(same LPA over the banded-LSH candidate edges) — agreement floors "
+    "pinned in tests/test_graph.py",
+    "dup_communities_lsh": "flat counts are the 3 unrolled LPA rounds "
+    "re-printing the banded-LSH candidate lineage per consumer; real "
+    "shape: band-bucket exchange + bucket-collision join (O(sum "
+    "bucket^2) candidates, never O(n^2)) + exact-cosine verify, then "
+    "per round 1 edge-dst join + 1 count exchange + a per-node window — "
+    "the dup-graph family's scale twin (edge recall/co-membership/"
+    "purity floors in tests/test_graph.py)",
     "dup_triangles": "flat counts are cache-reprints: the persisted pair "
     "edge list (materialized ONCE — persist+count in operators/graph.py) "
     "has its lineage re-printed per consumer; real shape is 3 equi hash "
