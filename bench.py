@@ -388,6 +388,10 @@ HEADLINE = (
     # r14: the calibration->curation loop closed — single-scan curation
     # with a floor on the CALIBRATED keep probability
     "corpus_curate_calibrated",
+    # r14: prefix-filtered EXACT set-similarity join — lossless scale
+    # path next to ngram_jaccard_pairs' co-occurrence candidates and
+    # minhash_lsh_pairs' approximate ones
+    "jaccard_prefix_pairs",
     # r13: the live calibration curve off the streaming per-doc mart
     # (3-batch ingest under build_sec; headline = the read-side fold)
     "calibrated_quality_scores_live",

@@ -23,7 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
@@ -216,6 +216,113 @@ def jaccard_pairs(
     out = out.persist()
     out.count()
     release()
+    return out
+
+
+def jaccard_pairs_prefix(
+    sh: DataFrame,
+    id_col: str,
+    max_df: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``jaccard_pairs``' result through PREFIX FILTERING (AllPairs /
+    PPJoin, Bayardo et al. WWW'07; Chaudhuri et al. SSJoin) — the exact
+    set-similarity join's scale path: same contract, provably the same
+    pair set (pinned row-for-row in tests/test_dedup_prefix.py), but the
+    candidate space is bounded by RARE-token prefixes instead of every
+    co-occurrence of every kept shingle.
+
+    Under one GLOBAL token order (document frequency asc, shingle asc —
+    rarest first), each doc emits only its first
+    ``|X| − ceil(t·|X|) + 1`` shingles. Any pair with J ≥ t has
+    ``|A∩B| ≥ ceil(t·max(|A|,|B|))``, so both prefixes must intersect —
+    the prefix-prefix join loses nothing. Candidates then verify with
+    the exact intersection count over the full kept sets. Why it scales:
+    the join key distribution is re-shaped toward LOW-df shingles (a
+    df-20 boilerplate shingle sits at the END of the global order and
+    falls outside most prefixes), so candidate count tracks the number
+    of truly-similar pairs instead of Σ df² over the shingle table. The
+    measure is Jaccard over the SAME stop-filtered sets as
+    ``jaccard_pairs`` — one oracle, two physical strategies (the
+    corpus_curate / corpus_curate_fast discipline)."""
+    sh = sh.persist()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    stops = dfreq.filter(F.col("_df") > max_df).select("shingle")
+    kept = sh.join(F.broadcast(stops), "shingle", "left_anti").persist()
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # global order (df asc, shingle asc) — total, identical for every
+    # doc, so the prefix guarantee holds corpus-wide
+    ranked = (
+        kept.join(dfreq, "shingle")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_df", "shingle")
+            ),
+        )
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("set_size")
+        - F.ceil(F.lit(float(threshold)) * F.col("set_size"))
+        + 1
+    ).select(id_col, "shingle", "set_size")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # size filter rides the candidate join: J >= t forces
+            # |B| >= t·|A| (and symmetrically), so wildly mismatched
+            # set sizes never become candidates
+            & (
+                F.col("b.set_size")
+                >= F.ceil(F.lit(float(threshold)) * F.col("a.set_size"))
+            )
+            & (
+                F.col("a.set_size")
+                >= F.ceil(F.lit(float(threshold)) * F.col("b.set_size"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .distinct()
+    )
+    # exact verification: intersection count over the full kept sets —
+    # expanding A's tokens then equi-joining B on (id_b, shingle) keeps
+    # exactly the |A∩B| shared-token rows per candidate (two hash joins,
+    # never an |A|×|B| expansion)
+    ka = kept.select(F.col(id_col).alias("id_a"), "shingle")
+    kb = kept.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        cand.join(ka, "id_a")
+        .join(kb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = shared.withColumn(
+        "jaccard",
+        F.col("n_shared").cast("double")
+        / (
+            F.col("size_a") + F.col("size_b") - F.col("n_shared")
+        ).cast("double"),
+    )
+    out = jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a",
+        "id_b",
+        (F.floor(F.col("jaccard") * 1e6 + 0.5) / 1e6).alias("jaccard"),
+    )
+    out = out.persist()
+    out.count()
+    sh.unpersist()
+    kept.unpersist()
     return out
 
 

@@ -1003,6 +1003,42 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jaccard_prefix_pairs",
+    # SAME oracle as ngram_jaccard_pairs — one contract, two physical
+    # strategies (the corpus_curate / corpus_curate_fast discipline):
+    # prefix filtering is LOSSLESS, so the pair sets are identical
+    oracle=f"""
+    WITH {_PAIR_CTES}
+    SELECT id_a, id_b,
+           floor(jac * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM pairs
+    """,
+    tags=("llm", "dedup", "prefix-filter"),
+    gated=False,
+)
+def jaccard_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard_pairs through PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. WWW'07): the exact set-similarity join's 100 TB form.
+    Unlike MinHash-LSH (recall < 1) this is LOSSLESS — under one global
+    rarest-first token order, a pair with J ≥ t must share a token in
+    both docs' (|X| − ceil(t·|X|) + 1)-length prefixes, so the
+    prefix-prefix candidate join provably finds every qualifying pair
+    while re-shaping the join-key distribution toward low-df shingles
+    (boilerplate shingles sit at the END of the order and fall outside
+    most prefixes). Size-ratio pruning (|B| ≥ t·|A|) rides the join
+    condition. Equality with the co-occurrence-candidate jaccard_pairs
+    is pinned row-for-row in tests/test_dedup_prefix.py, including an
+    adversarial fixture where every shared shingle is mid-frequency.
+    Reference: no counterpart (north-star dedup op;
+    operators/dedup.py:jaccard_pairs_prefix)."""
+    from ..operators.dedup import jaccard_pairs_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", n=3)
+    return jaccard_pairs_prefix(sh, "doc_id", max_df=20, threshold=0.5)
+
+
+@register(
     "dup_clusters",
     oracle=f"""
     WITH RECURSIVE {_PAIR_CTES},

@@ -383,6 +383,9 @@ POOL: tuple[str, ...] = (
     # round-14: the dup-graph family's banded-LSH scale twin (LPA over
     # the LSH candidate edges; deterministic planes -> full oracle)
     "dup_communities_lsh",
+    # round-14: the exact set-similarity join's scale path (prefix
+    # filtering — lossless, same oracle as ngram_jaccard_pairs)
+    "jaccard_prefix_pairs",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -429,6 +429,8 @@ def test_gate_budget(registry):
         "events_compacted_rollup",
         # round-14: the dup-graph family's banded-LSH scale twin
         "dup_communities_lsh",
+        # round-14: prefix-filtered exact set-similarity join
+        "jaccard_prefix_pairs",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
