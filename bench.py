@@ -392,6 +392,8 @@ HEADLINE = (
     # path next to ngram_jaccard_pairs' co-occurrence candidates and
     # minhash_lsh_pairs' approximate ones
     "jaccard_prefix_pairs",
+    # r14: Pareto-frontier selection (domain-bounded suffix-max skyline)
+    "doc_skyline",
     # r13: the live calibration curve off the streaming per-doc mart
     # (3-batch ingest under build_sec; headline = the read-side fold)
     "calibrated_quality_scores_live",

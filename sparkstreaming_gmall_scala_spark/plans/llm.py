@@ -5600,3 +5600,96 @@ def corpus_curate_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) over per-doc quality x length
+# ---------------------------------------------------------------------------
+_SKYLINE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKENS}) AS n_tokens,
+             floor((len(list_filter({_TOKENS},
+                      t -> t IN ('the','a','of','and','to')))::DOUBLE
+                    / greatest(len({_TOKENS}), 1)) * 1000000 + 0.5)
+               / 1000000 AS stop_ratio,
+             floor((length(regexp_replace(lower(text), '[a-z0-9 ]', '',
+                      'g'))::DOUBLE
+                    / greatest(length(text), 1)) * 1000000 + 0.5)
+               / 1000000 AS punct_ratio
+      FROM documents
+    ), q AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(floor((floor((0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+                      + 0.4 * stop_ratio
+                      + 0.2 * (1.0 - punct_ratio)) * 1000000 + 0.5)
+                  / 1000000) * 1000000 + 0.5) AS BIGINT) AS q6
+      FROM t
+    )
+    SELECT p.doc_id, p.q6 AS quality_ppm, p.n_tokens
+    FROM q p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM q o
+      WHERE o.doc_id <> p.doc_id
+        AND o.q6 >= p.q6 AND o.n_tokens >= p.n_tokens
+        AND (o.q6 > p.q6 OR o.n_tokens > p.n_tokens)
+    )
+    """
+
+
+@register(
+    "doc_skyline",
+    oracle=_SKYLINE_ORACLE,
+    tags=("llm", "quality", "selection", "skyline"),
+    gated=False,
+)
+def doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2-D skyline) over per-doc (quality score,
+    token length): the documents no other document beats on BOTH axes —
+    the multi-objective data-selection primitive (pick exemplars without
+    collapsing two signals into one weighted scalar the way model_score/
+    token_mix must). Oracle: the literal NOT-EXISTS dominance definition
+    (O(n²), oracle-side only).
+
+    Engine shape — the distributed 2-D skyline: dominance against a
+    SUFFIX-MAX, never a pairwise join. One groupBy folds docs to
+    (q6, max_n) — a frame bounded by the ppm score DOMAIN (≤ 1e6+1 rows
+    at any corpus size, the value_histogram bounded-frame argument) —
+    then one window over that bounded frame computes M(x) = max token
+    count among strictly-higher scores, and the per-doc filter is
+    ``n == max_n(x) AND n > M(x)``: a doc survives iff it is its score
+    bucket's longest AND strictly longer than everything scored above
+    it. Equal-(q6, n) docs tie on the frontier and all survive (neither
+    dominates — strictness pinned in tests/test_round14_properties.py).
+    One doc scan, one domain-bounded exchange, one broadcast-size join
+    back. Reference: no counterpart (north-star selection op)."""
+    from ..operators.textstats import quality_score
+
+    per = quality_score(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select(
+        "doc_id",
+        F.floor(F.col("quality") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("q6"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    byx = per.groupBy("q6").agg(F.max("n_tokens").alias("_max_n"))
+    w = (
+        Window.orderBy(F.col("q6").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = byx.withColumn("_m_above", F.max("_max_n").over(w))
+    return (
+        per.join(F.broadcast(m), "q6")
+        .filter(
+            (F.col("n_tokens") == F.col("_max_n"))
+            & (
+                F.col("_m_above").isNull()
+                | (F.col("n_tokens") > F.col("_m_above"))
+            )
+        )
+        .select(
+            "doc_id", F.col("q6").alias("quality_ppm"), "n_tokens"
+        )
+    )

@@ -386,6 +386,8 @@ POOL: tuple[str, ...] = (
     # round-14: the exact set-similarity join's scale path (prefix
     # filtering — lossless, same oracle as ngram_jaccard_pairs)
     "jaccard_prefix_pairs",
+    # round-14: Pareto-frontier document selection (suffix-max skyline)
+    "doc_skyline",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

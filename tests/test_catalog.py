@@ -431,6 +431,8 @@ def test_gate_budget(registry):
         "dup_communities_lsh",
         # round-14: prefix-filtered exact set-similarity join
         "jaccard_prefix_pairs",
+        # round-14: Pareto-frontier document selection
+        "doc_skyline",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

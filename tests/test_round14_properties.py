@@ -84,3 +84,50 @@ def test_calibrated_threshold_actually_cuts(spark):
         & (F.col("keep") == 1)
     )
     assert cut.count() >= 1
+
+
+def test_skyline_tie_and_strictness_semantics(spark):
+    """doc_skyline's dominance semantics on a hand graph: equal-(x,y)
+    docs tie onto the frontier together; a doc equal on one axis and
+    beaten on the other is dominated; interior docs drop."""
+    from pyspark.sql import Window
+
+    # (x=q6 stand-in, y=n_tokens stand-in) — drive the same plan shape
+    # through a local frame by re-deriving the filter inline
+    rows = [
+        (1, 10, 100),  # frontier (best y at x=10)
+        (2, 10, 100),  # exact tie with 1 -> both survive
+        (3, 10, 90),   # same x, smaller y -> dominated by 1
+        (4, 20, 80),   # frontier (higher x, smaller y)
+        (5, 15, 80),   # dominated by 4 (x 15<20, y equal)
+        (6, 5, 50),    # dominated by everything above
+        (7, 25, 10),   # frontier (max x)
+    ]
+    per = spark.createDataFrame(rows, ["doc_id", "q6", "n_tokens"])
+    byx = per.groupBy("q6").agg(F.max("n_tokens").alias("_max_n"))
+    w = (
+        Window.orderBy(F.col("q6").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = byx.withColumn("_m_above", F.max("_max_n").over(w))
+    got = {
+        r["doc_id"]
+        for r in per.join(F.broadcast(m), "q6")
+        .filter(
+            (F.col("n_tokens") == F.col("_max_n"))
+            & (
+                F.col("_m_above").isNull()
+                | (F.col("n_tokens") > F.col("_m_above"))
+            )
+        )
+        .collect()
+    }
+    # brute-force dominance reference
+    expect = set()
+    for d, x, y in rows:
+        if not any(
+            od != d and ox >= x and oy >= y and (ox > x or oy > y)
+            for od, ox, oy in rows
+        ):
+            expect.add(d)
+    assert got == expect == {1, 2, 4, 7}
