@@ -394,6 +394,9 @@ HEADLINE = (
     "jaccard_prefix_pairs",
     # r14: Pareto-frontier selection (domain-bounded suffix-max skyline)
     "doc_skyline",
+    # r14: exact-integer spectral audit (3 power steps over one cached
+    # quantized frame; 64 decimal sums per step, single-row aggregates)
+    "embed_spectral_audit",
     # r13: the live calibration curve off the streaming per-doc mart
     # (3-batch ingest under build_sec; headline = the read-side fold)
     "calibrated_quality_scores_live",

@@ -5693,3 +5693,100 @@ def doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("q6").alias("quality_ppm"), "n_tokens"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer spectral audit (dominant direction / anisotropy)
+# ---------------------------------------------------------------------------
+def _spectral_oracle(iters: int = 3, dim: int = 64) -> str:
+    """embed_spectral_audit's full oracle: the power iteration unrolls
+    into ``iters`` CTE pairs (the dup_pagerank fixed-iteration move) —
+    u_k = A·v_{k-1} per row, w_k = Aᵀ·u_k per dim, v_k = trunc-div
+    ppm-normalization — all HUGEINT-exact, so the engine's
+    driver-normalized integers reproduce value-for-value."""
+    base = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS q
+      FROM embeddings
+    ), dims AS (SELECT unnest(generate_series(1, {dim})) AS d),
+    u1 AS (
+      SELECT vec_id, CAST(1000000 AS HUGEINT)
+               * CAST(list_aggregate(q, 'sum') AS HUGEINT) AS u
+      FROM e
+    )"""
+    steps = []
+    for it in range(1, iters + 1):
+        steps.append(f""", w{it} AS (
+      SELECT dims.d,
+             sum(CAST(e.q[dims.d] AS HUGEINT) * u{it}.u) AS w
+      FROM e JOIN u{it} USING (vec_id), dims GROUP BY dims.d
+    ), m{it} AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w{it}),
+    v{it} AS (
+      SELECT d, CASE WHEN w >= 0 THEN (w * 1000000) // mx
+                     ELSE -((-w * 1000000) // mx) END AS v
+      FROM w{it}, m{it}
+    )""")
+        if it < iters:
+            steps.append(f""", u{it + 1} AS (
+      SELECT e.vec_id, sum(CAST(e.q[v{it}.d] AS HUGEINT) * v{it}.v) AS u
+      FROM e, v{it} GROUP BY e.vec_id
+    )""")
+    final = f""", uf AS (
+      SELECT e.vec_id,
+             sum(CAST(e.q[v{iters}.d] AS HUGEINT) * v{iters}.v) AS u
+      FROM e, v{iters} GROUP BY e.vec_id
+    ), nd AS (SELECT sum(u * u) AS num FROM uf),
+    dd AS (SELECT sum(v * v) AS den FROM v{iters}),
+    tr AS (
+      SELECT sum(CAST(e.q[dims.d] AS HUGEINT) * e.q[dims.d]) AS t
+      FROM e, dims
+    )
+    SELECT v{iters}.d AS dim, CAST(v{iters}.v AS BIGINT) AS v_ppm,
+           CAST((nd.num * 1000000) // greatest(dd.den * tr.t, 1)
+                AS BIGINT) AS dominant_share_ppm
+    FROM v{iters}, nd, dd, tr
+    """
+    return base + "".join(steps) + final
+
+
+@register(
+    "embed_spectral_audit",
+    oracle=_spectral_oracle(),
+    tags=("llm", "embedding", "quality", "spectral"),
+    gated=False,
+)
+def embed_spectral_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-direction audit of the embedding corpus: a 3-step
+    power-iteration estimate of AᵀA's top eigenvector plus the exact
+    Rayleigh share λ̂/trace in ppm — the anisotropy diagnostic (a
+    healthy corpus spreads energy; a collapsed or mean-dominated one
+    concentrates it — the pathology whitening/ABTT post-processing
+    exists for). EXACT-INTEGER end to end (operators/spectral.py):
+    embeddings quantize to micro-units, each iteration is two exact
+    passes over one cached frame (per-row dot against 64 broadcast
+    literals; 64 DECIMAL(38,0) column sums in ONE row-less aggregate —
+    no shuffle wider than a single row), and the 64-component
+    normalization walks driver-side in Python big-ints with
+    trunc-toward-zero division (the holt_forecast cross-engine
+    discipline). The oracle unrolls the same three iterations into
+    HUGEINT CTEs, so this iterative linear algebra is hash-verified
+    value-for-value — the dup_pagerank move applied to spectra. The
+    3-step figure is a deterministic ESTIMATE (rate λ₂/λ₁ per step):
+    near-flat spectra (this synthetic corpus) under-estimate the top
+    direction, mean-dominated real corpora converge immediately —
+    pinned vs numpy on an offset fixture in tests/test_spectral.py.
+    Returned frame is the 64-row driver result (LocalTableScan — the
+    key_skew_profile convention)."""
+    from ..operators.spectral import power_iteration_audit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v, share = power_iteration_audit(e, "vec_id", "embedding", dim=64)
+    rows = [
+        (d + 1, int(v[d]), int(share)) for d in range(64)
+    ]
+    return spark.createDataFrame(
+        rows, "dim long, v_ppm long, dominant_share_ppm long"
+    )

@@ -388,6 +388,8 @@ POOL: tuple[str, ...] = (
     "jaccard_prefix_pairs",
     # round-14: Pareto-frontier document selection (suffix-max skyline)
     "doc_skyline",
+    # round-14: exact-integer power-iteration spectral audit
+    "embed_spectral_audit",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -433,6 +433,8 @@ def test_gate_budget(registry):
         "jaccard_prefix_pairs",
         # round-14: Pareto-frontier document selection
         "doc_skyline",
+        # round-14: exact-integer power-iteration spectral audit
+        "embed_spectral_audit",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -306,6 +306,13 @@ ITERATIVE = {
     "via bounded_series_eval) and the final broadcast application join; "
     "real shape is 1 documents scan + 1 fp exchange (keep window) + 1 "
     "doc_id join + the <=21-row calibration broadcast",
+    "embed_spectral_audit": "zero counts are the 64-row driver result "
+    "(createDataFrame — the key_skew_profile convention): the audit "
+    "computes at BUILD time as 3 power-iteration steps over ONE cached "
+    "quantized frame (per step: a per-row dot against 64 broadcast "
+    "literals + 64 DECIMAL(38,0) sums folding to a single row), with "
+    "the 64-component normalization in driver big-int arithmetic — "
+    "exactness + convergence pinned in tests/test_spectral.py",
     "knn_ivf_sq8": "zero counts are the k*|queries|-row materialization "
     "(collect + createDataFrame after the bounded refine); real shape "
     "is 1 cell-PRUNED codes read (partition filter from the literal "
