@@ -578,6 +578,7 @@ def main() -> int:
         # clearing, every run after the first would record a cache-hit
         # re-register under the "build" label
         "bktidx", "bktolidx", "dtpart", "dtingest", "dtcompact", "calibidx",
+        "gramidx",
     ):
         for d in _glob.glob(
             os.path.join(

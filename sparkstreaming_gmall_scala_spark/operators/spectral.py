@@ -57,6 +57,36 @@ def _tdiv(a: int, b: int) -> int:
     return a // b if a >= 0 else -((-a) // b)
 
 
+def power_iteration_from_gram(
+    gram: dict[tuple[int, int], int], dim: int = 64, iters: int = 3
+):
+    """The SAME power iteration evaluated from a materialized integer
+    Gram matrix M = AᵀA (``gram[(i, j)]`` 1-indexed): w = M·v replaces
+    the two data passes, everything else — seed, trunc-div
+    normalization, Rayleigh share — is identical arithmetic, so the
+    result equals ``power_iteration_audit`` on the same rows EXACTLY
+    (w_d = Σ_e M_de·v_e = Σ_i q_id·(q_i·v) by integer associativity;
+    num = |A·v|² = vᵀMv). This is the live twin's read side: M is an
+    additive integer monoid over row outer-products, so a streaming
+    mart of per-batch Gram partials folds to the identical M."""
+    m = [[gram.get((i + 1, j + 1), 0) for j in range(dim)] for i in range(dim)]
+    v = [1_000_000] * dim
+
+    def matvec(vec):
+        return [sum(m[d][e] * vec[e] for e in range(dim)) for d in range(dim)]
+
+    for _ in range(iters):
+        w = matvec(v)
+        mx = max(max(abs(x) for x in w), 1)
+        v = [_tdiv(x * 1_000_000, mx) for x in w]
+    mv = matvec(v)
+    num = sum(v[d] * mv[d] for d in range(dim))
+    trace = sum(m[d][d] for d in range(dim))
+    den = sum(x * x for x in v)
+    share_ppm = _tdiv(num * 1_000_000, max(den * trace, 1))
+    return v, share_ppm
+
+
 def power_iteration_audit(
     emb: DataFrame,
     id_col: str = "vec_id",

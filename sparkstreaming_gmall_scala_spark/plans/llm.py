@@ -5790,3 +5790,68 @@ def embed_spectral_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim long, v_ppm long, dominant_share_ppm long"
     )
+
+
+def _gram_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the 3-batch Gram-mart ingest exists under /tmp for this
+    corpus (keyed by params + data fingerprint — the knn persisted
+    discipline) and return the index dir. Batches split by a hash of
+    the vector id, so every batch contributes to every Gram cell — the
+    additive fold, not batch-local luck, is what the live pin
+    exercises."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.spectral import gram_ingest_batch
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_gramidx_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('gram3', _data_fingerprint(sf_dir, 'embeddings'))}",
+    )
+    index_dir = os.path.join(work, "gram")
+    marker = os.path.join(work, "_INGESTED")
+    if not os.path.exists(marker):
+        shutil.rmtree(work, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        body = gram_ingest_batch(spark, index_dir)
+        for i in range(3):
+            body(emb.filter(F.pmod(F.hash("vec_id"), F.lit(3)) == i), i)
+        with open(marker, "w") as fh:
+            fh.write("3")
+    return index_dir
+
+
+@register(
+    "embed_spectral_audit_live",
+    # identical SQL to the batch audit: the Gram matrix is an additive
+    # integer monoid over row outer-products, so the folded M — and the
+    # identical driver iteration over it — reproduces the batch audit's
+    # integers exactly at any batch split
+    oracle=_spectral_oracle(),
+    tags=("streaming", "embedding", "quality", "spectral"),
+    gated=False,
+)
+def embed_spectral_audit_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """embed_spectral_audit answered from the STREAMING Gram mart
+    (streaming/spectral.py): micro-batches append only their own
+    4096-cell exact-integer Gram partials (map-side-combined, the
+    nation-daily additive discipline); the read side folds the cells
+    and runs the SAME trunc-div power iteration on the 64×64 matrix
+    driver-side (power_iteration_from_gram) — batch ≡ live EXACTLY by
+    integer associativity, so the live twin shares the batch oracle
+    verbatim. The live-audit shape at 100 TB: per-batch cost is one
+    pass over the new vectors, mart state is 4096 longs per generation,
+    and the anisotropy monitor never rescans the corpus."""
+    from ..operators.spectral import power_iteration_from_gram
+    from ..streaming.spectral import fold_gram
+
+    gram = fold_gram(spark, _gram_index_dir(spark, sf_dir))
+    v, share = power_iteration_from_gram(gram, dim=64, iters=3)
+    rows = [(d + 1, int(v[d]), int(share)) for d in range(64)]
+    return spark.createDataFrame(
+        rows, "dim long, v_ppm long, dominant_share_ppm long"
+    )

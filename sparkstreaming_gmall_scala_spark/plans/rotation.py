@@ -390,6 +390,9 @@ POOL: tuple[str, ...] = (
     "doc_skyline",
     # round-14: exact-integer power-iteration spectral audit
     "embed_spectral_audit",
+    # round-14: the live twin off the streaming Gram mart (additive
+    # integer monoid -> shares the batch oracle verbatim)
+    "embed_spectral_audit_live",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

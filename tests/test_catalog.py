@@ -435,6 +435,8 @@ def test_gate_budget(registry):
         "doc_skyline",
         # round-14: exact-integer power-iteration spectral audit
         "embed_spectral_audit",
+        # round-14: the live twin off the streaming Gram mart
+        "embed_spectral_audit_live",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -313,6 +313,12 @@ ITERATIVE = {
     "literals + 64 DECIMAL(38,0) sums folding to a single row), with "
     "the 64-component normalization in driver big-int arithmetic — "
     "exactness + convergence pinned in tests/test_spectral.py",
+    "embed_spectral_audit_live": "zero counts are the 64-row driver "
+    "result after the SHARED /tmp Gram-mart ingest; real read shape: "
+    "fold the 4096 additive Gram cells (dedup on cell+src_batch, exact "
+    "integer sums) and run the identical trunc-div power iteration on "
+    "the 64x64 matrix driver-side — batch == live exactly "
+    "(tests/test_streaming_spectral.py)",
     "knn_ivf_sq8": "zero counts are the k*|queries|-row materialization "
     "(collect + createDataFrame after the bounded refine); real shape "
     "is 1 cell-PRUNED codes read (partition filter from the literal "
