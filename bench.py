@@ -397,6 +397,14 @@ HEADLINE = (
     # r14: exact-integer spectral audit (3 power steps over one cached
     # quantized frame; 64 decimal sums per step, single-row aggregates)
     "embed_spectral_audit",
+    # r14: the live twin off the streaming Gram mart (3-batch ingest
+    # under build_sec; headline = fold 4096 cells + the driver walk)
+    "embed_spectral_audit_live",
+    # r14: bucket pruning point lookup (1 of 8 bucket files read) and
+    # the mergeSchema rollup over the schema-evolved table (the
+    # one-time table writes land under build_sec)
+    "bucketed_point_lookup",
+    "events_schema_evolution",
     # r13: the live calibration curve off the streaming per-doc mart
     # (3-batch ingest under build_sec; headline = the read-side fold)
     "calibrated_quality_scores_live",
@@ -620,6 +628,12 @@ def main() -> int:
         "calibrated_quality_scores_live",
         # r14: the fragmented ingest + compaction lifecycle
         "events_compacted_rollup",
+        # r14: the 3-batch Gram-mart ingest
+        "embed_spectral_audit_live",
+        # r14: the schema-evolved two-batch ingest; the point lookup's
+        # bucketed tables are warmed by bucketed_customer_orders above
+        "events_schema_evolution",
+        "bucketed_point_lookup",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()

@@ -393,6 +393,10 @@ POOL: tuple[str, ...] = (
     # round-14: the live twin off the streaming Gram mart (additive
     # integer monoid -> shares the batch oracle verbatim)
     "embed_spectral_audit_live",
+    # round-14: bucket pruning (the third pruning form) and partition
+    # schema evolution under mergeSchema
+    "bucketed_point_lookup",
+    "events_schema_evolution",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -359,6 +359,54 @@ def bucketed_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bucketed_point_lookup",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+    GROUP BY 1
+    """,
+    tags=("scale", "layout", "prune", "bucket"),
+    gated=False,
+)
+def bucketed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET PRUNING — the third pruning form next to static partition
+    pruning and DPP: an equality literal on the bucket column lets the
+    scan read exactly ONE of the 8 bucket files
+    (``SelectedBucketsCount: 1 out of 8`` in the scan node,
+    plan-guarded in tests/test_bucketed.py). At 100 TB this is the
+    point-lookup story for a bucketed fact: a single customer's order
+    profile reads 1/|buckets| of the table with no index structure at
+    all — the same one-time bucket write that killed the join shuffle
+    (bucketed_customer_orders) also serves key lookups. The lookup key
+    is min(o_custkey), discovered with one bounded aggregate collect
+    (the sanctioned post-agg scalar) so the filter is a PLANNING-time
+    literal — a scalar subquery would defeat bucket pruning, which is
+    exactly the point the plan guard pins."""
+    tbl_o, _ = _bucketed_tables(spark, sf_dir)
+    ob = spark.table(tbl_o)
+    key = ob.agg(F.min("o_custkey")).first()[0]
+    return (
+        ob.filter(F.col("o_custkey") == F.lit(int(key)))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("total_cents"),
+        )
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
 def _bucketed_ol_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Ensure bucketed external copies of orders/lineitem co-bucketed on
     the ORDER key (8 buckets, bucket-sorted) exist under /tmp for this

@@ -839,6 +839,54 @@ def events_compacted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_schema_evolution",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events
+    ), s AS (
+      SELECT lo + CAST(ceil((hi - lo + 1) / 2.0) AS INT) - 1 AS split
+      FROM b
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN CAST(ts AS DATE) > s.split THEN 1 END)
+                AS BIGINT) AS n_valued,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) > s.split
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS value_cents
+    FROM events, s GROUP BY 1
+    """,
+    tags=("streaming", "layout", "schema-evolution", "ingest"),
+    gated=False,
+)
+def events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION across partitions — the normal state of any
+    long-lived lake table: the first half of the days was ingested
+    before the producer shipped the ``value`` column, the second half
+    after (streaming/partition_ingest.py:ingest_events_evolving). The
+    mergeSchema read surfaces the union schema with ``value`` NULL for
+    pre-evolution partitions, and this rollup — per-type counts, valued
+    counts, and cents over the valued rows only — hash-checks that the
+    merged read models exactly the CASE-on-date semantics the oracle
+    computes from the raw single-schema table: no row lost, no phantom
+    value, NULL aggregation semantics identical. At 100 TB schema
+    evolution is a metadata fact (new parquet footers carry the new
+    column; old files are never rewritten), and the read-side merge is
+    what makes that zero-cost — this entry gates it."""
+    from ..streaming.partition_ingest import read_evolving_events
+
+    ev = read_evolving_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").cast("long").alias("n_valued"),
+        F.sum(
+            F.floor(F.col("value") * 100 + 0.5).cast("long")
+        ).alias("value_cents"),
+    )
+
+
+@register(
     "rolling_mau_hll",
     oracle=None,  # Datasketches HLL has no DuckDB twin; pytest pins the
     # ≤5% error vs exact rolling distinct and the lossless merge

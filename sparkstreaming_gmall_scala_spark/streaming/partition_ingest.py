@@ -198,6 +198,66 @@ def ingest_events_compacted(spark: SparkSession, sf_dir: str) -> str:
     return work
 
 
+def ingest_events_evolving(spark: SparkSession, sf_dir: str) -> str:
+    """SCHEMA EVOLUTION across partitions: batch 1 (the first half of
+    the days) arrives WITHOUT the ``value`` column — the producer hadn't
+    shipped it yet — batch 2 arrives with it. Each batch writes its own
+    dt partitions (dynamic overwrite, the ingest discipline); the table
+    ends with two physical schemas side by side, which is the normal
+    state of any long-lived lake table. Returns the table path."""
+    from ..plans.llm import _data_fingerprint, _params_key
+    from ..sources import load_table
+
+    key = _params_key("dtevol", _data_fingerprint(sf_dir, "events"))
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dtevol_{os.path.basename(sf_dir.rstrip('/'))}_{key}",
+    )
+    marker = os.path.join(work, "_WRITTEN")
+    if not os.path.exists(marker):
+        shutil.rmtree(work, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "dt", F.to_date("ts")
+        ).persist()
+        n_raw = ev.count()
+        bounds = _batch_bounds(ev, 2)
+        old = ev.filter(
+            (F.col("dt") >= F.lit(bounds[0][0]))
+            & (F.col("dt") <= F.lit(bounds[0][1]))
+        ).drop("value")
+        new = ev.filter(F.col("dt") > F.lit(bounds[0][1]))
+        _write_batch(old, work)
+        _write_batch(new, work)
+        ev.unpersist()
+        n_ingested = (
+            spark.read.option("mergeSchema", "true").parquet(work).count()
+        )
+        if n_ingested != n_raw:
+            raise AssertionError(
+                f"evolving ingest dropped rows: raw={n_raw} "
+                f"ingested={n_ingested} at {work}"
+            )
+        with open(marker, "w") as fh:
+            fh.write("2")
+    return work
+
+
+def read_evolving_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the schema-evolved table with mergeSchema: the union schema,
+    ``value`` NULL for the pre-evolution partitions."""
+    from ..sources.partitioned import require_utc_session
+
+    require_utc_session(spark, "read_evolving_events")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(ingest_events_evolving(spark, sf_dir))
+    )
+
+
 def read_compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan the fragmented-ingested-then-compacted table."""
     from ..sources.partitioned import require_utc_session

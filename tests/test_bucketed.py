@@ -113,3 +113,15 @@ def test_bucketed_order_lineitem_single_exchange(spark, sf_dir):
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, (
         plan[:3000]
     )
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, sf_dir):
+    """bucketed_point_lookup's physical contract: the equality literal
+    on the bucket column makes the scan read ONE of the 8 bucket files
+    (SelectedBucketsCount in the scan node) — the third pruning form
+    next to static partition pruning and DPP."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    q = load_all()["bucketed_point_lookup"].builder(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:3000]

@@ -437,6 +437,9 @@ def test_gate_budget(registry):
         "embed_spectral_audit",
         # round-14: the live twin off the streaming Gram mart
         "embed_spectral_audit_live",
+        # round-14: bucket pruning + schema evolution
+        "bucketed_point_lookup",
+        "events_schema_evolution",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

@@ -136,3 +136,39 @@ def test_read_paths_fail_loud_outside_utc(spark, sf_dir):
             read_partitioned_events(spark, sf_dir)
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_schema_evolution_read_models_case_on_date(spark, sf_dir):
+    """The mergeSchema read of the evolved table: union schema, value
+    NULL exactly on pre-evolution partitions, no row lost."""
+    from sparkstreaming_gmall_scala_spark.streaming.partition_ingest import (
+        read_evolving_events,
+    )
+
+    ev = read_evolving_events(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    assert ev.count() == raw.count()
+    assert "value" in ev.columns
+    bounds = _batch_bounds(raw, 2)
+    split = bounds[0][1]
+    # value is NULL iff the row's partition predates the evolution
+    n_bad = ev.filter(
+        (F.col("dt") <= F.lit(split)) != F.col("value").isNull()
+    ).count()
+    assert n_bad == 0
+    # and the valued half carries the raw values exactly
+    got = {
+        (r["event_id"], r["value"])
+        for r in ev.filter(F.col("dt") > F.lit(split))
+        .select("event_id", "value")
+        .collect()
+    }
+    expect = {
+        (r["event_id"], r["value"])
+        for r in raw.filter(F.col("dt") > F.lit(split))
+        .select("event_id", "value")
+        .collect()
+    }
+    assert got == expect and got
