@@ -1991,6 +1991,58 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_from(
+    scored_cte: str, iters: int = 6, damping_pct: int = 85
+) -> str:
+    """The unrolled integer PageRank oracle over any ``scored`` CTE
+    body producing (id_a, id_b, score) — shared by the exact-pair and
+    banded-LSH edge derivations (same move as _lp_rounds_and_final)."""
+    base_cte = f"""
+    WITH scored AS ({scored_cte}), pairs AS (
+      SELECT id_a, id_b FROM scored WHERE score >= 0.4
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), deg AS (
+      SELECT src, count(*) AS d FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), nn AS (
+      SELECT count(*) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS r
+      FROM nodes CROSS JOIN nn
+    )"""
+    steps = []
+    for it in range(1, iters + 1):
+        prev = f"r{it - 1}"
+        steps.append(f""", r{it} AS (
+      SELECT n0.node,
+             CAST((CAST(1000000000 AS BIGINT) * {100 - damping_pct})
+                    // 100 // nn.n
+                  + ({damping_pct} * COALESCE(c.s, 0)) // 100
+                  AS BIGINT) AS r
+      FROM nodes n0 CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum({prev}.r // deg.d) AS s
+        FROM edges e
+        JOIN {prev} ON {prev}.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n0.node
+    )""")
+    return (
+        base_cte
+        + "".join(steps)
+        + f"""
+    SELECT node, r AS rank_nano,
+           CAST(r AS DOUBLE) / 1000000000 AS rank
+    FROM r{iters}
+    """
+    )
+
+
 def _pagerank_oracle(iters: int = 6, damping_pct: int = 85) -> str:
     """Full cross-engine oracle for dup_pagerank (r13 — upgrading the
     rows-only entry). DuckDB's recursive CTEs forbid aggregates in the
@@ -2193,6 +2245,55 @@ def _lp_oracle_lsh(rounds: int = 3) -> str:
       SELECT DISTINCT src AS node, src AS lbl FROM edges
     )"""
     return base + _lp_rounds_and_final(rounds)
+
+
+def _lsh_scored_cte() -> str:
+    """The banded-LSH candidate pair scoring as a self-contained CTE
+    body (id_a, id_b, score) — embed_near_dup_lsh's derivation with the
+    bucket projection inlined as derived tables, reusable inside any
+    WITH wrapper."""
+    buckets = ", ".join(
+        f"(CAST(({_plane_dot_sql('embedding', _PLANES[2 * b])} >= 0) AS BIGINT)"
+        f" + (CAST(({_plane_dot_sql('embedding', _PLANES[2 * b + 1])} >= 0) AS BIGINT) * 2))"
+        f" AS b{b}"
+        for b in range(4)
+    )
+    collide = " OR ".join(f"q.b{b} = c.b{b}" for b in range(4))
+    return f"""
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+             floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5) / 1000000 AS score
+      FROM (SELECT vec_id, embedding, {buckets} FROM embeddings) q
+      JOIN (SELECT vec_id, embedding, {buckets} FROM embeddings) c
+        ON q.vec_id < c.vec_id AND ({collide})
+    """
+
+
+@register(
+    "dup_pagerank_lsh",
+    oracle=_pagerank_oracle_from(_lsh_scored_cte()),
+    tags=("llm", "dedup", "graph", "lsh"),
+    gated=False,
+)
+def dup_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_pagerank's banded-LSH scale twin (completing the graph
+    family's scale story next to dup_communities_lsh): the same 6-round
+    integer nano-unit power iteration, edges from the LSH candidate
+    path — O(Σ bucket²) pair space instead of the exact O(n²) join the
+    oracle-baseline entry pays. Deterministic planes ⇒ still a FULL
+    oracle (the unrolled-CTE PageRank over the LSH pair SQL). Hub
+    ranking agreement with the exact graph pinned on the clustered
+    fixture in tests/test_graph.py."""
+    from ..operators.pagerank import pagerank
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, planes=_PLANES, dim=64
+    ).select("id_a", "id_b")
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    return pagerank(edges, iters=6)
 
 
 @register(

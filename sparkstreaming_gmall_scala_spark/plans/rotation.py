@@ -397,6 +397,8 @@ POOL: tuple[str, ...] = (
     # schema evolution under mergeSchema
     "bucketed_point_lookup",
     "events_schema_evolution",
+    # round-14: dup_pagerank's banded-LSH scale twin
+    "dup_pagerank_lsh",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

@@ -440,6 +440,8 @@ def test_gate_budget(registry):
         # round-14: bucket pruning + schema evolution
         "bucketed_point_lookup",
         "events_schema_evolution",
+        # round-14: dup_pagerank's banded-LSH scale twin
+        "dup_pagerank_lsh",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

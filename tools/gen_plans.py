@@ -32,6 +32,10 @@ from sparkstreaming_gmall_scala_spark.session import get_spark  # noqa: E402
 ITERATIVE = {
     "dup_pagerank": "iterative (10 rounds); per-iteration: 1 exchange on "
     "dst + 1 broadcast of dangling mass — guarded in tests/test_pagerank.py",
+    "dup_pagerank_lsh": "iterative (6 rounds) like dup_pagerank, with "
+    "the edge derivation on the banded-LSH candidate path (O(sum "
+    "bucket^2) pair space); hub-order agreement with the exact graph "
+    "pinned in tests/test_graph.py",
     "dup_communities": "flat counts are the 3 unrolled LPA rounds "
     "re-printing the exact all-pairs edge lineage per consumer; real "
     "shape per round: 1 edge-dst join + 1 (node,lbl) count exchange + a "
