@@ -405,6 +405,8 @@ HEADLINE = (
     # one-time table writes land under build_sec)
     "bucketed_point_lookup",
     "events_schema_evolution",
+    # r14: the centered spectral audit (one moments pass + driver walk)
+    "embed_pca_audit",
     # r13: the live calibration curve off the streaming per-doc mart
     # (3-batch ingest under build_sec; headline = the read-side fold)
     "calibrated_quality_scores_live",
@@ -893,6 +895,14 @@ def main() -> int:
             "min-of-2 samples its warm-up ramp: r11's pair landed warm "
             "(3.92/3.36), r12's cold (4.46/4.45). Runs 1-5 in one "
             "session: ~8-9 -> 4.5 -> 4.3 -> 3.8 -> 3.4 s",
+            "jaccard_prefix_pairs": "r14 (new): reads SLOWER than the "
+            "co-occurrence candidate twin at sf0.1 by design-honest "
+            "accounting — the prefix machinery (global df-rank window "
+            "+ exact verify joins) is fixed overhead that only pays "
+            "when sum(df^2) over the shingle table blows up (boiler-"
+            "plate-heavy corpora, higher thresholds); the candidate-"
+            "space reduction is pinned in tests/test_dedup_prefix.py "
+            "and the pair set is provably identical (lossless)",
             "knn_pq": "r8 step-up vs r7 is the deliberate 4->8-bit "
             "codebook upgrade (recall@5 0.48->0.94 clustered; RECALL.md)",
             "knn_sq8_persisted": "r9: single-parse expression chains "

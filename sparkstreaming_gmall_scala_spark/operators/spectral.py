@@ -58,7 +58,10 @@ def _tdiv(a: int, b: int) -> int:
 
 
 def power_iteration_from_gram(
-    gram: dict[tuple[int, int], int], dim: int = 64, iters: int = 3
+    gram: dict[tuple[int, int], int],
+    dim: int = 64,
+    iters: int = 3,
+    share_scale: int = 1,
 ):
     """The SAME power iteration evaluated from a materialized integer
     Gram matrix M = AᵀA (``gram[(i, j)]`` 1-indexed): w = M·v replaces
@@ -79,12 +82,96 @@ def power_iteration_from_gram(
         w = matvec(v)
         mx = max(max(abs(x) for x in w), 1)
         v = [_tdiv(x * 1_000_000, mx) for x in w]
-    mv = matvec(v)
-    num = sum(v[d] * mv[d] for d in range(dim))
+    # The Rayleigh share is scale-invariant in v, so it can be computed
+    # from a coarsened copy (share_scale > 1) when the matrix entries
+    # are large — the centered audit's move to keep the ORACLE's HUGEINT
+    # arithmetic inside 2^127 while v itself stays full ppm precision.
+    vs = [_tdiv(x, share_scale) for x in v]
+    mvs = matvec(vs)
+    num = sum(vs[d] * mvs[d] for d in range(dim))
     trace = sum(m[d][d] for d in range(dim))
-    den = sum(x * x for x in v)
+    den = sum(x * x for x in vs)
     share_ppm = _tdiv(num * 1_000_000, max(den * trace, 1))
     return v, share_ppm
+
+
+def collect_moments(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """One pass over the quantized frame → ``(n, mu, gram)``: row count,
+    the 64 exact column sums, and the 4096 exact Gram cells (as a
+    {(i, j): int} dict). These three are everything the CENTERED audit
+    needs: n²·Cov = n·M − μμᵀ, all integers."""
+    q = emb.select(
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+            "* 1000000 + 0.5) AS BIGINT))"
+        ).alias("q")
+    )
+    left = q.select(F.posexplode("q").alias("i0", "qi"), F.col("q"))
+    cells = left.select(
+        (F.col("i0") + 1).alias("i"), "qi",
+        F.posexplode("q").alias("j0", "qj"),
+    )
+    gram_rows = (
+        cells.groupBy("i", (F.col("j0") + 1).alias("j"))
+        .agg(
+            F.sum(
+                F.col("qi").cast("decimal(38,0)") * F.col("qj")
+            ).alias("s")
+        )
+        .collect()
+    )
+    gram = {(int(r["i"]), int(r["j"])): int(r["s"]) for r in gram_rows}
+    mu_row = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.element_at("q", d + 1).cast("decimal(38,0)")
+            ).alias(f"m{d}")
+            for d in range(dim)
+        ],
+    ).first()
+    n = int(mu_row["n"])
+    mu = [int(mu_row[f"m{d}"]) for d in range(dim)]
+    return n, mu, gram
+
+
+def centered_matrix(
+    n: int, mu: list[int], gram: dict, dim: int = 64
+) -> dict:
+    """B = n·M − μμᵀ — the n²-scaled covariance, exact integers. Top
+    eigenvector of B = the true PCA direction (centering removes the
+    mean component the raw Gram audit is dominated by)."""
+    return {
+        (i + 1, j + 1): n * gram.get((i + 1, j + 1), 0) - mu[i] * mu[j]
+        for i in range(dim)
+        for j in range(dim)
+    }
+
+
+def pca_audit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+):
+    """The CENTERED spectral audit — the true PCA top direction: one
+    distributed pass collects (n, μ, M), the driver builds the exact
+    integer B = n·M − μμᵀ (= n²·Cov) and runs the same trunc-div power
+    iteration on it. Centering is what separates 'the corpus has a big
+    mean component' (the raw Gram audit fires, this one doesn't) from
+    'the corpus VARIES along one direction' (both fire) — the pair is
+    pinned against each other in tests/test_spectral.py. The Rayleigh
+    share uses a //1000-coarsened v (share_scale) so the cross-engine
+    oracle's HUGEINT arithmetic provably fits; v itself is full ppm."""
+    n, mu, gram = collect_moments(emb, vec_col, dim)
+    b = centered_matrix(n, mu, gram, dim)
+    return power_iteration_from_gram(
+        b, dim=dim, iters=iters, share_scale=1000
+    )
 
 
 def power_iteration_audit(

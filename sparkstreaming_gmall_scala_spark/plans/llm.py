@@ -5956,3 +5956,99 @@ def embed_spectral_audit_live(
     return spark.createDataFrame(
         rows, "dim long, v_ppm long, dominant_share_ppm long"
     )
+
+
+def _pca_oracle(iters: int = 3, dim: int = 64) -> str:
+    """embed_pca_audit's full oracle: build the exact integer
+    B = n·M − μμᵀ in CTEs (n·4096-cell gram via a double dim unnest, 64
+    column sums, one count), unroll the same trunc-div power iteration
+    over B, and compute the Rayleigh share from the //1000-coarsened
+    vector so every HUGEINT stays inside 2^127 (magnitudes documented
+    in operators/spectral.py)."""
+    base = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS q
+      FROM embeddings
+    ), dims AS (SELECT unnest(generate_series(1, {dim})) AS d),
+    mu AS (
+      SELECT dims.d, sum(CAST(e.q[dims.d] AS HUGEINT)) AS s
+      FROM e, dims GROUP BY dims.d
+    ), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+    m AS (
+      SELECT i.d AS i, j.d AS j,
+             sum(CAST(e.q[i.d] AS HUGEINT) * e.q[j.d]) AS s
+      FROM e, dims i, dims j GROUP BY 1, 2
+    ), b AS (
+      SELECT m.i, m.j, nn.n * m.s - mi.s * mj.s AS s
+      FROM m CROSS JOIN nn
+      JOIN mu mi ON mi.d = m.i JOIN mu mj ON mj.d = m.j
+    ), w1 AS (
+      SELECT i AS d, sum(s) * 1000000 AS w FROM b GROUP BY i
+    ), m1 AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w1),
+    v1 AS (
+      SELECT d, CASE WHEN w >= 0 THEN (w * 1000000) // mx
+                     ELSE -((-w * 1000000) // mx) END AS v
+      FROM w1, m1
+    )"""
+    steps = []
+    for it in range(2, iters + 1):
+        prev = f"v{it - 1}"
+        steps.append(f""", w{it} AS (
+      SELECT b.i AS d, sum(b.s * {prev}.v) AS w
+      FROM b JOIN {prev} ON {prev}.d = b.j GROUP BY b.i
+    ), m{it} AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w{it}),
+    v{it} AS (
+      SELECT d, CASE WHEN w >= 0 THEN (w * 1000000) // mx
+                     ELSE -((-w * 1000000) // mx) END AS v
+      FROM w{it}, m{it}
+    )""")
+    last = f"v{iters}"
+    final = f""", vs AS (
+      SELECT d, CASE WHEN v >= 0 THEN v // 1000
+                     ELSE -((-v) // 1000) END AS v
+      FROM {last}
+    ), bv AS (
+      SELECT b.i AS d, sum(b.s * vs.v) AS w
+      FROM b JOIN vs ON vs.d = b.j GROUP BY b.i
+    ), nd AS (
+      SELECT sum(vs.v * bv.w) AS num FROM vs JOIN bv ON bv.d = vs.d
+    ), dd AS (SELECT sum(v * v) AS den FROM vs),
+    tr AS (SELECT sum(s) AS t FROM b WHERE i = j)
+    SELECT {last}.d AS dim, CAST({last}.v AS BIGINT) AS v_ppm,
+           CAST((nd.num * 1000000) // greatest(dd.den * tr.t, 1)
+                AS BIGINT) AS pca_share_ppm
+    FROM {last}, nd, dd, tr
+    """
+    return base + "".join(steps) + final
+
+
+@register(
+    "embed_pca_audit",
+    oracle=_pca_oracle(),
+    tags=("llm", "embedding", "quality", "spectral", "pca"),
+    gated=False,
+)
+def embed_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CENTERED spectral audit — the true top PRINCIPAL direction:
+    power iteration on the exact integer B = n·M − μμᵀ (= n²·Cov), so
+    the mean component the raw Gram audit is dominated by is removed
+    before asking 'does the corpus VARY along one direction?'. The two
+    audits together classify the pathology: offset/mean-dominated ⇒
+    raw share high + PCA share low; collapsed-variance ⇒ both high;
+    healthy ⇒ both low (pinned on constructed fixtures in
+    tests/test_spectral.py, plus numpy cosine > 0.99 agreement on a
+    line-dominated corpus). One distributed pass collects (n, μ, M)
+    exactly (operators/spectral.py:collect_moments); the 64×64 driver
+    walk and the //1000-coarsened Rayleigh share reproduce in the
+    unrolled HUGEINT oracle value-for-value."""
+    from ..operators.spectral import pca_audit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v, share = pca_audit(e, "embedding", dim=64)
+    rows = [(d + 1, int(v[d]), int(share)) for d in range(64)]
+    return spark.createDataFrame(
+        rows, "dim long, v_ppm long, pca_share_ppm long"
+    )

@@ -399,6 +399,8 @@ POOL: tuple[str, ...] = (
     "events_schema_evolution",
     # round-14: dup_pagerank's banded-LSH scale twin
     "dup_pagerank_lsh",
+    # round-14: the CENTERED spectral audit (true PCA top direction)
+    "embed_pca_audit",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

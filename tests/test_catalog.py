@@ -442,6 +442,8 @@ def test_gate_budget(registry):
         "events_schema_evolution",
         # round-14: dup_pagerank's banded-LSH scale twin
         "dup_pagerank_lsh",
+        # round-14: the CENTERED spectral audit (true PCA direction)
+        "embed_pca_audit",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

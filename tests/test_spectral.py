@@ -67,3 +67,50 @@ def test_tdiv_truncates_toward_zero():
 
     with pytest.raises(ValueError):
         _tdiv(1, 0)
+
+
+def _pca(spark, vecs):
+    from sparkstreaming_gmall_scala_spark.operators.spectral import (
+        pca_audit,
+    )
+
+    return pca_audit(_df(spark, vecs))
+
+
+def test_pca_converges_on_variance_dominated_corpus(spark):
+    """A corpus that VARIES along one line: centered top direction =
+    that line; 3 steps align with numpy's exact top eigenvector of
+    B = n*M - mu mu^T and the PCA share reads high."""
+    rng_vecs, _ = clustered_embeddings_arrays(n=400, sigma=0.05)
+    u = np.ones(64) / 8.0
+    signs = np.where(np.arange(400) % 2 == 0, 1.0, -1.0)
+    vecs = 0.05 * rng_vecs.astype(np.float64) + signs[:, None] * u
+    v, share_ppm = _pca(spark, vecs)
+
+    A = np.floor(vecs * 1e6 + 0.5)
+    n = A.shape[0]
+    M = A.T @ A
+    mu = A.sum(axis=0)
+    B = n * M - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(B)
+    vt = evecs[:, -1]
+    vv = np.array(v, dtype=np.float64)
+    cos = abs(vv @ vt) / (np.linalg.norm(vv) * np.linalg.norm(vt))
+    assert cos > 0.99, cos
+    assert share_ppm / 1e6 > 0.5
+
+
+def test_pca_vs_raw_classify_the_mean_pathology(spark):
+    """The signature distinction between the two audits: an OFFSET
+    (mean-dominated) corpus fires the raw Gram audit but NOT the
+    centered one — centering removes exactly the mean direction."""
+    base, _ = clustered_embeddings_arrays(n=400)
+    vecs = base.astype(np.float64) + np.ones(64) / 4.0
+    _, raw_share = power_iteration_audit(_df(spark, vecs))
+    _, pca_share = _pca(spark, vecs)
+    assert raw_share / 1e6 > 0.5  # mean-dominated: raw fires
+    assert pca_share / 1e6 < 0.3  # centering removes it
+    # and on the spread corpus both stay low
+    _, raw2 = power_iteration_audit(_df(spark, base))
+    _, pca2 = _pca(spark, base)
+    assert raw2 / 1e6 < 0.25 and pca2 / 1e6 < 0.3

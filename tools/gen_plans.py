@@ -323,6 +323,12 @@ ITERATIVE = {
     "integer sums) and run the identical trunc-div power iteration on "
     "the 64x64 matrix driver-side — batch == live exactly "
     "(tests/test_streaming_spectral.py)",
+    "embed_pca_audit": "zero counts are the 64-row driver result (the "
+    "embed_spectral_audit convention): ONE distributed pass collects "
+    "(n, mu, Gram) exactly, the driver builds the integer n*M - mu*mu' "
+    "and walks the 64x64 power iteration in big-int arithmetic — "
+    "exactness + the raw-vs-centered pathology split pinned in "
+    "tests/test_spectral.py",
     "knn_ivf_sq8": "zero counts are the k*|queries|-row materialization "
     "(collect + createDataFrame after the bounded refine); real shape "
     "is 1 cell-PRUNED codes read (partition filter from the literal "
