@@ -895,6 +895,17 @@ def main() -> int:
             "min-of-2 samples its warm-up ramp: r11's pair landed warm "
             "(3.92/3.36), r12's cold (4.46/4.45). Runs 1-5 in one "
             "session: ~8-9 -> 4.5 -> 4.3 -> 3.8 -> 3.4 s",
+            "pool_vs_probe_r14": "r14 builder-run observation: the "
+            "frozen 5-query pool read 8.16 s on this host vs r13's "
+            "10.93 while the CPU probe min was IDENTICAL (0.375 vs "
+            "0.375) and the median common headline query moved only "
+            "-4% — the pool (shuffle/shingle-heavy) and the probe "
+            "(pure codegen CPU) can disagree by ~25% across hosts, so "
+            "when they diverge, triage against the probe-based "
+            "normalized_total AND the raw common-set sum (r14: 198.5 s "
+            "vs r13's 223.4 over the common 214 — an 11% raw "
+            "improvement that pool normalization alone would misread "
+            "as a regression). Both calibrations are in every record",
             "jaccard_prefix_pairs": "r14 (new): reads SLOWER than the "
             "co-occurrence candidate twin at sf0.1 by design-honest "
             "accounting — the prefix machinery (global df-rank window "
