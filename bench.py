@@ -589,6 +589,10 @@ def main() -> int:
         # re-register under the "build" label
         "bktidx", "bktolidx", "dtpart", "dtingest", "dtcompact", "calibidx",
         "gramidx",
+        # r15 (ADVICE): events_schema_evolution caches under dtevol — it is
+        # in the warm-build list, so a leftover dir would record a cache-hit
+        # marker check as its "build" cost on any host after the first run
+        "dtevol",
     ):
         for d in _glob.glob(
             os.path.join(

@@ -23,7 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
@@ -245,6 +245,24 @@ def jaccard_pairs_prefix(
     measure is Jaccard over the SAME stop-filtered sets as
     ``jaccard_pairs`` — one oracle, two physical strategies (the
     corpus_curate / corpus_curate_fast discipline)."""
+    # ceil(t·n) in EXACT integer arithmetic (r14 ADVICE): threshold as a
+    # rational p/q (decimal thresholds with ≤6 places are represented
+    # exactly), then ceil(t·n) = (n·p + q − 1) div q. Double-arithmetic
+    # F.ceil(t*n) can overshoot by 1 when t·n is mathematically integral
+    # but the double product rounds a hair above it — shortening the
+    # prefix / tightening the size filter and silently dropping a
+    # qualifying pair, which would break the lossless contract.
+    from fractions import Fraction
+
+    _frac = Fraction(str(threshold)).limit_denominator(1_000_000)
+    _p, _q = _frac.numerator, _frac.denominator
+
+    def _ceil_t(col: Column) -> Column:
+        num = col.cast("long") * F.lit(_p) + F.lit(_q - 1)
+        # num − num%q is exactly k·q in long arithmetic; k·q / q in
+        # double is exact for k·q < 2^53, so no boundary rounding exists
+        return ((num - num % F.lit(_q)) / F.lit(_q)).cast("long")
+
     sh = sh.persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     stops = dfreq.filter(F.col("_df") > max_df).select("shingle")
@@ -263,10 +281,7 @@ def jaccard_pairs_prefix(
         .join(sizes, id_col)
     )
     prefix = ranked.filter(
-        F.col("_rn")
-        <= F.col("set_size")
-        - F.ceil(F.lit(float(threshold)) * F.col("set_size"))
-        + 1
+        F.col("_rn") <= F.col("set_size") - _ceil_t(F.col("set_size")) + 1
     ).select(id_col, "shingle", "set_size")
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -278,14 +293,8 @@ def jaccard_pairs_prefix(
             # size filter rides the candidate join: J >= t forces
             # |B| >= t·|A| (and symmetrically), so wildly mismatched
             # set sizes never become candidates
-            & (
-                F.col("b.set_size")
-                >= F.ceil(F.lit(float(threshold)) * F.col("a.set_size"))
-            )
-            & (
-                F.col("a.set_size")
-                >= F.ceil(F.lit(float(threshold)) * F.col("b.set_size"))
-            ),
+            & (F.col("b.set_size") >= _ceil_t(F.col("a.set_size")))
+            & (F.col("a.set_size") >= _ceil_t(F.col("b.set_size"))),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -2055,54 +2055,18 @@ def _pagerank_oracle(iters: int = 6, damping_pct: int = 85) -> str:
     near-dup graph has NO dangling nodes by construction (every node
     comes from the symmetric edge list, so out_deg ≥ 1), so the
     engine's dangling term is identically zero and the oracle omits it.
-    The edge derivation is embed_near_dup's hash-gated oracle verbatim."""
-    base_cte = f"""
-    WITH scored AS (
+    The edge derivation is embed_near_dup's hash-gated oracle verbatim.
+    Implemented as _pagerank_oracle_from over the exact-pair scored CTE
+    (r14 ADVICE: the two unrolled-CTE bodies were verbatim copies that
+    could drift on the next oracle tweak)."""
+    return _pagerank_oracle_from(
+        f"""
       SELECT q.vec_id AS id_a, c.vec_id AS id_b,
              floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5) / 1000000 AS score
       FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
-    ), pairs AS (
-      SELECT id_a, id_b FROM scored WHERE score >= 0.4
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ), deg AS (
-      SELECT src, count(*) AS d FROM edges GROUP BY src
-    ), nodes AS (
-      SELECT DISTINCT src AS node FROM edges
-    ), nn AS (
-      SELECT count(*) AS n FROM nodes
-    ), r0 AS (
-      SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS r
-      FROM nodes CROSS JOIN nn
-    )"""
-    steps = []
-    for it in range(1, iters + 1):
-        prev = f"r{it - 1}"
-        steps.append(f""", r{it} AS (
-      SELECT n0.node,
-             CAST((CAST(1000000000 AS BIGINT) * {100 - damping_pct})
-                    // 100 // nn.n
-                  + ({damping_pct} * COALESCE(c.s, 0)) // 100
-                  AS BIGINT) AS r
-      FROM nodes n0 CROSS JOIN nn
-      LEFT JOIN (
-        SELECT e.dst AS node, sum({prev}.r // deg.d) AS s
-        FROM edges e
-        JOIN {prev} ON {prev}.node = e.src
-        JOIN deg ON deg.src = e.src
-        GROUP BY e.dst
-      ) c ON c.node = n0.node
-    )""")
-    return (
-        base_cte
-        + "".join(steps)
-        + f"""
-    SELECT node, r AS rank_nano,
-           CAST(r AS DOUBLE) / 1000000000 AS rank
-    FROM r{iters}
-    """
+    """,
+        iters=iters,
+        damping_pct=damping_pct,
     )
 
 

@@ -850,7 +850,8 @@ def events_compacted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(CASE WHEN CAST(ts AS DATE) > s.split THEN 1 END)
+           CAST(count(CASE WHEN CAST(ts AS DATE) > s.split
+                           AND value IS NOT NULL THEN 1 END)
                 AS BIGINT) AS n_valued,
            CAST(sum(CASE WHEN CAST(ts AS DATE) > s.split
                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)

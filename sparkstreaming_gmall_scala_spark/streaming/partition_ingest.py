@@ -46,6 +46,11 @@ def _batch_bounds(ev: DataFrame, n_batches: int = 3) -> list[tuple]:
     import datetime
 
     lo, hi = ev.agg(F.min("dt"), F.max("dt")).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "_batch_bounds: events table is empty (min/max dt are NULL) — "
+            "an ingest over zero rows has no batch boundaries"
+        )
     n_days = (hi - lo).days + 1
     step = max(1, -(-n_days // n_batches))  # ceil
     bounds = []
@@ -221,6 +226,19 @@ def ingest_events_evolving(spark: SparkSession, sf_dir: str) -> str:
         ).persist()
         n_raw = ev.count()
         bounds = _batch_bounds(ev, 2)
+        if len(bounds) < 2:
+            # r14 ADVICE: on a single-day corpus the bounds collapse to
+            # one range; every partition would be written WITHOUT value
+            # and the mergeSchema read would lose the column entirely —
+            # failing later at analysis with no hint of the cause
+            ev.unpersist()
+            raise ValueError(
+                "ingest_events_evolving: schema evolution needs >= 2 "
+                f"day-batches but the corpus spans only {len(bounds)} "
+                "(single-day events table) — the pre-evolution batch "
+                "would cover every partition and drop 'value' from the "
+                "merged schema"
+            )
         old = ev.filter(
             (F.col("dt") >= F.lit(bounds[0][0]))
             & (F.col("dt") <= F.lit(bounds[0][1]))
