@@ -775,6 +775,58 @@ def main() -> int:
     pool_min = {q: times[q] for q in PINNED_POOL}
     pool_sec = round(sum(pool_min.values()), 3)
     normalized_total_pool = round(total * REF_POOL_SEC / pool_sec, 3)
+
+    # r15 (r14 verdict #2): host-shape-robust cross-round comparator.
+    # The pinned pool (shuffle/shingle-heavy) and the CPU probe (pure
+    # codegen) diverged 25% in OPPOSITE directions across the r13/r14
+    # hosts while the median common query moved -11% — either single
+    # calibration alone misreads such a round. normalized_median_ratio
+    # needs no calibration at all: the median over the common query set
+    # of (this round's per-query min / prior round's per-query min).
+    # Host-speed differences shift every ratio by the same factor, but
+    # the MEDIAN is robust to the handful of queries whose plans
+    # genuinely changed, so a 25% pool-vs-probe disagreement leaves it
+    # untouched. <1.0 = this round's median query is faster than last
+    # round's on this host pair.
+    # Round number first (also used for the full-record filename below):
+    # the driver writes BENCH_r{N}.json and CORRECTNESS_r{N}.json in some
+    # order relative to running this script, so take the max of both
+    # counters — correct whether this run happens before or after the
+    # current round's correctness file lands.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    n_round = max(
+        len(_glob.glob(os.path.join(repo_root, "BENCH_r*.json"))) + 1,
+        len(_glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))),
+    )
+    normalized_median_ratio = None
+    # compare against EXACTLY the previous round's record — never
+    # prev_full[-1], which after a same-round test run would be this
+    # round's own earlier output (a self-comparison reading ~1.0)
+    prev_name = f"BENCH_FULL_r{n_round - 1:02d}.json"
+    prev_path = os.path.join(repo_root, prev_name)
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as fh:
+                prev_rec = json.load(fh)
+            prev_q = prev_rec.get("queries", {})
+            common = sorted(set(times) & set(prev_q))
+            ratios = sorted(
+                times[q] / prev_q[q] for q in common if prev_q[q] > 0
+            )
+            if ratios:
+                mid = len(ratios) // 2
+                med = (
+                    ratios[mid]
+                    if len(ratios) % 2
+                    else (ratios[mid - 1] + ratios[mid]) / 2
+                )
+                normalized_median_ratio = {
+                    "ratio": round(med, 4),
+                    "vs_record": prev_name,
+                    "n_common": len(ratios),
+                }
+        except (OSError, ValueError, KeyError) as exc:
+            print(f"# median-ratio comparator skipped: {exc}", file=sys.stderr)
     print(
         f"# pool windows: main={ {q: main_window[q] for q in PINNED_POOL} } "
         f"end={pool_end}",
@@ -804,16 +856,6 @@ def main() -> int:
         recall_at_5[name] = round(sum(per_q) / len(per_q), 3)
     print(f"# recall@5 vs bruteforce: {recall_at_5}", file=sys.stderr)
 
-    # Round number for the full-record filename: the driver writes
-    # BENCH_r{N}.json and CORRECTNESS_r{N}.json in some order relative to
-    # running this script, so take the max of both counters — correct
-    # whether this run happens before or after the current round's
-    # correctness file lands.
-    repo_root = os.path.dirname(os.path.abspath(__file__))
-    n_round = max(
-        len(_glob.glob(os.path.join(repo_root, "BENCH_r*.json"))) + 1,
-        len(_glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))),
-    )
     full_name = f"BENCH_FULL_r{n_round:02d}.json"
     full_record = {
         "metric": "total_query_sec",
@@ -825,6 +867,7 @@ def main() -> int:
         "build_sec": build_sec,
         "normalized_total": normalized_total,
         "normalized_total_pool": normalized_total_pool,
+        "normalized_median_ratio": normalized_median_ratio,
         "pool_calibration": {
             "names": list(PINNED_POOL),
             "pool_sec": pool_sec,
@@ -882,7 +925,18 @@ def main() -> int:
             "record stated the direction inverted; fixed r14 per "
             "ADVICE). The probe-based normalized_total stays recorded "
             "for continuity; recompute any round either way from its "
-            "calibration runs",
+            "calibration runs. r15+ (r14 verdict #2): when the pool and "
+            "the probe disagree by >10% on a round, the HEADLINE "
+            "cross-round statistic is normalized_median_ratio — the "
+            "median over the common query set of (this round's "
+            "per-query min / prior round's per-query min), which needs "
+            "no calibration and is robust to both host shape and the "
+            "few queries whose plans genuinely changed. Worked example "
+            "backfilled from the records: r14-vs-r13 = 0.889 over the "
+            "214 common queries (the r14 verdict's in-session estimate "
+            "was ~0.96 from a spot sample; 0.889 is the exact-formula "
+            "value) — a genuine improvement the pool normalization "
+            "alone (8.16 vs 10.93 s pool sum) would have misread",
             "streaming_rows_per_sec": "r14+ (r13 verdict #7): the "
             "ingest probe runs in BOTH timing windows (two main-loop "
             "passes + one end-window pass; envelope = docs over the "
@@ -980,6 +1034,11 @@ def main() -> int:
                 # = seconds-on-the-r12-host (see notes.normalization in
                 # the full record) — the cross-round comparable number
                 "normalized_total_pool": normalized_total_pool,
+                # r15+ calibration-free comparator: median per-query
+                # min ratio vs the previous round's full record — the
+                # headline cross-round statistic when pool and probe
+                # calibrations disagree >10% (notes.normalization)
+                "normalized_median_ratio": normalized_median_ratio,
                 "pool_sec": pool_sec,
                 "ref_pool_sec": REF_POOL_SEC,
                 # recall@5 vs the exact knn_bruteforce frame at this SF —

@@ -5529,23 +5529,30 @@ def _calibrate_per_fp(per_fp: DataFrame) -> DataFrame:
     )
 
 
-def _calib_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Ensure the 3-batch calibration-mart ingest exists under /tmp for
-    this corpus (keyed by params + data fingerprint — the knn persisted
-    discipline) and return the index dir. Batches split by a hash of the
-    doc id, so fingerprint groups SPAN batches — the label monoid, not
-    batch-local luck, is what the live pin exercises."""
+def _calib_work_dir(sf_dir: str) -> str:
+    """The /tmp cache root for this corpus's calibration mart (keyed by
+    params + data fingerprint — the knn persisted discipline)."""
     import os
-    import shutil
     import tempfile
 
-    from ..streaming.calibration import calib_ingest_batch
-
-    work = os.path.join(
+    return os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_calibidx_{os.path.basename(sf_dir.rstrip('/'))}_"
         f"{_params_key('calib3', _data_fingerprint(sf_dir, 'documents'))}",
     )
+
+
+def _calib_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the 3-batch calibration-mart ingest exists under /tmp for
+    this corpus and return the index dir. Batches split by a hash of the
+    doc id, so fingerprint groups SPAN batches — the label monoid, not
+    batch-local luck, is what the live pin exercises."""
+    import os
+    import shutil
+
+    from ..streaming.calibration import calib_ingest_batch
+
+    work = _calib_work_dir(sf_dir)
     index_dir = os.path.join(work, "perdoc")
     marker = os.path.join(work, "_INGESTED")
     if not os.path.exists(marker):
@@ -5643,10 +5650,30 @@ def corpus_curate_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", "source", "text").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # r15 (r14 verdict #3): when the persisted calibration mart exists
+    # (the live twin's source — built once per corpus by
+    # calibrated_quality_scores_live), its folded (doc_id, q6, fp) rows
+    # ARE the per-doc calibration frame, so the warm path skips the
+    # per-doc text featurization entirely and this query's marginal cost
+    # over corpus_curate_fast is one ≤21-row broadcast join. Cold start
+    # (no mart on disk) falls back to the inline scan off the shared
+    # cached base — never paying the 3-batch ingest inside a query. The
+    # two paths produce identical rows: the mart ingests the full corpus
+    # and min-per-fingerprint is an order-insensitive monoid (the live
+    # twin's own equality pin).
+    import os as _os
+
+    _work = _calib_work_dir(sf_dir)
+    if _os.path.exists(_os.path.join(_work, "_INGESTED")):
+        from ..streaming.calibration import fold_calib
+
+        per_fp = fold_calib(spark, _os.path.join(_work, "perdoc"))
+    else:
+        per_fp = calib_per_doc(base, "doc_id", "text")
     # calibration first: _calibrate_per_fp materializes its per-doc frame
-    # (one count), which is the single parquet read — corpus_features
-    # then assembles off the same cache
-    caldoc = _calibrate_per_fp(calib_per_doc(base, "doc_id", "text"))
+    # (one count), which is the single parquet read on the cold path —
+    # corpus_features then assembles off the same cache
+    caldoc = _calibrate_per_fp(per_fp)
     feats = corpus_features(
         base,
         weights=_MIX_WEIGHTS,
