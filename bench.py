@@ -432,6 +432,14 @@ HEADLINE = (
     # unbenched graph entries (measured 83.5s of a 90s run at sf0.1 —
     # the 3 LPA rounds themselves are ~7s), so a headline row would
     # re-measure that shared upstream, not the operator
+    # r15 (r14 verdict #4): the banded-LSH scale twins DO headline —
+    # their shared pair derivation persists per-corpus under build_sec
+    # (lsh_pairs_persisted), so these rows time the LPA rounds / the
+    # 6-step power iteration over the materialized pair table, the form
+    # the family runs at corpus scale; fidelity vs the exact graph is
+    # in the record's "agreement" map
+    "dup_communities_lsh",
+    "dup_pagerank_lsh",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan
@@ -589,6 +597,9 @@ def main() -> int:
         # re-register under the "build" label
         "bktidx", "bktolidx", "dtpart", "dtingest", "dtcompact", "calibidx",
         "gramidx",
+        # r15: the persisted banded-LSH near-dup pair index shared by the
+        # dup-graph scale twins — same honesty rule
+        "lshpairs",
         # r15 (ADVICE): events_schema_evolution caches under dtevol — it is
         # in the warm-build list, so a leftover dir would record a cache-hit
         # marker check as its "build" cost on any host after the first run
@@ -640,6 +651,11 @@ def main() -> int:
         # bucketed tables are warmed by bucketed_customer_orders above
         "events_schema_evolution",
         "bucketed_point_lookup",
+        # r15 (r14 verdict #4): the banded-LSH pair derivation — the
+        # shared upstream of the dup-graph scale twins — persists once
+        # per corpus; dup_pagerank_lsh reads the same index, so one
+        # build here warms both headline rows
+        "dup_communities_lsh",
     ):
         t0 = time.perf_counter()
         registry[warm].builder(spark, sf_dir).count()
@@ -856,6 +872,76 @@ def main() -> int:
         recall_at_5[name] = round(sum(per_q) / len(per_q), 3)
     print(f"# recall@5 vs bruteforce: {recall_at_5}", file=sys.stderr)
 
+    # r15 (r14 verdict #4): the dup-graph scale twins carry measured
+    # fidelity next to their speed rows, the way ANN rows carry
+    # recall@5 — edge recall of the persisted LSH pair set vs the exact
+    # O(n²) pair set, community co-membership agreement over the exact
+    # graph's same-community pairs, and PageRank hub-order Spearman, all
+    # at THIS bench SF (the pytest pins cover only the clustered
+    # fixture). The exact-pair derivation is the one deliberately
+    # unbenched 80s+ upstream; it runs once here, outside every timing
+    # window and total.
+    import numpy as _np
+
+    from sparkstreaming_gmall_scala_spark.operators.graph import (
+        label_propagation,
+    )
+    from sparkstreaming_gmall_scala_spark.operators.pagerank import pagerank
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from sparkstreaming_gmall_scala_spark.plans.llm import lsh_pairs_persisted
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_pairs = (
+        cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, dim=64)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    lsh_pairs = lsh_pairs_persisted(spark, sf_dir).persist()
+    ep = {(r["id_a"], r["id_b"]) for r in exact_pairs.collect()}
+    lp = {(r["id_a"], r["id_b"]) for r in lsh_pairs.collect()}
+    ec = {
+        r["node"]: r["community"]
+        for r in label_propagation(exact_pairs, rounds=3).collect()
+    }
+    lc = {
+        r["node"]: r["community"]
+        for r in label_propagation(lsh_pairs, rounds=3).collect()
+    }
+    same_exact = [(a, b) for a, b in ep if ec.get(a) == ec.get(b)]
+    co_member = sum(
+        1 for a, b in same_exact if a in lc and b in lc and lc[a] == lc[b]
+    ) / max(len(same_exact), 1)
+
+    def _pr_ranks(pairs_df):
+        edges = pairs_df.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+            pairs_df.selectExpr("id_b AS src", "id_a AS dst")
+        )
+        return {
+            r["node"]: r["rank_nano"]
+            for r in pagerank(edges, iters=6).collect()
+        }
+
+    pr_exact, pr_lsh = _pr_ranks(exact_pairs), _pr_ranks(lsh_pairs)
+    pr_common = sorted(set(pr_exact) & set(pr_lsh))
+    ra = _np.array([pr_exact[n] for n in pr_common], dtype=float)
+    rb = _np.array([pr_lsh[n] for n in pr_common], dtype=float)
+    hub_spearman = float(
+        _np.corrcoef(ra.argsort().argsort(), rb.argsort().argsort())[0, 1]
+    )
+    exact_pairs.unpersist()
+    lsh_pairs.unpersist()
+    agreement = {
+        "dup_edge_recall": round(len(lp & ep) / max(len(ep), 1), 3),
+        "dup_co_membership": round(co_member, 3),
+        "dup_hub_spearman": round(hub_spearman, 3),
+        "dup_node_coverage": round(len(pr_common) / max(len(pr_exact), 1), 3),
+        "n_exact_pairs": len(ep),
+        "n_lsh_pairs": len(lp),
+    }
+    print(f"# dup-graph LSH agreement: {agreement}", file=sys.stderr)
+
     full_name = f"BENCH_FULL_r{n_round:02d}.json"
     full_record = {
         "metric": "total_query_sec",
@@ -880,6 +966,10 @@ def main() -> int:
             "end_window": pool_end,
         },
         "recall_at_5": recall_at_5,
+        # r15: measured fidelity of the dup-graph LSH scale twins vs
+        # their exact siblings at this SF (edge recall / co-membership /
+        # hub Spearman) — the graph family's recall@5 analog
+        "agreement": agreement,
         "ref_calibration_min": REF_CALIBRATION_MIN,
         "ref_calibration_median": REF_CALIBRATION_MEDIAN,
         "streaming_rows_per_sec": streaming_rows_per_sec,
@@ -1044,6 +1134,8 @@ def main() -> int:
                 # recall@5 vs the exact knn_bruteforce frame at this SF —
                 # the speed column's accuracy twin (r12 verdict #7)
                 "recall_at_5": recall_at_5,
+                # dup-graph LSH twins' fidelity vs exact siblings (r15)
+                "agreement": agreement,
                 "ref_calibration_min": REF_CALIBRATION_MIN,
                 "ref_calibration_median": REF_CALIBRATION_MEDIAN,
                 # BASELINE.md streaming envelope: docs/sec sustained

