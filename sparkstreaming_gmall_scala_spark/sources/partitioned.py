@@ -112,25 +112,39 @@ def partition_file_counts(path: str) -> dict[str, int]:
     return out
 
 
+GENERATION_PTR = "_GENERATION"
+
+
+def resolve_table_root(path: str) -> str:
+    """The LIVE data root of a (possibly generationed) table: if the
+    ``_GENERATION`` manifest pointer exists, the table's data lives in
+    the generation dir it names (``path/_gen-NNNNN``); otherwise the
+    table is flat (``path/dt=*`` — the shape every ingest writes).
+    Every reader resolves through this — the pointer file is the single
+    atomic commit point, exactly how lake table formats (Delta/Iceberg)
+    commit: readers see the old generation in full or the new one in
+    full, never a directory mid-swap."""
+    ptr = os.path.join(path, GENERATION_PTR)
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            gen = fh.read().strip()
+        return os.path.join(path, gen)
+    return path
+
+
 def _compact_stage_root(path: str) -> str:
-    """Sibling staging-generation dir for ``compact_partitions`` —
-    OUTSIDE the table root, so partition discovery over ``path`` never
-    lists a half-written generation."""
+    """Pre-r15 sibling staging dir — kept only so ``recover_compaction``
+    can roll forward a cache that crashed under the OLD partition-level
+    two-rename swap (a ``_STAGED`` stage may have already moved live
+    partition dirs aside; deleting it would lose their only copy)."""
     return path.rstrip("/") + ".compacting"
 
 
-def recover_compaction(path: str) -> None:
-    """Roll a crashed ``compact_partitions`` forward or back (the
-    recover_dir crash-matrix discipline, sinks/batch.py:81).
-
-    * stage exists WITHOUT ``_STAGED``: the compacted rewrite never
-      finished — the live table was never touched; drop the stage.
-    * stage exists WITH ``_STAGED``: every staged partition is
-      authoritative — finish the swap (idempotent: a partition already
-      swapped in is absent from the stage, a crash between the two
-      renames of one partition leaves its staged dir present and its
-      live dir already moved aside, which this replays cleanly).
-    """
+def _recover_legacy_stage(path: str) -> None:
+    """Roll a crash under the pre-r15 two-rename swap forward or back
+    (the recover_dir crash-matrix discipline, sinks/batch.py:81): a
+    ``_STAGED`` stage is authoritative and finishes its swap; an
+    unmarked stage never touched the live table and is dropped."""
     stage = _compact_stage_root(path)
     trash = stage + ".old"
     if os.path.exists(os.path.join(stage, "_STAGED")):
@@ -148,6 +162,37 @@ def recover_compaction(path: str) -> None:
     elif os.path.isdir(stage):
         shutil.rmtree(stage)
     shutil.rmtree(trash, ignore_errors=True)
+
+
+def recover_compaction(path: str) -> None:
+    """Make the table consistent after a crash at ANY point of
+    ``compact_partitions`` (r14 verdict #7 — the manifest-pointer
+    commit makes this trivial):
+
+    * a ``_GENERATION.tmp`` is always pre-commit garbage (the flip is
+      ``os.replace``, atomic) — drop it;
+    * any ``gen-*`` dir the pointer does not name is either an
+      unflipped stage (crash before commit — the live generation was
+      never touched) or a replaced old generation (crash after commit,
+      before cleanup) — both are safe to drop;
+    * flat ``dt=*`` dirs alongside a pointer are the pre-generation
+      layout a post-commit crash left behind — drop them.
+
+    Legacy pre-r15 staged swaps are rolled forward first (see
+    ``_recover_legacy_stage``)."""
+    _recover_legacy_stage(path)
+    tmp = os.path.join(path, GENERATION_PTR + ".tmp")
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    live = resolve_table_root(path)
+    import glob as _glob
+
+    for d in _glob.glob(os.path.join(path, "_gen-*")):
+        if os.path.abspath(d) != os.path.abspath(live):
+            shutil.rmtree(d, ignore_errors=True)
+    if os.path.abspath(live) != os.path.abspath(path):
+        for d in _glob_dt(path):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _glob_dt(root: str) -> list[str]:
@@ -176,37 +221,48 @@ def compact_partitions(
       a basePath — planning-time pruned, never a full-table scan),
     * hash-partitioning by dt into |fragmented| tasks writes one file
       per partition,
-    * the rewrite is STAGED to a sibling generation dir and swapped in
-      with the recover_dir two-rename discipline (r13 advice: Spark's
-      in-place dynamic-partition overwrite deletes each old partition
-      dir before renaming the staged one in, so a crash in that window
-      lost the partition's only copy and a re-run saw nothing to
-      repair). Here the live table is untouched until the stage is
-      complete and ``_STAGED``-marked; ``recover_compaction`` (called on
-      entry) rolls a crash at any point forward or back.
+    * the rewrite builds a complete NEW GENERATION dir
+      (``path/_gen-NNNNN``): compacted partitions are written by Spark,
+      healthy partitions join by hardlink (file metadata only — the
+      manifest-reuse analog: a lake format's new snapshot lists the old
+      data files it keeps, it never rewrites them),
+    * the COMMIT is one atomic ``os.replace`` of the ``_GENERATION``
+      pointer file (r14 verdict #7) — the exact commit shape lake table
+      formats use, so it is atomic on ANY store, object stores
+      included: a single-key put, no directory rename in the commit
+      path at all. Readers resolve through ``resolve_table_root`` and
+      see the old generation in full or the new one in full; the
+      replaced generation is deleted only after the flip, and a crash
+      anywhere leaves either pre-commit garbage (an unflipped gen dir)
+      or post-commit garbage (the replaced gen), both cleaned by
+      ``recover_compaction`` on the next entry.
 
-    Commit-window honesty: the swap is two directory renames per
-    partition — atomic-in-effect on a local FS / HDFS; on an object
-    store with non-atomic "rename" a reader could glimpse a partition
-    mid-swap, which is exactly why lake table formats (Delta/Iceberg)
-    commit via a manifest pointer instead of directory layout. The
-    staged-generation + marker structure here is the same commit shape;
-    only the pointer flip differs.
+    Retention honesty: the replaced generation is dropped immediately —
+    a reader that resolved the pointer BEFORE the flip and is still
+    scanning keeps its open file handles on a POSIX FS but would lose a
+    re-list; lake formats solve that with snapshot retention windows
+    (expire_snapshots), which is the one piece this open-layout analog
+    does not model.
     """
     recover_compaction(path)
-    fragmented = [
-        d for d, n in partition_file_counts(path).items() if n > max_files
-    ]
+    live = resolve_table_root(path)
+    counts = partition_file_counts(live)
+    fragmented = [d for d, n in counts.items() if n > max_files]
     if not fragmented:
         return []
+    healthy = sorted(set(counts) - set(fragmented))
     try:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
-    df = spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, d) for d in fragmented]
+    df = spark.read.option("basePath", live).parquet(
+        *[os.path.join(live, d) for d in fragmented]
     )
-    stage = _compact_stage_root(path)
+    if os.path.abspath(live) == os.path.abspath(path):
+        next_gen = "_gen-00001"
+    else:
+        next_gen = f"_gen-{int(os.path.basename(live).split('-')[1]) + 1:05d}"
+    gen_dir = os.path.join(path, next_gen)
     (
         # hash-partition by dt into |fragmented| tasks: a collision only
         # means one task carries two days — partitionBy still emits one
@@ -215,17 +271,46 @@ def compact_partitions(
         .sortWithinPartitions("dt")
         .write.mode("overwrite")
         .partitionBy("dt")
-        .parquet(stage)
+        .parquet(gen_dir)
     )
-    staged = {os.path.basename(d) for d in _glob_dt(stage)}
+    staged = {os.path.basename(d) for d in _glob_dt(gen_dir)}
     if staged != set(fragmented):
-        # never mark a wrong-shaped stage authoritative
-        shutil.rmtree(stage, ignore_errors=True)
+        # never commit a wrong-shaped generation
+        shutil.rmtree(gen_dir, ignore_errors=True)
         raise AssertionError(
             f"compaction staged {sorted(staged)} != fragmented "
             f"{sorted(fragmented)} at {path}"
         )
-    with open(os.path.join(stage, "_STAGED"), "w") as fh:
-        fh.write("1")
-    recover_compaction(path)  # the roll-forward IS the swap
+    for d in healthy:
+        src, dst = os.path.join(live, d), os.path.join(gen_dir, d)
+        os.makedirs(dst, exist_ok=True)
+        for fname in os.listdir(src):
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                os.link(os.path.join(src, fname), os.path.join(dst, fname))
+            except OSError:
+                # cross-device /tmp layouts can't hardlink — copy is the
+                # correctness fallback (data rewrite, metadata-only lost)
+                shutil.copy2(
+                    os.path.join(src, fname), os.path.join(dst, fname)
+                )
+    if {os.path.basename(d) for d in _glob_dt(gen_dir)} != set(counts):
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        raise AssertionError(
+            f"new generation incomplete vs live partition set at {path}"
+        )
+    # THE COMMIT: one atomic pointer replace — before this line the
+    # table is byte-identical to its pre-compaction state
+    tmp = os.path.join(path, GENERATION_PTR + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(next_gen)
+    os.replace(tmp, os.path.join(path, GENERATION_PTR))
+    # post-commit cleanup of the replaced generation; a crash in here
+    # only leaves garbage recover_compaction drops on the next entry
+    if os.path.abspath(live) == os.path.abspath(path):
+        for d in _glob_dt(path):
+            shutil.rmtree(d, ignore_errors=True)
+    else:
+        shutil.rmtree(live, ignore_errors=True)
     return fragmented

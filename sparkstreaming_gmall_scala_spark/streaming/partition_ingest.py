@@ -143,6 +143,7 @@ def ingest_events_compacted(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.partitioned import (
         compact_partitions,
         partition_file_counts,
+        resolve_table_root,
     )
 
     key = _params_key("dtcompact", _data_fingerprint(sf_dir, "events"))
@@ -187,12 +188,16 @@ def ingest_events_compacted(spark: SparkSession, sf_dir: str) -> str:
         compacted = compact_partitions(spark, work, max_files=1)
         if not compacted:
             raise AssertionError("compaction found nothing to rewrite")
-        after = partition_file_counts(work)
+        # r15: compaction commits a new GENERATION via the _GENERATION
+        # pointer — every post-condition (and every reader) resolves
+        # through it
+        live = resolve_table_root(work)
+        after = partition_file_counts(live)
         if any(n != 1 for n in after.values()):
             raise AssertionError(
                 f"post-compaction file counts not 1/partition: {after}"
             )
-        n_final = spark.read.parquet(work).count()
+        n_final = spark.read.parquet(live).count()
         if n_final != n_raw:
             raise AssertionError(
                 f"ingest+compact changed row count: raw={n_raw} "
@@ -200,7 +205,7 @@ def ingest_events_compacted(spark: SparkSession, sf_dir: str) -> str:
             )
         with open(marker, "w") as fh:
             fh.write("1")
-    return work
+    return resolve_table_root(work)
 
 
 def ingest_events_evolving(spark: SparkSession, sf_dir: str) -> str:

@@ -126,6 +126,7 @@ def test_compaction_collapses_fragmented_partitions_only(
     from sparkstreaming_gmall_scala_spark.sources.partitioned import (
         compact_partitions,
         partition_file_counts,
+        resolve_table_root,
     )
 
     path = str(tmp_path / "frag")
@@ -147,7 +148,7 @@ def test_compaction_collapses_fragmented_partitions_only(
     healthy = sorted(set(before) - frag_dirs)
     assert healthy, before
     snap = {
-        p: (os.path.getsize(p), os.path.getmtime(p))
+        (d, os.path.basename(p)): (os.path.getsize(p), os.path.getmtime(p))
         for d in healthy
         for p in glob.glob(os.path.join(path, d, "*.parquet"))
     }
@@ -156,18 +157,24 @@ def test_compaction_collapses_fragmented_partitions_only(
     compacted = compact_partitions(spark, path, max_files=1)
     assert sorted(compacted) == sorted(frag_dirs)
 
-    after = partition_file_counts(path)
+    # r15: the commit is a _GENERATION pointer flip — data now lives in
+    # the generation dir the pointer names; every reader resolves it
+    live = resolve_table_root(path)
+    assert live != path and os.path.basename(live).startswith("_gen-")
+    after = partition_file_counts(live)
     assert all(n == 1 for n in after.values()), after
-    # healthy partitions were never rewritten
+    # healthy partitions were never rewritten: hardlinked into the new
+    # generation with identical size and mtime (inode-shared)
     assert snap == {
-        p: (os.path.getsize(p), os.path.getmtime(p))
+        (d, os.path.basename(p)): (os.path.getsize(p), os.path.getmtime(p))
         for d in healthy
-        for p in glob.glob(os.path.join(path, d, "*.parquet"))
+        for p in glob.glob(os.path.join(live, d, "*.parquet"))
     }
     # content identical
-    assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows_before
-    # second run is a no-op
+    assert {tuple(r) for r in spark.read.parquet(live).collect()} == rows_before
+    # second run is a no-op (and does not mint a new generation)
     assert compact_partitions(spark, path, max_files=1) == []
+    assert resolve_table_root(path) == live
 
 
 def _fragmented_table(spark, sf_dir, path: str):
@@ -178,40 +185,95 @@ def _fragmented_table(spark, sf_dir, path: str):
     return {tuple(r) for r in spark.read.parquet(path).collect()}
 
 
-def test_compaction_crash_before_staged_marker_rolls_back(
+def test_compaction_crash_before_commit_is_invisible_and_rolls_back(
     spark, sf_dir, tmp_path
 ):
-    """Crash matrix, window 1 (r13 advice): a stage WITHOUT the _STAGED
-    marker is a partial rewrite — the live table was never touched, so a
-    re-run drops the stage and compacts from scratch."""
+    """Crash matrix, window 1 (r15 pointer commit): a generation dir
+    WITHOUT the pointer naming it is a partial rewrite — a reader
+    resolving the pointer never sees it (the live table is byte-
+    untouched), and a re-run drops it and compacts from scratch."""
     import os
 
     from sparkstreaming_gmall_scala_spark.sources.partitioned import (
-        _compact_stage_root,
         compact_partitions,
         partition_file_counts,
+        resolve_table_root,
     )
 
     path = str(tmp_path / "t")
     rows = _fragmented_table(spark, sf_dir, path)
-    # simulate a crash mid-stage: stage dir exists, marker absent
-    stage = _compact_stage_root(path)
-    os.makedirs(os.path.join(stage, "dt=2024-01-01"))
-    with open(os.path.join(stage, "dt=2024-01-01", "junk.parquet"), "w") as f:
+    # simulate a crash mid-generation-build: gen dir exists (garbage
+    # content), the pointer was never flipped
+    junk = os.path.join(path, "_gen-00001", "dt=2024-01-01")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "junk.parquet"), "w") as f:
         f.write("not parquet")
+
+    # READER INVISIBILITY: before any recovery runs, resolution ignores
+    # the unflipped generation entirely — the scan sees the old table
+    assert resolve_table_root(path) == path
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows
 
     compacted = compact_partitions(spark, path, max_files=1)
     assert compacted  # the real fragmentation was found and fixed
-    assert not os.path.isdir(stage)
-    assert all(n == 1 for n in partition_file_counts(path).values())
-    assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows
+    live = resolve_table_root(path)
+    assert all(n == 1 for n in partition_file_counts(live).values())
+    assert {tuple(r) for r in spark.read.parquet(live).collect()} == rows
 
 
-def test_compaction_crash_mid_swap_rolls_forward(spark, sf_dir, tmp_path):
-    """Crash matrix, window 2: _STAGED exists and the swap died midway —
-    one partition's live dir already moved aside, the rest untouched. A
-    re-run (recover_compaction on entry) finishes the swap; no partition
-    is ever lost and the table equals the pre-compaction content."""
+def test_compaction_crash_after_commit_is_invisible_and_cleans_up(
+    spark, sf_dir, tmp_path
+):
+    """Crash matrix, window 2 (r15 pointer commit, the r14 ADVICE
+    'mid-swap reader' window): the pointer flipped but the process died
+    before deleting the replaced generation — stale flat dt dirs AND a
+    stale gen dir sit next to the live one. A reader resolving the
+    pointer never observes either (the commit was the single atomic
+    os.replace); the next compaction entry drops the garbage and finds
+    no new work."""
+    import os
+
+    from sparkstreaming_gmall_scala_spark.sources.partitioned import (
+        compact_partitions,
+        partition_file_counts,
+        resolve_table_root,
+    )
+
+    path = str(tmp_path / "t")
+    rows = _fragmented_table(spark, sf_dir, path)
+    assert compact_partitions(spark, path, max_files=1)
+    live = resolve_table_root(path)
+
+    # simulate the post-commit crash state: the replaced generation's
+    # leftovers never got deleted
+    stale_flat = os.path.join(path, "dt=2099-12-31")
+    os.makedirs(stale_flat)
+    with open(os.path.join(stale_flat, "stale.parquet"), "w") as f:
+        f.write("not parquet")
+    stale_gen = os.path.join(path, "_gen-00000", "dt=2099-12-31")
+    os.makedirs(stale_gen)
+    with open(os.path.join(stale_gen, "stale.parquet"), "w") as f:
+        f.write("not parquet")
+
+    # READER INVISIBILITY: resolution lands on the committed generation;
+    # neither leftover is in the reader's path
+    assert resolve_table_root(path) == live
+    assert {tuple(r) for r in spark.read.parquet(live).collect()} == rows
+
+    # next entry: recovery drops the garbage, no new work, no new gen
+    assert compact_partitions(spark, path, max_files=1) == []
+    assert not os.path.isdir(stale_flat)
+    assert not os.path.isdir(os.path.join(path, "_gen-00000"))
+    assert resolve_table_root(path) == live
+    assert all(n == 1 for n in partition_file_counts(live).values())
+
+
+def test_compaction_legacy_staged_swap_rolls_forward(spark, sf_dir, tmp_path):
+    """Legacy crash window (pre-r15 two-rename swap): a cache that
+    crashed under the OLD code shape — _STAGED stage present, one
+    partition's live dir already moved aside — must still roll FORWARD
+    (deleting the stage would lose that partition's only copy). Pins
+    _recover_legacy_stage, which recover_compaction runs first."""
     import os
     import shutil
 
@@ -225,7 +287,7 @@ def test_compaction_crash_mid_swap_rolls_forward(spark, sf_dir, tmp_path):
     rows = _fragmented_table(spark, sf_dir, path)
     fragmented = sorted(partition_file_counts(path))
 
-    # build a REAL staged generation the way compact_partitions does
+    # build a REAL staged generation the way the pre-r15 code did
     df = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, d) for d in fragmented]
     )
@@ -246,8 +308,9 @@ def test_compaction_crash_mid_swap_rolls_forward(spark, sf_dir, tmp_path):
     os.rename(os.path.join(path, victim), os.path.join(trash, victim))
     assert not os.path.isdir(os.path.join(path, victim))
 
-    # re-run: recovery must finish the swap before looking for work,
-    # after which every partition holds exactly the compacted single file
+    # re-run: legacy recovery must finish the swap before looking for
+    # work, after which every partition holds the compacted single file
+    # (the table stays FLAT — no pointer was ever written by old code)
     compacted = compact_partitions(spark, path, max_files=1)
     assert compacted == []  # recovery completed the old run; no new work
     assert all(n == 1 for n in partition_file_counts(path).values())
