@@ -95,6 +95,122 @@ def power_iteration_from_gram(
     return v, share_ppm
 
 
+def gram_cells_kernel(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    with_moments: bool = False,
+) -> DataFrame:
+    """Arrow outer-product kernel for the Gram/moments pass (r14 verdict
+    #5). Quantization stays JVM-side (the same ``transform`` expression
+    as the posexplode reference, so the integers are identical by
+    construction); each ``mapInPandas`` partition then accumulates
+    qᵀq as ONE int64 numpy matmul per Arrow batch and folds batches
+    into exact Python big-ints (object dtype — the DECIMAL(38,0) fold
+    guard: a long-lived partition can never silently wrap int64), and
+    emits its ≤ dim²+dim+1 partial cells as DECIMAL(38,0) rows for a
+    tiny JVM-side sum. Identical integers to the posexplode reference
+    by associativity of integer addition (pinned in
+    tests/test_spectral_kernel.py), ~an order of magnitude less work:
+    the explode path materializes n·dim² cell rows through the
+    aggregate, the kernel one BLAS-shaped matmul per Arrow batch.
+
+    ``with_moments`` adds (i=0, j=0) → n and (i=d, j=0) → Σ q_d rows so
+    ONE pass carries everything the centered audit needs.
+
+    Per-batch int64 safety: |q| ≤ 2e6 ⇒ |q_i·q_j| ≤ 4e12; Arrow batches
+    are ≤ 10k rows (spark.sql.execution.arrow.maxRecordsPerBatch) ⇒
+    per-batch cell sums ≤ 4e16 ≪ 2^63. The cross-batch fold is object
+    arithmetic, so the only hard ceiling is DECIMAL(38,0) itself —
+    checked loudly before emitting."""
+    import pandas as pd
+
+    q = emb.select(
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+            "* 1000000 + 0.5) AS BIGINT))"
+        ).alias("q")
+    )
+
+    def part(batches):
+        import decimal
+
+        import numpy as np
+
+        total = None
+        mu = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(
+                [np.asarray(r, dtype=np.int64) for r in pdf["q"]],
+                dtype=np.int64,
+            )
+            partial = m.T @ m  # int64-exact at Arrow batch size
+            colsum = m.sum(axis=0, dtype=np.int64)
+            if total is None:
+                total = partial.astype(object)
+                mu = colsum.astype(object)
+            else:
+                total += partial  # object + int64 → Python big-int
+                mu += colsum
+            n += m.shape[0]
+        if total is None:
+            return
+        if int(np.abs(total).max()) >= 10**38:
+            raise OverflowError(
+                "Gram partial exceeds DECIMAL(38,0) — drop the "
+                "quantization scale (module docstring magnitude budget)"
+            )
+        d = total.shape[0]
+        ii, jj, ss = [], [], []
+        for i in range(d):
+            for j in range(d):
+                ii.append(i + 1)
+                jj.append(j + 1)
+                ss.append(decimal.Decimal(int(total[i, j])))
+        if with_moments:
+            ii.append(0)
+            jj.append(0)
+            ss.append(decimal.Decimal(n))
+            for i in range(d):
+                ii.append(i + 1)
+                jj.append(0)
+                ss.append(decimal.Decimal(int(mu[i])))
+        yield pd.DataFrame({"i": ii, "j": jj, "s": ss})
+
+    return q.mapInPandas(part, schema="i INT, j INT, s DECIMAL(38,0)")
+
+
+def collect_moments_fast(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """``collect_moments``' Arrow-kernel twin: ONE distributed pass (the
+    posexplode reference pays the cells aggregate plus a separate μ/n
+    aggregate) returning the same ``(n, mu, gram)`` integers exactly."""
+    folded = (
+        gram_cells_kernel(emb, vec_col, dim, with_moments=True)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    gram: dict[tuple[int, int], int] = {}
+    mu = [0] * dim
+    n = 0
+    for r in folded:
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        if i == 0 and j == 0:
+            n = s
+        elif j == 0:
+            mu[i - 1] = s
+        else:
+            gram[(i, j)] = s
+    return n, mu, gram
+
+
 def collect_moments(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -157,6 +273,7 @@ def pca_audit(
     vec_col: str = "embedding",
     dim: int = 64,
     iters: int = 3,
+    use_kernel: bool = True,
 ):
     """The CENTERED spectral audit — the true PCA top direction: one
     distributed pass collects (n, μ, M), the driver builds the exact
@@ -166,8 +283,14 @@ def pca_audit(
     'the corpus VARIES along one direction' (both fire) — the pair is
     pinned against each other in tests/test_spectral.py. The Rayleigh
     share uses a //1000-coarsened v (share_scale) so the cross-engine
-    oracle's HUGEINT arithmetic provably fits; v itself is full ppm."""
-    n, mu, gram = collect_moments(emb, vec_col, dim)
+    oracle's HUGEINT arithmetic provably fits; v itself is full ppm.
+    The moments pass rides the Arrow kernel by default (r14 verdict #5
+    — same integers, one pass, no dim² row fan-out); ``use_kernel=
+    False`` keeps the posexplode reference path (the oracle's shape)."""
+    if use_kernel:
+        n, mu, gram = collect_moments_fast(emb, vec_col, dim)
+    else:
+        n, mu, gram = collect_moments(emb, vec_col, dim)
     b = centered_matrix(n, mu, gram, dim)
     return power_iteration_from_gram(
         b, dim=dim, iters=iters, share_scale=1000

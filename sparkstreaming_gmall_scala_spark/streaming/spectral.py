@@ -59,6 +59,25 @@ def gram_partial(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def gram_partial_kernel(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """``gram_partial``'s Arrow-kernel twin (r14 verdict #5): the same
+    (i, j, s) DECIMAL(38,0) cells, but each partition contributes ONE
+    int64 numpy matmul per Arrow batch (big-int object fold across
+    batches) instead of fanning every row into dim² cell rows. Identical
+    integers by associativity — pinned against the reference in
+    tests/test_spectral_kernel.py; the ingest path routes through this,
+    the posexplode reference stays as the oracle-shaped twin."""
+    from ..operators.spectral import gram_cells_kernel
+
+    return (
+        gram_cells_kernel(emb, vec_col)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+
+
 def gram_ingest_batch(
     spark: SparkSession,
     index_dir: str,
@@ -74,7 +93,7 @@ def gram_ingest_batch(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         idx.append(
-            gram_partial(batch_df, vec_col).withColumn(
+            gram_partial_kernel(batch_df, vec_col).withColumn(
                 "src_batch", F.lit(batch_id)
             ),
             batch_id,
