@@ -61,6 +61,10 @@ HEADLINE = (
     "knn_lsh",
     # added r2: persisted-bucket ANN, temporal joins, sampling, text/graph
     "knn_lsh_persisted",
+    # r15 (r14 verdict #6): the IVF multi-probe operating point — same
+    # persisted index as knn_ivf_persisted, nprobe 6 of 8; its recall@5
+    # lands in the record's recall map next to the speed row
+    "knn_ivf_probe6",
     "asof_last_click",
     "orders_next_30d",
     "stratified_sample",

@@ -1450,11 +1450,30 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     each query's nprobe cells so partition pruning skips the rest — both
     ANN families now have their executable ingest-once/probe-cheap
     form."""
+    cell_dir, centroids, e = _ivf_persisted_index(spark, sf_dir)
+    from ..operators.similarity import ivf_probe
+
+    return ivf_probe(
+        e.filter(F.col("vec_id") < 10),
+        cell_dir,
+        "vec_id",
+        "embedding",
+        centroids,
+        k=5,
+        nprobe=3,
+        dim=64,
+    )
+
+
+def _ivf_persisted_index(spark: SparkSession, sf_dir: str):
+    """Build-or-load the persisted IVF index (inverted lists partitioned
+    by cell + the centroid sidecar) shared by every nprobe variant.
+    Returns (cell_dir, centroids, embeddings)."""
     import json as _json
     import os as _os
     import tempfile
 
-    from ..operators.similarity import ivf_build, ivf_probe, kmeans_centroids
+    from ..operators.similarity import ivf_build, kmeans_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
     cell_dir = _os.path.join(
@@ -1476,6 +1495,33 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_build(e, "vec_id", "embedding", centroids, cell_dir, dim=64)
         with open(sidecar, "w") as f:
             _json.dump(centroids, f)
+    return cell_dir, centroids, e
+
+
+@register(
+    "knn_ivf_probe6",
+    oracle=None,  # approximate by construction; recall measured per-round
+    # in bench (recall_at_5) and the curve in RECALL.md / gen_recall.
+    tags=("llm", "similarity", "ivf", "persisted", "multiprobe"),
+    gated=False,
+)
+def knn_ivf_probe6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF MULTI-PROBE operating point (r14 verdict #6): the same
+    persisted index as knn_ivf_persisted, probing 6 of 8 cells instead
+    of 3. nprobe is THE recall/latency knob of any IVF deployment; the
+    measured curve on the near-uniform corpora (gen_recall / RECALL.md)
+    is recall@5 0.26→1.00 across nprobe 1→8 with the probe wall time
+    FLAT at test SFs (broadcast-join overhead dominates), and nprobe=6
+    is the documented high-recall point (0.84 at sf0.01, 0.92 at the
+    sf0.1 bench corpus — recorded per-round in recall_at_5). At
+    100 TB the trade is real — probe cost scales ~nprobe/k_cells of the
+    index scan — which is why the knob is a catalog variant and not a
+    constant: the near-uniform corpus is the WORST case for IVF (recall
+    ≈ coverage), so this floor transfers to clustered corpora, where
+    nprobe=2 already reads ~1.0 (RECALL.md clustered column)."""
+    cell_dir, centroids, e = _ivf_persisted_index(spark, sf_dir)
+    from ..operators.similarity import ivf_probe
+
     return ivf_probe(
         e.filter(F.col("vec_id") < 10),
         cell_dir,
@@ -1483,7 +1529,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         centroids,
         k=5,
-        nprobe=3,
+        nprobe=6,
         dim=64,
     )
 

@@ -56,6 +56,9 @@ def truth(spark, clustered_dir):
         # round-9 IVF-SQ8 (directional cells × residual SQ8): measured
         # 1.00 on this fixture and 0.76 uniform (vs ivf_pq's 0.62)
         ("knn_ivf_sq8", 0.9),
+        # r15 multi-probe operating point (nprobe 6 of 8): ≥ the
+        # nprobe=3 sibling by construction (superset of probed cells)
+        ("knn_ivf_probe6", 0.9),
     ],
 )
 def test_clustered_recall_floor(spark, clustered_dir, truth, name, floor):

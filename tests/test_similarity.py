@@ -89,6 +89,32 @@ def test_ivf_recall_reasonable(spark, sf_dir):
     assert recall >= 0.3, f"recall {recall:.2f}"
 
 
+def test_ivf_multiprobe_monotone_and_entry_shape(spark, sf_dir):
+    """The r15 multi-probe knob: recall is MONOTONE in nprobe (probing a
+    superset of cells can only add candidates — rank-stable scoring
+    keeps every previously-found true neighbor), and the knn_ivf_probe6
+    catalog entry returns the standard top-5 frame off the shared
+    persisted index."""
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    reg = load_all()
+    truth: dict[int, set[int]] = {}
+    for r in reg["knn_bruteforce"].builder(spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(name):
+        got: dict[int, set[int]] = {}
+        for r in reg[name].builder(spark, sf_dir).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / sum(len(v) for v in truth.values()), got
+
+    r3, _ = recall("knn_ivf_persisted")
+    r6, got6 = recall("knn_ivf_probe6")
+    assert r6 >= r3, (r6, r3)
+    assert set(map(len, got6.values())) == {5}  # full top-5 per query
+
+
 def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
     """The LSH-bounded near-dup variant must emit a SUBSET of the exact
     pairs (identical scores on the pairs it finds) with recall above a

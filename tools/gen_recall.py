@@ -29,7 +29,45 @@ VARIANTS = (
         "IVF k=8 (directional cells) × residual-SQ8, nprobe=4, "
         "cell-partitioned persisted index",
     ),
+    (
+        "knn_ivf_probe6",
+        "knn_ivf_persisted's index, multi-probe nprobe=6 of 8",
+    ),
 )
+
+# r15 (r14 verdict #6): the IVF multi-probe recall curve — same
+# persisted index, sweeping THE recall/latency knob.
+NPROBE_SWEEP = (1, 2, 3, 4, 5, 6, 7, 8)
+
+
+def ivf_probe_curve(spark, sf_dir: str) -> list[tuple[int, float]]:
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_gmall_scala_spark.operators.similarity import (
+        ivf_probe,
+    )
+    from sparkstreaming_gmall_scala_spark.plans.llm import (
+        _ivf_persisted_index,
+    )
+
+    reg = load_all()
+    truth: dict[int, set[int]] = {}
+    for r in reg["knn_bruteforce"].builder(spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    cell_dir, centroids, e = _ivf_persisted_index(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    out = []
+    for nprobe in NPROBE_SWEEP:
+        got: dict[int, set[int]] = {}
+        for r in ivf_probe(
+            q, cell_dir, "vec_id", "embedding", centroids,
+            k=5, nprobe=nprobe, dim=64,
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[k] & got.get(k, set())) for k in truth)
+        total = sum(len(v) for v in truth.values())
+        out.append((nprobe, round(hits / total, 3)))
+    return out
 
 
 def recall_table(spark, sf_dir: str) -> list[tuple[str, str, float, int]]:
@@ -60,6 +98,8 @@ def render(sf_dir: str) -> str:
     try:
         rows = recall_table(spark, sf_dir)
         crows = recall_table(spark, clustered_dir)
+        curve = ivf_probe_curve(spark, sf_dir)
+        ccurve = ivf_probe_curve(spark, clustered_dir)
     finally:
         spark.stop()
     sf = os.path.basename(sf_dir.rstrip("/"))
@@ -95,6 +135,26 @@ def render(sf_dir: str) -> str:
     ]
     for (name, desc, rec, _), (_, _, crec, _) in zip(rows, crows):
         lines.append(f"| `{name}` | {desc} | {rec:.3f} | {crec:.3f} |")
+    lines += [
+        "",
+        "## IVF multi-probe curve",
+        "",
+        "recall@5 of `ivf_probe` over `knn_ivf_persisted`'s index as "
+        "nprobe sweeps 1→8 of the 8 cells — THE IVF recall/latency "
+        "knob. On the near-uniform corpus recall tracks coverage "
+        "(~nprobe/k, IVF's worst case); on the clustered corpus the "
+        "coarse quantizer concentrates true neighbors, so small nprobe "
+        "saturates. `knn_ivf_probe6` is the catalog's documented "
+        "≥0.85-uniform-recall operating point; probe wall time at bench "
+        "SF is flat across the sweep (broadcast-join overhead "
+        "dominates), while at 100 TB probe cost scales ~nprobe/k of "
+        "the index scan.",
+        "",
+        "| nprobe | uniform | clustered |",
+        "|---|---|---|",
+    ]
+    for (np_, rec), (_, crec) in zip(curve, ccurve):
+        lines.append(f"| {np_} | {rec:.3f} | {crec:.3f} |")
     lines.append("")
     return "\n".join(lines)
 
