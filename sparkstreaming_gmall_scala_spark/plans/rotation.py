@@ -412,6 +412,20 @@ _SLOTS_V2 = 36  # rounds 9+: the 50-row gate minus len(CORE)
 # starts there so no name's pending first-row slot is skipped.
 _V2_ANCHOR_ROUND = 9
 _V2_ANCHOR_START = 18
+# Round-15 re-anchor (same width, new fixed start). The V2 raw start for
+# round 15 is 18 + 6*36 = 234, which exceeds len(POOL) — the first round
+# where the start itself depends on ``mod len(POOL)``. Under the
+# append-only discipline names are appended DURING a round, so a
+# mod-dependent start would let this round's own additions shift which
+# names the driver gates (append k ⇒ window slides back k slots,
+# re-gating k just-checked names and dropping k pending ones). The V3
+# anchor freezes round 15's start at index 15 — exactly where round 14's
+# wrap window (POOL[198:219] + POOL[0:15]) ended — so in-round appends
+# can never move an already-started window; the hazard recurs only when
+# a future round's raw start wraps again, at which point that round
+# anchors V4 the same way.
+_V3_ANCHOR_ROUND = 15
+_V3_ANCHOR_START = 15
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -430,17 +444,26 @@ def active_rotation(repo_root: str | None = None) -> tuple[str, ...]:
     """The POOL names that are GATED this round.
 
     Rounds ≤ 8 (historical, reproduced for the record): a 6-name cyclic
-    window starting at ``((round − 6) * 6) mod len(POOL)``. Rounds ≥ 9:
+    window starting at ``((round − 6) * 6) mod len(POOL)``. Rounds 9–14:
     a 36-name cyclic window starting at
     ``(18 + (round − 9) * 36) mod len(POOL)`` (anchored where round 8's
-    window ended, so round 9 → POOL[18:54])."""
+    window ended, so round 9 → POOL[18:54]). Rounds ≥ 15: same width,
+    re-anchored at index 15 where round 14's wrap window ended
+    (``(15 + (round − 15) * 36) mod len(POOL)``), so round 15 →
+    POOL[15:51] and round 16 → POOL[51:87] regardless of how many names
+    those rounds append (see the V3 anchor note above)."""
     n = current_round(repo_root)
     if n <= 8:
         start = ((n - 6) * _SLOTS_V1) % len(POOL)
         width = _SLOTS_V1
-    else:
+    elif n < _V3_ANCHOR_ROUND:
         start = (
             _V2_ANCHOR_START + (n - _V2_ANCHOR_ROUND) * _SLOTS_V2
+        ) % len(POOL)
+        width = _SLOTS_V2
+    else:
+        start = (
+            _V3_ANCHOR_START + (n - _V3_ANCHOR_ROUND) * _SLOTS_V2
         ) % len(POOL)
         width = _SLOTS_V2
     return tuple(POOL[(start + i) % len(POOL)] for i in range(width))

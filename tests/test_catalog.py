@@ -28,6 +28,10 @@ def test_oracle_coverage(registry):
         # in DuckDB SQL, so the IVF family stays rows-only + recall tests
         "knn_ivf",
         "knn_ivf_persisted",
+        # multi-probe operating point on the same k-means cells (r15) —
+        # rows-only for the same seed-order reason; recall curve in
+        # RECALL.md pins the quality gain over single-probe
+        "knn_ivf_probe6",
         # float64-matmul summation order differs from the fold in the
         # last ulp — pair-set equality is tested instead
         "embed_near_dup_vec",
@@ -93,6 +97,10 @@ STATIC_UNGATED = {
     # rows-only IVF-SQ8 (trained coarse cells); recall floors + pruning
     # plan guard in tests/test_sq.py
     "knn_ivf_sq8",
+    # rows-only multi-probe IVF operating point (r15); recall-curve
+    # ordering + probe-monotonicity pytests in tests/test_similarity.py
+    # and tests/test_recall_clustered.py; curve in RECALL.md
+    "knn_ivf_probe6",
     # rows-only iterative k-core peeling; exact local-reference pin
     "dup_cores",
 }
@@ -452,13 +460,18 @@ def test_gate_budget(registry):
 
     # independent recomputation of the window: round N ⇔ N−1 CORRECTNESS
     # files in the repo root. Rounds ≤8 (historical): 6-name window from
-    # ((N−6)*6); rounds ≥9: 36-name window from (18 + (N−9)*36), anchored
-    # where round 8's window ended.
+    # ((N−6)*6); rounds 9–14: 36-name window from (18 + (N−9)*36),
+    # anchored where round 8's window ended; rounds ≥15: re-anchored at
+    # (15 + (N−15)*36) where round 14's wrap window ended, so in-round
+    # POOL appends can never shift an already-started window (the V2 raw
+    # start first exceeded len(POOL) at round 15 — see rotation.py).
     def window(n_round):
         if n_round <= 8:
             s, w = ((n_round - 6) * 6) % len(POOL), 6
-        else:
+        elif n_round < 15:
             s, w = (18 + (n_round - 9) * 36) % len(POOL), 36
+        else:
+            s, w = (15 + (n_round - 15) * 36) % len(POOL), 36
         return {POOL[(s + i) % len(POOL)] for i in range(w)}
 
     repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
