@@ -444,6 +444,12 @@ HEADLINE = (
     # in the record's "agreement" map
     "dup_communities_lsh",
     "dup_pagerank_lsh",
+    # r15: exact-integer Lloyd k-means (2 unrolled argmin passes over
+    # the cached quantized frame, k×64 centroid collects between) and
+    # the full-oracle IVF probe over its cells (build reruns the same
+    # recurrence, probe scans 2 of 4 cells)
+    "embed_kmeans",
+    "knn_ivf_det",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -68,6 +68,7 @@ from .sampling import (
     sample_bucket,
     token_budget_mix,
 )
+from .kmeans_exact import exact_kmeans, ivf_det_topk
 from .similarity import (
     brute_force_topk,
     bucketed_topk,
@@ -108,6 +109,8 @@ from .textstats import (
 __all__ = [
     "allocate",
     "asof_join",
+    "exact_kmeans",
+    "ivf_det_topk",
     "bloom_build",
     "bloom_contaminated",
     "boilerplate_stats",

@@ -1534,6 +1534,165 @@ def knn_ivf_probe6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_kmeans_ctes(k: int = 4, iters: int = 2) -> str:
+    """Unrolled CTE chain reproducing operators/kmeans_exact.exact_kmeans
+    bit-for-bit: quantize to micro-units, seed on the k smallest ids,
+    then ``iters`` Lloyd rounds of (integer argmin assign, half-up
+    integer centroid update with the keep-on-empty COALESCE), ending in
+    ``kmf`` = the final (vec_id, cluster, dist) assignment. Every stage
+    MATERIALIZED — the chain references each generation twice (the
+    assignment scan and the empty-cluster COALESCE), and plain CTEs
+    re-evaluate multiplicatively in DuckDB (the mmr_rerank lesson)."""
+
+    def assign(src: str, cent: str, out: str) -> str:
+        return f"""
+    {out} AS MATERIALIZED (
+      SELECT vec_id, j, dist FROM (
+        SELECT vec_id, j, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        FROM (
+          SELECT d.vec_id, c.j, SUM((d.x - c.c) * (d.x - c.c)) AS dist
+          FROM {src} d JOIN {cent} c ON c.pos = d.pos
+          GROUP BY d.vec_id, c.j
+        )
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""
+    kmq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    kmd AS MATERIALIZED (
+      SELECT vec_id, u.i - 1 AS pos, u.x
+      FROM kmq, LATERAL (SELECT unnest(q) AS x,
+                                generate_subscripts(q, 1) AS i) u
+    ),
+    kmseeds AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      FROM (SELECT vec_id FROM kmq ORDER BY vec_id LIMIT {k})
+    ),
+    kmc0 AS MATERIALIZED (
+      SELECT s.j, d.pos, d.x AS c
+      FROM kmseeds s JOIN kmd d ON d.vec_id = s.vec_id
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(assign("kmd", f"kmc{t - 1}", f"kma{t}"))
+        parts.append(f"""
+    kms{t} AS MATERIALIZED (
+      SELECT a.j, d.pos,
+             CAST(floor(CAST(SUM(d.x) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS c
+      FROM kma{t} a JOIN kmd d ON d.vec_id = a.vec_id
+      GROUP BY a.j, d.pos
+    ),
+    kmc{t} AS MATERIALIZED (
+      SELECT p.j, p.pos, COALESCE(s.c, p.c) AS c
+      FROM kmc{t - 1} p LEFT JOIN kms{t} s
+        ON s.j = p.j AND s.pos = p.pos
+    )""")
+    parts.append(assign("kmd", f"kmc{iters}", "kmf"))
+    return ",".join(parts)
+
+
+@register(
+    "embed_kmeans",
+    oracle=f"""
+    WITH {_exact_kmeans_ctes(4, 2)}
+    SELECT vec_id, j AS cluster, CAST(dist AS BIGINT) AS dist FROM kmf
+    """,
+    tags=("llm", "similarity", "clustering", "iterative"),
+)
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd k-means (k=4, 2 unrolled iterations) over the
+    embedding corpus — the clustering/IVF family's first FULL-ORACLE
+    member. The float path (knn_ivf's kmeans_centroids) is rows-only
+    because Murmur3 seed order and float means don't reproduce in SQL;
+    this variant's closed-form spec (micro-unit quantization, k-smallest-
+    id seeds, integer argmin with ties to the lowest cluster, half-up
+    integer centroid rounding, keep-on-empty) makes every assignment bit
+    reproducible — the oracle unrolls both Lloyd rounds into
+    MATERIALIZED CTEs and hash-checks all n (vec_id, cluster, dist)
+    rows. Scale shape: one codegen'd k×dim argmin pass per iteration
+    over a cached quantized frame; only k×64 centroid cells reach the
+    driver (operators/kmeans_exact.py docstring has the 2^53 budget)."""
+    from ..operators.kmeans_exact import exact_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _ = exact_kmeans(e, "vec_id", "embedding", k=4, iters=2)
+    return asg
+
+
+@register(
+    "knn_ivf_det",
+    oracle=f"""
+    WITH {_exact_kmeans_ctes(4, 2)},
+    pcells AS MATERIALIZED (
+      SELECT vec_id AS query_id, j AS cluster FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        FROM (
+          SELECT d.vec_id, c.j, SUM((d.x - c.c) * (d.x - c.c)) AS dist
+          FROM kmd d JOIN kmc2 c ON c.pos = d.pos
+          WHERE d.vec_id < 10
+          GROUP BY d.vec_id, c.j
+        )
+      ) WHERE rn <= 2
+    ),
+    kcand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM pcells p JOIN kmf a ON a.j = p.cluster
+      WHERE a.vec_id <> p.query_id
+    ),
+    kscored AS (
+      SELECT k.query_id, k.neighbor_id,
+             floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5)
+               / 1000000 AS score
+      FROM kcand k
+        JOIN embeddings q ON q.vec_id = k.query_id
+        JOIN embeddings c ON c.vec_id = k.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM kscored
+    ) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "ivf", "clustering"),
+)
+def knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over the exact-k-means cells (k=4 cells, nprobe=2) —
+    the IVF family's first FULL-ORACLE entry. Approximate by design
+    like every inverted-file index (the probe scans only the 2 cells
+    nearest each query — ~nprobe/k of the corpus, the 100 TB contract),
+    but — unlike the Murmur3-seeded float path, whose driver row is
+    rows-only — deterministically reproducible: cells come from
+    embed_kmeans' closed-form recurrence and scoring is the 6-dp
+    knn_bruteforce cosine, so the ENTIRE probe (cell assignment
+    included) unrolls into the oracle and the driver hash-checks it.
+    Recall vs knn_bruteforce is measured next to the other variants in
+    tests (clustered-corpus floor; near-uniform is IVF's documented
+    worst case)."""
+    from ..operators.kmeans_exact import ivf_det_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_det_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k=5,
+        clusters=4,
+        iters=2,
+        nprobe=2,
+        dim=64,
+    )
+
+
 _SQ8_DECODE = """
       list_transform(generate_series(1, 64), i ->
         bb.mns[i] + (CAST(

@@ -401,6 +401,11 @@ POOL: tuple[str, ...] = (
     "dup_pagerank_lsh",
     # round-14: the CENTERED spectral audit (true PCA top direction)
     "embed_pca_audit",
+    # round-15: exact-integer Lloyd k-means — the clustering family's
+    # first full-oracle member (closed-form seeds/rounding, 2 unrolled
+    # iterations) — and the full-oracle IVF probe over its cells
+    "embed_kmeans",
+    "knn_ivf_det",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

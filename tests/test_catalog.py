@@ -452,6 +452,9 @@ def test_gate_budget(registry):
         "dup_pagerank_lsh",
         # round-14: the CENTERED spectral audit (true PCA direction)
         "embed_pca_audit",
+        # round-15: exact-integer Lloyd k-means + its full-oracle IVF
+        "embed_kmeans",
+        "knn_ivf_det",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]
@@ -485,10 +488,14 @@ def test_gate_budget(registry):
     assert window(9) == set(POOL[18:54])
     assert set(POOL[18:63]) <= window(9) | window(10)
 
-    # every pool name gets a driver row at least once per cycle
-    # (the rotation's whole point)
+    # every pool name gets a driver row at least once per cycle (the
+    # rotation's whole point) — measured from the V3 anchor: windows
+    # step by 36 mod len(POOL), so ceil(len/36)+1 consecutive rounds
+    # cover every index. (POOL[13:15] sit just behind the anchor; they
+    # are not a backlog — both carry fresh r14 driver rows from round
+    # 14's wrap window and re-gate when the V3 cycle wraps to them.)
     windows = set()
-    for r in range(9, 9 + (len(POOL) + 35) // 36 + 1):
+    for r in range(15, 15 + (len(POOL) + 35) // 36 + 1):
         windows |= window(r)
     assert windows == set(POOL)
 
