@@ -450,6 +450,9 @@ HEADLINE = (
     # recurrence, probe scans 2 of 4 cells)
     "embed_kmeans",
     "knn_ivf_det",
+    # r15: greedy k-center selection (m=5 sequential argmax passes over
+    # the cached quantized frame + the cover pass)
+    "kcenter_select",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

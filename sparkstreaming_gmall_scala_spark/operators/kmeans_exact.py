@@ -150,6 +150,93 @@ def exact_kmeans(
         q.unpersist()
 
 
+def kcenter_greedy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 5,
+) -> tuple[DataFrame, list[int]]:
+    """Greedy k-center (farthest-point) coreset selection — the
+    2-approximation for the k-center cover and the standard diversity
+    primitive for training-data selection (pick the m most mutually
+    distant exemplars).
+
+    Closed-form spec (every step reproducible in SQL): the seed is the
+    smallest id; each following center is the point maximizing the
+    MINIMUM integer squared distance to the already-selected set, ties
+    to the smallest id. Returns (assignment, selected_ids): the
+    assignment maps every point to its nearest selected center
+    (ties to the earliest-selected center), with the integer distance —
+    the k-center COVER, whose max distance is the coverage radius.
+
+    Scale shape: each greedy step is ONE distributed argmax pass
+    (codegen'd min-over-selected fold, TakeOrdered(1)); only the m
+    selected vectors (m×dim ints) ever reach the driver. m passes total
+    — the algorithm is inherently sequential in m, so pick small m (the
+    coreset use-case) or switch to k-means for large m.
+    """
+    q = quantize(df, id_col, vec_col).persist()
+    try:
+        seed = q.orderBy(id_col).limit(1).collect()
+        if not seed:
+            raise ValueError("empty input")
+        sel_ids = [seed[0][id_col]]
+        sel_vecs = [[int(x) for x in seed[0]["q"]]]
+
+        for _ in range(1, m):
+            # min distance to the selected set, as array_min over the
+            # per-center folds (same struct-order trick as _argmin_struct)
+            mind = F.array_min(
+                F.array(
+                    *[
+                        F.expr(
+                            "aggregate(zip_with(q, array("
+                            + ", ".join(f"{int(c)}L" for c in v)
+                            + "), (a, b) -> (a - b) * (a - b)), "
+                            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+                        )
+                        for v in sel_vecs
+                    ]
+                )
+            )
+            far = (
+                q.select(F.col(id_col), F.col("q"), mind.alias("_d"))
+                .orderBy(F.col("_d").desc(), F.col(id_col))
+                .limit(1)
+                .collect()[0]
+            )
+            sel_ids.append(far[id_col])
+            sel_vecs.append([int(x) for x in far["q"]])
+
+        # cover: nearest selected center per point, ties to the
+        # earliest-selected (struct order on (dist, step))
+        entries = []
+        for step, (cid, v) in enumerate(zip(sel_ids, sel_vecs)):
+            entries.append(
+                F.struct(
+                    F.expr(
+                        "aggregate(zip_with(q, array("
+                        + ", ".join(f"{int(c)}L" for c in v)
+                        + "), (a, b) -> (a - b) * (a - b)), "
+                        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+                    ).alias("d"),
+                    F.lit(step).alias("s"),
+                    F.lit(cid).alias("c"),
+                )
+            )
+        best = F.array_min(F.array(*entries))
+        cover = q.select(
+            F.col(id_col), best.alias("_b")
+        ).select(
+            id_col,
+            F.col("_b")["c"].alias("center_id"),
+            F.col("_b")["d"].alias("dist"),
+        )
+        return cover, sel_ids
+    finally:
+        q.unpersist()
+
+
 def ivf_det_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -1693,6 +1693,100 @@ def knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcenter_ctes(m: int = 5) -> str:
+    """Unrolled CTEs reproducing operators/kmeans_exact.kcenter_greedy:
+    seed = smallest id; center t = argmax of the running min distance
+    (ties to the smallest id); kd{t} = every point's distance to center
+    t; kcov = the final cover (nearest center, ties to the earliest
+    step). MATERIALIZED throughout — the running-min chain references
+    each kd twice (selection and cover)."""
+    parts = [
+        """
+    kcq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    kcd AS MATERIALIZED (
+      SELECT vec_id, u.i - 1 AS pos, u.x
+      FROM kcq, LATERAL (SELECT unnest(q) AS x,
+                                generate_subscripts(q, 1) AS i) u
+    ),
+    ksel1 AS MATERIALIZED (
+      SELECT vec_id FROM kcq ORDER BY vec_id LIMIT 1
+    )"""
+    ]
+    for t in range(1, m + 1):
+        parts.append(f"""
+    kv{t} AS MATERIALIZED (
+      SELECT d.pos, d.x FROM kcd d
+      WHERE d.vec_id = (SELECT vec_id FROM ksel{t})
+    ),
+    kd{t} AS MATERIALIZED (
+      SELECT d.vec_id, SUM((d.x - s.x) * (d.x - s.x)) AS dist
+      FROM kcd d JOIN kv{t} s ON s.pos = d.pos
+      GROUP BY d.vec_id
+    )""")
+        if t == 1:
+            parts.append("""
+    km1 AS MATERIALIZED (SELECT vec_id, dist FROM kd1)""")
+        else:
+            parts.append(f"""
+    km{t} AS MATERIALIZED (
+      SELECT m.vec_id, LEAST(m.dist, k.dist) AS dist
+      FROM km{t - 1} m JOIN kd{t} k USING (vec_id)
+    )""")
+        if t < m:
+            parts.append(f"""
+    ksel{t + 1} AS MATERIALIZED (
+      SELECT vec_id FROM km{t} ORDER BY dist DESC, vec_id LIMIT 1
+    )""")
+    arms = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t - 1} AS step, "
+        f"(SELECT vec_id FROM ksel{t}) AS center_id, dist FROM kd{t}"
+        for t in range(1, m + 1)
+    )
+    parts.append(f"""
+    kall AS (
+      {arms}
+    ),
+    kcov AS (
+      SELECT vec_id, center_id, CAST(dist AS BIGINT) AS dist FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, step) AS rn
+        FROM kall
+      ) WHERE rn = 1
+    )""")
+    return ",".join(parts)
+
+
+@register(
+    "kcenter_select",
+    oracle=f"""
+    WITH {_kcenter_ctes(5)}
+    SELECT vec_id, center_id, dist FROM kcov
+    """,
+    tags=("llm", "similarity", "selection", "iterative"),
+)
+def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection, m=5 — the
+    diversity-selection primitive for training data (pick the m most
+    mutually distant exemplars; 2-approximation of the optimal k-center
+    cover). Closed-form spec (smallest-id seed, integer running-min
+    argmax with ties to the smallest id) so all m greedy steps unroll
+    into MATERIALIZED CTEs and the driver hash-checks the full cover —
+    every point's nearest selected center and integer distance (the max
+    of which is the coverage radius). Each step is one distributed
+    argmax pass (codegen'd min-over-selected fold, TakeOrdered(1));
+    only m×64 integers reach the driver."""
+    from ..operators.kmeans_exact import kcenter_greedy
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cover, _ = kcenter_greedy(e, "vec_id", "embedding", m=5)
+    return cover
+
+
 _SQ8_DECODE = """
       list_transform(generate_series(1, 64), i ->
         bb.mns[i] + (CAST(

@@ -406,6 +406,9 @@ POOL: tuple[str, ...] = (
     # iterations) — and the full-oracle IVF probe over its cells
     "embed_kmeans",
     "knn_ivf_det",
+    # round-15: greedy k-center coreset selection (farthest-point
+    # diversity primitive, m unrolled argmax steps, full cover oracle)
+    "kcenter_select",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

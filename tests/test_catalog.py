@@ -455,6 +455,8 @@ def test_gate_budget(registry):
         # round-15: exact-integer Lloyd k-means + its full-oracle IVF
         "embed_kmeans",
         "knn_ivf_det",
+        # round-15: greedy k-center coreset selection
+        "kcenter_select",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

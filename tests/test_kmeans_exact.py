@@ -127,6 +127,67 @@ def test_quantize_convention(spark):
     assert q == [1, 0, -1_250_000]
 
 
+def test_kcenter_numpy_parity(spark, sf_dir):
+    """Selected ids, selection order, and the full cover match an
+    independent greedy implementation exactly."""
+    from sparkstreaming_gmall_scala_spark.operators.kmeans_exact import (
+        kcenter_greedy,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cover, sel = kcenter_greedy(e, "vec_id", "embedding", m=5)
+    got = {r["vec_id"]: (r["center_id"], r["dist"]) for r in cover.collect()}
+
+    pdf = e.select("vec_id", "embedding").toPandas()
+    ids = list(pdf["vec_id"])
+    Q = {
+        int(i): [int(math.floor(float(x) * 1e6 + 0.5)) for x in v]
+        for i, v in zip(pdf["vec_id"], pdf["embedding"])
+    }
+
+    def d(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(Q[a], Q[b]))
+
+    ref_sel = [min(ids)]
+    for _ in range(4):
+        # max of min-dist-to-selected, ties to the smallest id
+        ref_sel.append(
+            max(
+                (i for i in ids),
+                key=lambda i: (min(d(i, s) for s in ref_sel), -i),
+            )
+        )
+    assert sel == ref_sel
+    ref_cover = {}
+    for i in ids:
+        best = min(
+            (d(i, s), step, s) for step, s in enumerate(ref_sel)
+        )
+        ref_cover[i] = (best[2], best[0])
+    assert got == ref_cover
+
+
+def test_kcenter_geometric(spark):
+    """Four well-separated 2-D blobs + m=4 ⇒ greedy picks one exemplar
+    per blob (the diversity guarantee) and the coverage radius is the
+    intra-blob spread, not the inter-blob distance."""
+    from sparkstreaming_gmall_scala_spark.operators.kmeans_exact import (
+        kcenter_greedy,
+    )
+
+    blobs = {0: (0.0, 0.0), 1: (10.0, 0.0), 2: (0.0, 10.0), 3: (10.0, 10.0)}
+    rows = []
+    for b, (cx, cy) in blobs.items():
+        for i in range(3):
+            rows.append((b * 10 + i, [cx + 0.01 * i, cy]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cover, sel = kcenter_greedy(df, "vec_id", "embedding", m=4)
+    assert sorted(i // 10 for i in sel) == [0, 1, 2, 3]
+    radius = max(r["dist"] for r in cover.collect())
+    # intra-blob spread: 0.02 units = 20000 micro-units, squared
+    assert radius <= (20_000) ** 2
+
+
 def test_ivf_det_recall_floor(spark, sf_dir):
     """nprobe=2 of 4 cells on the near-uniform corpus: recall@5 must
     beat the coverage floor's neighborhood (IVF's documented worst
