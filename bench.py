@@ -453,6 +453,10 @@ HEADLINE = (
     # r15: greedy k-center selection (m=5 sequential argmax passes over
     # the cached quantized frame + the cover pass)
     "kcenter_select",
+    # r15: SemDeDup's full-oracle twin (exact cells + cell-bounded
+    # 6-dp cosine pair join; directly comparable to semantic_dedup's
+    # float-cell number above)
+    "semantic_dedup_det",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

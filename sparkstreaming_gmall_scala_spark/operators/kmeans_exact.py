@@ -237,6 +237,66 @@ def kcenter_greedy(
         q.unpersist()
 
 
+def semantic_dedup_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    k: int = 4,
+    iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup over the EXACT k-means cells — the rows-only
+    ``similarity.semantic_dedup``'s full-oracle twin.
+
+    Same architecture (Abbas et al. 2023: the pairwise cosine space is
+    bounded by k-means cells, Σ|cell|² not n²) and the same
+    keep-first rule (drop a doc iff SOME lower-id doc in its cell scores
+    6-dp cosine ≥ threshold against it), but the cells come from
+    ``exact_kmeans``' closed-form recurrence instead of the
+    Murmur3-seeded float path — so cells, scores, and the keep set are
+    all bit-reproducible and the catalog entry carries a full value-hash
+    oracle (the r13 rows-only→full-oracle discipline, applied to the
+    SemDeDup family). Output: (id, cell, keep) — one row per input doc.
+    """
+    from .similarity import _pair_score, _with_norm
+
+    cells, _ = exact_kmeans(df, id_col, vec_col, k=k, iters=iters)
+    base = df.join(cells.select(id_col, "cluster"), id_col)
+    a = _with_norm(
+        base.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("qvec"),
+            "cluster",
+        ),
+        "qvec", "_qnorm", dim,
+    )
+    b = _with_norm(
+        base.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("cvec"),
+            "cluster",
+        ),
+        "cvec", "_cnorm", dim,
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", _pair_score(dim))
+        .filter(F.col("score") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("long").alias("cell"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def ivf_det_topk(
     df: DataFrame,
     queries: DataFrame,

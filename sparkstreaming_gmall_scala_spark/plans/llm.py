@@ -1693,6 +1693,45 @@ def knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_det",
+    oracle=f"""
+    WITH {_exact_kmeans_ctes(4, 2)},
+    sd_drop AS (
+      SELECT DISTINCT b.vec_id AS drop_id
+      FROM kmf a JOIN kmf b ON a.j = b.j AND a.vec_id < b.vec_id
+        JOIN embeddings q ON q.vec_id = a.vec_id
+        JOIN embeddings c ON c.vec_id = b.vec_id
+      WHERE floor(({_DOT} / ({_NORM_Q} * {_NORM_C})) * 1000000 + 0.5)
+              / 1000000 >= 0.35
+    )
+    SELECT k.vec_id, CAST(k.j AS BIGINT) AS cell,
+           (d.drop_id IS NULL) AS keep
+    FROM kmf k LEFT JOIN sd_drop d ON d.drop_id = k.vec_id
+    """,
+    tags=("llm", "dedup", "similarity", "clustering"),
+)
+def semantic_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a FULL value-hash oracle — the rows-only
+    semantic_dedup's deterministic twin (the r13 rows-only→full-oracle
+    discipline applied to the SemDeDup family). Same architecture
+    (pairwise cosine bounded by k-means cells: Σ|cell|², never n²) and
+    the same keep-first rule (drop a doc iff a lower-id doc in its cell
+    scores 6-dp cosine ≥ 0.35 against it), but the cells come from
+    embed_kmeans' closed-form integer recurrence, so cells, scores, and
+    the keep set are bit-reproducible: the oracle composes the unrolled
+    Lloyd CTEs with the cell-bounded pair join and the driver
+    hash-checks every (vec_id, cell, keep) row. The 0.35 threshold sits
+    at ~p99.9 of the corpus pair-cosine distribution — a real but
+    sparse drop set at every SF."""
+    from ..operators.kmeans_exact import semantic_dedup_exact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_exact(
+        e, "vec_id", "embedding", threshold=0.35, k=4, iters=2, dim=64
+    )
+
+
 def _kcenter_ctes(m: int = 5) -> str:
     """Unrolled CTEs reproducing operators/kmeans_exact.kcenter_greedy:
     seed = smallest id; center t = argmax of the running min distance

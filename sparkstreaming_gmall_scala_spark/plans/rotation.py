@@ -409,6 +409,9 @@ POOL: tuple[str, ...] = (
     # round-15: greedy k-center coreset selection (farthest-point
     # diversity primitive, m unrolled argmax steps, full cover oracle)
     "kcenter_select",
+    # round-15: SemDeDup over the exact k-means cells — the rows-only
+    # semantic_dedup's full-oracle twin (keep-first rule hash-checked)
+    "semantic_dedup_det",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

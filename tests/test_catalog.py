@@ -457,6 +457,8 @@ def test_gate_budget(registry):
         "knn_ivf_det",
         # round-15: greedy k-center coreset selection
         "kcenter_select",
+        # round-15: SemDeDup's full-oracle twin over the exact cells
+        "semantic_dedup_det",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

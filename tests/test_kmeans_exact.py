@@ -188,6 +188,52 @@ def test_kcenter_geometric(spark):
     assert radius <= (20_000) ** 2
 
 
+def test_semantic_dedup_det_witnesses(spark, sf_dir):
+    """Soundness AND completeness of the keep-first rule against a
+    brute-force recomputation: a doc is dropped iff some lower-id doc in
+    its cell scores 6-dp cosine ≥ threshold against it."""
+    from sparkstreaming_gmall_scala_spark.operators.kmeans_exact import (
+        semantic_dedup_exact,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_exact(
+        e, "vec_id", "embedding", threshold=0.30, k=4, iters=2, dim=64
+    ).collect()
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    keep = {r["vec_id"]: r["keep"] for r in out}
+    assert len(out) == e.count()  # one row per doc
+    assert not all(keep.values())  # the threshold bites on this corpus
+
+    pdf = e.select("vec_id", "embedding").toPandas()
+    V = {int(i): [float(x) for x in v]
+         for i, v in zip(pdf["vec_id"], pdf["embedding"])}
+
+    def _fold_dot(xs, ys):
+        # left-to-right fold, matching the engines' summation order
+        # bit-for-bit (np.dot pairwise summation can differ in the ulp)
+        acc = 0.0
+        for x, y in zip(xs, ys):
+            acc += x * y
+        return acc
+
+    def score(a, b):
+        c = _fold_dot(V[a], V[b]) / (
+            math.sqrt(_fold_dot(V[a], V[a]))
+            * math.sqrt(_fold_dot(V[b], V[b]))
+        )
+        return math.floor(c * 1e6 + 0.5) / 1e6
+
+    ids = sorted(V)
+    for j in ids:
+        witness = any(
+            cells[i] == cells[j] and score(i, j) >= 0.30
+            for i in ids
+            if i < j
+        )
+        assert keep[j] == (not witness), j
+
+
 def test_ivf_det_recall_floor(spark, sf_dir):
     """nprobe=2 of 4 cells on the near-uniform corpus: recall@5 must
     beat the coverage floor's neighborhood (IVF's documented worst
