@@ -457,6 +457,11 @@ HEADLINE = (
     # 6-dp cosine pair join; directly comparable to semantic_dedup's
     # float-cell number above)
     "semantic_dedup_det",
+    # r15: centroid-drift monitor (batch = train + one means pass) and
+    # the live twin off the per-cell mart (3-batch ingest under
+    # build_sec; headline = the k x dim fold + report)
+    "cluster_drift",
+    "cluster_drift_live",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -237,6 +237,57 @@ def kcenter_greedy(
         q.unpersist()
 
 
+def cluster_drift_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-cell occupancy and centroid drift under the exact k-means
+    cells: (cell, n, drift2) where drift2 = Σ_d (m_d − c_d)² between the
+    FROZEN centroid c and the half-up-rounded mean m of the cell's
+    current members — exactly "how far would one more Lloyd update move
+    this centroid". At freeze time drift is near zero; as the corpus
+    shifts it grows — the re-train-the-quantizer signal for an IVF
+    index, and the batch ground truth the streaming mart twin
+    (streaming/cells.py) must reproduce. An empty cell reports n=0,
+    drift2=0 (its mean IS its centroid — the keep-on-empty rule).
+
+    Integer end to end, so the live twin shares this entry's oracle
+    verbatim (per-cell sums and counts are an additive monoid; the
+    assignment is per-row under frozen centroids — batch-split
+    invariant)."""
+    cells, cents = exact_kmeans(df, id_col, vec_col, k=k, iters=iters)
+    q = quantize(df, id_col, vec_col)
+    mean_rows = (
+        cells.select(id_col, "cluster")
+        .join(q, id_col)
+        .select("cluster", F.posexplode("q").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    # k×dim cells — the bounded post-aggregation collect; the drift
+    # arithmetic is the same half-up quotient the centroid update uses
+    spark = df.sparkSession
+    stats = {}
+    for r in mean_rows:
+        j, pos = int(r["cluster"]), int(r["pos"])
+        n, s = int(r["n"]), int(r["s"])
+        m = int(math.floor(s / n + 0.5))
+        cnt, drift = stats.get(j, (0, 0))
+        stats[j] = (n, drift + (m - cents[j][pos]) ** 2)
+    rows = [
+        (j, stats.get(j, (0, 0))[0], stats.get(j, (0, 0))[1])
+        for j in range(k)
+    ]
+    return spark.createDataFrame(rows, "cell long, n long, drift2 long")
+
+
 def semantic_dedup_exact(
     df: DataFrame,
     id_col: str,

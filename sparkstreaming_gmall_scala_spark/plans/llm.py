@@ -1732,6 +1732,119 @@ def semantic_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_DRIFT_ORACLE = f"""
+    WITH {_exact_kmeans_ctes(4, 2)},
+    cdm AS (
+      SELECT a.j, d.pos,
+             CAST(floor(CAST(SUM(d.x) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS m
+      FROM kmf a JOIN kmd d ON d.vec_id = a.vec_id
+      GROUP BY a.j, d.pos
+    ),
+    cdn AS (SELECT j, COUNT(*) AS n FROM kmf GROUP BY j),
+    cdd AS (
+      SELECT c.j,
+             SUM((COALESCE(m.m, c.c) - c.c)
+                 * (COALESCE(m.m, c.c) - c.c)) AS drift2
+      FROM kmc2 c LEFT JOIN cdm m ON m.j = c.j AND m.pos = c.pos
+      GROUP BY c.j
+    )
+    SELECT c.j AS cell, COALESCE(n.n, 0) AS n,
+           CAST(d.drift2 AS BIGINT) AS drift2
+    FROM (SELECT DISTINCT j FROM kmc2) c
+      LEFT JOIN cdn n ON n.j = c.j
+      JOIN cdd d ON d.j = c.j
+    """
+
+
+@register(
+    "cluster_drift",
+    oracle=_CLUSTER_DRIFT_ORACLE,
+    tags=("llm", "similarity", "clustering", "quality"),
+)
+def cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy + centroid drift under the exact k-means
+    cells: drift2 = Σ_d (m_d − c_d)² between each FROZEN centroid and
+    the half-up-rounded mean of its current members — exactly how far
+    one more Lloyd update would move it. Near zero at freeze time;
+    grows as the corpus shifts — the re-train-the-quantizer signal an
+    IVF deployment needs. Empty cell ⇒ (n=0, drift2=0), the
+    keep-on-empty rule. Integer end to end, so the STREAMING mart twin
+    (cluster_drift_live) shares this oracle verbatim. The k-row result
+    is driver-materialized off the k×dim bounded collect (the
+    key_skew_profile convention)."""
+    from ..operators.kmeans_exact import cluster_drift_frame
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cluster_drift_frame(e, "vec_id", "embedding", k=4, iters=2)
+
+
+def _cells_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """Ensure the 3-batch per-cell-mart ingest exists under /tmp for
+    this corpus (params + data fingerprint key — the gram-mart
+    discipline) and return (index_dir, frozen_centroids). Batches split
+    by a hash of the vector id so every batch feeds every cell — the
+    additive fold, not batch-local luck, is what the live pin
+    exercises."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.kmeans_exact import exact_kmeans
+    from ..streaming.cells import cells_ingest_batch
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cellidx_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{_params_key('cells4x2', _data_fingerprint(sf_dir, 'embeddings'))}",
+    )
+    index_dir = os.path.join(work, "cells")
+    cents_path = os.path.join(work, "cents.json")
+    marker = os.path.join(work, "_INGESTED")
+    if not os.path.exists(marker):
+        shutil.rmtree(work, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        _, cents = exact_kmeans(emb, "vec_id", "embedding", k=4, iters=2)
+        os.makedirs(work, exist_ok=True)
+        with open(cents_path, "w") as fh:
+            _json.dump(cents, fh)
+        body = cells_ingest_batch(spark, index_dir, cents)
+        for i in range(3):
+            body(emb.filter(F.pmod(F.hash("vec_id"), F.lit(3)) == i), i)
+        with open(marker, "w") as fh:
+            fh.write("3")
+    with open(cents_path) as fh:
+        cents = _json.load(fh)
+    return index_dir, cents
+
+
+@register(
+    "cluster_drift_live",
+    # identical SQL to the batch entry: assignment is per-row under the
+    # frozen centroids and the per-cell (s, n) partials are an additive
+    # integer monoid, so the folded mart reproduces the batch report's
+    # integers exactly at any batch split
+    oracle=_CLUSTER_DRIFT_ORACLE,
+    tags=("streaming", "similarity", "clustering", "quality"),
+    gated=False,
+)
+def cluster_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_drift answered from the STREAMING per-cell mart
+    (streaming/cells.py): micro-batches append only their own
+    k×dim-cell quantized sums/counts under the FROZEN exact-k-means
+    centroids; the read side folds the mart (replay-dedup on
+    src_batch) and computes the same half-up means and integer drift —
+    batch ≡ live EXACTLY by integer associativity, so this twin shares
+    the batch oracle verbatim. The live-monitor shape at 100 TB:
+    per-batch cost is one argmin pass over the new vectors, mart state
+    is k×dim longs, and the drift signal never rescans the corpus."""
+    from ..streaming.cells import cluster_drift_report, fold_cells
+
+    index_dir, cents = _cells_index_dir(spark, sf_dir)
+    return cluster_drift_report(spark, cents, fold_cells(spark, index_dir))
+
+
 def _kcenter_ctes(m: int = 5) -> str:
     """Unrolled CTEs reproducing operators/kmeans_exact.kcenter_greedy:
     seed = smallest id; center t = argmax of the running min distance

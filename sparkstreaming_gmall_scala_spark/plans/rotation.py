@@ -412,6 +412,10 @@ POOL: tuple[str, ...] = (
     # round-15: SemDeDup over the exact k-means cells — the rows-only
     # semantic_dedup's full-oracle twin (keep-first rule hash-checked)
     "semantic_dedup_det",
+    # round-15: per-cell occupancy + centroid drift (the
+    # re-train-the-quantizer monitor) and its streaming-mart live twin
+    "cluster_drift",
+    "cluster_drift_live",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

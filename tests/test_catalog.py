@@ -459,6 +459,9 @@ def test_gate_budget(registry):
         "kcenter_select",
         # round-15: SemDeDup's full-oracle twin over the exact cells
         "semantic_dedup_det",
+        # round-15: centroid-drift monitor + its streaming-mart twin
+        "cluster_drift",
+        "cluster_drift_live",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

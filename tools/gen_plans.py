@@ -30,6 +30,14 @@ from sparkstreaming_gmall_scala_spark.session import get_spark  # noqa: E402
 # flat counts are meaningless (thousands of phantom exchanges). Their real
 # per-iteration plan is guarded in tests; the table carries a note instead.
 ITERATIVE = {
+    "cluster_drift": "k-row driver result off the bounded k x dim "
+    "collect (the key_skew_profile convention); real shape: the "
+    "exact_kmeans recurrence (iters argmin passes over the cached "
+    "quantized frame) + one means pass - guarded in "
+    "tests/test_kmeans_exact.py",
+    "cluster_drift_live": "k-row driver result off the folded per-cell "
+    "mart (k x dim longs); per-batch cost is one argmin pass over new "
+    "vectors - batch==live pinned in tests/test_streaming_cells.py",
     "dup_pagerank": "iterative (10 rounds); per-iteration: 1 exchange on "
     "dst + 1 broadcast of dangling mass — guarded in tests/test_pagerank.py",
     "dup_pagerank_lsh": "iterative (6 rounds) like dup_pagerank, with "
