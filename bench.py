@@ -462,6 +462,9 @@ HEADLINE = (
     # build_sec; headline = the k x dim fold + report)
     "cluster_drift",
     "cluster_drift_live",
+    # r15: the BPE training loop (3 merge rounds: per round one pair
+    # aggregate + one greedy rewrite pass, re-persisted stream)
+    "bpe_train_merges",
     # dup_cores (r11, iterative k-core peeling) is catalog+pytest only —
     # the dup_pagerank precedent: iterative graph entries pay tens of
     # seconds of per-round driver latency at sf0.1 and their real plan

@@ -1732,6 +1732,119 @@ def semantic_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_rounds_ctes(rounds: int = 3) -> str:
+    """Unrolled CTEs reproducing operators/bpe.bpe_learn bit-for-bit:
+    token stream ``bs1`` (doc_id, pos, tok), then per round — pair
+    counts, the (cnt desc, left, right) argmax, greedy non-overlapping
+    occurrence selection via gaps-and-islands (consecutive occurrence
+    positions can only arise for left==right runs; even offsets within
+    each run are exactly the left-to-right greedy picks of
+    ``_merge_pair``'s fold), and the stream rewrite (chosen position
+    takes the concatenated token, the absorbed right neighbor drops,
+    positions renumber). The NEXT round's counts run on the rewritten
+    stream, so a hash-green result pins the rewrite semantics, not just
+    the first argmax."""
+    parts = [
+        f"""
+    bs1 AS MATERIALIZED (
+      SELECT doc_id, u.i AS pos, u.tok
+      FROM documents,
+           LATERAL (SELECT unnest({_TOKENS}) AS tok,
+                           generate_subscripts({_TOKENS}, 1) AS i) u
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    bb{t} AS MATERIALIZED (
+      SELECT a.tok AS l, b.tok AS r, COUNT(*) AS cnt
+      FROM bs{t} a JOIN bs{t} b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+      ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    bocc{t} AS MATERIALIZED (
+      SELECT a.doc_id, a.pos
+      FROM bs{t} a JOIN bs{t} b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok = (SELECT l FROM bb{t})
+        AND b.tok = (SELECT r FROM bb{t})
+    ),
+    bch{t} AS MATERIALIZED (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id, run
+                                  ORDER BY pos) - 1 AS off
+        FROM (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS run
+          FROM bocc{t}
+        )
+      ) WHERE off % 2 = 0
+    ),
+    bs{t + 1} AS MATERIALIZED (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             tok
+      FROM (
+        SELECT s.doc_id, s.pos,
+               CASE WHEN c.pos IS NOT NULL
+                    THEN (SELECT l FROM bb{t}) || (SELECT r FROM bb{t})
+                    ELSE s.tok END AS tok
+        FROM bs{t} s
+          LEFT JOIN bch{t} c
+            ON c.doc_id = s.doc_id AND c.pos = s.pos
+          LEFT JOIN bch{t} d
+            ON d.doc_id = s.doc_id AND d.pos = s.pos - 1
+        WHERE d.pos IS NULL
+      )
+    )""")
+    arms = "\n      UNION ALL ".join(
+        f"SELECT {t} AS merge_idx, l AS left_tok, r AS right_tok, cnt "
+        f"FROM bb{t}"
+        for t in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    bmerges AS (
+      {arms}
+    )""")
+    return ",".join(parts)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH {_bpe_rounds_ctes(3)}
+    SELECT merge_idx, left_tok, right_tok, cnt FROM bmerges
+    """,
+    tags=("llm", "tokenizer", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING LOOP itself, oracle-checked — 3 merge rounds of
+    operators/bpe.bpe_learn (count pairs → deterministic (cnt desc,
+    left, right) argmax → greedy non-overlapping rewrite → recount),
+    returning (merge_idx, left_tok, right_tok, cnt) in merge order.
+    Round t's count runs on round t−1's REWRITTEN stream, so the
+    hash-green driver row pins the greedy merge application (the
+    gaps-and-islands/fold equivalence), not just pair counting —
+    upgrading the tokenizer-training family from pytest-pinned
+    (tests/test_bpe.py's local reference) to the full-oracle discipline.
+    Per round: one narrow pair aggregate (map-side combined, Zipf head
+    absorbed) + one element-wise rewrite; the driver sees exactly one
+    (left, right, cnt) row per round."""
+    from ..operators.bpe import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn(docs, "doc_id", "text", 3)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, cnt)
+            for i, (left, right, cnt) in enumerate(merges)
+        ],
+        "merge_idx long, left_tok string, right_tok string, cnt long",
+    )
+
+
 _CLUSTER_DRIFT_ORACLE = f"""
     WITH {_exact_kmeans_ctes(4, 2)},
     cdm AS (

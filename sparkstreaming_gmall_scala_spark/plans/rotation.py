@@ -416,6 +416,10 @@ POOL: tuple[str, ...] = (
     # re-train-the-quantizer monitor) and its streaming-mart live twin
     "cluster_drift",
     "cluster_drift_live",
+    # round-15: the BPE TRAINING LOOP oracle-checked (3 unrolled merge
+    # rounds; round t's count runs on round t-1's rewritten stream, so
+    # the hash pins the greedy merge application itself)
+    "bpe_train_merges",
 )
 
 SET_A: tuple[str, ...] = POOL[0:6]

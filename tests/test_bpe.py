@@ -83,6 +83,37 @@ def test_bpe_greedy_self_pair_non_overlapping(spark):
     assert enc == {1: ["aa", "aa"], 2: ["aa", "a"]}
 
 
+def test_bpe_oracle_islands_equals_fold_on_runs(spark):
+    """The bpe_train_merges oracle's gaps-and-islands occurrence
+    selection must equal the engine's greedy fold on the adversarial
+    case it exists for: long runs of one token, where occurrences
+    OVERLAP and the even-offset-within-run rule is doing real work —
+    run the actual DuckDB oracle against bpe_learn on the fixture."""
+    import duckdb
+    import pandas as pd
+
+    from sparkstreaming_gmall_scala_spark.plans.catalog import load_all
+
+    rows = [
+        (1, "a a a a a a a"),   # 7-run: merges (a,a)x3 then (aa,aa)...
+        (2, "b a a a b a a"),
+        (3, "a a b b b b a"),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    want = bpe_learn(docs, "doc_id", "text", 3)
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    oracle = load_all()["bpe_train_merges"].oracle
+    got = [
+        (r[1], r[2], r[3])
+        for r in sorted(con.execute(oracle).fetchall())
+    ]
+    assert got == want
+
+
 def test_bpe_learn_on_corpus_matches_reference(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 40

@@ -462,6 +462,8 @@ def test_gate_budget(registry):
         # round-15: centroid-drift monitor + its streaming-mart twin
         "cluster_drift",
         "cluster_drift_live",
+        # round-15: the BPE training loop, oracle-checked
+        "bpe_train_merges",
     )
     assert len(set(POOL)) == len(POOL)
     assert SET_A == POOL[0:6] and SET_B == POOL[6:12]

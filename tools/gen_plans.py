@@ -30,6 +30,11 @@ from sparkstreaming_gmall_scala_spark.session import get_spark  # noqa: E402
 # flat counts are meaningless (thousands of phantom exchanges). Their real
 # per-iteration plan is guarded in tests; the table carries a note instead.
 ITERATIVE = {
+    "bpe_train_merges": "3-row driver result (the merge list); real "
+    "shape per round: one pair-count aggregate (map-side combined) + "
+    "one greedy rewrite pass over the re-persisted token stream - "
+    "loop/tie/greedy semantics pinned in tests/test_bpe.py incl. the "
+    "oracle-vs-fold islands equivalence on run fixtures",
     "cluster_drift": "k-row driver result off the bounded k x dim "
     "collect (the key_skew_profile convention); real shape: the "
     "exact_kmeans recurrence (iters argmin passes over the cached "
