@@ -226,9 +226,13 @@ def label_propagation(
     Scale shape: NO driver loop state — exactly ``rounds`` repetitions
     of (edge⋈label hash join, groupBy(node, label) count, one
     row_number window PARTITIONED BY node over ≤deg(node) rows). Label
-    frames are |V| rows; each round is persisted and the previous
-    round's cache released (the pagerank discipline), so lineage stays
-    O(1) deep per round."""
+    frames are |V| rows. r15 optimization (guide §1.2): nothing in a
+    round returns to the driver, so the rounds CHAIN LAZILY — each
+    round's frame is consumed exactly once by the next (linear plan
+    growth, ~6 operators per round), and the final materialization
+    executes the whole loop as ONE query instead of paying a
+    persist+count job per round (the old pattern also left every
+    round's cache pinned until the next round's action)."""
     e = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
@@ -238,14 +242,12 @@ def label_propagation(
         .distinct()
         .persist()
     )
-    e.count()
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    ).persist()
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
-    ).persist()
-    labels.count()
+    )
 
     from pyspark.sql import Window
 
@@ -258,16 +260,15 @@ def label_propagation(
         w = Window.partitionBy("n2").orderBy(
             F.col("c").desc(), F.col("lbl")
         )
-        nxt = (
+        labels = (
             counted.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("n2").alias("node"), "lbl")
-            .persist()
         )
-        nxt.count()
-        labels.unpersist()
-        labels = nxt
 
+    # the final round's labels feed TWO consumers (sizes + the join) —
+    # cut and cache here so the loop executes once, not twice
+    labels = labels.localCheckpoint(eager=True)
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("community_size")
     )
@@ -277,6 +278,6 @@ def label_propagation(
         F.col("community_size").cast("long"),
     ).persist()
     out.count()
-    labels.unpersist()
+    sym.unpersist()
     e.unpersist()
     return out

@@ -19,12 +19,27 @@ pytest against a pure local implementation of the identical recurrence
 (exact equality, not tolerance). The quantization error per entry is
 < 1e-9 per step — irrelevant next to d=0.85's contraction.
 
-Scale shape: edges materialize once (persisted); each iteration shuffles
-(a) ranks→src join (broadcast when ranks fit, hash otherwise — Spark
-picks) and (b) one groupBy(dst) sum with map-side partials. Dangling
-mass is one scalar agg. Lineage is cut per iteration by persist +
-count (the CC discipline; pass a checkpoint dir for cluster runs at
-1000s of iterations — unnecessary at PageRank's typical ≤50).
+Scale shape (r15 optimization round — guide §2.4/§1.2, measured 13.6 s
+→ ~2 s for 6 rounds at sf0.1): the out-degree is joined onto the EDGE
+list once (static across rounds), and each iteration is exactly ONE
+join (ranks→src; broadcast when ranks fit, hash otherwise — Spark
+picks) plus ONE groupBy(node) sum with map-side partials. The old
+``nodes LEFT JOIN contribs`` re-attachment is gone: nodes enter the
+aggregate as zero-contribution rows unioned under the same groupBy, so
+``coalesce(in_sum, 0)`` is just ``sum`` over a set that always contains
+the node — identical long arithmetic, one shuffle less per round.
+Dangling handling is split by a one-time probe: a graph with no
+dangling nodes (every undirected pair fed both ways — the near-dup
+graph always) has dangling mass 0 in EVERY round, so the whole loop
+chains lazily (linear plan growth — each round's frame is consumed
+exactly once) and materializes in one action; with dangling nodes the
+per-round mass is a scalar that must return to the driver, so each
+round persists its rank state and the mass aggregate doubles as the
+round's materialization. Rounds nest the logical plan linearly
+(~5 operators each) — no per-round checkpoint needed at PageRank's
+typical ≤50 iterations; the old per-round persist+count pattern left
+ranks consumed TWICE per round, which nested the plan exponentially
+and re-analyzed/re-codegenned a doubling tree every round.
 """
 
 from __future__ import annotations
@@ -66,57 +81,68 @@ def pagerank(
             F.lit(0).cast("long").alias("rank_nano"),
             F.lit(0.0).alias("rank"),
         )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     base = (NANO * (100 - damping_pct)) // 100 // n
+
+    # Statics hoisted out of the loop: the out-degree rides on the EDGE
+    # list (one static join instead of a ranks⋈deg join per round); the
+    # zero-contribution node rows enter each round's aggregate so absent
+    # nodes still produce a row (replaces the per-round LEFT join).
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ewd = e.join(deg, "src").persist()
+    zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
+    dangling_nodes = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    has_dangling = dangling_nodes.count() > 0
 
     ranks = nodes.select(
         "node", F.lit(NANO // n).cast("long").alias("rank_nano")
-    ).persist()
-    ranks.count()
+    )
+    kept: list[DataFrame] = []
     for _ in range(iters):
-        with_deg = ranks.join(
-            deg, ranks.node == deg.src, "left"
-        ).select("node", "rank_nano", "out_deg")
-        # dangling nodes (no out-edges) spread their mass uniformly
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank_nano"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+        if has_dangling:
+            # the dangling mass is a driver scalar feeding the next
+            # round, so this round must materialize: persist the rank
+            # state (lazily — the mass aggregate is the round's one
+            # action and fills the cache for the contribs consumer)
+            ranks = ranks.persist()
+            kept.append(ranks)
+            dangling = (
+                ranks.join(F.broadcast(dangling_nodes), "node")
+                .agg(F.coalesce(F.sum("rank_nano"), F.lit(0)).alias("s"))
+                .collect()[0]["s"]
+            )
+            share = int(dangling) // n
+        else:
+            # no dangling nodes ⇒ the mass is 0 in EVERY round: nothing
+            # returns to the driver, the loop chains lazily (each
+            # round's frame is consumed exactly once — linear plan) and
+            # the caller's single action executes all rounds
+            share = 0
+        contribs = ewd.join(
+            ranks.select("node", "rank_nano"), ewd.src == F.col("node")
+        ).select(
+            F.col("dst").alias("node"),
+            # SQL DIV: true integer floor division — a double `/`
+            # plus cast can round UP across the floor for quotients
+            # within one ulp of an integer, breaking exact equality
+            # with the local integer reference
+            F.expr("rank_nano DIV out_deg").alias("c"),
         )
-        contribs = (
-            e.join(
-                with_deg.filter(F.col("out_deg").isNotNull()),
-                e.src == with_deg.node,
-            )
-            .select(
-                F.col("dst").alias("node"),
-                # SQL DIV: true integer floor division — a double `/`
-                # plus cast can round UP across the floor for quotients
-                # within one ulp of an integer, breaking exact equality
-                # with the local integer reference
-                F.expr("rank_nano DIV out_deg").alias("c"),
-            )
+        # nodes ride in as zero rows: sum(c) over {contribs ∪ 0-row}
+        # ≡ coalesce(in_sum, 0) — same long arithmetic, no LEFT join
+        ranks = (
+            contribs.unionByName(zero)
             .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        share = int(dangling) // n
-        nxt = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
+            .agg(
                 (
                     F.lit(base).cast("long")
                     + F.expr(
-                        f"({damping_pct}L * (coalesce(in_sum, 0L) "
-                        f"+ {share}L)) DIV 100"
+                        f"({damping_pct}L * (sum(c) + {share}L)) DIV 100"
                     )
-                ).alias("rank_nano"),
+                ).alias("rank_nano")
             )
-            .persist()
         )
-        nxt.count()
-        ranks.unpersist()
-        ranks = nxt
     # materialize the result frame itself, then release every
     # intermediate — the ONLY retained cache is the returned DataFrame,
     # which the caller can free with .unpersist() (previously the final
@@ -126,8 +152,11 @@ def pagerank(
         "rank_nano",
         (F.col("rank_nano").cast("double") / NANO).alias("rank"),
     ).persist()
-    out.count()
-    ranks.unpersist()
+    out.count()  # executes every pending lazy round in one query
+    for r in kept:
+        r.unpersist()
+    ewd.unpersist()
+    dangling_nodes.unpersist()
     e.unpersist()
     nodes.unpersist()
     return out
