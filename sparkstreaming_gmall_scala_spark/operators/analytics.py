@@ -389,23 +389,35 @@ def value_bucket_bounds(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
-    hist.count()
-    n = hist.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
-    if not n:
-        hist.unpersist()
-        return []
-    ranks = [
-        (k * n + n_buckets - 1) // n_buckets for k in range(1, n_buckets)
-    ]
     cum = size_histogram_cum(hist)
-    brow = cum.agg(
-        *[
-            F.min(F.when(F.col("cum") >= r, F.col("s"))).alias(f"b{i}")
-            for i, r in enumerate(ranks)
-        ]
-    ).collect()[0]
+    # ONE collect for n and every boundary (r15 — was three jobs:
+    # eager hist count, n collect, boundary collect). n rides along as
+    # the unpartitioned max over the distinct-value-bounded cum frame
+    # (the value_histogram precedent), and the rank test folds the
+    # ceiling away exactly: for integer cum,
+    #   cum >= ceil(k·n/nb)  ⇔  nb·cum >= k·n
+    # so the boundaries are bit-identical to the rank formulation.
+    n_col = F.max("cum").over(Window.partitionBy())
+    brow = (
+        cum.withColumn("_n", n_col)
+        .agg(
+            F.max("_n").alias("_total"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * n_buckets >= F.col("_n") * k,
+                        F.col("s"),
+                    )
+                ).alias(f"b{i}")
+                for i, k in enumerate(range(1, n_buckets))
+            ],
+        )
+        .collect()[0]
+    )
     hist.unpersist()
-    return [int(brow[f"b{i}"]) for i in range(len(ranks))]
+    if brow["_total"] is None:
+        return []
+    return [int(brow[f"b{i}"]) for i in range(n_buckets - 1)]
 
 
 def bucket_score(value, bounds: list[int]):

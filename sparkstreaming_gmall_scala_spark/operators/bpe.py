@@ -119,11 +119,19 @@ def bpe_learn(
     ``_merge_pair``. Returns [(left, right, count_at_merge_time), ...] in
     merge order. Stops early if no adjacent pair remains (single-token
     docs everywhere). The tokens frame is re-persisted per iteration so
-    pass k scans pass k−1's arrays, not the raw text k times."""
+    pass k scans pass k−1's arrays, not the raw text k times.
+
+    r15 optimization (guide §1.2 — don't compute things you throw away):
+    persists are LAZY — round k's argmax action is what materializes
+    round k−1's rewrite into its cache, so each round costs exactly one
+    job, and the final round's rewrite (which nothing consumes — the
+    result is the merge list) is never executed at all. The old
+    per-round persist+count pattern paid an extra job per round plus
+    one full rewrite pass whose output was discarded."""
     cur = docs.select(
         F.col(id_col).alias(id_col), tokens_col(F.col(text_col)).alias("toks")
     ).persist()
-    cur.count()
+    kept = [cur]
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -141,14 +149,13 @@ def bpe_learn(
                 best[0]["cnt"],
             )
             merges.append((left, right, cnt))
-            nxt = cur.select(
+            cur = cur.select(
                 id_col, _merge_pair(F.col("toks"), left, right).alias("toks")
             ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
+            kept.append(cur)
     finally:
-        cur.unpersist()
+        for f in kept:
+            f.unpersist()
     return merges
 
 

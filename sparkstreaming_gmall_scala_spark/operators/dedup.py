@@ -487,11 +487,16 @@ def connected_components(
     """
     if method not in ("auto", "propagation", "star"):
         raise ValueError(f"unknown method {method!r}")
+    # r15: LAZY checkpoints — the lineage is cut immediately (the plan
+    # roots at a LogicalRDD either way), but the final result stage only
+    # runs inside the round's convergence-probe action instead of as a
+    # separate eager materialization job per cut (guide §1.2: one fewer
+    # pass/job per round; identical data either way).
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        cut = lambda df: df.checkpoint()  # noqa: E731
+        cut = lambda df: df.checkpoint(eager=False)  # noqa: E731
     else:
-        cut = lambda df: df.localCheckpoint()  # noqa: E731
+        cut = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
     # Materialize the edge list ONCE — the symmetrization below reads it
     # twice, and every round reads sym; without checkpoints each of those
     # re-executes the (possibly expensive) upstream pair pipeline.
@@ -512,19 +517,17 @@ def connected_components(
     converged = False
     deltas: list[int] = []
     for i in range(max_iters):
-        nbr = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # r15: min over {self} ∪ neighbor labels as ONE join + ONE
+        # groupBy — the self rows ride into the same aggregate, so the
+        # old groupBy + LEFT-join re-attachment (least/coalesce over a
+        # second shuffle) collapses into the min. Identical labels.
+        nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), "label"
         )
         labels = cut(
-            labels.join(nbr, labels["node"] == nbr["src"], "left")
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            nbr.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
         s = labels.agg(F.sum("label")).first()[0]
         CC_STATS["prop_rounds"] = i + 1

@@ -306,18 +306,31 @@ def cosine_near_dup_pairs(
     )
     if planes is None:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        ab = _band_buckets(a, "qvec", planes, bands)
-        bb = _band_buckets(b, "cvec", planes, bands)
-        pairs = (
-            ab.join(bb, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+        return (
+            pairs.withColumn("score", _pair_score(dim))
+            .filter(F.col("score") >= threshold)
+            .select("id_a", "id_b", "score")
         )
+    # Banded path (r15 optimization — guide §2.3 "shuffle fewer bytes"):
+    # score INSIDE the bucket-join stage and dedup AFTERWARD. The old
+    # order (dedup candidates, then score) pushed every candidate row —
+    # two 64-dim vectors each — through the dropDuplicates exchange
+    # (measured ~2 GB shuffled for a ~2M-candidate space at sf0.1, 30+ s
+    # of the 49 s index build); scoring is deterministic per pair, so
+    # scoring each band collision and deduping the (id_a, id_b, score)
+    # survivors is the identical pair set with a few-KB exchange. A pair
+    # colliding in several bands is scored once per collision (~1.3×
+    # avg) — compute inside one codegen stage, traded for the fat
+    # exchange.
+    ab = _band_buckets(a, "qvec", planes, bands)
+    bb = _band_buckets(b, "cvec", planes, bands)
     return (
-        pairs.withColumn("score", _pair_score(dim))
+        ab.join(bb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", _pair_score(dim))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -6113,7 +6113,10 @@ def _calibrate_per_fp(per_fp: DataFrame) -> DataFrame:
         )
         .persist()
     )
-    per.count()  # materialize ONCE; the fit + final join reprint lineage
+    # lazy persist (r15): the fit's bounded collect below is the first
+    # consumer and fills the cache in the same job; the final broadcast
+    # join then reads the cache — one materialization job saved vs the
+    # old eager count()
     bins = per.groupBy("bin").agg(
         F.sum("keep").alias("s"), F.count(F.lit(1)).alias("n")
     )

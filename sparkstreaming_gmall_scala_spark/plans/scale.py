@@ -2177,7 +2177,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum("cents").alias("mon"),
     ).persist()
-    rfm.count()  # one scan feeds three histograms + the scoring pass
+    # lazy persist: the first histogram's collect materializes the RFM
+    # fold; the other two histograms + the scoring pass read the cache
     rb = value_bucket_bounds(rfm, "rec", 5)
     fb = value_bucket_bounds(rfm, "freq", 5)
     mb = value_bucket_bounds(rfm, "mon", 5)
