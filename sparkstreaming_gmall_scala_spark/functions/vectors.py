@@ -33,6 +33,12 @@ def _sql_ref(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+# Longest a[i]*b[i] chain that still JIT-compiles: HotSpot's default
+# HugeMethodLimit (8000 bytecodes) lands between 32 and 48 cast-laden
+# terms of whole-stage-codegen output (measured r15; see dot_fixed).
+_UNROLL_MAX = 32
+
+
 def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Dot product for a KNOWN dimension as an explicit left-to-right
     addition chain of ``a[i]*b[i]``.
@@ -52,20 +58,50 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     while the string form assembles one SQL text in Python and parses
     it in a single F.expr call (~ms). Both forms produce the identical
     analyzed tree. Column arguments remain supported for composed
-    expressions."""
+    expressions.
+
+    Above ``_UNROLL_MAX`` terms the chain switches back to the fold
+    (r15): the unrolled per-row method passes HotSpot's huge-method
+    bytecode limit (8000) between 32 and 48 cast-laden terms, the JIT
+    refuses to compile it, and the "codegen fast path" runs in the
+    BYTECODE INTERPRETER — measured 0.28 s (32 terms) vs 6.1 s
+    (64 terms) for the same 2.1M-row scoring stage at sf0.1, while the
+    fold does it in ~1.2 s regardless of dim. Values are identical by
+    the equivalence above; the size guard reproduces the chain's
+    NULL-when-either-array-is-shorter-than-dim semantics exactly."""
+    if dim <= _UNROLL_MAX:
+        if isinstance(a, str) and isinstance(b, str):
+            qa, qb = _sql_ref(a), _sql_ref(b)
+            return F.expr(
+                " + ".join(
+                    f"CAST({qa}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE)"
+                    for i in range(dim)
+                )
+            )
+        assert not isinstance(a, str) and not isinstance(b, str)
+        expr = a.getItem(0).cast("double") * b.getItem(0).cast("double")
+        for i in range(1, dim):
+            expr = expr + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+        return expr
     if isinstance(a, str) and isinstance(b, str):
         qa, qb = _sql_ref(a), _sql_ref(b)
         return F.expr(
-            " + ".join(
-                f"CAST({qa}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE)"
-                for i in range(dim)
-            )
+            f"CASE WHEN size({qa}) >= {dim} AND size({qb}) >= {dim} THEN "
+            f"aggregate(zip_with(slice({qa}, 1, {dim}), slice({qb}, 1, {dim}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) END"
         )
     assert not isinstance(a, str) and not isinstance(b, str)
-    expr = a.getItem(0).cast("double") * b.getItem(0).cast("double")
-    for i in range(1, dim):
-        expr = expr + a.getItem(i).cast("double") * b.getItem(i).cast("double")
-    return expr
+    fold = F.aggregate(
+        F.zip_with(
+            F.slice(a, 1, dim),
+            F.slice(b, 1, dim),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when((F.size(a) >= dim) & (F.size(b) >= dim), fold)
 
 
 def norm_fixed(a: Column | str, dim: int) -> Column:

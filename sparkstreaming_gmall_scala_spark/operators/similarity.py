@@ -165,13 +165,21 @@ def bucketed_topk(
     At 100 TB: the corpus is bucketed once and written partitioned by
     (band, bucket); each query probes ``bands`` partitions — no cross
     join, no corpus shuffle per query batch."""
+    # Corpus side repartitioned before banding: the broadcast join's
+    # candidate fan-out + scoring runs in the corpus side's partitions,
+    # which is otherwise the scan's 1-2 tasks (guide §2.5). Score before
+    # dedup so the dropDuplicates exchange carries (query_id,
+    # neighbor_id, score) instead of two vectors per candidate (guide
+    # §2.3); scores are deterministic per pair, so which band-collision
+    # row survives is irrelevant — identical result set.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     cb = _band_buckets(
         _with_norm(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
             ),
             "cvec", "_cnorm", dim,
-        ),
+        ).repartition(par),
         "cvec",
         planes,
         bands,
@@ -190,8 +198,9 @@ def bucketed_topk(
     scored = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", _pair_score(dim))
+        .select("query_id", "neighbor_id", "score")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _rank_topk(scored, k)
 
@@ -270,11 +279,14 @@ def probe_topk(
         planes,
         bands,
     )
+    # Same exchange discipline as bucketed_topk: deterministic score
+    # rides the join stage, dedup moves only the skinny scored pair.
     scored = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", _pair_score(dim))
+        .select("query_id", "neighbor_id", "score")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _rank_topk(scored, k)
 
@@ -305,25 +317,34 @@ def cosine_near_dup_pairs(
         "cvec", "_cnorm", dim,
     )
     if planes is None:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        # Spread the O(n²) pair fan-out: the nested-loop probe side is
+        # otherwise the corpus scan's 1-2 partitions (same single-task
+        # explosion as the banded path below).
+        par = df.sparkSession.sparkContext.defaultParallelism
+        pairs = a.repartition(par).join(b, F.col("id_a") < F.col("id_b"))
         return (
             pairs.withColumn("score", _pair_score(dim))
             .filter(F.col("score") >= threshold)
             .select("id_a", "id_b", "score")
         )
-    # Banded path (r15 optimization — guide §2.3 "shuffle fewer bytes"):
-    # score INSIDE the bucket-join stage and dedup AFTERWARD. The old
-    # order (dedup candidates, then score) pushed every candidate row —
-    # two 64-dim vectors each — through the dropDuplicates exchange
-    # (measured ~2 GB shuffled for a ~2M-candidate space at sf0.1, 30+ s
-    # of the 49 s index build); scoring is deterministic per pair, so
+    # Banded path (r15 optimization — guide §2.3 "shuffle fewer bytes" +
+    # §2.5 stragglers): score INSIDE the bucket-join stage and dedup
+    # AFTERWARD. The old order (dedup candidates, then score) pushed
+    # every candidate row — two 64-dim vectors each — through the
+    # dropDuplicates exchange; scoring is deterministic per pair, so
     # scoring each band collision and deduping the (id_a, id_b, score)
     # survivors is the identical pair set with a few-KB exchange. A pair
     # colliding in several bands is scored once per collision (~1.3×
     # avg) — compute inside one codegen stage, traded for the fat
-    # exchange.
-    ab = _band_buckets(a, "qvec", planes, bands)
-    bb = _band_buckets(b, "cvec", planes, bands)
+    # exchange. Both sides are repartitioned to the session parallelism
+    # BEFORE banding: the corpus arrives as a handful of scan partitions,
+    # the bucket join broadcasts one side, and the ~Σ bucket² candidate
+    # fan-out + scoring otherwise explodes inside the probe side's single
+    # scan task (measured 27 s of a 33 s build in ONE task at sf0.1;
+    # 32-way it is ~1 s). Scale-adaptive, not a local[32] constant.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ab = _band_buckets(a.repartition(par), "qvec", planes, bands)
+    bb = _band_buckets(b.repartition(par), "cvec", planes, bands)
     return (
         ab.join(bb, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -77,6 +77,16 @@ def get_spark(
         # (see functions/hints.py); sf-scaled tables rely on this threshold
         # + AQE so the same plan degrades to sort-merge at 100 TB.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Whole-stage codegen for a 64-dim unrolled dot/norm chain emits a
+        # ~28 KB-bytecode per-row method — over HotSpot's HugeMethodLimit
+        # (8000), so by default the JIT NEVER compiles it and every
+        # 64-dim scoring stage (knn/embedding/near-dup families) runs in
+        # the bytecode interpreter: measured 6.2 s vs 0.4 s for the same
+        # 2.1M-pair scoring stage at sf0.1 (15×). The flag lets C2
+        # compile huge generated methods; set on driver AND executors so
+        # the fix rides along to cluster deployments.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     if extra_conf:
         for k, v in extra_conf.items():
