@@ -420,6 +420,85 @@ def value_bucket_bounds(
     return [int(brow[f"b{i}"]) for i in range(n_buckets - 1)]
 
 
+def value_bucket_bounds_multi(
+    df: DataFrame, value_cols: list[str], n_buckets: int
+) -> dict[str, list[int]]:
+    """``value_bucket_bounds`` for SEVERAL metrics of one frame in ONE
+    job (r15): rfm_segments needs quintile boundaries for three metrics
+    off the same cached aggregate; three separate calls are three
+    driver round trips scanning the same cache. The metrics melt into
+    (metric, s) rows, the two-level prefix-sum histogram machinery runs
+    per metric (metric rides every partition key, so no window crosses
+    metrics), and one conditional-min aggregate per metric answers all
+    boundaries — bit-identical to per-metric calls by construction
+    (same histogram, same nb·cum >= k·n rank test)."""
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("m"), F.col(c).alias("s")
+                    )
+                    for c in value_cols
+                ]
+            )
+        ).alias("_ms")
+    ).select(F.col("_ms.m").alias("m"), F.col("_ms.s").alias("s"))
+    hist = (
+        melted.groupBy("m", "s").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    loc = hist.withColumn(
+        "_b", F.floor(F.log2(F.col("s").cast("double"))).cast("int")
+    ).withColumn(
+        "_cum_in",
+        F.sum("cnt").over(
+            Window.partitionBy("m", "_b")
+            .orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    btot = loc.groupBy("m", "_b").agg(F.sum("cnt").alias("_tot"))
+    woff = (
+        Window.partitionBy("m")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(woff), F.lit(0))
+    ).select("m", "_b", "_off")
+    cum = loc.join(F.broadcast(offs), ["m", "_b"]).select(
+        "m", "s", (F.col("_cum_in") + F.col("_off")).alias("cum")
+    )
+    n_col = F.max("cum").over(Window.partitionBy("m"))
+    rows = (
+        cum.withColumn("_n", n_col)
+        .groupBy("m")
+        .agg(
+            F.max("_n").alias("_total"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * n_buckets >= F.col("_n") * k,
+                        F.col("s"),
+                    )
+                ).alias(f"b{i}")
+                for i, k in enumerate(range(1, n_buckets))
+            ],
+        )
+        .collect()
+    )
+    hist.unpersist()
+    by_m = {r["m"]: r for r in rows}
+    return {
+        c: (
+            [int(by_m[c][f"b{i}"]) for i in range(n_buckets - 1)]
+            if c in by_m and by_m[c]["_total"] is not None
+            else []
+        )
+        for c in value_cols
+    }
+
+
 def bucket_score(value, bounds: list[int]):
     """1 + number of boundaries strictly below ``value`` — the smallest
     bucket whose boundary covers the value (ties share a bucket, the

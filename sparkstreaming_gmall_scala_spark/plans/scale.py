@@ -2154,7 +2154,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scoring is a codegen'd CASE over the RFM frame — nothing ever
     sorts customers globally. Recency is measured against the corpus max
     day (+1 so the log2 histogram sees values >= 1)."""
-    from ..operators.analytics import bucket_score, value_bucket_bounds
+    from ..operators.analytics import bucket_score, value_bucket_bounds_multi
 
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"),
@@ -2177,11 +2177,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum("cents").alias("mon"),
     ).persist()
-    # lazy persist: the first histogram's collect materializes the RFM
-    # fold; the other two histograms + the scoring pass read the cache
-    rb = value_bucket_bounds(rfm, "rec", 5)
-    fb = value_bucket_bounds(rfm, "freq", 5)
-    mb = value_bucket_bounds(rfm, "mon", 5)
+    # lazy persist: the single melted-histogram job materializes the RFM
+    # fold into cache; the scoring pass reads it back. All three
+    # metrics' boundaries come from ONE job (r15 — was three sequential
+    # driver round trips over the same cache).
+    bounds = value_bucket_bounds_multi(rfm, ["rec", "freq", "mon"], 5)
+    rb, fb, mb = bounds["rec"], bounds["freq"], bounds["mon"]
     r_raw = bucket_score(F.col("rec"), rb)
     scored = rfm.select(
         "custkey",

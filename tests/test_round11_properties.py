@@ -44,6 +44,34 @@ def test_value_bucket_bounds_match_sorted_ranks(spark, vals, k):
         assert got[v] == 1 + sum(1 for b in bounds if b < v)
 
 
+# --- value_bucket_bounds_multi == per-column value_bucket_bounds ------------
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),
+            st.integers(min_value=1, max_value=9),
+            st.integers(min_value=1, max_value=2000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=2, max_value=6),
+)
+def test_value_bucket_bounds_multi_matches_single(spark, rows, k):
+    """The one-job melted form must be bit-identical to three separate
+    value_bucket_bounds calls (rfm_segments' correctness hinges on it)."""
+    from sparkstreaming_gmall_scala_spark.operators.analytics import (
+        value_bucket_bounds,
+        value_bucket_bounds_multi,
+    )
+
+    df = spark.createDataFrame(rows, "rec long, freq long, mon long")
+    multi = value_bucket_bounds_multi(df, ["rec", "freq", "mon"], k)
+    for c in ("rec", "freq", "mon"):
+        assert multi[c] == value_bucket_bounds(df, c, k)
+
+
 # --- KS statistic vs direct CDF comparison ----------------------------------
 @settings(**_SETTINGS)
 @given(
