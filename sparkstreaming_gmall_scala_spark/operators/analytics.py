@@ -214,26 +214,39 @@ def decile_profile(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
-    hist.count()  # materialize before the two-consumer fan-out
-    n = hist.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
-    if not n:
+    # ONE collect answers n AND every boundary (r15 — was eager count +
+    # n collect + boundary collect): n rides as the unpartitioned max
+    # over the distinct-value-bounded cum frame, and for integer cum
+    #   cum >= ceil(k·n/nb)  ⇔  nb·cum >= k·n
+    # so the boundaries are bit-identical to the rank formulation. The
+    # collect is also the persist's first consumer, filling the cache
+    # the per-decile stats pass below reads.
+    cum = size_histogram_cum(hist)
+    n_col = F.max("cum").over(Window.partitionBy())
+    brow = (
+        cum.withColumn("_n", n_col)
+        .agg(
+            F.max("_n").alias("_total"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * n_buckets >= F.col("_n") * k,
+                        F.col("s"),
+                    )
+                ).alias(f"b{i}")
+                for i, k in enumerate(range(1, n_buckets))
+            ],
+        )
+        .collect()[0]
+    )
+    if brow["_total"] is None:
         hist.unpersist()
         return df.sparkSession.createDataFrame(
             [],
             "decile integer, n_rows long, min_value long, max_value long, "
             "sum_value long",
         )
-    ranks = [
-        (k * n + n_buckets - 1) // n_buckets for k in range(1, n_buckets)
-    ]
-    cum = size_histogram_cum(hist)
-    brow = cum.agg(
-        *[
-            F.min(F.when(F.col("cum") >= r, F.col("s"))).alias(f"b{i}")
-            for i, r in enumerate(ranks)
-        ]
-    ).collect()[0]
-    bounds = [int(brow[f"b{i}"]) for i in range(len(ranks))]
+    bounds = [int(brow[f"b{i}"]) for i in range(n_buckets - 1)]
     dec = F.lit(1)
     for b in bounds:
         dec = dec + F.when(F.lit(b) < F.col("s"), 1).otherwise(0)

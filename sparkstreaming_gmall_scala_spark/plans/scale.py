@@ -2277,10 +2277,13 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     om = o.groupBy("custkey", "mon").agg(F.sum("cents").alias("cents")).persist()
-    om.count()  # one scan feeds cohorts, cells, and the max-month scalar
     cust = om.groupBy("custkey").agg(F.min("mon").alias("c0"))
     coh = cust.groupBy("c0").agg(F.count(F.lit(1)).alias("n_users"))
-    mx = om.agg(F.max("mon").alias("m")).collect()[0]["m"]  # one scalar
+    # r15: the max-month scalar rides the plan as a 1-row broadcast
+    # cross join instead of a separate collect (and the persist fills
+    # lazily inside the single remaining action) — same value, two
+    # fewer driver round trips.
+    mxf = om.agg(F.max("mon").alias("_mx"))
     cells = (
         om.join(cust, "custkey")
         .groupBy(
@@ -2291,13 +2294,13 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("cents").alias("cents"))
     )
-    grid = coh.select(
+    grid = coh.crossJoin(F.broadcast(mxf)).select(
         "c0",
         "n_users",
         F.explode(
             F.sequence(
                 F.lit(0).cast("long"),
-                F.months_between(F.lit(mx), F.col("c0")).cast("long"),
+                F.months_between(F.col("_mx"), F.col("c0")).cast("long"),
             )
         ).alias("off"),
     )
@@ -2505,21 +2508,25 @@ def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     c = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n")).persist()
-    total = c.agg(F.sum("n").alias("t")).collect()[0]["t"]
     e = spark.createDataFrame(
         list(_BENFORD_PPM), "digit int, expected_ppm long"
     )
+    # r15: the total rides the plan as a 1-row cross join (the oracle's
+    # own CROSS JOIN t shape) — one collect instead of two; same
+    # integer division by the identical value.
+    tot = c.agg(F.sum("n").alias("t"))
     out = (
         e.join(c, "digit", "left")
+        .crossJoin(F.broadcast(tot))
         .select(
             "digit",
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
-            F.expr(f"coalesce(n, 0) * 1000000L div {total}").alias(
+            F.expr("coalesce(n, 0) * 1000000L div t").alias(
                 "observed_ppm"
             ),
             "expected_ppm",
             (
-                F.expr(f"coalesce(n, 0) * 1000000L div {total}")
+                F.expr("coalesce(n, 0) * 1000000L div t")
                 - F.col("expected_ppm")
             ).alias("dev_ppm"),
         )
@@ -2819,8 +2826,6 @@ def ks_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram — no unpartitioned window ever touches a fact-sized frame;
     the α=0.05 rejection line (1.358·√((n1+n2)/n1n2)) is the one double
     tree, shared with the oracle."""
-    from ..operators.skew import size_histogram_cum
-
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus").isin("F", "O")
     )
@@ -2836,24 +2841,51 @@ def ks_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("is1").alias("c1"), F.sum("is2").alias("c2"))
         .persist()
     )
-    v.count()  # one histogram feeds both cumulative walks + the totals
-    cum1 = size_histogram_cum(v.select("s", F.col("c1").alias("cnt"))).select(
-        "s", F.col("cum").alias("cum1")
+    # r15: BOTH cumulative walks ride one two-level prefix pipeline
+    # (one window exchange carries two running sums — the per-channel
+    # integers are identical to two size_histogram_cum passes since the
+    # bucketing and ordering are the same), the n1/n2 totals ride the
+    # same action as a 1-row cross join, and the whole statistic comes
+    # back in ONE collect (was: eager persist count + totals collect +
+    # a d collect over two separate cum pipelines — 17 jobs, now ~7).
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum2 = size_histogram_cum(v.select("s", F.col("c2").alias("cnt"))).select(
-        "s", F.col("cum").alias("cum2")
+    loc = (
+        v.withColumn(
+            "_b", F.floor(F.log2(F.col("s").cast("double"))).cast("int")
+        )
+        .withColumn("_ci1", F.sum("c1").over(w_in))
+        .withColumn("_ci2", F.sum("c2").over(w_in))
     )
-    nn = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
-    n1, n2 = int(nn["n1"]), int(nn["n2"])
-    d_num = (
-        cum1.join(cum2, "s")
+    btot = loc.groupBy("_b").agg(
+        F.sum("c1").alias("_t1"), F.sum("c2").alias("_t2")
+    )
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "_b",
+        F.coalesce(F.sum("_t1").over(woff), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_t2").over(woff), F.lit(0)).alias("_o2"),
+    )
+    cum = loc.join(F.broadcast(offs), "_b").select(
+        (F.col("_ci1") + F.col("_o1")).alias("cum1"),
+        (F.col("_ci2") + F.col("_o2")).alias("cum2"),
+    )
+    totals = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    row = (
+        cum.crossJoin(F.broadcast(totals))
         .agg(
             F.max(
-                F.abs(F.col("cum1") * F.lit(n2) - F.col("cum2") * F.lit(n1))
-            ).alias("d")
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            ).alias("d"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
         )
-        .collect()[0]["d"]
+        .collect()[0]
     )
+    n1, n2, d_num = int(row["n1"]), int(row["n2"]), row["d"]
     v.unpersist()
     reject = float(d_num) / (float(n1) * float(n2)) > 1.358 * (
         (float(n1) + float(n2)) / (float(n1) * float(n2))
@@ -3219,7 +3251,10 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
     b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
     prod = (F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2"))
-    pr = (
+    # r15: the pair fold and both tie terms come back in ONE collect
+    # (1-row aggregates cross-joined) — was three sequential driver
+    # round trips over the same cached daily frame.
+    pr_agg = (
         a.crossJoin(b)
         .filter(F.col("d1") < F.col("d2"))
         .agg(
@@ -3227,20 +3262,23 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((prod < 0).cast("long")).alias("d"),
             F.count(F.lit(1)).alias("t0"),
         )
-        .collect()[0]
     )
-    t1 = (
+    t1_agg = (
         daily.groupBy("x")
         .agg(F.count(F.lit(1)).alias("t"))
         .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("t1"))
-        .collect()[0]["t1"]
     )
-    t2 = (
+    t2_agg = (
         daily.groupBy("y")
         .agg(F.count(F.lit(1)).alias("t"))
         .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("t2"))
-        .collect()[0]["t2"]
     )
+    pr = (
+        pr_agg.crossJoin(F.broadcast(t1_agg))
+        .crossJoin(F.broadcast(t2_agg))
+        .collect()[0]
+    )
+    t1, t2 = pr["t1"], pr["t2"]
     daily.unpersist()
     import math
 
@@ -4045,26 +4083,25 @@ def cramers_v_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("o"))
         .persist()
     )
-    cells.count()  # one scan feeds marginals + the chi fold
     rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
     ct = cells.groupBy("hr").agg(F.sum("o").alias("ct"))
+    # r15: the n/r/c scalars ride the chi fold as a 1-row cross join
+    # and everything returns in ONE collect (was: eager cache count +
+    # scalar collect + chi collect — three driver round trips). The
+    # integer e6 expression is unchanged (div by the n COLUMN instead
+    # of the collected literal — same value).
     scal = cells.agg(
         F.sum("o").alias("n"),
         F.countDistinct("event_type").alias("r"),
         F.countDistinct("hr").alias("c"),
-    ).collect()[0]
-    n, r, c = int(scal["n"]), int(scal["r"]), int(scal["c"])
-    if n == 0:
-        cells.unpersist()
-        return spark.createDataFrame(
-            [], "n long, r long, c long, chi2_sum6 long, v_ppm long"
-        )
-    e6 = F.expr(f"rt * ct * 1000000 div {n}")
+    )
+    e6 = F.expr("rt * ct * 1000000 div n")
     od = F.col("o").cast("double")
     e6d = F.col("e6").cast("double") / 1000000.0
-    chi = (
+    chi_agg = (
         cells.join(F.broadcast(rt), "event_type")
         .join(F.broadcast(ct), "hr")
+        .crossJoin(F.broadcast(scal))
         .withColumn("e6", e6)
         .filter(F.col("e6") > 0)
         .select(
@@ -4073,9 +4110,14 @@ def cramers_v_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_6")
         )
         .agg(F.sum("chi2_6").alias("chi2_sum6"))
-        .collect()[0]["chi2_sum6"]
     )
+    row = chi_agg.crossJoin(F.broadcast(scal)).collect()[0]
     cells.unpersist()
+    if row["n"] is None or int(row["n"]) == 0:
+        return spark.createDataFrame(
+            [], "n long, r long, c long, chi2_sum6 long, v_ppm long"
+        )
+    n, r, c, chi = int(row["n"]), int(row["r"]), int(row["c"]), row["chi2_sum6"]
     import math
 
     chi = int(chi)

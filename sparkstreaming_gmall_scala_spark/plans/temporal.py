@@ -1227,16 +1227,38 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment count explodes). Segment sizes fold from the same
     projection and broadcast back."""
     ev = load_table(spark, sf_dir, "events")
-    seg = ev.select(
-        F.col("event_type").alias("s"), F.col("user_id").alias("u")
-    ).distinct().persist()
-    seg.count()  # materialize before the three-consumer fan-out
-    sizes = seg.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
-    a = seg.select(F.col("s").alias("seg_a"), "u")
-    b = seg.select(F.col("s").alias("seg_b"), "u")
+    # r15: ONE exchange builds the per-user segment SET (map-side
+    # partial collect_set dedups early; set width is bounded by
+    # |event types|) and the within-user pair fan-out rides an array
+    # expression — replaces distinct + eager count + a self-join
+    # re-shuffle (the brand_affinity basket shape; counts identical:
+    # one struct per user holding the pair == one joined row per user
+    # in both segments).
+    usr = (
+        ev.groupBy(F.col("user_id").alias("u"))
+        .agg(F.collect_set("event_type").alias("ss"))
+        .persist()
+    )
+    sizes = (
+        usr.select(F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x: F.filter(
+                F.transform(
+                    F.col("ss"),
+                    lambda y: F.struct(x.alias("seg_a"), y.alias("seg_b")),
+                ),
+                lambda p: p["seg_a"] < p["seg_b"],
+            ),
+        )
+    )
     both = (
-        a.join(b, "u")
-        .filter(F.col("seg_a") < F.col("seg_b"))
+        usr.select(F.explode(pair_arr).alias("p"))
+        .select("p.seg_a", "p.seg_b")
         .groupBy("seg_a", "seg_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
@@ -1259,7 +1281,7 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows = out.collect()  # |segments|² rows; frees the projection cache
-    seg.unpersist()
+    usr.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
 
 @register(

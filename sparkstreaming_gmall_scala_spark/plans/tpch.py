@@ -1178,21 +1178,44 @@ def brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # ONE exchange builds the per-order brand SET (r15 — was distinct +
+    # a second distinct for n_orders + a self-join re-shuffle: 17 jobs);
+    # map-side partial collect_set dedups early, basket width is bounded
+    # by |brands|, and every downstream frame (order total, brand
+    # frequency, within-basket pairs) folds from the cached baskets —
+    # the within-order pair fan-out happens in an array expression, not
+    # through a join exchange. Counts are identical: one struct per
+    # basket containing the pair == one joined row per order containing
+    # both brands.
+    baskets = (
         li.join(scaled_dim(pa), li["l_partkey"] == pa["p_partkey"])
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
-        )
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.collect_set("p_brand").alias("bs"))
         .persist()
     )
-    n_orders = ob.select("o").distinct().count()
-    freq = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
-    a = ob.select("o", F.col("b").alias("brand_a"))
-    c = ob.select("o", F.col("b").alias("brand_b"))
+    n_orders = baskets.count()  # first consumer: fills the cache
+    freq = (
+        baskets.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x: F.filter(
+                F.transform(
+                    F.col("bs"),
+                    lambda y: F.struct(
+                        x.alias("brand_a"), y.alias("brand_b")
+                    ),
+                ),
+                lambda p: p["brand_a"] < p["brand_b"],
+            ),
+        )
+    )
     pairs = (
-        a.join(c, "o")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
@@ -1219,7 +1242,7 @@ def brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows = out.collect()  # |brands|²-bounded; frees the projection cache
-    ob.unpersist()
+    baskets.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
 
 
@@ -1273,21 +1296,39 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # Same one-exchange basket-set shape as brand_affinity (r15): the
+    # ordered a->b pair fan-out rides an array expression over the
+    # cached baskets instead of a self-join exchange; n_orders is the
+    # basket count (the old plan paid a SECOND distinct for it).
+    baskets = (
         li.join(scaled_dim(pa), li["l_partkey"] == pa["p_partkey"])
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
-        )
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.collect_set("p_brand").alias("bs"))
         .persist()
     )
-    n_orders = ob.select("o").distinct().count()
-    freq = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
-    a = ob.select("o", F.col("b").alias("antecedent"))
-    c = ob.select("o", F.col("b").alias("consequent"))
+    n_orders = baskets.count()  # first consumer: fills the cache
+    freq = (
+        baskets.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x: F.filter(
+                F.transform(
+                    F.col("bs"),
+                    lambda y: F.struct(
+                        x.alias("antecedent"), y.alias("consequent")
+                    ),
+                ),
+                lambda p: p["antecedent"] != p["consequent"],
+            ),
+        )
+    )
     pairs = (
-        a.join(c, "o")
-        .filter(F.col("antecedent") != F.col("consequent"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.antecedent", "p.consequent")
         .groupBy("antecedent", "consequent")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
@@ -1327,5 +1368,5 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows = out.collect()  # |brands|²-bounded; frees the projection cache
-    ob.unpersist()
+    baskets.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)

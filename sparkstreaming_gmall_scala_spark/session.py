@@ -87,6 +87,19 @@ def get_spark(
         # the fix rides along to cluster deployments.
         .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # Let AQE re-coalesce the OUTPUT partitioning of cached plans
+        # (default false pins every persisted frame at the static
+        # shuffle-partition count): the engine persists small derived
+        # frames everywhere — pair sets, baskets, histograms — and with
+        # the default every downstream map stage over such a cache runs
+        # one task per static partition regardless of size (32 tasks on
+        # a 15k-row cache, measured ~0.3 s of scheduling per stage).
+        # With AQE sizing, cached blocks target the same 64 MB the rest
+        # of the engine uses — the scale-correct layout on any cluster.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -28,6 +28,15 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (path, size, mtime) -> inferred StructType. Every spark.read.parquet
+# without an explicit schema runs a one-task footer-read JOB before the
+# query proper — ~0.15-0.3 s of pure scheduling per load_table call,
+# paid once per table per QUERY (hundreds of times per bench run) for
+# metadata that never changes. The stat key (size + mtime) invalidates
+# the memo the moment a fixture file is rewritten, so tests that
+# regenerate tables under a reused path still infer fresh.
+_SCHEMA_MEMO: dict[tuple[str, int, float], object] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Plain parquet read — no .cache(), no schema
@@ -55,7 +64,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_size, st.st_mtime)
+    except OSError:
+        key = None  # non-local path (future-proofing): infer every time
+    schema = _SCHEMA_MEMO.get(key) if key is not None else None
+    if schema is None:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
+    else:
+        # supplying the memoized schema skips the footer-read job; the
+        # scan itself (pushdown, pruning) is identical
+        df = spark.read.schema(schema).parquet(path)
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
