@@ -20,7 +20,7 @@ simple id order."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def triangle_counts(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
@@ -47,24 +47,25 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") ->
     # the empty cache in parallel stages and each recomputes the (
     # possibly expensive) upstream pair computation
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
 
     # orient each edge toward the larger (deg, id): a total order, so
-    # the oriented graph is a DAG
-    with_deg = (
-        sym.join(deg.withColumnRenamed("u", "_du"), F.col("u") == F.col("_du"))
-        .drop("_du")
-        .withColumnRenamed("deg", "du")
-        .join(
-            deg.select(F.col("u").alias("_dv"), F.col("deg").alias("dv")),
-            F.col("v") == F.col("_dv"),
+    # the oriented graph is a DAG. Degrees attach as WINDOW counts over
+    # the symmetric edge list (r15): node x appears in the u-slot of sym
+    # exactly deg(x) times (e is distinct, sym holds both directions),
+    # so count-over-partition IS the degree — two exchanges of sym
+    # replace the old deg groupBy + two join re-shuffles (strictly fewer
+    # passes at any scale, and no broadcast-build jobs locally).
+    oriented = (
+        sym.withColumn(
+            "du", F.count(F.lit(1)).over(Window.partitionBy("u"))
         )
-        .drop("_dv")
+        .withColumn("dv", F.count(F.lit(1)).over(Window.partitionBy("v")))
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
     )
-    oriented = with_deg.filter(
-        (F.col("du") < F.col("dv"))
-        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    ).select("u", "v")
 
     # wedges from each vertex's out-edges, closed by an oriented edge
     o1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))

@@ -1115,12 +1115,19 @@ def _basket_index_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
             "l_orderkey", "l_partkey"
         )
         pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-        ob = li.join(pa, li["l_partkey"] == pa["p_partkey"]).select(
-            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
+        # r15: the joined projection persists across the three batch
+        # filters — each batch otherwise re-executes the lineitem⋈part
+        # join (ingest semantics are unchanged: the batch split is the
+        # same pmod(hash) over the same rows).
+        ob = (
+            li.join(pa, li["l_partkey"] == pa["p_partkey"])
+            .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+            .persist()
         )
         body = basket_ingest_batch(spark, *dirs)
         for i in range(3):
             body(ob.filter(F.pmod(F.hash("o", "b"), F.lit(3)) == i), i)
+        ob.unpersist()
         with open(marker, "w") as fh:
             fh.write("3")
     return dirs
