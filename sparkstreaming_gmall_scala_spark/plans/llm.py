@@ -33,7 +33,7 @@ from ..operators.similarity import (
     cosine_near_dup_pairs,
 )
 from ..operators.textstats import LANG_MARKERS, lang_id, quality_score
-from ..sources import load_table
+from ..sources import load_table, read_parquet_memo
 from .catalog import register
 
 # Shared DuckDB fragments -----------------------------------------------------
@@ -2227,7 +2227,7 @@ def knn_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.replace(tmp, bounds_path)  # atomic: readers never see partial
     with open(bounds_path) as f:
         bounds = [tuple(b) for b in _json.load(f)]
-    codes = spark.read.parquet(codes_dir)
+    codes = read_parquet_memo(spark, codes_dir)
     queries = e.filter(F.col("vec_id") < 10)
     return sq8_topk(
         codes, queries, "vec_id", "embedding", bounds,
@@ -2312,7 +2312,7 @@ def knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.replace(tmp, quant_path)  # atomic: readers never see partial
     with open(quant_path) as f:
         quant = _json.load(f)
-    index = spark.read.parquet(index_dir)
+    index = read_parquet_memo(spark, index_dir)
     queries = e.filter(F.col("vec_id") < 10)
     return ivf_sq8_topk(
         index, queries, "vec_id", "embedding",
@@ -2397,7 +2397,7 @@ def knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.replace(tmp, books_path)  # atomic: readers never see partial
     with open(books_path) as f:
         books = _json.load(f)
-    codes = spark.read.parquet(codes_dir)
+    codes = read_parquet_memo(spark, codes_dir)
     queries = e.filter(F.col("vec_id") < 10)
     return pq_topk(
         codes, queries, "vec_id", "embedding", books, k=5,
@@ -2522,7 +2522,7 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.replace(tmp, quant_path)  # atomic: readers never see partial
     with open(quant_path) as f:
         quant = _json.load(f)
-    index = spark.read.parquet(index_dir)
+    index = read_parquet_memo(spark, index_dir)
     queries = e.filter(F.col("vec_id") < 10)
     return ivf_pq_topk(
         index, queries, "vec_id", "embedding",
@@ -2834,7 +2834,7 @@ def lsh_pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(marker, "w") as fh:
             fh.write("1")
-    return spark.read.parquet(pair_dir)
+    return read_parquet_memo(spark, pair_dir)
 
 
 @register(

@@ -61,10 +61,26 @@ class IdempotentBatchWriter:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read everything committed so far (batch_id recovered from the
-        partition directory)."""
-        return spark.read.option("basePath", self.out_dir).parquet(
-            self.out_dir + "/batch_id=*"
-        )
+        partition directory). The schema memo is keyed on the out_dir's
+        stat, so a new committed batch (new subdir → parent mtime moves)
+        re-infers while steady-state reads skip the footer job."""
+        from ..sources.tables import _SCHEMA_MEMO
+
+        try:
+            st = os.stat(self.out_dir)
+            key = (os.path.realpath(self.out_dir), st.st_size, st.st_mtime)
+        except OSError:
+            key = None
+        reader = spark.read.option("basePath", self.out_dir)
+        schema = _SCHEMA_MEMO.get(key) if key is not None else None
+        if schema is not None:
+            return reader.schema(schema).parquet(
+                self.out_dir + "/batch_id=*"
+            )
+        df = reader.parquet(self.out_dir + "/batch_id=*")
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
+        return df
 
 
 def has_parquet(path: str) -> bool:
@@ -392,7 +408,9 @@ class AppendOnlyIndex:
             )
         parts = []
         if has_parquet(self._base):
-            parts.append(spark.read.parquet(self._base))
+            from ..sources.tables import read_parquet_memo
+
+            parts.append(read_parquet_memo(spark, self._base))
         ids = self._batch_ids()
         if upto_batch_id is not None:
             ids = [b for b in ids if b <= upto_batch_id]
@@ -420,7 +438,9 @@ class AppendOnlyIndex:
             return 0
         parts = []
         if has_parquet(self._base):
-            parts.append(spark.read.parquet(self._base))
+            from ..sources.tables import read_parquet_memo
+
+            parts.append(read_parquet_memo(spark, self._base))
         for b in todo:
             parts.append(
                 spark.read.parquet(

@@ -38,6 +38,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SCHEMA_MEMO: dict[tuple[str, int, float], object] = {}
 
 
+def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the same schema memo ``load_table``
+    uses (keyed by realpath + size + mtime, so appends/rewrites that
+    touch the path re-infer): every schema-less parquet read runs a
+    one-task footer-inference job before the real query — ~0.15-0.3 s
+    of pure scheduling per call, paid on every persisted-index/mart
+    read. For written-once marker-guarded marts the key is stable for
+    the mart's lifetime; for growing dirs the parent mtime moves on
+    append and the memo re-infers."""
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_size, st.st_mtime)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Plain parquet read — no .cache(), no schema
     munging — so filters/projections in downstream operators push into the
