@@ -833,41 +833,77 @@ def main() -> int:
     # the driver writes BENCH_r{N}.json and CORRECTNESS_r{N}.json in some
     # order relative to running this script, so take the max of both
     # counters — correct whether this run happens before or after the
-    # current round's correctness file lands.
+    # current round's correctness file lands. r16 (r15 verdict #8): MAX
+    # NUMERIC INDEX, not file count — the r15 driver's extra 8-core
+    # record (BENCH_r15_c8.json) matched the count glob and would have
+    # shifted this run's round to 17 and its comparator onto the 8-core
+    # record.
+    import re as _re
+
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    n_round = max(
-        len(_glob.glob(os.path.join(repo_root, "BENCH_r*.json"))) + 1,
-        len(_glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))),
-    )
-    normalized_median_ratio = None
+
+    def _max_idx(pattern: str) -> int:
+        best = 0
+        for p in _glob.glob(os.path.join(repo_root, pattern)):
+            m = _re.fullmatch(
+                r".*_r(\d+)\.json", os.path.basename(p)
+            )
+            if m:
+                best = max(best, int(m.group(1)))
+        return best
+
+    n_round = max(_max_idx("BENCH_r*.json") + 1, _max_idx("CORRECTNESS_r*.json"))
+
+    def _median_ratio(path: str, label: str) -> dict | None:
+        """Median per-query min ratio of THIS run vs the record at
+        ``path`` (calibration-free comparator, r15). <1.0 = this run's
+        median common query is faster."""
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as fh:
+                prev_q = json.load(fh).get("queries", {})
+            ratios = sorted(
+                times[q] / prev_q[q]
+                for q in set(times) & set(prev_q)
+                if prev_q[q] > 0
+            )
+            if not ratios:
+                return None
+            mid = len(ratios) // 2
+            med = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
+            )
+            return {
+                "ratio": round(med, 4),
+                "vs_record": label,
+                "n_common": len(ratios),
+            }
+        except (OSError, ValueError, KeyError) as exc:
+            print(
+                f"# median-ratio comparator ({label}) skipped: {exc}",
+                file=sys.stderr,
+            )
+            return None
+
     # compare against EXACTLY the previous round's record — never
     # prev_full[-1], which after a same-round test run would be this
     # round's own earlier output (a self-comparison reading ~1.0)
     prev_name = f"BENCH_FULL_r{n_round - 1:02d}.json"
-    prev_path = os.path.join(repo_root, prev_name)
-    if os.path.exists(prev_path):
-        try:
-            with open(prev_path) as fh:
-                prev_rec = json.load(fh)
-            prev_q = prev_rec.get("queries", {})
-            common = sorted(set(times) & set(prev_q))
-            ratios = sorted(
-                times[q] / prev_q[q] for q in common if prev_q[q] > 0
-            )
-            if ratios:
-                mid = len(ratios) // 2
-                med = (
-                    ratios[mid]
-                    if len(ratios) % 2
-                    else (ratios[mid - 1] + ratios[mid]) / 2
-                )
-                normalized_median_ratio = {
-                    "ratio": round(med, 4),
-                    "vs_record": prev_name,
-                    "n_common": len(ratios),
-                }
-        except (OSError, ValueError, KeyError) as exc:
-            print(f"# median-ratio comparator skipped: {exc}", file=sys.stderr)
+    normalized_median_ratio = _median_ratio(
+        os.path.join(repo_root, prev_name), prev_name
+    )
+    # r16 (r15 verdict #10): a SECOND ratio vs the committed round-open
+    # baseline record (same host pair as this run when the driver runs
+    # on the build VM), so the judge gets one number that survives host
+    # weather in BOTH directions — vs the prior round AND vs the tree
+    # this round's optimization actually started from.
+    _open_rel = os.path.join("plans", "r16", "BENCH_FULL_r16_baseline.json")
+    normalized_median_ratio_open = _median_ratio(
+        os.path.join(repo_root, _open_rel), _open_rel
+    )
     print(
         f"# pool windows: main={ {q: main_window[q] for q in PINNED_POOL} } "
         f"end={pool_end}",
@@ -967,7 +1003,17 @@ def main() -> int:
     }
     print(f"# dup-graph LSH agreement: {agreement}", file=sys.stderr)
 
-    full_name = f"BENCH_FULL_r{n_round:02d}.json"
+    # r16 (r15 verdict #8): a non-primary core-count run (the driver's
+    # scaling pass) writes its full record to a _c{N}-suffixed file so it
+    # can never overwrite the round's primary 32-core record — the r15
+    # session's 8-core run landed in BENCH_FULL_r16.json only because the
+    # count-based round inference drifted.
+    _cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    full_name = (
+        f"BENCH_FULL_r{n_round:02d}.json"
+        if _cpus == "32"
+        else f"BENCH_FULL_r{n_round:02d}_c{_cpus}.json"
+    )
     full_record = {
         "metric": "total_query_sec",
         "value": total,
@@ -979,6 +1025,7 @@ def main() -> int:
         "normalized_total": normalized_total,
         "normalized_total_pool": normalized_total_pool,
         "normalized_median_ratio": normalized_median_ratio,
+        "normalized_median_ratio_open": normalized_median_ratio_open,
         "pool_calibration": {
             "names": list(PINNED_POOL),
             "pool_sec": pool_sec,
@@ -1010,6 +1057,13 @@ def main() -> int:
         # (r11) removes first-run codegen/GC spikes from the headline
         # numbers entirely.
         "notes": {
+            "pool_freeze_r16": "the r15 verdict's task list explicitly "
+            "ordered optimization of containment_pairs and the "
+            "corpus_curate_fast regression — both PINNED_POOL members. "
+            "Their implementations changed in r16, so "
+            "normalized_total_pool is NOT comparable across the "
+            "r15/r16 boundary; normalized_median_ratio (and _open) are "
+            "the valid cross-round statistics for this round",
             "timing": "r14+ (r13 verdict #3): each headline query runs "
             "twice in the main loop AND once in an end-of-run second "
             "window; headline = min of the three. Protects every row "
@@ -1125,6 +1179,22 @@ def main() -> int:
     slowest = dict(
         sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:8]
     )
+    # r16 (r15 verdict #8): the compact dict is the UNION of this round's
+    # top-8 and the PREVIOUS record's top-8 names, so a query that merely
+    # fell out of the top-8 (because it got faster) can never read as
+    # "dropped from bench" to the driver's comparator. ≤16 entries —
+    # still inside the ~2-3 KB tail capture.
+    try:
+        with open(os.path.join(repo_root, prev_name)) as fh:
+            _prev_top = json.load(fh).get("queries", {})
+        _prev_top8 = sorted(
+            _prev_top, key=lambda q: _prev_top[q], reverse=True
+        )[:8]
+        for q in _prev_top8:
+            if q in times and q not in slowest:
+                slowest[q] = times[q]
+    except (OSError, ValueError):
+        pass
     print(
         json.dumps(
             {
@@ -1154,6 +1224,9 @@ def main() -> int:
                 # headline cross-round statistic when pool and probe
                 # calibrations disagree >10% (notes.normalization)
                 "normalized_median_ratio": normalized_median_ratio,
+                # r16: same comparator vs the committed round-open
+                # baseline record (r15 verdict #10)
+                "normalized_median_ratio_open": normalized_median_ratio_open,
                 "pool_sec": pool_sec,
                 "ref_pool_sec": REF_POOL_SEC,
                 # recall@5 vs the exact knn_bruteforce frame at this SF —
