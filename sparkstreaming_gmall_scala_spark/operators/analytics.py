@@ -215,16 +215,22 @@ def decile_profile(
         .persist()
     )
     # ONE collect answers n AND every boundary (r15 — was eager count +
-    # n collect + boundary collect): n rides as the unpartitioned max
-    # over the distinct-value-bounded cum frame, and for integer cum
+    # n collect + boundary collect): for integer cum
     #   cum >= ceil(k·n/nb)  ⇔  nb·cum >= k·n
     # so the boundaries are bit-identical to the rank formulation. The
     # collect is also the persist's first consumer, filling the cache
     # the per-decile stats pass below reads.
     cum = size_histogram_cum(hist)
-    n_col = F.max("cum").over(Window.partitionBy())
+    # n attaches as a 1-row broadcast cross join (r16, r15 verdict #6):
+    # the old F.max("cum").over(Window.partitionBy()) forced the whole
+    # distinct-value histogram through ONE window partition; the 1-row
+    # aggregate computes the same max in parallel and the cross join
+    # reproduces the same "_n on every row" shape — boundaries
+    # bit-identical (same nb·cum >= k·n test), still ONE collect.
     brow = (
-        cum.withColumn("_n", n_col)
+        cum.crossJoin(
+            F.broadcast(cum.agg(F.max("cum").alias("_n")))
+        )
         .agg(
             F.max("_n").alias("_total"),
             *[
@@ -404,15 +410,16 @@ def value_bucket_bounds(
     )
     cum = size_histogram_cum(hist)
     # ONE collect for n and every boundary (r15 — was three jobs:
-    # eager hist count, n collect, boundary collect). n rides along as
-    # the unpartitioned max over the distinct-value-bounded cum frame
-    # (the value_histogram precedent), and the rank test folds the
-    # ceiling away exactly: for integer cum,
+    # eager hist count, n collect, boundary collect). The rank test
+    # folds the ceiling away exactly: for integer cum,
     #   cum >= ceil(k·n/nb)  ⇔  nb·cum >= k·n
     # so the boundaries are bit-identical to the rank formulation.
-    n_col = F.max("cum").over(Window.partitionBy())
+    # 1-row broadcast cross join instead of an unpartitioned window —
+    # same rationale and identical boundaries as decile_profile above
     brow = (
-        cum.withColumn("_n", n_col)
+        cum.crossJoin(
+            F.broadcast(cum.agg(F.max("cum").alias("_n")))
+        )
         .agg(
             F.max("_n").alias("_total"),
             *[

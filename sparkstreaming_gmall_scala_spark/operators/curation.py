@@ -36,14 +36,14 @@ feature semantics cannot drift from the composition contract
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import fingerprint
 from .dedup import shingle_rows
 from .sampling import mixture_thresholds, sample_bucket
-from .textstats import gopher_quality, lm_doc_logprob
+from .textstats import gopher_columns, lm_doc_logprob
 
 # The CCNet-stage keep threshold on the self-trained bigram LM's per-doc
 # mean ln P (perplexity ≈ e^3.45 ≈ 31.5): calibrated on the test corpus
@@ -109,41 +109,6 @@ def corpus_features(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    # -- scan-side features off the cache ----------------------------------
-    g = gopher_quality(base, id_col, text_col).select(
-        id_col, F.col("keep").alias("gopher_keep")
-    )
-    fp = base.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
-    keepers = fp.groupBy("fp").agg(F.min(id_col).alias("_keep_id"))
-    is_keeper = fp.join(keepers, "fp").select(
-        F.col(id_col), (F.col(id_col) == F.col("_keep_id")).alias("is_keeper")
-    )
-    lm = lm_doc_logprob(base, id_col, text_col).select(id_col, "avg_logprob")
-
-    # -- shingle-derived features: tokenize/shingle ONCE -------------------
-    sh = shingle_rows(base, id_col, text_col, n=n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    eval_sh = sh.filter(eval_filter).select("shingle").distinct()
-    hits = (
-        sh.join(F.broadcast(eval_sh), "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_n_shared"))
-    )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    boil = (
-        sh.join(dfreq, "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("_df") >= boiler_min_df, F.lit(1)).otherwise(
-                    F.lit(0)
-                )
-            ).alias("n_boiler"),
-        )
-    )
-
     # -- mixture thresholds: one tiny per-domain collect off the cache -----
     counts = {
         r[0]: r[1]
@@ -158,23 +123,76 @@ def corpus_features(
         ).otherwise(thr)
     mix_keep = sample_bucket(F.col(id_col)) <= thr
 
+    # -- scan-side features INLINE on the cached base (r16, r15 verdict
+    # #3): the Gopher keep flag, the mixture hash-keep, and the dedup
+    # fingerprint are pure Column expressions, so they ride ONE skinny
+    # projection instead of joining back by id (the old g-join paid an
+    # exchange pair for a zero-shuffle select); is_keeper then attaches
+    # as a min-over-fingerprint window — ONE fp exchange of the skinny
+    # frame replaces groupBy(fp) + join(fp) + join(id), and the window's
+    # min-per-fp is the oracle's own lab-CTE shape. The heavy text
+    # expressions evaluate BEFORE the exchange; only flags cross it.
+    head = base.select(
+        F.col(id_col),
+        F.col(source_col),
+        mix_keep.alias("mix_keep"),
+        gopher_columns(F.col(text_col))["keep"].alias("gopher_keep"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    keepered = head.select(
+        F.col(id_col),
+        F.col(source_col),
+        "mix_keep",
+        "gopher_keep",
+        (
+            F.col(id_col)
+            == F.min(id_col).over(Window.partitionBy("_fp"))
+        ).alias("is_keeper"),
+    )
+    lm = lm_doc_logprob(base, id_col, text_col).select(id_col, "avg_logprob")
+
+    # -- shingle-derived features: tokenize/shingle ONCE, aggregate ONCE ---
+    # (r16): the eval-overlap hit flag broadcasts ONTO the shingle frame
+    # (LEFT join against the tiny distinct eval set — same rows, no
+    # fan-out), the document frequency keeps its partial-aggregated
+    # groupBy + equi-join shape (NEVER a window over the hot shingle key
+    # — AQE skew-join can split an oversized boilerplate-shingle join
+    # partition, it cannot split a window partition), and ONE id-groupBy
+    # folds n_shingles, n_boiler AND n_shared together — replacing the
+    # old separate hits pipeline (join + its own id-groupBy) and the
+    # extra join-by-id in the assembly.
+    sh = shingle_rows(base, id_col, text_col, n=n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    eval_sh = sh.filter(eval_filter).select("shingle").distinct()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    shw = sh.join(
+        F.broadcast(eval_sh.withColumn("_hit", F.lit(1))), "shingle", "left"
+    ).join(dfreq, "shingle")
+    shagg = shw.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(
+            F.when(F.col("_df") >= boiler_min_df, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_boiler"),
+        F.sum(
+            F.when(F.col("_hit").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_n_shared"),
+    )
+
     out = (
-        base.select(id_col, source_col, mix_keep.alias("mix_keep"))
-        .join(is_keeper, id_col)
-        .join(g, id_col)
-        .join(hits, id_col, "left")
+        keepered
         # inner: shingle_rows emits one (empty) shingle even for empty
-        # text, so boil covers every doc; lm emits one row per doc too
-        .join(boil, id_col)
+        # text, so shagg covers every doc; lm emits one row per doc too
+        .join(shagg, id_col)
         .join(lm, id_col)
         .select(
             id_col,
             source_col,
             "is_keeper",
             "gopher_keep",
-            F.coalesce("_n_shared", F.lit(0))
-            .cast("long")
-            .alias("n_shared_ngrams"),
+            F.col("_n_shared").cast("long").alias("n_shared_ngrams"),
             F.col("n_shingles").cast("long").alias("n_shingles"),
             F.col("n_boiler").cast("long").alias("n_boiler"),
             _r6(

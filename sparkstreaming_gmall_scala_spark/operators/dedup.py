@@ -156,28 +156,38 @@ def _pair_candidates(sh: DataFrame, id_col: str, max_df: int):
         .filter(F.col("df") > max_df)
         .select("shingle")
     )
-    # The kept-shingle frame feeds THREE subtrees (both self-join sides +
-    # sizes); without a persist each one re-executes the explode/agg/
-    # anti-join chain. At cluster scale this would be a written-out
-    # intermediate (or Dataset.persist(DISK_ONLY)) for the same reason.
-    kept = sh.join(F.broadcast(stops), "shingle", "left_anti").persist()
-    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # The kept-shingle frame feeds BOTH self-join sides; without a
+    # persist each one re-executes the explode/agg/anti-join chain. At
+    # cluster scale this would be a written-out intermediate (or
+    # Dataset.persist(DISK_ONLY)) for the same reason. set_size attaches
+    # as a count-over-doc window BEFORE the cache (r16, r15 verdict #4):
+    # per-doc partitions are bounded by doc length (no skew), and both
+    # self-join sides then already CARRY their sizes — the pair groupBy
+    # keys on them (constant within a pair group) and the old
+    # sizes-aggregate + two join-back exchanges disappear.
+    kept = (
+        sh.join(F.broadcast(stops), "shingle", "left_anti")
+        .withColumn(
+            "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        .persist()
+    )
     a = kept.alias("a")
     b = kept.alias("b")
-    shared = (
+    joined = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    joined = shared.join(sa, "id_a").join(sb, "id_b")
 
     def release() -> None:
         sh.unpersist()
@@ -267,18 +277,18 @@ def jaccard_pairs_prefix(
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     stops = dfreq.filter(F.col("_df") > max_df).select("shingle")
     kept = sh.join(F.broadcast(stops), "shingle", "left_anti").persist()
-    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # global order (df asc, shingle asc) — total, identical for every
-    # doc, so the prefix guarantee holds corpus-wide
+    # doc, so the prefix guarantee holds corpus-wide. set_size rides a
+    # second window over the SAME per-doc partitioning (r16 — one
+    # exchange serves both; was a separate sizes aggregate + join-back).
+    wid = Window.partitionBy(id_col)
     ranked = (
         kept.join(dfreq, "shingle")
         .withColumn(
             "_rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("_df", "shingle")
-            ),
+            F.row_number().over(wid.orderBy("_df", "shingle")),
         )
-        .join(sizes, id_col)
+        .withColumn("set_size", F.count(F.lit(1)).over(wid))
     )
     prefix = ranked.filter(
         F.col("_rn") <= F.col("set_size") - _ceil_t(F.col("set_size")) + 1

@@ -211,6 +211,27 @@ def collect_moments_fast(
     return n, mu, gram
 
 
+def collect_gram_fast(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> dict[tuple[int, int], int]:
+    """ONE Arrow-kernel pass → the exact integer Gram dict M = AᵀA
+    (r16, r15 verdict #1a): the input to ``power_iteration_from_gram``,
+    whose docstring carries the associativity proof that the driver
+    iteration over M equals ``power_iteration_audit`` on the same rows
+    EXACTLY — so the batch audit can ride the same kernel that fixed
+    the pca audit instead of one 64-sum DECIMAL aggregate (with fresh
+    codegen) per power-iteration round."""
+    folded = (
+        gram_cells_kernel(emb, vec_col, dim)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    return {(int(r["i"]), int(r["j"])): int(r["s"]) for r in folded}
+
+
 def collect_moments(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -442,10 +442,8 @@ def ngram_overlap_flags(
     )
 
 
-def gopher_quality(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
+def gopher_columns(
+    text: Column,
     min_words: int = 5,
     max_words: int = 100_000,
     min_mean_word_len: float = 2.0,
@@ -454,20 +452,12 @@ def gopher_quality(
     max_bullet_frac: float = 0.9,
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.6,
-) -> DataFrame:
-    """Gopher-rule composite quality filter (Rae et al. 2021 §A1.1's
-    document-level heuristics, the standard pre-filter before model-based
-    scoring): word-count bounds, mean word length bounds, symbol-to-word
-    ratio ('#' and ellipses), bullet-started / ellipsis-ended line
-    fractions, and the alphabetic-word fraction. Emits every feature plus
-    the composite ``keep`` flag so downstream can re-threshold without
-    recomputing.
-
-    Pure Column expressions over one scan — zero shuffle, codegen'd; at
-    100 TB this runs at scan speed next to the other per-doc features.
-    Ratios floor-rounded to 6 dp for engine-portable comparison.
-    """
-    text = F.col(text_col)
+) -> dict[str, Column]:
+    """The Gopher-rule feature/keep COLUMN expressions (factored out r16
+    so corpus_features can inline ``keep`` on its cached base projection
+    instead of paying a join-by-id exchange pair for a zero-shuffle
+    select — one definition, so the flag cannot drift between the
+    standalone query and the curation pipeline)."""
     toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
     lines = F.filter(
         F.split(text, r"\n"), lambda l: F.trim(l) != F.lit("")
@@ -536,15 +526,56 @@ def gopher_quality(
         & (ellipsis_frac <= max_ellipsis_frac)
         & (alpha_frac >= min_alpha_frac)
     )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_frac": alpha_frac,
+        "keep": keep,
+    }
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.6,
+) -> DataFrame:
+    """Gopher-rule composite quality filter (Rae et al. 2021 §A1.1's
+    document-level heuristics, the standard pre-filter before model-based
+    scoring): word-count bounds, mean word length bounds, symbol-to-word
+    ratio ('#' and ellipses), bullet-started / ellipsis-ended line
+    fractions, and the alphabetic-word fraction. Emits every feature plus
+    the composite ``keep`` flag so downstream can re-threshold without
+    recomputing.
+
+    Pure Column expressions over one scan — zero shuffle, codegen'd; at
+    100 TB this runs at scan speed next to the other per-doc features.
+    Ratios floor-rounded to 6 dp for engine-portable comparison.
+    """
+    cols = gopher_columns(
+        F.col(text_col),
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_symbol_ratio,
+        max_bullet_frac,
+        max_ellipsis_frac,
+        min_alpha_frac,
+    )
     return docs.select(
         F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_frac"),
-        ellipsis_frac.alias("ellipsis_frac"),
-        alpha_frac.alias("alpha_frac"),
-        keep.alias("keep"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 

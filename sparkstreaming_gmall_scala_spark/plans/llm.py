@@ -6460,25 +6460,32 @@ def embed_spectral_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     healthy corpus spreads energy; a collapsed or mean-dominated one
     concentrates it — the pathology whitening/ABTT post-processing
     exists for). EXACT-INTEGER end to end (operators/spectral.py):
-    embeddings quantize to micro-units, each iteration is two exact
-    passes over one cached frame (per-row dot against 64 broadcast
-    literals; 64 DECIMAL(38,0) column sums in ONE row-less aggregate —
-    no shuffle wider than a single row), and the 64-component
-    normalization walks driver-side in Python big-ints with
-    trunc-toward-zero division (the holt_forecast cross-engine
-    discipline). The oracle unrolls the same three iterations into
-    HUGEINT CTEs, so this iterative linear algebra is hash-verified
-    value-for-value — the dup_pagerank move applied to spectra. The
-    3-step figure is a deterministic ESTIMATE (rate λ₂/λ₁ per step):
-    near-flat spectra (this synthetic corpus) under-estimate the top
-    direction, mean-dominated real corpora converge immediately —
-    pinned vs numpy on an offset fixture in tests/test_spectral.py.
+    embeddings quantize to micro-units, ONE Arrow-kernel pass collects
+    the 64×64 integer Gram M = AᵀA (r16, r15 verdict #1a — the same
+    kernel that fixed the pca audit; previously EACH of the 3 rounds
+    paid a 64-sum DECIMAL aggregate with fresh per-round codegen), and
+    the driver runs the trunc-div power iteration on M in Python
+    big-ints — EXACTLY the per-round data passes by integer
+    associativity (w = Aᵀ(A·v) = M·v, |A·v|² = vᵀMv, trace = ΣM_dd;
+    the identity documented on power_iteration_from_gram, shared with
+    the live twin, and pinned reference-vs-fast in
+    tests/test_spectral_kernel.py). The oracle unrolls the same three
+    iterations into HUGEINT CTEs, so this iterative linear algebra is
+    hash-verified value-for-value — the dup_pagerank move applied to
+    spectra. The 3-step figure is a deterministic ESTIMATE (rate λ₂/λ₁
+    per step): near-flat spectra (this synthetic corpus) under-estimate
+    the top direction, mean-dominated real corpora converge immediately
+    — pinned vs numpy on an offset fixture in tests/test_spectral.py.
     Returned frame is the 64-row driver result (LocalTableScan — the
     key_skew_profile convention)."""
-    from ..operators.spectral import power_iteration_audit
+    from ..operators.spectral import (
+        collect_gram_fast,
+        power_iteration_from_gram,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    v, share = power_iteration_audit(e, "vec_id", "embedding", dim=64)
+    gram = collect_gram_fast(e, "embedding", dim=64)
+    v, share = power_iteration_from_gram(gram, dim=64, iters=3)
     rows = [
         (d + 1, int(v[d]), int(share)) for d in range(64)
     ]

@@ -70,7 +70,9 @@ def test_corpus_features_assembly_never_rescans_parquet(spark, sf_dir):
         file_scans = [n.nodeName() for n in nodes if _is_file_scan(n)]
         assert file_scans == [], file_scans
         imrs = [n for n in nodes if n.nodeName() == "InMemoryTableScan"]
-        assert len(imrs) >= 5, len(imrs)  # base×4 consumers + shingle×3
+        # r16 fused assembly: base×2 consumers (flags/keeper projection,
+        # lm) + shingle×3 (eval set, hit-flagged frame, dfreq)
+        assert len(imrs) >= 5, len(imrs)
 
         # Transitively, the caches themselves bottom out in exactly ONE
         # parquet scan (the pruned base); the shingle cache reads the base

@@ -79,3 +79,20 @@ def test_pca_audit_identical_through_either_path(spark):
     v_k, share_k = pca_audit(e, use_kernel=True)
     v_r, share_r = pca_audit(e, use_kernel=False)
     assert v_k == v_r and share_k == share_r
+
+
+def test_gram_fast_power_iteration_equals_data_pass_audit(spark):
+    """r16 (r15 verdict #1a): embed_spectral_audit now collects M via
+    the Arrow kernel and iterates driver-side — must equal the per-round
+    data-pass reference (power_iteration_audit) integer-for-integer."""
+    from sparkstreaming_gmall_scala_spark.operators.spectral import (
+        collect_gram_fast,
+        power_iteration_audit,
+        power_iteration_from_gram,
+    )
+
+    e = _df(spark, _mixed_sign_vecs(n=200)).repartition(5)
+    gram = collect_gram_fast(e)
+    v_fast, share_fast = power_iteration_from_gram(gram, dim=64, iters=3)
+    v_ref, share_ref = power_iteration_audit(e, "vec_id", "embedding", dim=64)
+    assert v_fast == v_ref and share_fast == share_ref
