@@ -1083,8 +1083,8 @@ def brand_affinity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost, not part of every read."""
     from ..streaming.basket import brand_affinity_live
 
-    dirs = _basket_index_dirs(spark, sf_dir)
-    out = brand_affinity_live(spark, *dirs[:3])
+    counters_dir, _carry = _basket_index_dirs(spark, sf_dir)
+    out = brand_affinity_live(spark, counters_dir)
     rows = out.collect()  # |brands|²-bounded
     return spark.createDataFrame(rows, schema=out.schema)
 
@@ -1092,7 +1092,7 @@ def brand_affinity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _basket_index_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
     """Ensure the 3-batch basket counter ingest exists under /tmp for
     this corpus (keyed by params + data fingerprint — the knn persisted
-    discipline) and return [pairs, freq, orders, carry] dirs. ONE ingest
+    discipline) and return [counters, carry] dirs. ONE ingest
     serves every read-side query over the counters (brand_affinity_
     stream, assoc_rules_live)."""
     import shutil
@@ -1104,9 +1104,12 @@ def _basket_index_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
     work = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_basketidx_{os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{_params_key('basket3', _data_fingerprint(sf_dir, 'lineitem'), _data_fingerprint(sf_dir, 'part'))}",
+        # basket4: the r16 unified single-write counter layout — a new
+        # params key so a leftover three-index basket3 dir can never be
+        # read as (or collide with) the unified layout
+        f"{_params_key('basket4', _data_fingerprint(sf_dir, 'lineitem'), _data_fingerprint(sf_dir, 'part'))}",
     )
-    dirs = [os.path.join(work, d) for d in ("pairs", "freq", "orders", "carry")]
+    dirs = [os.path.join(work, d) for d in ("counters", "carry")]
     marker = os.path.join(work, "_INGESTED")
     if not os.path.exists(marker):
         # a partial ingest (crash mid-batch) must rebuild, never serve
@@ -1178,8 +1181,8 @@ def assoc_rules_live_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     read folds."""
     from ..streaming.basket import assoc_rules_live
 
-    dirs = _basket_index_dirs(spark, sf_dir)
-    out = assoc_rules_live(spark, *dirs[:3])
+    counters_dir, _carry = _basket_index_dirs(spark, sf_dir)
+    out = assoc_rules_live(spark, counters_dir)
     rows = out.collect()  # |brands|²-bounded
     return spark.createDataFrame(rows, schema=out.schema)
 

@@ -67,7 +67,7 @@ ALL = ROWS + ROWS2 + ROWS3
 
 
 def _dirs(tmp_path):
-    return tuple(str(tmp_path / d) for d in ("pairs", "freq", "orders", "carry"))
+    return tuple(str(tmp_path / d) for d in ("counters", "carry"))
 
 
 def _drive(spark, dirs, batches, replay=(), compact_every=None):
@@ -75,9 +75,9 @@ def _drive(spark, dirs, batches, replay=(), compact_every=None):
         basket_ingest_batch,
     )
 
-    pairs, freq, orders, carry = dirs
+    counters, carry = dirs
     body = basket_ingest_batch(
-        spark, pairs, freq, orders, carry, compact_every=compact_every
+        spark, counters, carry, compact_every=compact_every
     )
     for bid, rows in enumerate(batches):
         body(spark.createDataFrame(rows, ["o", "b"]), bid)
@@ -91,8 +91,8 @@ def _live(spark, dirs):
         brand_affinity_live,
     )
 
-    pairs, freq, orders, _ = dirs
-    return {tuple(r) for r in brand_affinity_live(spark, pairs, freq, orders).collect()}
+    counters, _ = dirs
+    return {tuple(r) for r in brand_affinity_live(spark, counters).collect()}
 
 
 def test_streamed_affinity_equals_batch_across_splits(spark, tmp_path):
@@ -180,10 +180,10 @@ def _rules_live(spark, dirs):
         assoc_rules_live,
     )
 
-    pairs, freq, orders, _ = dirs
+    counters, _ = dirs
     return {
         tuple(r)
-        for r in assoc_rules_live(spark, pairs, freq, orders).collect()
+        for r in assoc_rules_live(spark, counters).collect()
     }
 
 
