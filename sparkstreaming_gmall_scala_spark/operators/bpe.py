@@ -149,6 +149,12 @@ def bpe_learn(
                 best[0]["cnt"],
             )
             merges.append((left, right, cnt))
+            # sliding cache window (r15 ADVICE): the argmax collect just
+            # materialized the newest frame, so frames older than the
+            # last two can never be read again — release them instead of
+            # pinning O(n_merges × corpus) cache until the end
+            while len(kept) > 2:
+                kept.pop(0).unpersist()
             cur = cur.select(
                 id_col, _merge_pair(F.col("toks"), left, right).alias("toks")
             ).persist()

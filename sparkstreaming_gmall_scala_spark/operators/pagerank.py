@@ -113,6 +113,12 @@ def pagerank(
                 .collect()[0]["s"]
             )
             share = int(dangling) // n
+            # sliding cache window (r15 ADVICE): the collect above
+            # materialized this round's frame, so only the last two rank
+            # caches can still be read — release older ones instead of
+            # holding O(iters) frames until the end
+            while len(kept) > 2:
+                kept.pop(0).unpersist()
         else:
             # no dangling nodes ⇒ the mass is 0 in EVERY round: nothing
             # returns to the driver, the loop chains lazily (each

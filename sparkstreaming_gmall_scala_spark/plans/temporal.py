@@ -1235,7 +1235,13 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one struct per user holding the pair == one joined row per user
     # in both segments).
     usr = (
-        ev.groupBy(F.col("user_id").alias("u"))
+        # explicit NULL drop (r15 ADVICE): collect_set skips NULL event
+        # types and the old equi-join dropped NULL user keys — filtering
+        # both makes the set-form ≡ self-join identity unconditional
+        ev.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(F.col("user_id").alias("u"))
         .agg(F.collect_set("event_type").alias("ss"))
         .persist()
     )

@@ -1189,6 +1189,13 @@ def brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both brands.
     baskets = (
         li.join(scaled_dim(pa), li["l_partkey"] == pa["p_partkey"])
+        # explicit NULL-key/value drop (r15 ADVICE): collect_set silently
+        # skips NULL brands and the old equi-join dropped NULL order
+        # keys, so these filters make the basket-set ≡ self-join identity
+        # unconditional (no-ops on TPC-H data, where both are NOT NULL)
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("p_brand").isNotNull()
+        )
         .groupBy(F.col("l_orderkey").alias("o"))
         .agg(F.collect_set("p_brand").alias("bs"))
         .persist()
@@ -1302,6 +1309,10 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basket count (the old plan paid a SECOND distinct for it).
     baskets = (
         li.join(scaled_dim(pa), li["l_partkey"] == pa["p_partkey"])
+        # NULL-key/value drop — see brand_affinity (r15 ADVICE)
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("p_brand").isNotNull()
+        )
         .groupBy(F.col("l_orderkey").alias("o"))
         .agg(F.collect_set("p_brand").alias("bs"))
         .persist()

@@ -84,7 +84,13 @@ def get_spark(
         # the bytecode interpreter: measured 6.2 s vs 0.4 s for the same
         # 2.1M-pair scoring stage at sf0.1 (15×). The flag lets C2
         # compile huge generated methods; set on driver AND executors so
-        # the fix rides along to cluster deployments.
+        # the fix rides along to cluster deployments. Best-effort (r15
+        # ADVICE): builder.config only takes effect when THIS conf
+        # launches the JVM — getOrCreate against an already-running
+        # session ignores it, and extra_conf callers can clobber it. The
+        # correctness-independent mitigation is functions/vectors.py's
+        # fold fallback above _UNROLL_MAX, which avoids huge methods
+        # regardless of JVM flags.
         .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         # Let AQE re-coalesce the OUTPUT partitioning of cached plans

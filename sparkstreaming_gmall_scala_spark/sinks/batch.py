@@ -61,16 +61,14 @@ class IdempotentBatchWriter:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read everything committed so far (batch_id recovered from the
-        partition directory). The schema memo is keyed on the out_dir's
-        stat, so a new committed batch (new subdir → parent mtime moves)
+        partition directory). The schema memo key folds in the set of
+        batch_id subdirs and their stats (r15 ADVICE — the parent dir's
+        own stat does not change when files are replaced INSIDE an
+        existing batch_id=N subdir), so any new/rewritten batch
         re-infers while steady-state reads skip the footer job."""
-        from ..sources.tables import _SCHEMA_MEMO
+        from ..sources.tables import _SCHEMA_MEMO, _memo_key, _memo_put
 
-        try:
-            st = os.stat(self.out_dir)
-            key = (os.path.realpath(self.out_dir), st.st_size, st.st_mtime)
-        except OSError:
-            key = None
+        key = _memo_key(self.out_dir)
         reader = spark.read.option("basePath", self.out_dir)
         schema = _SCHEMA_MEMO.get(key) if key is not None else None
         if schema is not None:
@@ -79,7 +77,7 @@ class IdempotentBatchWriter:
             )
         df = reader.parquet(self.out_dir + "/batch_id=*")
         if key is not None:
-            _SCHEMA_MEMO[key] = df.schema
+            _memo_put(key, df.schema)
         return df
 
 

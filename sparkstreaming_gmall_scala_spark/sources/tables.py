@@ -28,34 +28,69 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# (path, size, mtime) -> inferred StructType. Every spark.read.parquet
-# without an explicit schema runs a one-task footer-read JOB before the
-# query proper — ~0.15-0.3 s of pure scheduling per load_table call,
-# paid once per table per QUERY (hundreds of times per bench run) for
-# metadata that never changes. The stat key (size + mtime) invalidates
-# the memo the moment a fixture file is rewritten, so tests that
-# regenerate tables under a reused path still infer fresh.
-_SCHEMA_MEMO: dict[tuple[str, int, float], object] = {}
+# memo key -> inferred StructType. Every spark.read.parquet without an
+# explicit schema runs a one-task footer-read JOB before the query
+# proper — ~0.15-0.3 s of pure scheduling per load_table call, paid
+# once per table per QUERY (hundreds of times per bench run) for
+# metadata that never changes. The stat key invalidates the memo the
+# moment a fixture file is rewritten, so tests that regenerate tables
+# under a reused path still infer fresh.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+# bound the memo (r15 ADVICE): long-lived sessions re-stat rewritten
+# dirs forever, so evict oldest-inserted entries past this cap (dicts
+# iterate in insertion order)
+_SCHEMA_MEMO_MAX = 1024
+
+
+def _memo_key(path: str) -> tuple | None:
+    """Stat-derived memo key. For directories the key also folds in the
+    immediate children's (name, size, mtime) — r15 ADVICE: a directory
+    rewritten same-size within the filesystem's mtime granularity, or a
+    file replaced INSIDE an existing batch_id=N subdir (which leaves the
+    parent's stat untouched), must miss the memo and re-infer."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key: list = [os.path.realpath(path), st.st_size, st.st_mtime]
+    if os.path.isdir(path):
+        try:
+            names = sorted(os.listdir(path))
+        except OSError:
+            return None
+        kids = []
+        for name in names:
+            try:
+                cst = os.stat(os.path.join(path, name))
+            except OSError:
+                continue
+            kids.append((name, cst.st_size, cst.st_mtime))
+        key.append(tuple(kids))
+    return tuple(key)
+
+
+def _memo_put(key: tuple, schema: object) -> None:
+    while len(_SCHEMA_MEMO) >= _SCHEMA_MEMO_MAX:
+        _SCHEMA_MEMO.pop(next(iter(_SCHEMA_MEMO)))
+    _SCHEMA_MEMO[key] = schema
 
 
 def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with the same schema memo ``load_table``
-    uses (keyed by realpath + size + mtime, so appends/rewrites that
-    touch the path re-infer): every schema-less parquet read runs a
-    one-task footer-inference job before the real query — ~0.15-0.3 s
-    of pure scheduling per call, paid on every persisted-index/mart
-    read. For written-once marker-guarded marts the key is stable for
-    the mart's lifetime; for growing dirs the parent mtime moves on
-    append and the memo re-infers."""
-    try:
-        st = os.stat(path)
-        key = (os.path.realpath(path), st.st_size, st.st_mtime)
-    except OSError:
+    uses (keyed by realpath + stat + immediate-children stats, so
+    appends/rewrites that touch the path or any child re-infer): every
+    schema-less parquet read runs a one-task footer-inference job before
+    the real query — ~0.15-0.3 s of pure scheduling per call, paid on
+    every persisted-index/mart read. For written-once marker-guarded
+    marts the key is stable for the mart's lifetime; for growing dirs a
+    new/rewritten child changes the key and the memo re-infers."""
+    key = _memo_key(path)
+    if key is None:
         return spark.read.parquet(path)
     schema = _SCHEMA_MEMO.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_MEMO[key] = df.schema
+        _memo_put(key, df.schema)
         return df
     return spark.read.schema(schema).parquet(path)
 
@@ -87,16 +122,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        st = os.stat(path)
-        key = (os.path.realpath(path), st.st_size, st.st_mtime)
-    except OSError:
-        key = None  # non-local path (future-proofing): infer every time
+    # non-local/vanished path gives key=None: infer every time
+    key = _memo_key(path)
     schema = _SCHEMA_MEMO.get(key) if key is not None else None
     if schema is None:
         df = spark.read.parquet(path)
         if key is not None:
-            _SCHEMA_MEMO[key] = df.schema
+            _memo_put(key, df.schema)
     else:
         # supplying the memoized schema skips the footer-read job; the
         # scan itself (pushdown, pruning) is identical
