@@ -224,12 +224,15 @@ def decile_profile(
     # n attaches as a 1-row broadcast cross join (r16, r15 verdict #6):
     # the old F.max("cum").over(Window.partitionBy()) forced the whole
     # distinct-value histogram through ONE window partition; the 1-row
-    # aggregate computes the same max in parallel and the cross join
+    # aggregate computes the same total in parallel and the cross join
     # reproduces the same "_n on every row" shape — boundaries
-    # bit-identical (same nb·cum >= k·n test), still ONE collect.
+    # bit-identical (max of the running sum over positive counts IS
+    # Σcnt, same nb·cum >= k·n test), still ONE collect. The broadcast
+    # side aggregates the CACHED hist directly, so the two-level prefix
+    # pipeline is never executed twice.
     brow = (
         cum.crossJoin(
-            F.broadcast(cum.agg(F.max("cum").alias("_n")))
+            F.broadcast(hist.agg(F.sum("cnt").alias("_n")))
         )
         .agg(
             F.max("_n").alias("_total"),
@@ -416,9 +419,11 @@ def value_bucket_bounds(
     # so the boundaries are bit-identical to the rank formulation.
     # 1-row broadcast cross join instead of an unpartitioned window —
     # same rationale and identical boundaries as decile_profile above
+    # (the broadcast side reads the cached hist, not a second copy of
+    # the prefix pipeline)
     brow = (
         cum.crossJoin(
-            F.broadcast(cum.agg(F.max("cum").alias("_n")))
+            F.broadcast(hist.agg(F.sum("cnt").alias("_n")))
         )
         .agg(
             F.max("_n").alias("_total"),
