@@ -95,12 +95,32 @@ def _plane_dot(vec: Column, plane: list[float]) -> Column:
     64 KB limit, WholeStageCodegen disables itself, and the interpreted
     per-expression fallback is ~4× slower than the HOF fold (measured:
     knn_lsh 6.5 s → 25.5 s). The fold stays compact regardless of plane
-    count."""
-    arr = F.array(*[F.lit(float(x)) for x in plane])
+    count. The literal array is ONE F.lit call (r16): per-element
+    F.lit pays a py4j round trip per float — ~45 ms of pure driver time
+    per 64-dim plane, paid per plane per query build."""
+    arr = F.lit([float(x) for x in plane])
     return F.aggregate(
         F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _fold_dots(vec: Column, rows: list[list[float]]) -> Column:
+    """array of dot(vec, row_j) for a literal matrix, built as ONE
+    transform over ONE 2-D literal (r16): constructing k separate fold
+    expressions costs ~65 ms of py4j round trips EACH (measured ~0.5 s
+    per 8×64 nearest-cell build, per Lloyd iteration / per probe);
+    element arithmetic and fold order are identical, so every consumer's
+    doubles are bit-identical."""
+    mat = F.lit([[float(x) for x in r] for r in rows])
+    return F.transform(
+        mat,
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
@@ -113,10 +133,18 @@ def hyperplane_bucket(
     into the plan as literals — no shuffle, no UDF; at scale the bucketed
     corpus is written out partitioned by bucket so queries prune buckets.
     """
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        d = _plane_dot(F.col(vec_col), p)
-        bucket = bucket + F.shiftleft((d >= 0).cast("long"), i)
+    # ONE transform over the 2-D plane literal computes every dot; the
+    # sign bits fold to the bucket id with an integer aggregate (same
+    # left-to-right bit order as the old shiftleft chain — integer adds,
+    # bit-identical) — construction is one expression build instead of
+    # one ~65 ms py4j fold build per plane (r16).
+    dots = _fold_dots(F.col(vec_col), planes)
+    weights = F.lit([1 << i for i in range(len(planes))])
+    bucket = F.aggregate(
+        F.zip_with(dots, weights, lambda d, w: (d >= 0).cast("long") * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.withColumn("bucket", bucket)
 
 
@@ -133,16 +161,30 @@ def _band_buckets(
             f"len(planes)={len(planes)} must be divisible by bands={bands}"
         )
     per_band = len(planes) // bands
+    # Every plane dot rides ONE transform over ONE 2-D literal, in its
+    # own projection so the per-band consumers below reference a column
+    # instead of re-deriving the dots (the kmeans_centroids
+    # CollapseProject discipline); each band's bucket then folds the
+    # sign bits of its SLICE with the same 2^i weights as the old
+    # shiftleft chain — integer arithmetic, bit-identical buckets, and
+    # expression construction drops from one ~65 ms py4j fold build per
+    # plane to one build total (r16).
+    dotted = df.withColumn("_dots", _fold_dots(F.col(vec_col), planes))
+    weights = F.lit([1 << i for i in range(per_band)])
     band_cols = []
     for b in range(bands):
-        bucket = F.lit(0).cast("long")
-        for i, p in enumerate(planes[b * per_band : (b + 1) * per_band]):
-            d = _plane_dot(F.col(vec_col), p)
-            bucket = bucket + F.shiftleft((d >= 0).cast("long"), i)
-        band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
-    return df.withColumn("_bb", F.explode(F.array(*band_cols))).select(
+        seg = F.slice(F.col("_dots"), b * per_band + 1, per_band)
+        bucket = F.aggregate(
+            F.zip_with(seg, weights, lambda d, w: (d >= 0).cast("long") * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return dotted.withColumn("_bb", F.explode(F.array(*band_cols))).select(
         "*", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
-    ).drop("_bb")
+    ).drop("_bb", "_dots")
 
 
 def bucketed_topk(
@@ -358,7 +400,7 @@ def cosine_near_dup_pairs(
 def _sq_dist(vec: Column, center: list[float]) -> Column:
     """||vec - center||² as an F.aggregate fold (compact codegen — see
     _plane_dot for why k-at-a-time unrolled chains backfire)."""
-    arr = F.array(*[F.lit(float(x)) for x in center])
+    arr = F.lit([float(x) for x in center])
     return F.aggregate(
         F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
         F.lit(0.0),
@@ -372,9 +414,26 @@ def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     NOT a when-chain: chained ``when(d < best, …)`` duplicates the d/best
     subtrees at every step, growing the expression tree exponentially in k
     (observed: ~90 s of plan compilation for k=8×64-dim). The array form
-    is linear in k. Ties resolve to the lowest cell index
-    (array_position returns the first match) — deterministic."""
-    d_arr = F.array(*[_sq_dist(vec, c) for c in centroids])
+    is linear in k, and is built as ONE transform over ONE 2-D centroid
+    literal (r16 — k separate fold constructions cost ~65 ms of py4j
+    round trips each, ~0.5 s per 8-cell build, paid per Lloyd iteration
+    and per encode/probe; per-element arithmetic and fold order are
+    unchanged, so distances are bit-identical). Ties resolve to the
+    lowest cell index (array_position returns the first match) —
+    deterministic."""
+    mat = F.lit([[float(x) for x in c] for c in centroids])
+    d_arr = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(
+                vec,
+                c,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
     return (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int")
 
 

@@ -50,7 +50,8 @@ def sq8_bounds(corpus: DataFrame, vec_col: str) -> list[tuple[float, float]]:
 
 
 def _lit_arr(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    # ONE F.lit call (r16): per-element lits pay a py4j round trip each
+    return F.lit([float(v) for v in vals])
 
 
 def sq8_encode(
@@ -305,11 +306,11 @@ def _directional_cell(vec: Column, centroids: list[list[float]]) -> Column:
     dot(vec, ĉ_j) itself is magnitude-invariant for the ARGMAX, so the
     row vector never needs normalizing — no per-row norm column to leak
     into a HOF lambda (the CollapseProject O(dim²) trap)."""
-    from .similarity import _plane_dot
+    from .similarity import _fold_dots
 
-    d_arr = F.array(
-        *[_plane_dot(vec, c) for c in _unit_centroids(centroids)]
-    )
+    # one transform over one 2-D literal (r16 — see _fold_dots): same
+    # per-centroid fold arithmetic, bit-identical dots and argmax
+    d_arr = _fold_dots(vec, _unit_centroids(centroids))
     return (F.array_position(d_arr, F.array_max(d_arr)) - 1).cast("int")
 
 
@@ -326,7 +327,7 @@ def _ivf_residual_frame(
     Cell assignment sits in its OWN projection (the kmeans_centroids
     discipline) so the k-dot array is built once per row, not re-derived
     inside the residual zip."""
-    cents2d = F.array(*[_lit_arr(c) for c in centroids])
+    cents2d = F.lit([[float(x) for x in c] for c in centroids])
     assigned = corpus.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).alias("_v"),
@@ -369,7 +370,7 @@ def ivf_sq8_encode(
     coarse centroids come from kmeans_centroids' distributed passes)."""
     mn = _lit_arr([b[0] for b in bounds])
     mx = _lit_arr([b[1] for b in bounds])
-    cents2d = F.array(*[_lit_arr(c) for c in centroids])
+    cents2d = F.lit([[float(x) for x in c] for c in centroids])
 
     def code(x: Column, i: Column) -> Column:
         lo = F.element_at(mn, i + 1)
