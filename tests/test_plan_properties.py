@@ -622,18 +622,83 @@ def test_no_broadcast_hint_on_scaled_scan(spark, sf_dir, registry):
     # (vec_id = 0: exactly one row at EVERY sf) through brute_force_topk
     query_set_ok |= {"hybrid_search_rrf", "hybrid_search_rrf_live"}
     failures = {}
-    for name, q in sorted(registry.items()):
+
+    def check(item):
+        name, q = item
         try:
             df = q.builder(spark, sf_dir)
         except Exception as e:  # builder bugs are other tests' business
-            failures[name] = f"builder raised: {e}"
-            continue
+            return name, f"builder raised: {e}"
         plan = df._jdf.queryExecution().analyzed().toString()
         bad = offending_broadcast_hints(plan)
         if name in query_set_ok:
             bad = [b for b in bad if "vec_id#" not in b]
-        if bad:
-            failures[name] = bad
+        return name, bad
+
+    # Builders that ensure a persisted /tmp index/mart/table (marker-
+    # guarded rmtree+write) must not race each other, so they run
+    # serially; every other builder is side-effect-free and the sweep
+    # runs them from a small thread pool (guide §2.6 — Spark schedules
+    # concurrent jobs fine; this test was the suite's single slowest
+    # item at ~2 min of sequential driver-side builds).
+    def _writes_tmp(name, q):
+        side_tags = {
+            "streaming", "streaming-analog", "layout", "events",
+            "persisted", "calibration", "sketch", "search",
+        }
+        side_names = (
+            "persisted", "_live", "_stream", "bucketed", "events_",
+            "dup_communities", "dup_pagerank", "knn_ivf_probe6", "hybrid",
+        )
+        return bool(side_tags & set(q.tags)) or any(
+            s in name for s in side_names
+        )
+
+    # Two side-effecting builders race only when they ensure the SAME
+    # /tmp index dir — group by that shared-index family and run each
+    # family's members sequentially inside one pool task, families
+    # concurrently.
+    def _family(name: str) -> str:
+        for key, fam in (
+            (("knn_", "hybrid"), "ann-indexes"),
+            (("dup_",), "lshpairs"),
+            (("bucketed",), "bucketed-tables"),
+            (("events_",), "events-dt"),
+            (("brand_affinity_stream", "assoc_rules_live"), "basketidx"),
+            (("calibrated_quality", "corpus_curate_calibrated"), "calib"),
+            (("kmv",), "kmv"),
+            (("spc",), "spc"),
+            (("ewma", "holt"), "nationdaily"),
+            (("bm25", "search"), "bm25"),
+            (("spectral",), "gramidx"),
+        ):
+            if any(k in name for k in key):
+                return fam
+        return name  # no shared dir: its own singleton family
+
+    from collections import defaultdict
+    from concurrent.futures import ThreadPoolExecutor
+
+    families: dict[str, list] = defaultdict(list)
+    pooled = []
+    for n, q in sorted(registry.items()):
+        if _writes_tmp(n, q):
+            families[_family(n)].append((n, q))
+        else:
+            pooled.append((n, q))
+
+    def check_chain(items):
+        return [check(it) for it in items]
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        chains = [pool.submit(check_chain, fam) for fam in families.values()]
+        for name, bad in pool.map(check, pooled):
+            if bad:
+                failures[name] = bad
+        for ch in chains:
+            for name, bad in ch.result():
+                if bad:
+                    failures[name] = bad
     assert not failures, failures
 
 

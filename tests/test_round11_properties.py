@@ -11,10 +11,13 @@ from fractions import Fraction
 from hypothesis import given, settings, strategies as st
 
 _SETTINGS = dict(max_examples=12, deadline=None, derandomize=True)
+# r16 (driver pytest budget): heavy-per-example pipelines run 6 fixed
+# (derandomized) examples; cheap properties keep 12.
+_SETTINGS_HEAVY = dict(max_examples=6, deadline=None, derandomize=True)
 
 
 # --- value_bucket_bounds vs sorted reference --------------------------------
-@settings(**_SETTINGS)
+@settings(**_SETTINGS_HEAVY)
 @given(
     vals=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=60),
     k=st.integers(min_value=2, max_value=8),
@@ -45,7 +48,7 @@ def test_value_bucket_bounds_match_sorted_ranks(spark, vals, k):
 
 
 # --- value_bucket_bounds_multi == per-column value_bucket_bounds ------------
-@settings(**_SETTINGS)
+@settings(**_SETTINGS_HEAVY)
 @given(
     rows=st.lists(
         st.tuples(
@@ -120,7 +123,7 @@ def test_ks_cross_multiplied_max_equals_cdf_sup(spark, g1, g2):
 
 
 # --- Kendall tau-b counts vs the O(n²) definition ----------------------------
-@settings(**_SETTINGS)
+@settings(**_SETTINGS_HEAVY)
 @given(
     pts=st.lists(
         st.tuples(
