@@ -495,7 +495,14 @@ def bench_streaming_dedup(spark, sf_dir: str) -> int:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="bench_sdedup_")
     try:
-        sink = IdempotentBatchWriter(os.path.join(work, "out"))
+        # schema= is the r16 production sink shape (streaming/dedup.py's
+        # _banded_pipeline passes the same contract schema): the pair
+        # rows' shape is fixed, so reads skip footer inference. This
+        # changes the measured WORK (an optimization inside the timed
+        # path), not the timing methodology.
+        sink = IdempotentBatchWriter(
+            os.path.join(work, "out"), schema="id_a long, id_b long"
+        )
         run = dedup_candidates_batch(spark, os.path.join(work, "idx"), sink)
         half = docs.filter(F.col("doc_id") % 2 == 0)
         rest = docs.filter(F.col("doc_id") % 2 == 1)

@@ -48,9 +48,21 @@ class IdempotentBatchWriter:
     ads/TrademarkStatApp.scala:114-151 without a transactional store.
     """
 
-    def __init__(self, out_dir: str, partition_by: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        out_dir: str,
+        partition_by: tuple[str, ...] = (),
+        schema: str | None = None,
+    ):
         self.out_dir = out_dir
         self.partition_by = tuple(partition_by)
+        # DATA schema (DDL string, without the batch_id partition col).
+        # When the writer's row shape is fixed by contract (band rows,
+        # pair rows, counter rows), passing it skips the one-task
+        # footer-inference job EVERY read pays on a just-grown index —
+        # the stat-keyed memo can never hit there because appending a
+        # batch changes the directory key by design (r16).
+        self.schema = schema
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         target = os.path.join(self.out_dir, f"batch_id={batch_id}")
@@ -61,13 +73,20 @@ class IdempotentBatchWriter:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read everything committed so far (batch_id recovered from the
-        partition directory). The schema memo key folds in the set of
+        partition directory). With a contract ``schema`` the read never
+        infers; otherwise the schema memo key folds in the set of
         batch_id subdirs and their stats (r15 ADVICE — the parent dir's
         own stat does not change when files are replaced INSIDE an
         existing batch_id=N subdir), so any new/rewritten batch
         re-infers while steady-state reads skip the footer job."""
         from ..sources.tables import _SCHEMA_MEMO, _memo_key, _memo_put
 
+        if self.schema is not None:
+            return (
+                spark.read.option("basePath", self.out_dir)
+                .schema(f"{self.schema}, batch_id int")
+                .parquet(self.out_dir + "/batch_id=*")
+            )
         key = _memo_key(self.out_dir)
         reader = spark.read.option("basePath", self.out_dir)
         schema = _SCHEMA_MEMO.get(key) if key is not None else None
@@ -305,6 +324,7 @@ class AppendOnlyIndex:
         index_dir: str,
         identity_rows: bool = True,
         partition_by: tuple[str, ...] = (),
+        schema: str | None = None,
     ):
         self.index_dir = index_dir
         # partition_by threads an inner layout through every generation
@@ -312,8 +332,11 @@ class AppendOnlyIndex:
         # partitions by ``cell`` so probes get partition pruning on the
         # same column ivf_build's batch layout prunes on.
         self.partition_by = tuple(partition_by)
+        # contract DATA schema (no batch_id): skips footer inference on
+        # every read of a just-grown index — see IdempotentBatchWriter
+        self.schema = schema
         self._writer = IdempotentBatchWriter(
-            index_dir, partition_by=self.partition_by
+            index_dir, partition_by=self.partition_by, schema=schema
         )
         self._base = os.path.join(index_dir, "base")
         # compact() dedups the merged base to survive interrupted
@@ -406,9 +429,12 @@ class AppendOnlyIndex:
             )
         parts = []
         if has_parquet(self._base):
-            from ..sources.tables import read_parquet_memo
+            if self.schema is not None:
+                parts.append(spark.read.schema(self.schema).parquet(self._base))
+            else:
+                from ..sources.tables import read_parquet_memo
 
-            parts.append(read_parquet_memo(spark, self._base))
+                parts.append(read_parquet_memo(spark, self._base))
         ids = self._batch_ids()
         if upto_batch_id is not None:
             ids = [b for b in ids if b <= upto_batch_id]
@@ -436,9 +462,12 @@ class AppendOnlyIndex:
             return 0
         parts = []
         if has_parquet(self._base):
-            from ..sources.tables import read_parquet_memo
+            if self.schema is not None:
+                parts.append(spark.read.schema(self.schema).parquet(self._base))
+            else:
+                from ..sources.tables import read_parquet_memo
 
-            parts.append(read_parquet_memo(spark, self._base))
+                parts.append(read_parquet_memo(spark, self._base))
         for b in todo:
             parts.append(
                 spark.read.parquet(

@@ -82,7 +82,11 @@ def basket_ingest_batch(
         ).distinct()
         prev_path = f"{carry_dir}/batch_id={batch_id - 1}"
         if batch_id > 0 and has_parquet(prev_path):
-            prev = spark.read.parquet(prev_path).select("o", "b")
+            # carry(N−1) was written from a frame with ob's own schema —
+            # passing it skips the per-batch footer-inference job
+            prev = spark.read.schema(ob.schema).parquet(prev_path).select(
+                "o", "b"
+            )
         else:
             prev = spark.createDataFrame([], ob.schema).select("o", "b")
         new = ob.join(prev, ["o", "b"], "left_anti").persist()

@@ -194,7 +194,10 @@ def banded_candidates_batch(
     that's ≪ the per-batch probe cost (and note the probe itself gets
     FASTER after each fold: one coalesced base beats N small-file dirs).
     """
-    index = AppendOnlyIndex(index_dir)
+    # contract schema: every read of the just-grown index would
+    # otherwise pay a one-task footer-inference job per micro-batch
+    # (the stat memo can never hit — appending changes the key)
+    index = AppendOnlyIndex(index_dir, schema=_BAND_SCHEMA)
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
 
@@ -244,7 +247,7 @@ def _banded_pipeline(
     bander: Bander,
     compact_every: int | None = None,
 ):
-    sink = IdempotentBatchWriter(out_dir)
+    sink = IdempotentBatchWriter(out_dir, schema="id_a long, id_b long")
     return (
         src.writeStream.foreachBatch(
             banded_candidates_batch(
