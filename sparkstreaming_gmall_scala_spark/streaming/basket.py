@@ -49,6 +49,10 @@ from pyspark.sql import functions as F
 
 from ..sinks.batch import AppendOnlyIndex, IdempotentBatchWriter, has_parquet
 
+# the unified counter index's contract row shape (src_batch is written
+# as an INT literal); reads with it never pay footer inference
+_COUNTER_SCHEMA = "kind string, ka string, kb string, cnt long, src_batch int"
+
 
 def basket_ingest_batch(
     spark: SparkSession,
@@ -71,7 +75,7 @@ def basket_ingest_batch(
     each batch still owns exactly its ``batch_id=N`` directory, rows
     still carry ``src_batch`` (the identity-semantic discipline), and
     the three logical counters are disjoint by ``kind``."""
-    counters = AppendOnlyIndex(counters_dir)
+    counters = AppendOnlyIndex(counters_dir, schema=_COUNTER_SCHEMA)
     carry = IdempotentBatchWriter(carry_dir)
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
@@ -168,7 +172,7 @@ def _fold_counters(spark: SparkSession, counters_dir: str):
     own documented bound), so collecting it is the sanctioned post-agg
     scalar move — the read side costs ONE job instead of three
     read+fold round trips."""
-    raw = AppendOnlyIndex(counters_dir).read(spark)
+    raw = AppendOnlyIndex(counters_dir, schema=_COUNTER_SCHEMA).read(spark)
     rows = (
         raw.dropDuplicates(["kind", "ka", "kb", "src_batch"])
         .groupBy("kind", "ka", "kb")
@@ -188,49 +192,42 @@ def _fold_counters(spark: SparkSession, counters_dir: str):
     return pairs, freq, n_orders
 
 
+def _lift_ppm(n_both: int, n_orders: int, na: int, nb: int) -> int:
+    """The batch query's lift tree in Python doubles — Python floats ARE
+    IEEE doubles and every step mirrors the Spark expression exactly:
+    cast-to-double per operand (float(x) on a count < 2^53 is exact, and
+    the two casts multiply as double×double, never int-product-then-
+    cast), same association order, floor at the end."""
+    import math
+
+    return int(
+        math.floor(
+            float(n_both)
+            * float(n_orders)
+            / (float(na) * float(nb))
+            * 1000000.0
+            + 0.5
+        )
+    )
+
+
 def brand_affinity_live(
     spark: SparkSession, counters_dir: str
 ) -> DataFrame:
     """The streamed twin of the brand_affinity catalog query: identical
     columns and the identical literal-n_orders IEEE lift tree, computed
-    from the folded counter index instead of a fact re-scan."""
+    from the folded counter index instead of a fact re-scan. After the
+    bounded fold collects (|brands|²+|brands|+1 rows by the batch
+    query's own bound), the join is dict lookups and the lift tree is
+    the same IEEE double sequence in Python (r16) — the old local-frame
+    broadcast joins paid ~1 s of pure scheduling to join 300 rows."""
     pairs_map, freq_map, n_orders = _fold_counters(spark, counters_dir)
-    pairs = spark.createDataFrame(
-        [(a, b, n) for (a, b), n in sorted(pairs_map.items())],
-        "brand_a string, brand_b string, n_both long",
-    )
-    freq = spark.createDataFrame(
-        sorted(freq_map.items()), "b string, nb long"
-    )
-    return (
-        pairs.join(
-            F.broadcast(
-                freq.withColumnRenamed("b", "brand_a").withColumnRenamed(
-                    "nb", "na"
-                )
-            ),
-            "brand_a",
-        )
-        .join(
-            F.broadcast(
-                freq.withColumnRenamed("b", "brand_b").withColumnRenamed(
-                    "nb", "nbb"
-                )
-            ),
-            "brand_b",
-        )
-        .select(
-            "brand_a",
-            "brand_b",
-            "n_both",
-            F.floor(
-                F.col("n_both").cast("double")
-                * F.lit(float(n_orders))
-                / (F.col("na").cast("double") * F.col("nbb").cast("double"))
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            ).cast("long").alias("lift_ppm"),
-        )
+    rows = [
+        (a, b, n, _lift_ppm(n, n_orders, freq_map[a], freq_map[b]))
+        for (a, b), n in sorted(pairs_map.items())
+    ]
+    return spark.createDataFrame(
+        rows, "brand_a string, brand_b string, n_both long, lift_ppm long"
     )
 
 
@@ -248,56 +245,33 @@ def assoc_rules_live(
     batch query's verbatim: exact integer ppm floor-div for
     confidence/support, the one shared IEEE double tree for lift."""
     pairs_map, freq_map, n_orders = _fold_counters(spark, counters_dir)
-    und = spark.createDataFrame(
-        [(a, b, n) for (a, b), n in sorted(pairs_map.items())],
-        "brand_a string, brand_b string, n_both long",
-    )
-    freq = spark.createDataFrame(
-        sorted(freq_map.items()), "b string, nb long"
-    )
-    pairs = und.select(
-        F.col("brand_a").alias("antecedent"),
-        F.col("brand_b").alias("consequent"),
-        "n_both",
-    ).unionByName(
-        und.select(
-            F.col("brand_b").alias("antecedent"),
-            F.col("brand_a").alias("consequent"),
-            "n_both",
+    rows = []
+    directed = [(a, b, n) for (a, b), n in pairs_map.items()]
+    directed += [(b, a, n) for (a, b), n in pairs_map.items()]
+    for ant, cons, n_both in sorted(directed):
+        na, nc = freq_map[ant], freq_map[cons]
+        # integer ppm floor-divs over positive counts — Python // is the
+        # same floor division Spark's `div` computes here; a zero
+        # n_orders (empty corpus) yields NULL like the old `div 0`
+        conf = n_both * 1000000 // na
+        support = (
+            n_both * 1000000 // n_orders if n_orders > 0 else None
         )
-    )
-    lift = F.floor(
-        F.col("n_both").cast("double")
-        * F.lit(float(n_orders))
-        / (F.col("na").cast("double") * F.col("nc").cast("double"))
-        * F.lit(1000000.0)
-        + F.lit(0.5)
-    ).cast("long")
-    conf = F.expr("n_both * 1000000L div na")
-    return (
-        pairs.join(
-            F.broadcast(
-                freq.withColumnRenamed("b", "antecedent")
-                .withColumnRenamed("nb", "na")
-            ),
-            "antecedent",
+        lift = _lift_ppm(n_both, n_orders, na, nc)
+        rows.append(
+            (
+                ant,
+                cons,
+                n_both,
+                conf,
+                support,
+                lift,
+                bool(conf >= 250000 and lift > 1000000),
+            )
         )
-        .join(
-            F.broadcast(
-                freq.withColumnRenamed("b", "consequent")
-                .withColumnRenamed("nb", "nc")
-            ),
-            "consequent",
-        )
-        .select(
-            "antecedent",
-            "consequent",
-            "n_both",
-            conf.alias("confidence_ppm"),
-            F.expr(f"n_both * 1000000L div {n_orders}").alias(
-                "support_ppm"
-            ),
-            lift.alias("lift_ppm"),
-            ((conf >= 250000) & (lift > 1000000)).alias("actionable"),
-        )
+    return spark.createDataFrame(
+        rows,
+        "antecedent string, consequent string, n_both long, "
+        "confidence_ppm long, support_ppm long, lift_ppm long, "
+        "actionable boolean",
     )
