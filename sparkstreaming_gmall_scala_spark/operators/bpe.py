@@ -122,6 +122,11 @@ def _merge_pair_batch(id_col: str, left: str, right: str):
         for pdf in batches:
             out = []
             for toks in pdf["toks"]:
+                if toks is None:
+                    # NULL token array (NULL text): the Column fold
+                    # propagated NULL — preserve that exactly
+                    out.append(None)
+                    continue
                 acc: list[str] = []
                 for t in toks:
                     if acc and acc[-1] == left and t == right:
